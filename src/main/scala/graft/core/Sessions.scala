@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory. Local defaults tuned for the test harness
+  * (local[32], 128 GiB box); on a real cluster the same settings minus
+  * `master` apply — AQE owns runtime re-planning, shuffle partitions are
+  * a starting point that AQE coalesces/splits.
+  *
+  * `spark.sql.ansi.enabled=false` deliberately: the engine reproduces the
+  * reference's pandas `errors='coerce'` semantics (failed casts/parses
+  * yield null, never throw) — see SURVEY.md §1.2/§2.2 (P9) and
+  * reference `align_columns_ui.py:176-257`.
+  */
+object Sessions {
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.parquet.compression.codec", "zstd")
+
+  def local(appName: String = "graft", cores: String = "32",
+            shufflePartitions: String = "32"): SparkSession = {
+    val s = tune(SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

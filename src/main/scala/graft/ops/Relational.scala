@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.SchemaProfiler
+import graft.pipeline.TableOp
+
+/** Relational core: projection/filter/conditional-update ops (SURVEY §2.2)
+  * and aggregation/statistics ops (§2.3). All are single-pass declarative
+  * plans — Catalyst pushes the filters/projections into the parquet scan
+  * and the groupBys get map-side partial aggregation for free.
+  */
+object Relational {
+
+  // ---- §2.2 projection / filter / conditional update -------------------
+
+  /** P1 — drop columns (`checking_data_formats_ui.py:418-442`). */
+  case class DropColumns(cols: String*) extends TableOp {
+    def describe = s"drop columns ${cols.mkString(",")}"
+    def apply(df: DataFrame): DataFrame = df.drop(cols: _*)
+  }
+
+  /** P2 — numeric-only projection (`model_evaluation_logic.py:149`). */
+  case class NumericProjection(includeBool: Boolean = false) extends TableOp {
+    def describe = "numeric projection"
+    def apply(df: DataFrame): DataFrame = SchemaProfiler.numericProjection(df, includeBool)
+  }
+
+  /** P3 — range predicate, open ends allowed (`checking_data_formats_ui.py:493-499`). */
+  case class RangeFilter(c: String, lo: Option[Double], hi: Option[Double]) extends TableOp {
+    def describe = s"filter $c in [${lo.getOrElse("-inf")},${hi.getOrElse("inf")}]"
+    def apply(df: DataFrame): DataFrame = {
+      val conds = lo.map(col(c) >= _).toSeq ++ hi.map(col(c) <= _).toSeq
+      if (conds.isEmpty) df else df.filter(conds.reduce(_ && _))
+    }
+  }
+
+  /** P4 — equality / IN predicate on string-cast values (`splitting_dataset_ui.py:389-406`). */
+  case class InFilter(c: String, values: Seq[String]) extends TableOp {
+    def describe = s"filter $c in (${values.mkString(",")})"
+    def apply(df: DataFrame): DataFrame =
+      df.filter(col(c).cast(StringType).isin(values: _*))
+  }
+
+  /** P5 — split rows into (target notna, target isna) (`splitting_dataset_ui.py:416-446`). */
+  def nullPartition(df: DataFrame, c: String): (DataFrame, DataFrame) =
+    (df.filter(col(c).isNotNull), df.filter(col(c).isNull))
+
+  /** P6 — drop rows with null in a column (`dataset_processing_check_nan.py:295-312`). */
+  case class DropNullRows(cols: String*) extends TableOp {
+    def describe = s"drop rows null in ${cols.mkString(",")}"
+    def apply(df: DataFrame): DataFrame = df.na.drop(cols)
+  }
+
+  /** P7 — merge a numeric interval into one value
+    * (`checking_data_formats_ui.py:535-597`). */
+  case class MergeInterval(c: String, lo: Double, hi: Double, target: Double) extends TableOp {
+    def describe = s"merge $c [$lo,$hi] -> $target"
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(c, when(col(c).between(lo, hi), lit(target)).otherwise(col(c)))
+  }
+
+  /** P8 — column-order align to a reference schema; error on missing,
+    * drop-or-append extras (`align_columns_ui.py:259-318`). */
+  case class AlignColumns(refCols: Seq[String], keepExtras: Boolean = false) extends TableOp {
+    def describe = s"align column order to ${refCols.mkString(",")}"
+    def apply(df: DataFrame): DataFrame = {
+      val missing = refCols.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"missing columns: ${missing.mkString(",")}")
+      val extras = if (keepExtras) df.columns.filterNot(refCols.contains).toSeq else Nil
+      df.select((refCols ++ extras).map(col): _*)
+    }
+  }
+
+  /** P9 — cast shared columns to reference dtypes; casts null on failure
+    * (`align_columns_ui.py:176-257`, pandas errors='coerce'). */
+  case class AlignTypes(refTypes: Map[String, DataType]) extends TableOp {
+    def describe = "align dtypes to reference"
+    def apply(df: DataFrame): DataFrame = {
+      val cols = df.schema.fields.map { f =>
+        refTypes.get(f.name) match {
+          case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+          case _ => col(f.name)
+        }
+      }
+      df.select(cols.toSeq: _*)
+    }
+  }
+
+  /** P10 — strip header whitespace (`eda.py:43`). */
+  case object TrimHeaders extends TableOp {
+    def describe = "trim headers"
+    def apply(df: DataFrame): DataFrame = df.toDF(df.columns.map(_.trim): _*)
+  }
+
+  // ---- §2.3 aggregations / statistics -----------------------------------
+
+  /** A1 — value counts with deterministic ordering (count desc, value asc);
+    * keeps the null bucket like pandas dropna=False
+    * (`checking_data_formats_ui.py:510-517`). */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc_nulls_last(c))
+
+  /** A2 — rare-value report: HAVING count <= n, optional pre-range
+    * (`checking_data_formats_ui.py:468-533`). */
+  def rareValues(df: DataFrame, c: String, maxCount: Long,
+                 lo: Option[Double] = None, hi: Option[Double] = None): DataFrame = {
+    val pre = RangeFilter(c, lo, hi)(df)
+    valueCounts(pre, c).filter(col("count") <= maxCount)
+  }
+
+  /** A3 — normalized frequency table (frequency encoding source,
+    * `dataset_processing_fix_non_numeric_ui.py:263-271`). One scan: count
+    * per group + window-sum for the total (no driver round-trip). */
+  def freqTable(df: DataFrame, c: String): DataFrame = {
+    val counts = df.groupBy(col(c)).agg(count(lit(1)).as("count"))
+    counts.withColumn("freq",
+      col("count") / sum("count").over(Window.partitionBy()))
+  }
+
+  /** A4 — per-category mean of a target column (target encoding source,
+    * `dataset_processing_fix_non_numeric_ui.py:250-261`). */
+  def groupMean(df: DataFrame, c: String, target: String): DataFrame =
+    df.groupBy(col(c)).agg(avg(col(target)).as("mean_target"))
+
+  /** A5 — missing-value profile: one aggregate scan over all columns
+    * (`checking_data_formats_ui.py:382-401`). */
+  def missingProfile(df: DataFrame): DataFrame = {
+    val n = df.columns.length
+    val aggs = df.columns.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c")) :+
+      count(lit(1)).as("n_rows")
+    val row = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val stackExpr = df.columns.map(c => s"'$c', `nulls_$c`").mkString(
+      s"stack($n, ", ", ", ") as (column, null_count)")
+    row.selectExpr("n_rows", stackExpr)
+      .withColumn("null_pct", col("null_count") * 100.0 / col("n_rows"))
+      .select("column", "null_count", "null_pct")
+  }
+
+  /** A7 — column stats in one pass: mean/median/min/max/std
+    * (`mice_method.py:115-120`). Exact median — at 100 TB swap in
+    * `percentile_approx` behind `approximate=true`. */
+  def columnStats(df: DataFrame, cols: Seq[String], approximate: Boolean = false): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val med = if (approximate) percentile_approx(col(c), lit(0.5), lit(10000)) else median(col(c))
+      Seq(avg(col(c)).as(s"mean_$c"), med.as(s"median_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        stddev(col(c)).as(s"std_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', `mean_$c`, CAST(`median_$c` AS DOUBLE), CAST(`min_$c` AS DOUBLE), CAST(`max_$c` AS DOUBLE), `std_$c`"
+    ).mkString(s"stack(${cols.length}, ", ", ", ") as (column, mean, median, min, max, std)")
+    row.selectExpr(stackExpr)
+  }
+
+  /** A8 — Pearson correlation matrix over numeric columns, melted to
+    * (col1, col2, corr) rows. Pairwise `corr` aggregates in ONE scan —
+    * m*(m-1)/2 aggregates beat m² shuffles of an assembled-vector
+    * Correlation.corr for modest m. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(s"stack(${pairs.length}, ", ", ", ") as (col1, col2, corr)")
+    row.selectExpr(stackExpr)
+  }
+
+  /** A9 — equi-width histogram: floor((x-lo)/width), clamped to [0,bins-1]
+    * (`eda.py:473-603`). */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val bucket = least(greatest(floor((col(c) - lo) / width), lit(0)), lit(bins - 1))
+    df.filter(col(c).isNotNull)
+      .groupBy(bucket.cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy("bucket")
+  }
+
+  /** A10 — grouped EDA counts: (feature value × class value) in one pass
+    * (`eda.py:47-72`). */
+  def groupedCounts(df: DataFrame, feature: String, cls: String): DataFrame =
+    df.groupBy(col(feature), col(cls)).agg(count(lit(1)).as("count"))
+
+  /** A11 — head/tail class summary: top-10 + bottom-2 by count, deduped
+    * (`data_balancing_operaiting_classes.py:88-107`). Deterministic
+    * tie-break on value. */
+  def classSummary(df: DataFrame, c: String, topN: Int = 10, bottomN: Int = 2): DataFrame = {
+    val counts = df.groupBy(col(c)).agg(count(lit(1)).as("count"))
+    val top = counts.orderBy(desc("count"), asc(c)).limit(topN)
+    val bottom = counts.orderBy(asc("count"), asc(c)).limit(bottomN)
+    top.unionByName(bottom).dropDuplicates(c)
+  }
+
+  /** A12 — deterministic dedup: canonical row = lowest tiebreaker per key
+    * group (a keep-first `dropDuplicates` with defined order; reference
+    * README dedup feature). Scale: one hash-shuffle on the dedup key —
+    * same cost as groupBy; no sort of the full table. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], tiebreaker: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(asc(tiebreaker))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

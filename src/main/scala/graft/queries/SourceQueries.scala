@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+import graft.core.{SchemaProfiler, Tables}
+import graft.io.{MetaTracker, ParamsJson, VersionedCsv}
+import Q.QueryFn
+
+/** Driver-checked queries for the source/sink + schema-profiling surface
+  * (SURVEY §2.1, §1.3): versioned-CSV round trips, lineage checks, params
+  * JSON, and the semantic type profiler.
+  */
+object SourceQueries {
+
+  /** S1+S5: nation -> versioned CSV (META header) -> lenient CSV scan. */
+  private def s1CsvRoundtrip: QueryFn = (s, dir) => {
+    val out = Q.tempDir("graft_s1")
+    val tracker = new MetaTracker
+    tracker.addChange("import nation")
+    val path = VersionedCsv.saveVersioned(Tables.nation(s, dir), out, "nation", tracker)
+    val (df, meta) = VersionedCsv.readVersioned(s, path)
+    require(meta.version == 1, s"expected v1, got v${meta.version}")
+    df.select(col("n_nationkey").cast("int"), col("n_name").cast("string"),
+      col("n_regionkey").cast("int"))
+  }
+
+  /** S2: all-string CSV scan (dtype=str + fillna("")). */
+  private def s2CsvAllString: QueryFn = (s, dir) => {
+    val out = Q.tempDir("graft_s2")
+    val tracker = new MetaTracker
+    val path = VersionedCsv.saveVersioned(Tables.region(s, dir), out, "region", tracker)
+    VersionedCsv.read(s, path, allString = true)
+      .toDF("r_regionkey", "r_name")
+  }
+
+  /** S7: version lineage parsing/checking on representative filenames. */
+  private def s7VersionCheck: QueryFn = (s, _) => {
+    val files = Seq("diabetes_v0.csv", "diabetes_v3.csv", "sales_train_v2.csv",
+      "sales_test_v2.csv", "sales_test_v3.csv", "plain.csv")
+    val rows = files.map { f =>
+      (f, VersionedCsv.baseName(f),
+        VersionedCsv.extractVersion(f).map(Integer.valueOf).orNull)
+    }
+    val pairOk = VersionedCsv.checkTrainTestVersions("sales_train_v2.csv", "sales_test_v2.csv").isRight
+    val pairBad = VersionedCsv.checkTrainTestVersions("sales_train_v2.csv", "sales_test_v3.csv").isLeft
+    require(pairOk && pairBad, "version pair check broken")
+    import s.implicits._
+    rows.toDF("file", "base", "version")
+  }
+
+  /** S9: hyperparameter JSON sink/source round trip. */
+  private def s9ParamsJson: QueryFn = (s, _) => {
+    import ParamsJson._
+    val path = Q.tempDir("graft_s9") + "/params.json"
+    write(path, ListMap(
+      "model" -> JStr("random_forest"),
+      "n_estimators" -> JNum(200),
+      "max_depth" -> JNum(10),
+      "learning_rate" -> JNum(0.1),
+      "bootstrap" -> JBool(true),
+      "max_features" -> JNull))
+    val back = read(path)
+    import s.implicits._
+    back.toSeq.map { case (k, v) =>
+      val (kind, value) = v match {
+        case JStr(x) => ("str", x)
+        case JNum(x) => ("num", if (x == x.floor) x.toLong.toString else x.toString)
+        case JBool(x) => ("bool", x.toString)
+        case JNull => ("null", null: String)
+      }
+      (k, kind, value)
+    }.toDF("param", "kind", "value")
+  }
+
+  /** §1.3: semantic type profile of the documents table (one-pass). */
+  private def profileDocuments: QueryFn = (s, dir) =>
+    SchemaProfiler.profile(Tables.documents(s, dir))
+
+  val queries: Map[String, QueryFn] = Map(
+    "s1_csv_roundtrip" -> s1CsvRoundtrip,
+    "s2_csv_allstring" -> s2CsvAllString,
+    "s7_version_check" -> s7VersionCheck,
+    "s9_params_json" -> s9ParamsJson,
+    "s13_schema_profile" -> profileDocuments)
+
+  val oracles: Map[String, String] = Map(
+    "s1_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s2_csv_allstring" ->
+      "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+    "s7_version_check" -> """
+      SELECT * FROM (VALUES
+        ('diabetes_v0.csv','diabetes', 0),
+        ('diabetes_v3.csv','diabetes', 3),
+        ('sales_train_v2.csv','sales', 2),
+        ('sales_test_v2.csv','sales', 2),
+        ('sales_test_v3.csv','sales', 3),
+        ('plain.csv','plain', CAST(NULL AS INT))
+      ) AS t(file, base, version)""",
+    "s9_params_json" -> """
+      SELECT * FROM (VALUES
+        ('model','str','random_forest'),
+        ('n_estimators','num','200'),
+        ('max_depth','num','10'),
+        ('learning_rate','num','0.1'),
+        ('bootstrap','bool','true'),
+        ('max_features','null', CAST(NULL AS VARCHAR))
+      ) AS t(param, kind, value)""",
+    "s13_schema_profile" -> """
+      WITH n AS (SELECT count(*) AS n_rows FROM documents)
+      SELECT 'doc_id' AS "column", 'bigint' AS dtype, n.n_rows,
+             (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS null_count,
+             (SELECT count(doc_id) FROM documents) AS numeric_count,
+             0 AS date_count,
+             (SELECT count(DISTINCT doc_id) FROM documents) AS distinct_count,
+             'numeric' AS semantic FROM n
+      UNION ALL
+      SELECT 'text', 'string', n.n_rows,
+             (SELECT count(*) FROM documents WHERE text IS NULL),
+             (SELECT count(try_cast(text AS DOUBLE)) FROM documents),
+             (SELECT count(*) FROM documents WHERE COALESCE(
+                try_strptime(text,'%m/%d/%Y'), try_strptime(text,'%m/%d/%y'),
+                try_strptime(text,'%d/%m/%Y'), try_strptime(text,'%Y-%m-%d'),
+                try_strptime(text,'%d.%m.%Y'), try_strptime(text,'%Y/%m/%d')) IS NOT NULL),
+             (SELECT count(DISTINCT text) FROM documents),
+             'categorical' FROM n
+      UNION ALL
+      SELECT 'lang', 'string', n.n_rows,
+             (SELECT count(*) FROM documents WHERE lang IS NULL),
+             (SELECT count(try_cast(lang AS DOUBLE)) FROM documents),
+             (SELECT count(*) FROM documents WHERE COALESCE(
+                try_strptime(lang,'%m/%d/%Y'), try_strptime(lang,'%m/%d/%y'),
+                try_strptime(lang,'%d/%m/%Y'), try_strptime(lang,'%Y-%m-%d'),
+                try_strptime(lang,'%d.%m.%Y'), try_strptime(lang,'%Y/%m/%d')) IS NOT NULL),
+             (SELECT count(DISTINCT lang) FROM documents),
+             'categorical' FROM n
+      UNION ALL
+      SELECT 'source', 'string', n.n_rows,
+             (SELECT count(*) FROM documents WHERE source IS NULL),
+             (SELECT count(try_cast(source AS DOUBLE)) FROM documents),
+             (SELECT count(*) FROM documents WHERE COALESCE(
+                try_strptime(source,'%m/%d/%Y'), try_strptime(source,'%m/%d/%y'),
+                try_strptime(source,'%d/%m/%Y'), try_strptime(source,'%Y-%m-%d'),
+                try_strptime(source,'%d.%m.%Y'), try_strptime(source,'%Y/%m/%d')) IS NOT NULL),
+             (SELECT count(DISTINCT source) FROM documents),
+             'categorical' FROM n
+      UNION ALL
+      SELECT 'n_chars', 'bigint', n.n_rows,
+             (SELECT count(*) FROM documents WHERE n_chars IS NULL),
+             (SELECT count(n_chars) FROM documents),
+             0,
+             (SELECT count(DISTINCT n_chars) FROM documents),
+             'numeric' FROM n""")
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: runs each oracle SQL in
+DuckDB over the sf parquet tables and compares against the engine's Verify
+output (column-name-sorted, row-sorted, value-level). Dev tool only — the
+shipped library is pure Scala/Spark.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except Exception:
+        pass
+    return v
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import glob, os
+    produced = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)}
+    npass = nfail = 0
+    for name in sorted(produced):
+        got_rel = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        gcols = [d[0] for d in got_rel.description]
+        grows = got_rel.fetchall()
+        if name not in oracles:
+            print(f"  [rows-only] {name}: {len(grows)} rows" + (" EMPTY!" if not grows else ""))
+            continue
+        try:
+            exp_rel = con.execute(oracles[name])
+            ecols = [d[0] for d in exp_rel.description]
+            erows = exp_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            nfail += 1
+            continue
+        gc, gr = canon(gcols, grows)
+        ec, er = canon(ecols, erows)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            nfail += 1
+            continue
+        if gr == er:
+            print(f"PASS {name} ({len(gr)} rows)")
+            npass += 1
+        else:
+            print(f"FAIL {name}: rows {len(gr)} vs {len(er)}")
+            only_g = [r for r in gr if r not in set(er)][:3]
+            only_e = [r for r in er if r not in set(gr)][:3]
+            for r in only_g: print(f"   engine-only: {r}")
+            for r in only_e: print(f"   oracle-only: {r}")
+            nfail += 1
+    missing = set(oracles) - produced
+    for name in sorted(missing):
+        print(f"MISSING output for declared oracle: {name}")
+        nfail += 1
+    print(f"== {npass} pass, {nfail} fail, {len(produced - set(oracles))} rows-only")
+    return 1 if nfail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
