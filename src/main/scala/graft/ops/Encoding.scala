@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.pipeline.TableOp
+
+/** Categorical encoding ops (SURVEY §2.6 E1-E6).
+  *
+  * Scale design: every encoder that needs a category dictionary builds it
+  * as a small DataFrame (distinct values — bounded by category cardinality,
+  * not table size) and joins it back with an explicit `broadcast()`. At
+  * 100 TB the fact-table side never shuffles; the only wide operation is
+  * the distinct-aggregation that produces the dictionary.
+  *
+  * Label codes are ALPHABETICAL (dense_rank over value asc) for parity with
+  * the reference's sklearn LabelEncoder (`dataset_processing_fix_non_numeric_ui.py:240-248`)
+  * — see SURVEY §7.4(9): StringIndexer's default frequency order would
+  * diverge.
+  */
+object Encoding {
+
+  /** Sanitized column suffix for a category value (reference `get_dummies`
+    * uses raw values; parquet/DuckDB-safe names need cleaning). */
+  def sanitize(v: String): String = v.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Dictionary: distinct values of c with alphabetical 0-based codes.
+    * Shuffles only the distinct set. */
+  def labelDictionary(df: DataFrame, c: String): DataFrame = {
+    val w = Window.orderBy(col(c).asc)
+    df.filter(col(c).isNotNull).select(col(c)).distinct()
+      .withColumn("__code", (dense_rank().over(w) - 1).cast(LongType))
+  }
+
+  /** E1 — one-hot to FLAT 0/1 columns (reference `pd.get_dummies`,
+    * `dataset_processing_fix_non_numeric_ui.py:227-238`). Values may be
+    * supplied (stable schema) or collected from data (driver collect of the
+    * distinct set only — guarded; dictionaries are small by definition). */
+  case class OneHot(c: String, values: Seq[String] = Nil,
+                    dropOriginal: Boolean = true, maxCategories: Int = 1000) extends TableOp {
+    def describe = s"one-hot encode $c"
+    def apply(df: DataFrame): DataFrame = {
+      val vs =
+        if (values.nonEmpty) values
+        else df.select(col(c).cast(StringType)).filter(col(c).isNotNull)
+          .distinct().limit(maxCategories + 1)
+          .collect().map(_.getString(0)).sorted.toSeq
+      require(vs.size <= maxCategories, s"$c has >$maxCategories categories; one-hot refused")
+      val withDummies = vs.foldLeft(df) { (d, v) =>
+        d.withColumn(s"${c}_${sanitize(v)}",
+          (col(c).cast(StringType) === v).cast(IntegerType))
+      }
+      if (dropOriginal) withDummies.drop(c) else withDummies
+    }
+  }
+
+  /** E2 — label encoding, alphabetical codes (sklearn LabelEncoder parity). */
+  case class LabelEncode(c: String, out: Option[String] = None) extends TableOp {
+    def describe = s"label encode $c"
+    def apply(df: DataFrame): DataFrame = {
+      val dict = labelDictionary(df, c)
+      val outName = out.getOrElse(c + "_label")
+      df.join(broadcast(dict), Seq(c), "left")
+        .withColumnRenamed("__code", outName)
+    }
+  }
+
+  /** E3 — target encoding: category -> mean(target), col `{c}_encoded`
+    * (`dataset_processing_fix_non_numeric_ui.py:250-261`). */
+  case class TargetEncode(c: String, target: String) extends TableOp {
+    def describe = s"target encode $c by mean($target)"
+    def apply(df: DataFrame): DataFrame = {
+      val dict = df.groupBy(col(c)).agg(avg(col(target)).as(s"${c}_encoded"))
+      df.join(broadcast(dict), Seq(c), "left")
+    }
+  }
+
+  /** E4 — frequency encoding: category -> relative frequency, col
+    * `{c}_freq_encoded` (`…:263-271`). Total via a second tiny aggregate on
+    * the dictionary itself (no full-table window). */
+  case class FrequencyEncode(c: String) extends TableOp {
+    def describe = s"frequency encode $c"
+    def apply(df: DataFrame): DataFrame = {
+      val counts = df.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      val dict = counts.withColumn(s"${c}_freq_encoded",
+        col("__cnt") / sum("__cnt").over(Window.partitionBy()))
+        .drop("__cnt")
+      df.join(broadcast(dict), Seq(c), "left")
+    }
+  }
+
+  /** E5 — binary encoding: alphabetical label code -> binary digit columns
+    * `{c}_bin_{i}`, i=0 is the MOST significant bit (category_encoders
+    * convention; `…:273-282`). */
+  case class BinaryEncode(c: String, dropOriginal: Boolean = false) extends TableOp {
+    def describe = s"binary encode $c"
+    def apply(df: DataFrame): DataFrame = {
+      val dict = labelDictionary(df, c).persist()
+      val nCats = dict.count()
+      val bits = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nCats - 1))))
+      val joined = df.join(broadcast(dict), Seq(c), "left")
+      val withBits = (0 until bits).foldLeft(joined) { (d, i) =>
+        d.withColumn(s"${c}_bin_$i",
+          shiftright(col("__code"), bits - 1 - i).bitwiseAND(lit(1L)).cast(IntegerType))
+      }
+      dict.unpersist()
+      val res = withBits.drop("__code")
+      if (dropOriginal) res.drop(c) else res
+    }
+  }
+
+  /** E6 — date expansion to 6 integer parts (`…:284-323`). `dayofweek` is
+    * normalized to pandas convention Mon=0..Sun=6 (Spark is Sun=1..Sat=7)
+    * — SURVEY §7.4(4). Accepts date/timestamp or string (parsed with
+    * coalesce over the reference's 6 formats, null on failure). */
+  case class DateExpand(c: String, dropOriginal: Boolean = true) extends TableOp {
+    def describe = s"expand date parts of $c"
+    def apply(df: DataFrame): DataFrame = {
+      val src = df.schema(c).dataType match {
+        case DateType | TimestampType => col(c).cast(DateType)
+        case _ => coalesce(Encoding.referenceDateFormats.map(f => to_date(col(c), f)): _*)
+      }
+      val d = df
+        .withColumn(s"${c}_year", year(src).cast(LongType))
+        .withColumn(s"${c}_month", month(src).cast(LongType))
+        .withColumn(s"${c}_day", dayofmonth(src).cast(LongType))
+        .withColumn(s"${c}_dayofweek", pmod(dayofweek(src) + 5, lit(7)).cast(LongType))
+        .withColumn(s"${c}_week", weekofyear(src).cast(LongType))
+        .withColumn(s"${c}_quarter", quarter(src).cast(LongType))
+      if (dropOriginal) d.drop(c) else d
+    }
+  }
+
+  /** The reference's 6 accepted date formats (`checking_data_formats_ui.py:405`),
+    * in its try-order. */
+  val referenceDateFormats: Seq[String] =
+    Seq("M/d/yyyy", "M/d/yy", "d/M/yyyy", "yyyy-M-d", "d.M.yyyy", "yyyy/M/d")
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Encoding, Hashing}
+import Q.QueryFn
+
+/** Driver-checked queries for encoders (E1-E6) and hashing (H1-H6).
+  * Hash oracles are exact DuckDB reproductions of the same md5/sha256
+  * arithmetic; H1 (Murmur3) is engine-internal, so its check is the
+  * bucket-count distribution being complete (rows-only).
+  */
+object EncodingQueries {
+
+  private val Md5IntSql = (c: String) =>
+    s"CAST(('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
+  private val Sha256IntSql = (c: String) =>
+    s"CAST(('0x' || substring(sha256(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  val queries: Map[String, QueryFn] = Map(
+    "e1_onehot" -> ((s, dir) =>
+      Encoding.OneHot("o_orderpriority")(Tables.orders(s, dir))
+        .select("o_orderkey", "o_orderpriority_1_URGENT", "o_orderpriority_2_HIGH",
+          "o_orderpriority_3_MEDIUM", "o_orderpriority_4_NOT_SPECIFIED",
+          "o_orderpriority_5_LOW")),
+
+    "e2_label" -> ((s, dir) =>
+      Encoding.LabelEncode("c_mktsegment")(Tables.customer(s, dir))
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_label")),
+
+    "e3_target_encode" -> ((s, dir) =>
+      Encoding.TargetEncode("o_orderpriority", "o_totalprice")(Tables.orders(s, dir))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_orderpriority_encoded"), 4).as("o_orderpriority_encoded"))),
+
+    "e4_freq_encode" -> ((s, dir) =>
+      Encoding.FrequencyEncode("c_mktsegment")(Tables.customer(s, dir))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_mktsegment_freq_encoded"), 6).as("c_mktsegment_freq_encoded"))),
+
+    "e5_binary_encode" -> ((s, dir) =>
+      Encoding.BinaryEncode("c_mktsegment")(Tables.customer(s, dir))
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_bin_0",
+          "c_mktsegment_bin_1", "c_mktsegment_bin_2")),
+
+    "e6_date_expand" -> ((s, dir) =>
+      Encoding.DateExpand("o_orderdate")(Tables.orders(s, dir))
+        .select("o_orderkey", "o_orderdate_year", "o_orderdate_month",
+          "o_orderdate_day", "o_orderdate_dayofweek", "o_orderdate_week",
+          "o_orderdate_quarter")),
+
+    "h1_simple_hash" -> ((s, dir) =>
+      // Murmur3 not oracle-reproducible: verify the derived invariant —
+      // bucket ids in range and total count preserved (rows-only + spec).
+      Hashing.SimpleHash("c_mktsegment", 16)(Tables.customer(s, dir))
+        .groupBy("c_mktsegment_hashed").agg(count(lit(1)).as("count"))),
+
+    "h2_feature_hash" -> ((s, dir) =>
+      Hashing.FeatureHash("c_mktsegment", 64)(Tables.customer(s, dir))
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_hashed")),
+
+    "h3_onehot_hash" -> ((s, dir) =>
+      Hashing.OneHotHash("c_mktsegment", 64)(Tables.customer(s, dir))
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_hashed")),
+
+    "h4_embedding_hash" -> ((s, dir) =>
+      Hashing.EmbeddingHash("c_mktsegment", 64)(Tables.customer(s, dir))
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_hashed")),
+
+    "h5_universal_hash" -> ((s, dir) =>
+      Hashing.UniversalHash("c_mktsegment", 64)(Tables.customer(s, dir))
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_hashed")),
+
+    "h6_countmin" -> ((s, dir) =>
+      // Wide sketch (eps 1e-4 -> width 27183) over 5 distinct values:
+      // estimates are collision-free, so exact counts are the oracle.
+      Hashing.CountMinFreq("o_orderpriority")(Tables.orders(s, dir))
+        .groupBy("o_orderpriority")
+        .agg(max("o_orderpriority_cms_count").as("cms_count"),
+          count(lit(1)).as("exact_count"))))
+
+  val oracles: Map[String, String] = Map(
+    "e1_onehot" -> """
+      SELECT o_orderkey,
+             CAST(o_orderpriority = '1-URGENT' AS INT) AS "o_orderpriority_1_URGENT",
+             CAST(o_orderpriority = '2-HIGH' AS INT) AS "o_orderpriority_2_HIGH",
+             CAST(o_orderpriority = '3-MEDIUM' AS INT) AS "o_orderpriority_3_MEDIUM",
+             CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT) AS "o_orderpriority_4_NOT_SPECIFIED",
+             CAST(o_orderpriority = '5-LOW' AS INT) AS "o_orderpriority_5_LOW"
+      FROM orders""",
+
+    "e2_label" -> """
+      SELECT c_custkey, c_mktsegment,
+             dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS c_mktsegment_label
+      FROM customer""",
+
+    "e3_target_encode" -> """
+      SELECT o_orderkey, o_orderpriority,
+             round(avg(o_totalprice) OVER (PARTITION BY o_orderpriority), 4)
+               AS o_orderpriority_encoded
+      FROM orders""",
+
+    "e4_freq_encode" -> """
+      SELECT c_custkey, c_mktsegment,
+             round(CAST(count(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                   / count(*) OVER (), 6) AS c_mktsegment_freq_encoded
+      FROM customer""",
+
+    "e5_binary_encode" -> """
+      WITH coded AS (
+        SELECT c_custkey, c_mktsegment,
+               dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS code
+        FROM customer)
+      SELECT c_custkey, c_mktsegment,
+             CAST((code >> 2) & 1 AS INT) AS c_mktsegment_bin_0,
+             CAST((code >> 1) & 1 AS INT) AS c_mktsegment_bin_1,
+             CAST(code & 1 AS INT) AS c_mktsegment_bin_2
+      FROM coded""",
+
+    "e6_date_expand" -> """
+      SELECT o_orderkey,
+             year(o_orderdate) AS o_orderdate_year,
+             month(o_orderdate) AS o_orderdate_month,
+             day(o_orderdate) AS o_orderdate_day,
+             isodow(o_orderdate) - 1 AS o_orderdate_dayofweek,
+             weekofyear(o_orderdate) AS o_orderdate_week,
+             quarter(o_orderdate) AS o_orderdate_quarter
+      FROM orders""",
+
+    "h2_feature_hash" -> s"""
+      SELECT c_custkey, c_mktsegment,
+             ${Md5IntSql("c_mktsegment")} % 64 AS c_mktsegment_hashed
+      FROM customer""",
+
+    "h3_onehot_hash" -> s"""
+      WITH coded AS (
+        SELECT c_custkey, c_mktsegment,
+               dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS code
+        FROM customer)
+      SELECT c_custkey, c_mktsegment,
+             ${Md5IntSql("code")} % 64 AS c_mktsegment_hashed
+      FROM coded""",
+
+    "h4_embedding_hash" -> s"""
+      SELECT c_custkey, c_mktsegment,
+             ((list_sum(list_transform(string_split(c_mktsegment, ''), x -> unicode(x))) % 2147483648)
+              + ${Md5IntSql("c_mktsegment")}) % 64 AS c_mktsegment_hashed
+      FROM customer""",
+
+    "h5_universal_hash" -> s"""
+      SELECT c_custkey, c_mktsegment,
+             ((1103515245 * (${Sha256IntSql("c_mktsegment")} % 2147483647) + 12345)
+              % 2147483647) % 64 AS c_mktsegment_hashed
+      FROM customer""",
+
+    "h6_countmin" -> """
+      SELECT o_orderpriority, count(*) AS cms_count, count(*) AS exact_count
+      FROM orders GROUP BY 1""")
+}
