@@ -13,7 +13,9 @@ object SparkEntry {
   private val packs: Seq[(Map[String, Q.QueryFn], Map[String, String])] = Seq(
     (SourceQueries.queries, SourceQueries.oracles),
     (RelationalQueries.queries, RelationalQueries.oracles),
-    (EncodingQueries.queries, EncodingQueries.oracles))
+    (EncodingQueries.queries, EncodingQueries.oracles),
+    (ImputationQueries.queries, ImputationQueries.oracles),
+    (BalancingQueries.queries, BalancingQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.pipeline.TableOp
+
+/** Sampling / balancing / trimming (SURVEY §2.4 B1, B3, B6, B12-B14;
+  * reference `preprocessing/data_balancing/`).
+  *
+  * Scale design: all class-wise caps are windowed ranks partitioned by the
+  * class column — one hash shuffle on the class key; a skewed majority
+  * class is exactly what AQE skew handling + the rank-limit prune handle.
+  * Random paths thread explicit seeds (reference pins random_state=42).
+  * Every trim supports a DETERMINISTIC order (for reproducible pipelines
+  * and oracle checks) or a seeded-random order (reference semantics).
+  */
+object Balancing {
+
+  /** Per-class counts as a small dictionary frame. */
+  def classCounts(df: DataFrame, target: String): DataFrame =
+    df.groupBy(col(target)).agg(count(lit(1)).as("__n"))
+
+  /** B1 — random train/test split with seed
+    * (`data_balancing_list_method_ui.py:197-199`). */
+  def randomSplit(df: DataFrame, testFraction: Double, seed: Long): (DataFrame, DataFrame) = {
+    val Array(train, test) = df.randomSplit(Array(1 - testFraction, testFraction), seed)
+    (train, test)
+  }
+
+  /** B1 stratified — per-class Bernoulli sample of ~fraction for train;
+    * complement (same rand stream, so exact partition of rows) for test
+    * (`cross_validation_optuna_logic.py:58-60`). */
+  def stratifiedSplit(df: DataFrame, target: String, testFraction: Double,
+                      seed: Long): (DataFrame, DataFrame) = {
+    val r = rand(seed)
+    val tagged = df.withColumn("__r", r)
+    (tagged.filter(col("__r") >= testFraction).drop("__r"),
+     tagged.filter(col("__r") < testFraction).drop("__r"))
+  }
+
+  /** B3 — random undersample every class to ~the minority size
+    * (`data_balancing_list_method_logic.py:24-32`). Exact-size per class via
+    * windowed rank over a seeded-random order (not Bernoulli — reference
+    * RandomUnderSampler is exact). */
+  case class Undersample(target: String, seed: Long = 42L) extends TableOp {
+    def describe = s"undersample classes of $target to minority size"
+    def apply(df: DataFrame): DataFrame = {
+      val minCount = classCounts(df, target).agg(min("__n")).first().getLong(0)
+      trimPerClass(df, target, lit(minCount), orderBy = rand(seed))
+    }
+  }
+
+  /** B6 — random oversample minority classes to ~the majority size by
+    * sampling WITH replacement (`…logic.py:57-65`). Output size per class is
+    * binomially distributed around the majority count (distributed-exact
+    * duplication would serialize on a single task; documented approximation). */
+  case class Oversample(target: String, seed: Long = 42L) extends TableOp {
+    def describe = s"oversample classes of $target to majority size"
+    def apply(df: DataFrame): DataFrame = {
+      val counts = classCounts(df, target).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val maxCount = counts.values.max
+      val parts = counts.toSeq.map { case (cls, n) =>
+        val sub = df.filter(col(target) <=> lit(cls))
+        if (n >= maxCount) sub
+        else sub.sample(withReplacement = true, maxCount.toDouble / n, seed)
+      }
+      parts.reduce(_.unionByName(_))
+    }
+  }
+
+  /** B12 — trim to at most N rows per class
+    * (`dataset_trim_window_logic.py:16-27`). Deterministic when orderCols
+    * given; else seeded-random (reference `df.sample(n, seed)`). */
+  case class TrimEqual(target: String, n: Long, orderCols: Seq[String] = Nil,
+                       seed: Long = 42L) extends TableOp {
+    def describe = s"trim to <=$n rows per class of $target"
+    def apply(df: DataFrame): DataFrame =
+      trimPerClass(df, target, lit(n), orderExpr(orderCols, seed))
+  }
+
+  /** B13 — proportional trim: scale every class by maxTotal/total, floor,
+    * keep >=1 per class (`…logic.py:29-43`). */
+  case class TrimProportional(target: String, maxTotal: Long,
+                              orderCols: Seq[String] = Nil, seed: Long = 42L) extends TableOp {
+    def describe = s"trim classes of $target proportionally to <=$maxTotal total"
+    def apply(df: DataFrame): DataFrame = {
+      val total = df.count()
+      if (total <= maxTotal) df
+      else {
+        val f = maxTotal.toDouble / total
+        val cap = greatest(lit(1L), floor(count(lit(1))
+          .over(Window.partitionBy(col(target))) * f))
+        trimPerClass(df, target, cap, orderExpr(orderCols, seed))
+      }
+    }
+  }
+
+  /** B14 — cap only the largest class at N, pass others through
+    * (`…logic.py:45-58`). */
+  case class TrimMajority(target: String, n: Long, orderCols: Seq[String] = Nil,
+                          seed: Long = 42L) extends TableOp {
+    def describe = s"cap majority class of $target at $n"
+    def apply(df: DataFrame): DataFrame = {
+      val top = classCounts(df, target).orderBy(desc("__n"), asc(target)).first()
+      val majority = top.get(0)
+      val cap = when(col(target) <=> lit(majority), lit(n))
+        .otherwise(count(lit(1)).over(Window.partitionBy(col(target))))
+      trimPerClass(df, target, cap, orderExpr(orderCols, seed))
+    }
+  }
+
+  /** Shared kernel: keep the first `cap` rows per class under `orderBy`.
+    * One shuffle on the class key; rank prune is pipelined. */
+  private def trimPerClass(df: DataFrame, target: String, cap: Column,
+                           orderBy: Column): DataFrame = {
+    val w = Window.partitionBy(col(target)).orderBy(orderBy)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cap", cap)
+      .filter(col("__rn") <= col("__cap"))
+      .drop("__rn", "__cap")
+  }
+
+  private def orderExpr(orderCols: Seq[String], seed: Long): Column =
+    if (orderCols.nonEmpty) struct(orderCols.map(col): _*) else rand(seed)
+}

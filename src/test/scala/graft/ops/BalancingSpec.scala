@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+import graft.ops.Balancing._
+
+class BalancingSpec extends SparkSpec {
+
+  private def orders = Tables.orders(spark, sf)
+
+  test("B1 randomSplit partitions rows exactly") {
+    val df = orders
+    val (train, test) = randomSplit(df, 0.2, seed = 7L)
+    assert(train.count() + test.count() == df.count())
+    // same seed reproduces
+    val (train2, _) = randomSplit(df, 0.2, seed = 7L)
+    assert(train.count() == train2.count())
+  }
+
+  test("B1 stratifiedSplit is an exact partition with ~20% test") {
+    val df = orders
+    val (train, test) = stratifiedSplit(df, "o_orderpriority", 0.2, seed = 7L)
+    val n = df.count()
+    assert(train.count() + test.count() == n)
+    val frac = test.count().toDouble / n
+    assert(frac > 0.15 && frac < 0.25, s"test fraction $frac")
+  }
+
+  test("B3 undersample: every class exactly at minority size") {
+    val out = Undersample("o_orderstatus")(orders)
+    val counts = out.groupBy("o_orderstatus").count().collect().map(_.getLong(1))
+    assert(counts.distinct.length == 1)
+  }
+
+  test("B6 oversample: classes within 10% of majority size") {
+    val byClass = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxN = byClass.values.max
+    val out = Oversample("o_orderstatus", seed = 11L)(orders)
+    out.groupBy("o_orderstatus").count().collect().foreach { r =>
+      val n = r.getLong(1)
+      assert(n >= maxN * 0.9 && n <= maxN * 1.1,
+        s"class ${r.getString(0)} count $n vs majority $maxN")
+    }
+  }
+
+  test("B12 trim equal caps every class at N and is deterministic with orderCols") {
+    val out = TrimEqual("o_orderpriority", 10, orderCols = Seq("o_orderkey"))(orders)
+    val counts = out.groupBy("o_orderpriority").count().collect()
+    counts.foreach(r => assert(r.getLong(1) <= 10))
+    // kept rows are the lowest orderkeys per class
+    val minKeys = orders.groupBy("o_orderpriority").agg(min("o_orderkey").as("mn"))
+    val joined = out.join(minKeys, "o_orderpriority")
+      .filter(col("o_orderkey") === col("mn"))
+    assert(joined.count() == counts.length)
+  }
+
+  test("B13 proportional trim keeps >=1 per class and <=maxTotal-ish") {
+    val out = TrimProportional("o_orderpriority", 100, orderCols = Seq("o_orderkey"))(orders)
+    val counts = out.groupBy("o_orderpriority").count().collect()
+    assert(counts.forall(_.getLong(1) >= 1))
+    assert(counts.map(_.getLong(1)).sum <= 105) // floor slack
+  }
+
+  test("B14 majority trim caps only the largest class") {
+    val before = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val majority = before.toSeq.sortBy { case (v, n) => (-n, v) }.head._1
+    val out = TrimMajority("o_orderpriority", 50, orderCols = Seq("o_orderkey"))(orders)
+    val after = out.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after(majority) == 50L)
+    (before.keySet - majority).foreach(k => assert(after(k) == before(k)))
+  }
+}
