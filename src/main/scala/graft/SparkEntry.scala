@@ -15,7 +15,9 @@ object SparkEntry {
     (RelationalQueries.queries, RelationalQueries.oracles),
     (EncodingQueries.queries, EncodingQueries.oracles),
     (ImputationQueries.queries, ImputationQueries.oracles),
-    (BalancingQueries.queries, BalancingQueries.oracles))
+    (BalancingQueries.queries, BalancingQueries.oracles),
+    (TextQueries.queries, TextQueries.oracles),
+    (DedupQueries.queries, DedupQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,80 @@
+package graft.ml
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.classification.{LogisticRegressionModel, RandomForestClassificationModel, GBTClassificationModel}
+import org.apache.spark.ml.regression.{LinearRegressionModel, RandomForestRegressionModel, GBTRegressionModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ml.Models.{Task, Classification, Regression}
+
+/** Feature importance (SURVEY §2.7 M6, M13-M14): native impurity/coef
+  * importances plus PERMUTATION importance — the documented stand-in for
+  * SHAP on the JVM (§7.4(8)): shuffle one feature column (seeded
+  * window-reorder, distribution preserved exactly), re-score, report the
+  * metric drop.
+  */
+object Importance {
+
+  /** Native importances from the fitted pipeline's last stage:
+    * tree featureImportances or |coefficients| (mean over classes). */
+  def native(model: PipelineModel, featureNames: Seq[String]): Seq[(String, Double)] = {
+    val vals: Seq[Double] = model.stages.last match {
+      case m: RandomForestClassificationModel => m.featureImportances.toArray.toSeq
+      case m: RandomForestRegressionModel => m.featureImportances.toArray.toSeq
+      case m: GBTClassificationModel => m.featureImportances.toArray.toSeq
+      case m: GBTRegressionModel => m.featureImportances.toArray.toSeq
+      case m: LogisticRegressionModel =>
+        if (m.numClasses <= 2) m.coefficients.toArray.map(math.abs).toSeq
+        else {
+          val cm = m.coefficientMatrix
+          (0 until cm.numCols).map(j =>
+            (0 until cm.numRows).map(i => math.abs(cm(i, j))).sum / cm.numRows)
+        }
+      case m: LinearRegressionModel => m.coefficients.toArray.map(math.abs).toSeq
+      case other => throw new IllegalArgumentException(s"no importances for ${other.getClass}")
+    }
+    featureNames.zip(vals)
+  }
+
+  /** Dummy-column aggregation (M14): `col_value` one-hot columns grouped
+    * back to `col` by prefix before the underscore. */
+  def aggregateByBase(imps: Seq[(String, Double)]): Seq[(String, Double)] =
+    imps.groupBy { case (n, _) => n.split("_")(0) }
+      .map { case (base, xs) => base -> xs.map(_._2).sum }
+      .toSeq.sortBy(-_._2)
+
+  /** Shuffle ONE column: reassign its values to rows in seeded-random
+    * order (exact permutation — the value multiset is unchanged). Two
+    * narrow window passes, no join. */
+  def shuffleColumn(df: DataFrame, c: String, seed: Long): DataFrame = {
+    val others = df.columns.filterNot(_ == c)
+    val wRand = Window.orderBy(rand(seed))
+    val wRand2 = Window.orderBy(rand(seed + 1))
+    val left = df.select((others.map(col) :+ row_number().over(wRand).as("__rid")): _*)
+    val right = df.select(col(c), row_number().over(wRand2).as("__rid"))
+    left.join(right, "__rid").drop("__rid")
+  }
+
+  /** Permutation importance: metric drop when each feature is shuffled.
+    * `nRepeats` seeds averaged (sklearn permutation_importance semantics). */
+  def permutation(model: PipelineModel, test: DataFrame, labelCol: String,
+                  features: Seq[String], task: Task, metric: String = "f1",
+                  nRepeats: Int = 3, seed: Long = 42L): Seq[(String, Double)] = {
+    def score(d: DataFrame): Double = {
+      val pred = model.transform(d)
+      task match {
+        case Classification => Metrics.classificationMetrics(pred, "label", "prediction")(metric)
+        case Regression => Metrics.regressionMetrics(pred, "label", "prediction")(metric)
+      }
+    }
+    val base = score(test)
+    features.map { f =>
+      val drops = (0 until nRepeats).map { r =>
+        base - score(shuffleColumn(test, f, seed + 1000L * r + f.hashCode))
+      }
+      f -> drops.sum / nRepeats
+    }.sortBy(-_._2)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (a broadcast of the small query set
+  * against the full corpus — ONE scan of the corpus, no corpus self-join).
+  * Scale path: sign-LSH (random hyperplanes) or IVF coarse quantization
+  * prune the corpus per query before exact re-ranking.
+  */
+object Similarity {
+
+  /** Exact cosine between two double-array columns — higher-order
+    * functions only (codegen'd), left-to-right summation for
+    * cross-engine determinism. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane i is
+    * derived from a hash of (seed, i, j) mapped to [-1, 1]. Reproducible in
+    * any engine; no RNG state. */
+  def planeComponent(i: Int, j: Column, seed: Long): Column =
+    (pmod(Hashing.md5Int(concat_ws("_", lit(seed), lit(i), j)), lit(2000001L)) - 1000000L)
+      .cast(DoubleType) / 1000000.0
+
+  /** Sign sketch: bit i = 1 iff dot(v, plane_i) > 0. Returns a long. */
+  def signSketch(v: Column, planes: Int, seed: Long = 42L): Column = {
+    val bits = (0 until planes).map { i =>
+      val dot = aggregate(zip_with(v,
+        transform(sequence(lit(0), size(v) - 1), j => planeComponent(i, j, seed)),
+        (x, p) => x * p), lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Brute-force cosine top-k: every (query, corpus) pair scored, window
+    * rank per query. `queries` is small and broadcast — the corpus is
+    * scanned once; the only shuffle is the per-query top-k (tiny). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style top-k: corpus bucketed by sign-sketch; per query only its
+    * own bucket (plus optional Hamming-1 probes) is re-ranked exactly.
+    * Trades recall for a corpus-partition-pruned scan — the 100 TB path. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, planes: Int = 8, probes: Int = 1,
+              seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", signSketch(col("cv"), planes, seed))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qbucket", signSketch(col("qv"), planes, seed))
+    // probe buckets: own bucket + Hamming-1 neighbors if probes > 1
+    val probeBuckets =
+      if (probes <= 1) array(col("qbucket"))
+      else array((col("qbucket") +: (0 until planes).map(i =>
+        col("qbucket").bitwiseXOR(lit(1L << i)))): _*)
+    val qp = q.select(col("query_id"), col("qv"), explode(probeBuckets).as("bucket"))
+    val scored = c.join(broadcast(qp), "bucket")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

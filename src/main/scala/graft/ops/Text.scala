@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for large-scale training-data pipelines: token counting,
+  * quality scoring, language-ID, fingerprinting. All pure column
+  * expressions (map-only, whole-stage codegen, no UDFs) — at 100 TB these
+  * run at parquet-scan speed with no shuffle.
+  */
+object Text {
+
+  /** Whitespace token array. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0).otherwise(size(tokens(c))).cast(LongType)
+
+  /** BPE-ish token count: ASCII word runs + single non-space symbols —
+    * the classic pre-tokenizer regex, ASCII-scoped so every engine's
+    * regex agrees. */
+  val BpeTokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0))).cast(LongType)
+
+  /** Quality-score components (length, punctuation ratio, stopword ratio,
+    * mean word length) and a composite in [0,1] — the heuristics quality
+    * filters (C4-style) use. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, 0.0).otherwise(
+      (n - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast(DoubleType) / n)
+  }
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val hits = size(filter(toks, t => t.isin(EnStopwords: _*)))
+    when(size(toks) === 0, 0.0).otherwise(hits.cast(DoubleType) / size(toks))
+  }
+
+  def meanWordLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-range length, modest
+    * punctuation, presence of stopwords, word lengths near natural prose. */
+  def qualityScore(c: Column, minChars: Int = 50, maxChars: Int = 100000): Column = {
+    val lenOk = (length(c) >= minChars && length(c) <= maxChars).cast(DoubleType)
+    val punctOk = (punctRatio(c) <= 0.2).cast(DoubleType)
+    val stopOk = (stopwordRatio(c) >= 0.01).cast(DoubleType)
+    val wordOk = (meanWordLen(c).between(2.0, 12.0)).cast(DoubleType)
+    (lenOk + punctOk + stopOk + wordOk) / 4.0
+  }
+
+  /** Language-ID by function-word voting: count token hits against each
+    * language's closed-class word list, pick the max (ties alphabetical).
+    * An n-gram-free heuristic that is exactly reproducible in SQL; for
+    * production accuracy swap in char-trigram profiles behind the same
+    * column contract. */
+  val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to", "in", "it", "that", "for"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "un", "una", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "ne", "un", "une", "que", "pour"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "ni", "ta", "men", "zhe", "na"))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(c))
+    StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*))).cast(LongType)
+    }
+  }
+
+  /** Winning language (max hits, ties alphabetical since langScores is
+    * alphabetical and greatest-first comparison is strict). */
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling-hash fingerprint of the raw text:
+    * fold(acc*31 + codepoint) mod 1e9+7 — deterministic, engine-agnostic
+    * (DuckDB: list_reduce with a prepended 0 accumulator). */
+  val FingerprintMod = 1000000007L
+  def fingerprint(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(FingerprintMod)))
+}

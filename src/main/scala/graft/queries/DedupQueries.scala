@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, Similarity}
+import Q.QueryFn
+
+/** Driver-checked queries for deduplication and similarity search.
+  *
+  * The synthetic corpus has no natural duplicates, so each query builds a
+  * corpus with KNOWN planted dups (exact copies / perturbed copies /
+  * identical vectors) — identically in Spark and in the oracle SQL. LSH
+  * variants are verified against the brute-force oracle: banding is
+  * candidate generation, the exact verify step makes output == exact
+  * whenever recall is 1 (banding parameters chosen so it is on this data;
+  * the spec asserts it).
+  */
+object DedupQueries {
+
+  /** Corpus with exact duplicates: every doc twice (ids +10000). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private val DupCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 10000, text FROM documents"""
+
+  /** Corpus with near-duplicates: docs with doc_id < 50 also appear
+    * perturbed (two tokens appended) under ids +10000. */
+  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text")))
+  }
+  private val NearCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 10000, text || ' extra token' FROM documents WHERE doc_id < 50"""
+
+  /** Exact n-gram Jaccard pairs oracle (shared by d2 and d3). */
+  private def jaccardOracle(corpusSql: String, n: Int, threshold: Double): String = s"""
+    WITH corpus AS ($corpusSql),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(len(string_split_regex(trim(text), '\\s+')) - ${n - 1}),
+             i -> list_reduce(list_transform(range(i, i + $n),
+                    j -> (string_split_regex(trim(text), '\\s+'))[j + 1]),
+                  (a, b) -> a || ' ' || b)))) AS sh
+           FROM corpus),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= $threshold"""
+
+  val queries: Map[String, QueryFn] = Map(
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(dupCorpus(s, dir), "text", "doc_id").select("doc_id")),
+
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(nearCorpus(s, dir), "text", "doc_id", n = 3,
+        threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(nearCorpus(s, dir), "text", "doc_id", n = 3,
+        bands = 32, rowsPerBand = 2, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(nearCorpus(s, dir), "text", "doc_id", bits = 16,
+        maxDist = 1)
+        .select("id_a", "id_b", "hamming")),
+
+    "d5_cosine_dup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = e.unionByName(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.cosinePairs(corpus, "embedding", "vec_id", threshold = 0.99,
+        lshPlanes = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "s1_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "embedding",
+        "vec_id", k = 10)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "s2_ann_ivf" -> ((s, dir) => {
+      // IVF recall depends on bucketing — oracle-free; the spec asserts
+      // recall vs brute force. Output is per-query hit counts.
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "embedding",
+        "vec_id", k = 10, planes = 6, probes = 2)
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    }))
+
+  /** Strict left-fold cosine in DuckDB, matching Spark's aggregate order. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65), i -> $x[i] * $y[i])), (acc, v) -> acc + v)"""
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private val simhashOracle: String = {
+    val bits = 16
+    val bitSums = (0 until bits).map(j =>
+      s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n             ")
+    val sig = (0 until bits).map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH corpus AS ($NearCorpusSql),
+    tok AS (SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(t AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM corpus)),
+    sums AS (SELECT doc_id,
+             $bitSums
+             FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, $sig AS simhash FROM sums)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> s"""
+      WITH corpus AS ($DupCorpusSql)
+      SELECT doc_id FROM corpus
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
+
+    "d2_ngram_jaccard" -> jaccardOracle(NearCorpusSql, 3, 0.7),
+
+    "d3_minhash_lsh" -> jaccardOracle(NearCorpusSql, 3, 0.7),
+
+    "d4_simhash" -> simhashOracle,
+
+    "d5_cosine_dup" -> s"""
+      WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 50)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(${cosSql("a.v", "b.v")}, 6) AS cosine
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE ${cosSql("a.v", "b.v")} >= 0.99""",
+
+    "s1_ann_topk" -> s"""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               ${cosSql("q.v", "c.v")} AS cosine
+        FROM c, q WHERE q.vec_id <> c.vec_id)
+      SELECT query_id, corpus_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank,
+             round(cosine, 6) AS cosine
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) <= 10""")
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Text
+import Q.QueryFn
+
+/** Driver-checked queries for the text-analysis suite over `documents`:
+  * token counting, quality scoring, language-ID, fingerprinting — each
+  * with an exact DuckDB oracle reproducing the same arithmetic.
+  */
+object TextQueries {
+
+  private val stop = Text.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, QueryFn] = Map(
+    "t1_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    "t2_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(Text.meanWordLen(col("text")), 6).as("mean_word_len"),
+        round(Text.qualityScore(col("text")), 2).as("quality"))),
+
+    "t3_langid" -> ((s, dir) => {
+      val scores = Text.langScores(col("text"))
+      Tables.documents(s, dir).select(
+        (col("doc_id") +: scores.map { case (l, c) => c.as(s"hits_$l") } :+
+          Text.langId(col("text")).as("lang_pred")): _*)
+    }),
+
+    "t4_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"))),
+
+    "t5_quality_filter" -> ((s, dir) =>
+      // End-to-end filter: keep docs with quality >= 0.75, report per-lang
+      // survivor counts — the composite op a C4-style cleaning run uses.
+      Tables.documents(s, dir)
+        .filter(Text.qualityScore(col("text")) >= 0.75)
+        .groupBy("lang").agg(count(lit(1)).as("n"))))
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private val lowToksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  private def hitsSql(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($lowToksSql, x -> list_contains($lst, x)))"
+  }
+
+  private val punctSql =
+    s"CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END"
+  private val stopSql =
+    s"CAST(${hitsSql(Text.EnStopwords)} AS DOUBLE) / len($lowToksSql)"
+  private val mwlSql =
+    s"CAST(list_sum(list_transform($toksSql, x -> len(x))) AS DOUBLE) / len($toksSql)"
+  private val qualitySql =
+    s"""(CAST(len(text) BETWEEN 50 AND 100000 AS INT)
+       + CAST($punctSql <= 0.2 AS INT)
+       + CAST($stopSql >= 0.01 AS INT)
+       + CAST($mwlSql BETWEEN 2.0 AND 12.0 AS INT)) / 4.0"""
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" -> s"""
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens,
+             len(regexp_extract_all(text, '${Text.BpeTokenPattern}')) AS n_bpe_tokens
+      FROM documents""",
+
+    "t2_quality_score" -> s"""
+      SELECT doc_id,
+             round($punctSql, 6) AS punct_ratio,
+             round($stopSql, 6) AS stopword_ratio,
+             round($mwlSql, 6) AS mean_word_len,
+             round($qualitySql, 2) AS quality
+      FROM documents""",
+
+    "t3_langid" -> {
+      val langs = Text.StopwordsByLang.toSeq.sortBy(_._1)
+      val hitCols = langs.map { case (l, ws) => s"${hitsSql(ws)} AS hits_$l" }.mkString(",\n             ")
+      val bestExpr = langs.map { case (l, _) => s"hits_$l" }.mkString("greatest(", ", ", ")")
+      val caseExpr = langs.map { case (l, _) =>
+        s"WHEN hits_$l = __best AND __best > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""
+      WITH h AS (
+        SELECT doc_id,
+             $hitCols
+        FROM documents),
+      b AS (SELECT *, $bestExpr AS __best FROM h)
+      SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+             $caseExpr AS lang_pred
+      FROM b"""
+    },
+
+    "t4_fingerprint" -> s"""
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), x -> CAST(unicode(x) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % ${Text.FingerprintMod}) AS fp
+      FROM documents""",
+
+    "t5_quality_filter" -> s"""
+      SELECT lang, count(*) AS n FROM documents
+      WHERE $qualitySql >= 0.75
+      GROUP BY lang""")
+}
