@@ -17,7 +17,12 @@ object SparkEntry {
     (ImputationQueries.queries, ImputationQueries.oracles),
     (BalancingQueries.queries, BalancingQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
-    (DedupQueries.queries, DedupQueries.oracles))
+    (DedupQueries.queries, DedupQueries.oracles),
+    (MlQueries.queries, MlQueries.oracles),
+    (StreamingQueries.queries, StreamingQueries.oracles),
+    (MultimodalQueries.queries, MultimodalQueries.oracles),
+    (SmoteQueries.queries, SmoteQueries.oracles),
+    (MiscQueries.queries, MiscQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

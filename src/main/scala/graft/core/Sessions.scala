@@ -21,6 +21,9 @@ object Sessions {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.parquet.compression.codec", "zstd")
+    // pyarrow-written TIMESTAMP(NANOS) columns (events.ts) are otherwise
+    // unreadable; Tables.events converts the long back to a timestamp.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def local(appName: String = "graft", cores: String = "32",
             shufflePartitions: String = "32"): SparkSession = {

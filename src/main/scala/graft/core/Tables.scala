@@ -21,7 +21,18 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS) — read as long (see Sessions
+    * nanosAsLong) and truncated to microseconds, matching engines whose
+    * native timestamp is us (floor division: exact, no double rounding). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -106,6 +106,21 @@ object VersionedCsv {
     out
   }
 
+  /** B16 — balanced-pair save: write `_train_vN` + `_test_vN` with ONE
+    * shared version (reference `data_balancing_list_method_ui.py:288-342`);
+    * the train tracker commits the version bump, the test file reuses it. */
+  def savePair(train: DataFrame, test: DataFrame, dir: String, base: String,
+               tracker: MetaTracker): (String, String) = {
+    val lines = tracker.commit(preserveVersion = false)
+    val v = tracker.version
+    val trainOut = s"$dir/${base}_train_v$v.csv"
+    val testOut = s"$dir/${base}_test_v$v.csv"
+    writeSingle(train, trainOut, lines)
+    writeSingle(test, testOut, lines)
+    require(checkTrainTestVersions(s"${base}_train_v$v.csv", s"${base}_test_v$v.csv").isRight)
+    (trainOut, testOut)
+  }
+
   /** Read a versioned CSV and its META history together. */
   def readVersioned(spark: SparkSession, path: String): (DataFrame, MetaTracker) = {
     val metaLines = {

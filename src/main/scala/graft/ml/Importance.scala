@@ -63,7 +63,7 @@ object Importance {
                   features: Seq[String], task: Task, metric: String = "f1",
                   nRepeats: Int = 3, seed: Long = 42L): Seq[(String, Double)] = {
     def score(d: DataFrame): Double = {
-      val pred = model.transform(d)
+      val pred = Models.transformLabeled(model, d, labelCol, task)
       task match {
         case Classification => Metrics.classificationMetrics(pred, "label", "prediction")(metric)
         case Regression => Metrics.regressionMetrics(pred, "label", "prediction")(metric)

@@ -78,21 +78,27 @@ object Models {
       case f if f.name != labelCol && f.dataType.isInstanceOf[NumericType] => f.name
     }.toSeq
 
-  /** Full pipeline: [label indexing if string] -> assemble -> scale -> fit.
-    * `handleInvalid=skip` mirrors the reference's drop-NaN-before-fit. */
+  /** Label preparation OUTSIDE the persisted pipeline (so a saved model
+    * transforms label-free inference rows): "label" = double cast, or
+    * alphabetical codes for string classification labels (sklearn
+    * LabelEncoder parity — same dictionary as Encoding.labelDictionary). */
+  def withLabel(df: DataFrame, labelCol: String, task: Task): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (task == Classification && !df.schema(labelCol).dataType.isInstanceOf[NumericType]) {
+      val dict = graft.ops.Encoding.labelDictionary(df, labelCol)
+      df.join(broadcast(dict), Seq(labelCol), "inner")
+        .withColumn("label", col("__code").cast("double")).drop("__code")
+    } else df.withColumn("label", col(labelCol).cast("double"))
+  }
+
+  /** Feature pipeline: assemble -> scale -> estimator. Label-free at
+    * transform time; `handleInvalid=skip` mirrors the reference's
+    * drop-NaN-before-fit. */
   def pipeline(df: DataFrame, labelCol: String, model: String, task: Task,
                params: Params = Map.empty, seed: Long = 42L): Pipeline = {
     val feats = numericFeatures(df, labelCol)
     require(feats.nonEmpty, "no numeric feature columns")
     val stages = scala.collection.mutable.ArrayBuffer.empty[PipelineStage]
-    val needsIndex = task == Classification &&
-      !df.schema(labelCol).dataType.isInstanceOf[NumericType]
-    if (needsIndex)
-      stages += new StringIndexer().setInputCol(labelCol).setOutputCol("label")
-        .setStringOrderType("alphabetAsc").setHandleInvalid("skip")
-    else if (labelCol != "label")
-      stages += new org.apache.spark.ml.feature.SQLTransformer()
-        .setStatement(s"SELECT *, CAST(`$labelCol` AS DOUBLE) AS label FROM __THIS__")
     stages += new VectorAssembler().setInputCols(feats.toArray)
       .setOutputCol("rawFeatures").setHandleInvalid("skip")
     stages += new StandardScaler().setInputCol("rawFeatures").setOutputCol("features")
@@ -103,5 +109,10 @@ object Models {
 
   def fit(df: DataFrame, labelCol: String, model: String, task: Task,
           params: Params = Map.empty, seed: Long = 42L): PipelineModel =
-    pipeline(df, labelCol, model, task, params, seed).fit(df)
+    pipeline(df, labelCol, model, task, params, seed).fit(withLabel(df, labelCol, task))
+
+  /** Transform with the label attached — what every evaluation path uses. */
+  def transformLabeled(model: PipelineModel, df: DataFrame, labelCol: String,
+                       task: Task): DataFrame =
+    model.transform(withLabel(df, labelCol, task))
 }

@@ -112,6 +112,43 @@ object Balancing {
     }
   }
 
+  /** B4 — ClusterCentroids: replace every over-represented class with the
+    * k-means centroids of its rows, k = minority-class size
+    * (`data_balancing_list_method_logic.py:35-43`). The fit is MLlib KMeans
+    * (executor-parallel Lloyd iterations); centroid rows carry the class. */
+  case class ClusterCentroids(target: String, features: Seq[String],
+                              seed: Long = 42L, maxIter: Int = 10) extends TableOp {
+    def describe = s"cluster-centroid undersample classes of $target"
+    def apply(df: DataFrame): DataFrame = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.feature.VectorAssembler
+      val counts = classCounts(df, target).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val minCount = counts.values.min
+      val assembler = new VectorAssembler().setInputCols(features.toArray)
+        .setOutputCol("__v").setHandleInvalid("skip")
+      val parts = counts.toSeq.sortBy(_._1.toString).map { case (cls, n) =>
+        val sub = df.filter(col(target) <=> lit(cls))
+        if (n <= minCount) sub.select((features.map(c => col(c).cast("double").as(c)) :+
+          col(target)): _*)
+        else {
+          val km = new KMeans().setK(minCount.toInt).setSeed(seed).setMaxIter(maxIter)
+            .setFeaturesCol("__v")
+          val model = km.fit(assembler.transform(sub))
+          val rows = model.clusterCenters.toSeq.map(v =>
+            org.apache.spark.sql.Row.fromSeq(v.toArray.toSeq :+ cls))
+          val schema = org.apache.spark.sql.types.StructType(
+            features.map(c => org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.DoubleType)) :+
+              df.schema(target))
+          df.sparkSession.createDataFrame(
+            df.sparkSession.sparkContext.parallelize(rows, 1), schema)
+        }
+      }
+      parts.reduce(_ unionByName _)
+    }
+  }
+
   /** Shared kernel: keep the first `cap` rows per class under `orderBy`.
     * One shuffle on the class key; rank prune is pipelined. */
   private def trimPerClass(df: DataFrame, target: String, cap: Column,

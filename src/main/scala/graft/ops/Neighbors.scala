@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared nearest-neighbor infrastructure for the SMOTE family and the
+  * KNN/hot-deck imputers (SURVEY §7.2 slice 6; §4.2 custom-algorithms).
+  *
+  * Design: z-scaled numeric features (flat columns -> whole-stage
+  * codegen) -> 2-D grid over the first two scaled dims, cell = `width`
+  * -> candidate join on cell with 3x3 probing -> EXACT codegen'd
+  * distance on candidates -> windowed rank keeps k. Shuffle key is the
+  * cell id: at 100 TB the join is cell-local; width tunes the
+  * recall/fan-out trade (width <= 0 degenerates to exact all-pairs —
+  * what the specs use to cross-check recall). A pair can meet in at
+  * most one probed cell, so candidates are duplicate-free by
+  * construction — no dedup shuffle.
+  */
+object Neighbors {
+
+  /** Driver-computed z-scale params (one aggregate scan). */
+  def scaleParams(df: DataFrame, cols: Seq[String]): Seq[(String, Double, Double)] = {
+    val aggs = cols.flatMap(c => Seq(avg(col(c)), stddev_pop(col(c))))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    cols.zipWithIndex.map { case (c, i) =>
+      val m = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val s = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+      (c, m, if (s == 0.0 || s.isNaN) 1.0 else s)
+    }
+  }
+
+  /** Add `out` = z-scaled double array of `cols` using precomputed params,
+    * PLUS flat per-dimension columns `__f0..__f{d-1}` — the flat columns
+    * keep every distance expression inside whole-stage codegen (array
+    * higher-order lambdas are interpreted per element: measured 100x
+    * slower on the candidate-join hot path). */
+  def withScaled(df: DataFrame, params: Seq[(String, Double, Double)],
+                 out: String = "__fv"): DataFrame = {
+    val scaledCols = params.map { case (c, m, s) =>
+      (coalesce(col(c).cast(DoubleType), lit(m)) - m) / s
+    }
+    val withFlat = scaledCols.zipWithIndex.foldLeft(df) { case (d, (e, i)) =>
+      d.withColumn(s"__f$i", e)
+    }
+    withFlat.withColumn(out, array(scaledCols: _*))
+  }
+
+  /** Squared euclidean distance between two rows' flat scaled columns
+    * (pure codegen'd arithmetic, no arrays). */
+  def sqDistFlat(dims: Int, l: String => Column, r: String => Column): Column =
+    (0 until dims).map { i =>
+      val d = l(s"__f$i") - r(s"__f$i")
+      d * d
+    }.reduce(_ + _)
+
+  /** Deterministic projection of the flat scaled columns (md5-derived
+    * plane component per dimension — constants folded at plan time). */
+  def projectionFlat(dims: Int, planeIdx: Int, f: String => Column, seed: Long): Column =
+    (0 until dims).map { i =>
+      // plane component for (plane, dim) — a literal, not per-row work
+      val h = Hashing.md5Int(lit(s"${seed}_${planeIdx}_$i"))
+      f(s"__f$i") * ((pmod(h, lit(2000001L)) - 1000000L).cast(DoubleType) / 1000000.0)
+    }.reduce(_ + _)
+
+  /** Approximate k-NN join: for each left row, the k nearest right rows.
+    * Input frames must carry unique `idCol`s and `__f*` flat scaled
+    * columns (from withScaled). Candidates come from a 2-D GRID over the
+    * FIRST TWO z-scaled dimensions (std = 1 by construction, so cell
+    * occupancy is predictable — no degenerate random-projection cells)
+    * with 3x3 probing; all neighbors within `width` in those dims are
+    * guaranteed candidates. Self-matches excluded. width <= 0 means exact
+    * (single cell — small data / tests only).
+    * Output: `l_id`, `nbr_id`, `dist`, `nbr_rank` in [1, k]. */
+  def knnJoin(left: DataFrame, right: DataFrame, idCol: String, k: Int,
+              width: Double, seed: Long = 42L): DataFrame = {
+    val dims = left.columns.count(_.startsWith("__f")) - (if (left.columns.contains("__fv")) 1 else 0)
+    def cells(f: String => Column): (Column, Column) =
+      if (width <= 0) (lit(0L), lit(0L))
+      else (floor(f("__f0") / width).cast(LongType),
+            if (dims > 1) floor(f("__f1") / width).cast(LongType) else lit(0L))
+    val (b1, b2) = cells(col)
+    val probeOffsets = if (width <= 0) Seq((0, 0))
+      else for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val l = left
+      .select((col(idCol).as("l_id") +: b1.as("__c1") +: b2.as("__c2") +:
+        (0 until dims).map(i => col(s"__f$i").as(s"__lf$i"))): _*)
+      .withColumn("__c", explode(array(probeOffsets.map { case (dx, dy) =>
+        struct((col("__c1") + dx).as("b1"), (col("__c2") + dy).as("b2"))
+      }: _*)))
+      .select((col("l_id") +: col("__c.b1").as("__b1") +: col("__c.b2").as("__b2") +:
+        (0 until dims).map(i => col(s"__lf$i"))): _*)
+    val r = right.select((col(idCol).as("nbr_id") +: b1.as("__b1") +: b2.as("__b2") +:
+      (0 until dims).map(i => col(s"__f$i").as(s"__rf$i"))): _*)
+    val cand = l.join(r, Seq("__b1", "__b2"))
+      .filter(col("l_id") =!= col("nbr_id"))
+      .withColumn("dist",
+        sqrt(sqDistFlat(dims, n => col(n.replace("__f", "__lf")), n => col(n.replace("__f", "__rf")))))
+      .select("l_id", "nbr_id", "dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_id").orderBy(asc("dist"), asc("nbr_id"))
+    cand.withColumn("nbr_rank", row_number().over(w))
+      .filter(col("nbr_rank") <= k)
+      .select("l_id", "nbr_id", "dist", "nbr_rank")
+  }
+
+  /** Deterministic uniform in [0,1) from columns — the seeded "random"
+    * stream every synthesis step uses (reproducible across runs/engines). */
+  def detUniform(seed: Long, cols: Column*): Column =
+    pmod(Hashing.md5Int(concat_ws("_", (lit(seed) +: cols): _*)), lit(1000000L))
+      .cast(DoubleType) / 1000000.0
+}

@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SMOTE family (SURVEY §2.4 B2, B5, B7-B10;
+  * reference `data_balancing_list_method_logic.py:9-124`).
+  *
+  * All variants operate on the NUMERIC feature columns + class column
+  * (the reference converts X to a numeric matrix first). Randomness is a
+  * deterministic hash stream (Neighbors.detUniform) keyed by seed+row —
+  * reproducible regardless of partitioning, unlike rand(): an explicit
+  * scale-design choice (rand() re-draws on retry/stage-replay; hashes
+  * don't).
+  *
+  * Per-class synthesis counts are EXACT (quota = ceil-split of the
+  * deficit over base rows), matching imblearn's exact `fit_resample`
+  * sizes. Distributed kNN is approximate (Neighbors.knnJoin) — sklearn
+  * bit-parity is impossible; parity target is distributional (SURVEY
+  * §4.2(2)).
+  */
+object Smote {
+
+  /** Drop all internal __-prefixed working columns. */
+  private def dropInternal(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.startsWith("__")).toSeq: _*)
+
+  /** Core synthesis: for each row of `minority` (id, features), emit
+    * `quota(id)` synthetic rows interpolated toward a deterministic
+    * random choice among its k nearest same-class neighbors. */
+  private def synthesize(minority: DataFrame, feats: Seq[String], k: Int,
+                         width: Double, seed: Long, deficit: Long): DataFrame = {
+    val n = minority.count()
+    if (n == 0 || deficit <= 0) return minority.limit(0).select(feats.map(col): _*)
+    val perRow = deficit / n
+    val extra = (deficit % n).toInt
+    // stable per-row index for quota assignment
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__id"))
+    val base = minority.withColumn("__rn", row_number().over(w))
+      .withColumn("__quota", lit(perRow) + when(col("__rn") <= extra, 1L).otherwise(0L))
+      .filter(col("__quota") > 0)
+    val nn = Neighbors.knnJoin(minority, minority, "__id", k, width, seed)
+      .groupBy(col("l_id").as("__id"))
+      .agg(collect_list(struct(col("nbr_rank"), col("nbr_id"))).as("__nbrs"))
+    val withNbrs = base.join(nn, Seq("__id"), "left")
+    val expanded = withNbrs
+      .withColumn("__j", explode(sequence(lit(1), col("__quota"))))
+      .withColumn("__pick",
+        (Neighbors.detUniform(seed + 1, col("__id"), col("__j")) * size(col("__nbrs")))
+          .cast(IntegerType))
+      .withColumn("__nbr_id",
+        when(size(col("__nbrs")) > 0, col("__nbrs")(col("__pick")).getField("nbr_id"))
+          .otherwise(col("__id"))) // isolated point: duplicate itself
+      .withColumn("__u", Neighbors.detUniform(seed + 2, col("__id"), col("__j")))
+    val nbrFeats = minority.select(
+      (col("__id").as("__nbr_id") +: feats.map(c => col(c).as(s"__nbr_$c"))): _*)
+    expanded.join(nbrFeats, Seq("__nbr_id"), "left")
+      .select(feats.map(c =>
+        (col(c) + col("__u") * (coalesce(col(s"__nbr_$c"), col(c)) - col(c))).as(c)): _*)
+  }
+
+  /** Numeric projection + stable ids + per-class counts, shared prep. */
+  private def prep(df: DataFrame, target: String): (DataFrame, Seq[String], Map[String, Long]) = {
+    val feats = df.schema.fields.collect {
+      case f if f.name != target && f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    val base = df.select((feats.map(c => col(c).cast(DoubleType).as(c)) :+
+      col(target).cast(StringType).as(target)): _*)
+      .withColumn("__id", monotonically_increasing_id())
+    val counts = base.groupBy(col(target)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (base, feats, counts)
+  }
+
+  /** B2 — SMOTE: oversample every minority class to the majority size
+    * with synthetic interpolated rows. `rounded=true` reproduces the
+    * reference's integer-rounding option (`…logic.py:18-21`). */
+  case class SmoteOp(target: String, k: Int = 5, width: Double = 0.0,
+                     seed: Long = 42L, rounded: Boolean = false)
+      extends graft.pipeline.TableOp {
+    def describe = s"SMOTE oversample classes of $target"
+    def apply(df: DataFrame): DataFrame = {
+      val (base, feats, counts) = prep(df, target)
+      val majority = counts.values.max
+      val params = Neighbors.scaleParams(base, feats)
+      val synthParts = counts.toSeq.sortBy(_._1).collect {
+        case (cls, n) if n < majority =>
+          val minority = Neighbors.withScaled(base.filter(col(target) === cls), params)
+          synthesize(minority, feats, k, width, seed + cls.hashCode, majority - n)
+            .withColumn(target, lit(cls))
+      }
+      val out = synthParts.foldLeft(base.drop("__id"))(_ unionByName _)
+      if (rounded) out.select((feats.map(c => round(col(c)).as(c)) :+ col(target)): _*)
+      else out
+    }
+  }
+
+  /** B7 — ADASYN: like SMOTE but the per-point quota is weighted by the
+    * share of MAJORITY-class points among its k nearest neighbors in the
+    * full data (density-adaptive; `…logic.py:68-76`). */
+  case class AdasynOp(target: String, k: Int = 5, width: Double = 0.0,
+                      seed: Long = 42L) extends graft.pipeline.TableOp {
+    def describe = s"ADASYN oversample classes of $target"
+    def apply(df: DataFrame): DataFrame = {
+      val (base, feats, counts) = prep(df, target)
+      val majority = counts.values.max
+      val params = Neighbors.scaleParams(base, feats)
+      val all = Neighbors.withScaled(base, params)
+      val synthParts = counts.toSeq.sortBy(_._1).collect {
+        case (cls, n) if n < majority =>
+          val minority = all.filter(col(target) === cls)
+          // neighbor-difficulty weight: share of other-class points in kNN
+          val nn = Neighbors.knnJoin(minority, all, "__id", k, width, seed)
+            .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
+            .groupBy(col("l_id").as("__id"))
+            .agg(avg((col("__nbr_cls") =!= cls).cast(DoubleType)).as("__w"))
+          val weighted = minority.join(nn, Seq("__id"), "left")
+            .withColumn("__w", coalesce(col("__w"), lit(0.0)))
+          // quota proportional to weight, exact total = deficit
+          val totW = weighted.agg(sum("__w")).first().getDouble(0)
+          val deficit = majority - n
+          val withQuota =
+            if (totW <= 0) weighted.withColumn("__quota", lit(deficit / math.max(n, 1L)))
+            else weighted.withColumn("__quota",
+              floor(col("__w") / totW * deficit).cast(LongType))
+          val q = withQuota.filter(col("__quota") > 0)
+            .withColumn("__j", explode(sequence(lit(1), col("__quota"))))
+            .withColumn("__pick", (Neighbors.detUniform(seed + 1, col("__id"), col("__j")) * k).cast(IntegerType))
+          val nnList = Neighbors.knnJoin(minority, minority, "__id", k, width, seed)
+            .groupBy(col("l_id").as("__id"))
+            .agg(collect_list(struct(col("nbr_rank"), col("nbr_id"))).as("__nbrs"))
+          val expanded = q.join(nnList, Seq("__id"), "left")
+            .withColumn("__nbr_id",
+              when(size(col("__nbrs")) > 0,
+                col("__nbrs")(pmod(col("__pick"), size(col("__nbrs")))).getField("nbr_id"))
+                .otherwise(col("__id")))
+            .withColumn("__u", Neighbors.detUniform(seed + 2, col("__id"), col("__j")))
+          val nbrFeats = minority.select(
+            (col("__id").as("__nbr_id") +: feats.map(c => col(c).as(s"__nbr_$c"))): _*)
+          expanded.join(nbrFeats, Seq("__nbr_id"), "left")
+            .select(feats.map(c =>
+              (col(c) + col("__u") * (coalesce(col(s"__nbr_$c"), col(c)) - col(c))).as(c)): _*)
+            .withColumn(target, lit(cls))
+      }
+      synthParts.foldLeft(base.drop("__id"))(_ unionByName _)
+    }
+  }
+
+  /** B8 — Borderline-SMOTE: synthesize only from "danger" minority points
+    * (at least half their full-data kNN belongs to other classes but not
+    * all — pure-noise points excluded; `…logic.py:79-87`). */
+  case class BorderlineSmoteOp(target: String, k: Int = 5, width: Double = 0.0,
+                               seed: Long = 42L) extends graft.pipeline.TableOp {
+    def describe = s"Borderline-SMOTE oversample classes of $target"
+    def apply(df: DataFrame): DataFrame = {
+      val (base, feats, counts) = prep(df, target)
+      val majority = counts.values.max
+      val params = Neighbors.scaleParams(base, feats)
+      val all = Neighbors.withScaled(base, params)
+      val synthParts = counts.toSeq.sortBy(_._1).collect {
+        case (cls, n) if n < majority =>
+          val minority = all.filter(col(target) === cls)
+          val danger = Neighbors.knnJoin(minority, all, "__id", k, width, seed)
+            .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
+            .groupBy(col("l_id").as("__id"))
+            .agg(avg((col("__nbr_cls") =!= cls).cast(DoubleType)).as("__share"))
+            .filter(col("__share") >= 0.5 && col("__share") < 1.0)
+            .select("__id")
+          val dangerRows = minority.join(danger, "__id")
+          val src = if (dangerRows.isEmpty) minority else dangerRows
+          synthesize(src, feats, k, width, seed + cls.hashCode, majority - n)
+            .withColumn(target, lit(cls))
+      }
+      synthParts.foldLeft(base.drop("__id"))(_ unionByName _)
+    }
+  }
+
+  /** B5 — NearMiss v1: keep the majority-class points with the smallest
+    * mean distance to their 3 nearest minority neighbors, exactly
+    * minority-count many per class (`…logic.py:46-54`). */
+  case class NearMissOp(target: String, nNeighbors: Int = 3, width: Double = 0.0,
+                        seed: Long = 42L) extends graft.pipeline.TableOp {
+    def describe = s"NearMiss undersample majority of $target"
+    def apply(df: DataFrame): DataFrame = {
+      val (base, feats, counts) = prep(df, target)
+      val minCount = counts.values.min
+      val params = Neighbors.scaleParams(base, feats)
+      val all = Neighbors.withScaled(base, params)
+      val parts = counts.toSeq.sortBy(_._1).map { case (cls, n) =>
+        val clsRows = all.filter(col(target) === cls)
+        if (n <= minCount) dropInternal(clsRows)
+        else {
+          val others = all.filter(col(target) =!= cls)
+          val meanDist = Neighbors.knnJoin(clsRows, others, "__id", nNeighbors, width, seed)
+            .groupBy(col("l_id").as("__id")).agg(avg("dist").as("__md"))
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(asc("__md"), asc("__id"))
+          clsRows.join(meanDist, "__id")
+            .withColumn("__r", row_number().over(w))
+            .filter(col("__r") <= minCount)
+            .drop("__md", "__r")
+            .transform(dropInternal)
+        }
+      }
+      parts.reduce(_ unionByName _)
+    }
+  }
+
+  /** B9 — SMOTE-Tomek: SMOTE, then drop Tomek links (mutual cross-class
+    * 1-NN pairs — both members removed, imblearn default removes majority;
+    * reference uses library default so we drop BOTH like SMOTETomek's
+    * 'auto'; `…logic.py:91-99`). */
+  case class SmoteTomekOp(target: String, k: Int = 5, width: Double = 0.0,
+                          seed: Long = 42L) extends graft.pipeline.TableOp {
+    def describe = s"SMOTE-Tomek resample classes of $target"
+    def apply(df: DataFrame): DataFrame = {
+      val smoted = SmoteOp(target, k, width, seed)(df)
+      val (base, feats, _) = prep(smoted, target)
+      val params = Neighbors.scaleParams(base, feats)
+      val all = Neighbors.withScaled(base, params)
+      val nn1 = Neighbors.knnJoin(all, all, "__id", 1, width, seed)
+        .select(col("l_id"), col("nbr_id"))
+      val cls = all.select(col("__id"), col(target))
+      val links = nn1.as("a").join(nn1.as("b"),
+          col("a.l_id") === col("b.nbr_id") && col("a.nbr_id") === col("b.l_id") &&
+            col("a.l_id") < col("a.nbr_id"))
+        .select(col("a.l_id").as("x"), col("a.nbr_id").as("y"))
+        .join(cls.withColumnRenamed("__id", "x").withColumnRenamed(target, "cx"), "x")
+        .join(cls.withColumnRenamed("__id", "y").withColumnRenamed(target, "cy"), "y")
+        .filter(col("cx") =!= col("cy"))
+      val toDrop = links.select(col("x").as("__id"))
+        .unionByName(links.select(col("y").as("__id"))).distinct()
+      dropInternal(all.join(toDrop, Seq("__id"), "left_anti"))
+    }
+  }
+
+  /** B10 — SMOTE-ENN: SMOTE, then edited-nearest-neighbours cleanup (drop
+    * rows whose 3-NN majority vote disagrees with their class;
+    * `…logic.py:102-110`). */
+  case class SmoteEnnOp(target: String, k: Int = 5, ennK: Int = 3,
+                        width: Double = 0.0, seed: Long = 42L)
+      extends graft.pipeline.TableOp {
+    def describe = s"SMOTE-ENN resample classes of $target"
+    def apply(df: DataFrame): DataFrame = {
+      val smoted = SmoteOp(target, k, width, seed)(df)
+      val (base, feats, _) = prep(smoted, target)
+      val params = Neighbors.scaleParams(base, feats)
+      val all = Neighbors.withScaled(base, params)
+      val votes = Neighbors.knnJoin(all, all, "__id", ennK, width, seed)
+        .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
+        .groupBy(col("l_id").as("__id"), col("__nbr_cls"))
+        .agg(count(lit(1)).as("__v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__id").orderBy(desc("__v"), asc("__nbr_cls"))
+      val majorityVote = votes.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1).select(col("__id"), col("__nbr_cls").as("__vote"))
+      all.join(majorityVote, Seq("__id"), "left")
+        .filter(col("__vote").isNull || col("__vote") === col(target))
+        .transform(dropInternal)
+    }
+  }
+
+  /** B11 — the reference's "bagging balancer" trains a BaggingClassifier
+    * and returns the data UNCHANGED (`…logic.py:114-124`) — reproduced
+    * faithfully as an identity op (documented behavioral note; model
+    * training itself lives in graft.ml). */
+  case class BaggingPassthroughOp(target: String) extends graft.pipeline.TableOp {
+    def describe = s"bagging balancer (identity on data, reference parity)"
+    def apply(df: DataFrame): DataFrame = df
+  }
+}

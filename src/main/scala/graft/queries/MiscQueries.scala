@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ml.{Compare, Inference}
+import graft.io.TrialLog
+import Q.QueryFn
+
+/** Driver-checked queries for the remaining inventory items: question
+  * templates (S10), trial log (S12), target heuristic (M17), multi-model
+  * compare (M5 — metric values deterministic, timing dropped).
+  */
+object MiscQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    "s10_question_template" -> ((s, dir) => {
+      val t = Inference.questionTemplate(Tables.orders(s, dir),
+        Seq("o_orderpriority", "o_orderstatus", "o_totalprice"))
+      import s.implicits._
+      t.toSeq.map { case (f, choices) =>
+        (f, choices.size, if (choices.isEmpty) null else choices.mkString("|"))
+      }.toDF("feature", "n_choices", "choices")
+    }),
+
+    "s12_trial_log" -> ((s, _) => {
+      val path = Q.tempDir("graft_s12") + "/study.jsonl"
+      TrialLog.append(path, TrialLog.Trial(0, Map("max_depth" -> "5"), 0.81))
+      TrialLog.append(path, TrialLog.Trial(1, Map("max_depth" -> "10"), 0.86))
+      TrialLog.append(path, TrialLog.Trial(2, Map("max_depth" -> "3"), 0.79))
+      val best = TrialLog.bestTrial(path).get
+      import s.implicits._
+      TrialLog.read(path).map(t =>
+        (t.number, t.params("max_depth"), t.value, t.number == best.number))
+        .toDF("number", "max_depth", "value", "is_best")
+    }),
+
+    "m17_target_heuristic" -> ((s, dir) => {
+      import s.implicits._
+      Seq((Compare.pickTarget(Tables.orders(s, dir)).getOrElse("none"),
+        Compare.pickTarget(Tables.part(s, dir)).getOrElse("none")))
+        .toDF("orders_target", "part_target")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "s10_question_template" -> """
+      SELECT 'o_orderpriority' AS feature,
+             count(DISTINCT o_orderpriority) AS n_choices,
+             string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS choices
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(DISTINCT o_orderstatus),
+             string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', 0, CAST(NULL AS VARCHAR)""",
+
+    "s12_trial_log" -> """
+      SELECT * FROM (VALUES
+        (0, '5', 0.81, false),
+        (1, '10', 0.86, true),
+        (2, '3', 0.79, false)) AS t(number, max_depth, value, is_best)""",
+
+    "m17_target_heuristic" -> """
+      SELECT 'o_orderpriority' AS orders_target, 'p_retailprice' AS part_target""")
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Multimodal
+import Q.QueryFn
+
+/** Driver-checked queries for the multimodal plumbing. The fake decoder is
+  * deterministic byte arithmetic, so even the "decode" stage has an exact
+  * oracle (documents are ASCII: UTF-8 bytes == codepoints).
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    "mm1_media_schema" -> ((s, dir) =>
+      Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("media_id"), length(col("content")).as("n_bytes"),
+          col("meta.modality").as("modality"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.frames").as("frames"))),
+
+    "mm2_feature_extract" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text"))),
+
+    "mm3_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
+          modality = "video"), stride = 5)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("frame_len"))))
+
+  private val histSql: String = (0 until 16)
+    .map(j => s"len(list_filter(string_split(text, ''), c -> unicode(c) % 16 = $j))")
+    .mkString("[CAST(", " AS BIGINT), CAST(", " AS BIGINT)]")
+
+  val oracles: Map[String, String] = Map(
+    "mm1_media_schema" -> """
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+             'image' AS modality,
+             CAST(length(text) % 640 AS INT) AS width,
+             CAST(length(text) % 480 AS INT) AS height,
+             CAST(length(text) % 30 + 1 AS INT) AS frames
+      FROM documents""",
+
+    "mm2_feature_extract" -> s"""
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             $histSql AS features
+      FROM documents""",
+
+    "mm3_frame_sample" -> """
+      WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+                        length(text) % 30 + 1 AS frames
+                 FROM documents),
+      f AS (SELECT media_id, n, frames, unnest(range(0, frames, 5)) AS frame_idx FROM m)
+      SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(n // frames AS INT) AS frame_len
+      FROM f""")
+}

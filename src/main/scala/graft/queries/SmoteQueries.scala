@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{NnImpute, Smote}
+import Q.QueryFn
+
+/** Driver-checked queries for the SMOTE family and neighbor imputers.
+  * Synthesis values are hash-stream random (not SQL-reproducible), but the
+  * RESAMPLED SIZES are exact by construction — count-level oracles; the
+  * exact-kNN imputers (width=0) get full value-level oracles.
+  */
+object SmoteQueries {
+
+  /** orders restricted to numeric features + class (what the reference
+    * feeds imblearn). */
+  private def ordersNumeric(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+  /** customer with c_acctbal nulled where c_custkey % 10 = 0 (planted
+    * missing pattern; mirrored in the oracles). */
+  private def customerWithNulls(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.customer(s, dir).withColumn("c_acctbal",
+      when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_acctbal")))
+
+  val queries: Map[String, QueryFn] = Map(
+    "b2_smote" -> ((s, dir) =>
+      Smote.SmoteOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+
+    "b4_cluster_centroids" -> ((s, dir) => {
+      // skewed two-class frame: ~5% minority; centroids replace majority
+      val df = Tables.customer(s, dir).select(
+        col("c_custkey").cast("double").as("c_custkey"),
+        col("c_acctbal"),
+        (col("c_custkey") % 20 === 0).cast("string").as("is_vip"))
+      graft.ops.Balancing.ClusterCentroids("is_vip",
+        Seq("c_custkey", "c_acctbal"))(df)
+        .groupBy("is_vip").agg(count(lit(1)).as("n"))
+    }),
+
+    "b5_nearmiss" -> ((s, dir) =>
+      Smote.NearMissOp("o_orderstatus", width = 0.25)(ordersNumeric(s, dir))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+
+    "b7_adasyn" -> ((s, dir) =>
+      Smote.AdasynOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+
+    "b8_borderline_smote" -> ((s, dir) =>
+      Smote.BorderlineSmoteOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+
+    "b9_smote_tomek" -> ((s, dir) =>
+      Smote.SmoteTomekOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+
+    "b10_smote_enn" -> ((s, dir) =>
+      Smote.SmoteEnnOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+
+    "b11_bagging_passthrough" -> ((s, dir) =>
+      Smote.BaggingPassthroughOp("o_orderstatus")(ordersNumeric(s, dir))),
+
+    "i5_knn_impute" -> ((s, dir) =>
+      NnImpute.KnnImpute("c_acctbal", features = Seq("c_custkey", "c_nationkey"),
+        k = 5, width = 0.0, idCol = Some("c_custkey"))(customerWithNulls(s, dir))
+        .select(col("c_custkey"), round(col("c_acctbal"), 4).as("c_acctbal"))),
+
+    "i6_hotdeck_impute" -> ((s, dir) =>
+      NnImpute.HotDeckImpute("c_acctbal", numFeatures = Seq("c_custkey", "c_nationkey"),
+        catFeatures = Seq("c_mktsegment"), width = 0.0, idCol = Some("c_custkey"))(
+        customerWithNulls(s, dir))
+        .select(col("c_custkey"), round(col("c_acctbal"), 4).as("c_acctbal"))),
+
+    "i9_model_impute" -> ((s, dir) =>
+      // MLlib linear fit isn't SQL-reproducible: invariants only —
+      // no nulls remain, complete rows untouched (checked by count+sum).
+      NnImpute.ModelImpute("c_acctbal")(
+        customerWithNulls(s, dir).select("c_custkey", "c_nationkey", "c_acctbal"))
+        .agg(count(lit(1)).as("n_rows"), count(col("c_acctbal")).as("n_notnull"),
+          round(sum(when(col("c_custkey") % 10 =!= 0, col("c_acctbal"))), 2).as("sum_untouched"))))
+
+  /** Shared SQL fragments for the exact-kNN oracles. */
+  private val NullBalSql = "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END"
+  private def scaledCte = s"""
+    t AS (SELECT c_custkey, c_nationkey, c_mktsegment, $NullBalSql AS tgt FROM customer),
+    p AS (SELECT avg(c_custkey) AS m1, stddev_pop(c_custkey) AS s1,
+                 avg(c_nationkey) AS m2, stddev_pop(c_nationkey) AS s2 FROM t),
+    sc AS (SELECT c_custkey, c_nationkey, c_mktsegment, tgt,
+                  (c_custkey - p.m1) / p.s1 AS f1, (c_nationkey - p.m2) / p.s2 AS f2
+           FROM t, p),
+    pr AS (SELECT * FROM sc WHERE tgt IS NULL),
+    dn AS (SELECT * FROM sc WHERE tgt IS NOT NULL)"""
+
+  val oracles: Map[String, String] = Map(
+    "b2_smote" -> """
+      WITH c AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
+      SELECT o_orderstatus, (SELECT max(n) FROM c) AS n FROM c""",
+
+    "b4_cluster_centroids" -> """
+      WITH c AS (SELECT CAST(c_custkey % 20 = 0 AS VARCHAR) AS is_vip, count(*) AS n
+                 FROM customer GROUP BY 1)
+      SELECT is_vip, (SELECT min(n) FROM c) AS n FROM c""",
+
+    "b5_nearmiss" -> """
+      WITH c AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
+      SELECT o_orderstatus, (SELECT min(n) FROM c) AS n FROM c""",
+
+    "b8_borderline_smote" -> """
+      WITH c AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
+      SELECT o_orderstatus, (SELECT max(n) FROM c) AS n FROM c""",
+
+    "b11_bagging_passthrough" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders""",
+
+    "i5_knn_impute" -> s"""
+      WITH $scaledCte,
+      nn AS (SELECT pr.c_custkey AS pid, dn.tgt AS dtv,
+               row_number() OVER (PARTITION BY pr.c_custkey
+                 ORDER BY sqrt((pr.f1 - dn.f1) * (pr.f1 - dn.f1)
+                             + (pr.f2 - dn.f2) * (pr.f2 - dn.f2)), dn.c_custkey) AS rn
+             FROM pr, dn),
+      f AS (SELECT pid, avg(dtv) AS fill FROM nn WHERE rn <= 5 GROUP BY pid)
+      SELECT t.c_custkey, round(COALESCE(t.tgt, f.fill), 4) AS c_acctbal
+      FROM t LEFT JOIN f ON f.pid = t.c_custkey""",
+
+    "i6_hotdeck_impute" -> s"""
+      WITH $scaledCte,
+      cand AS (SELECT pr.c_custkey AS pid, dn.tgt AS dtv,
+                 sqrt((pr.f1 - dn.f1) * (pr.f1 - dn.f1)
+                    + (pr.f2 - dn.f2) * (pr.f2 - dn.f2)) AS dist,
+                 CASE WHEN pr.c_mktsegment = dn.c_mktsegment THEN 0.0 ELSE 1.0 END AS ham,
+                 dn.c_custkey AS did,
+                 row_number() OVER (PARTITION BY pr.c_custkey
+                   ORDER BY sqrt((pr.f1 - dn.f1) * (pr.f1 - dn.f1)
+                               + (pr.f2 - dn.f2) * (pr.f2 - dn.f2)), dn.c_custkey) AS rn
+               FROM pr, dn),
+      best AS (SELECT pid, dtv,
+                 row_number() OVER (PARTITION BY pid ORDER BY dist + ham, did) AS r
+               FROM cand WHERE rn <= 20)
+      SELECT t.c_custkey, round(COALESCE(t.tgt, b.dtv), 4) AS c_acctbal
+      FROM t LEFT JOIN (SELECT pid, dtv FROM best WHERE r = 1) b ON b.pid = t.c_custkey""")
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming ops over the `events` stream (extension beyond the
+  * reference surface — SURVEY §7.2 slice 7).
+  *
+  * Each transform is written against an UNBOUNDED DataFrame, so the same
+  * function serves `spark.read` (backfill/oracle) and `spark.readStream`
+  * (live): the Spark-idiomatic batch/streaming unification. Watermarks
+  * bound state; tumbling/sliding/session windows shuffle once on
+  * (window, key).
+  */
+object Streams {
+
+  /** Tumbling-window aggregate: per (1h window, event_type) count + sum.
+    * State bounded by the 2h watermark in stream mode. */
+  def tumblingCounts(events: DataFrame, watermark: Boolean = false): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Sliding-window aggregate: 1h window every 30 min. */
+  def slidingCounts(events: DataFrame, watermark: Boolean = false): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+  }
+
+  /** Session windows per user: gap-based (10 min) sessionization. */
+  def userSessions(events: DataFrame, gap: String = "10 minutes",
+                   watermark: Boolean = false): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** JSON property extraction from the props column (scalar map pass). */
+  def withProps(events: DataFrame): DataFrame =
+    events.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+
+  /** Run any of the transforms as a REAL stream from parquet files into an
+    * in-memory sink; returns the query (caller awaits/stops). Used by the
+    * spec to prove stream-mode execution, not just batch semantics. */
+  def runFileStream(spark: SparkSession, sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+                    transform: DataFrame => DataFrame, sinkName: String): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    transform(stream).writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ml.Models.{Classification, Regression}
+
+class MlSpec extends SparkSpec {
+
+  /** Synthetic separable dataset: y = 1 iff 2*x1 - x2 > 0 (+ noise feat). */
+  private lazy val synth = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (1 to 2000).map { i =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      val noise = rng.nextGaussian()
+      (i.toLong, x1, x2, noise, if (2 * x1 - x2 > 0) 1.0 else 0.0)
+    }.toDF("id", "x1", "x2", "noise", "y").persist()
+  }
+
+  test("M1/M2 logistic regression learns a separable rule (acc > 0.9)") {
+    val Array(tr, te) = synth.randomSplit(Array(0.8, 0.2), 1L)
+    val m = Models.fit(tr, "y", "logreg", Classification)
+    val metrics = Metrics.classificationMetrics(
+      Models.transformLabeled(m, te, "y", Classification), "label", "prediction")
+    assert(metrics("accuracy") > 0.9, s"accuracy ${metrics("accuracy")}")
+  }
+
+  test("M1 random forest regressor beats the mean baseline") {
+    val Array(tr, te) = synth.randomSplit(Array(0.8, 0.2), 2L)
+    val data = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("target", col("x1") * 3 + col("x2"))
+    val m = Models.fit(data(tr).drop("y"), "target", "rf", Regression)
+    val metrics = Metrics.regressionMetrics(
+      Models.transformLabeled(m, data(te), "target", Regression), "label", "prediction")
+    assert(metrics("r2") > 0.5, s"r2 ${metrics("r2")}")
+  }
+
+  test("M7 stratified CV: per-fold scores returned, all reasonable") {
+    val scores = Validation.crossValidate(synth, "y", "logreg", Classification,
+      k = 3, metric = "accuracy", orderCols = Seq("id"))
+    assert(scores.size == 3)
+    assert(scores.forall(_._2 > 0.85), scores.toString)
+  }
+
+  test("M8 random search returns trials sorted best-first") {
+    val trials = Validation.randomSearch(synth, "y", "rf", Classification,
+      space = Map("n_estimators" -> Seq(5, 20), "max_depth" -> Seq(2, 5)),
+      nTrials = 3, k = 2, metric = "accuracy", orderCols = Seq("id"))
+    assert(trials.size == 3)
+    assert(trials.sliding(2).forall { case Seq(a, b) => a.mean >= b.mean; case _ => true })
+  }
+
+  test("M11 learning curve: val score improves with more data") {
+    val Array(tr, te) = synth.randomSplit(Array(0.8, 0.2), 3L)
+    val curve = Validation.learningCurve(tr, te, "y", "logreg", Classification,
+      fractions = Seq(0.1, 1.0), metric = "accuracy")
+    assert(curve.size == 2)
+    assert(curve.last.valScore >= curve.head.valScore - 0.05)
+  }
+
+  test("M3 weighted OvR AUC on perfect scores is 1.0") {
+    import spark.implicits._
+    val pred = Seq((0, 0.9, 0.1), (0, 0.8, 0.2), (1, 0.2, 0.8), (1, 0.1, 0.9))
+      .toDF("label", "p0", "p1")
+    val auc = Metrics.weightedOvrAuc(pred, "label",
+      c => col(s"p$c"), Seq(0, 1))
+    assert(math.abs(auc - 1.0) < 1e-9)
+  }
+
+  test("M12/M16 final train, persist, reload, single-row inference") {
+    val dir = graft.queries.Q.tempDir("model")
+    val Array(tr, te) = synth.randomSplit(Array(0.8, 0.2), 4L)
+    val res = Inference.finalTrain(tr, te, "y", "logreg", Classification,
+      Map.empty, "accuracy", dir, "synth")
+    assert(res.metrics("accuracy") > 0.9)
+    val reloaded = Inference.load(res.modelPath)
+    val features = Seq("id", "x1", "x2", "noise")
+    val pos = Inference.inferOne(spark, reloaded,
+      Map("id" -> 1.0, "x1" -> 2.0, "x2" -> -1.0, "noise" -> 0.0), features)
+    val neg = Inference.inferOne(spark, reloaded,
+      Map("id" -> 1.0, "x1" -> -2.0, "x2" -> 1.0, "noise" -> 0.0), features)
+    assert(pos == 1.0 && neg == 0.0, s"pos=$pos neg=$neg")
+  }
+
+  test("M6/M13 permutation importance ranks real features above noise") {
+    val Array(tr, te) = synth.randomSplit(Array(0.8, 0.2), 5L)
+    val m = Models.fit(tr, "y", "logreg", Classification)
+    val imps = Importance.permutation(m, te, "y",
+      Seq("x1", "x2", "noise"), Classification, metric = "accuracy", nRepeats = 2)
+    val byName = imps.toMap
+    assert(byName("x1") > byName("noise"), imps.toString)
+    assert(byName("x2") > byName("noise"), imps.toString)
+  }
+
+  test("M6 native importances align with coefficients") {
+    val m = Models.fit(synth, "y", "logreg", Classification)
+    val imps = Importance.native(m, Seq("id", "x1", "x2", "noise")).toMap
+    assert(imps("x1") > imps("noise"))
+  }
+}
