@@ -103,19 +103,25 @@ object Dedup {
                       seed: Long = 42L): DataFrame = {
     val k = bands * rowsPerBand
     val shingled = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val withSig = shingled.join(minhashSignatures(shingled, "id", k, seed), "id")
-    val banded = withSig.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key"))))
-        .as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
+      .persist()
+    // banding carries ONLY (id, band, key): the shingle arrays would be
+    // duplicated x bands through the explode+join otherwise
+    val banded = minhashSignatures(shingled, "id", k, seed)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key"))))
+          .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+    // exact verify only on the (few) candidates: join shingles back by id
+    val withSh = cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withSh.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
