@@ -22,7 +22,8 @@ object SparkEntry {
     (StreamingQueries.queries, StreamingQueries.oracles),
     (MultimodalQueries.queries, MultimodalQueries.oracles),
     (SmoteQueries.queries, SmoteQueries.oracles),
-    (MiscQueries.queries, MiscQueries.oracles))
+    (MiscQueries.queries, MiscQueries.oracles),
+    (JoinQueries.queries, JoinQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import Q.QueryFn
+
+/** Join-heavy headline queries (TPC-H q3/q5-shaped) — beyond the
+  * reference's no-join surface, these exercise the engine's join planning
+  * at scale: dimension tables are broadcast (customer/nation/region/
+  * supplier are orders-of-magnitude smaller than lineitem), the big
+  * fact-fact join (orders x lineitem) shuffles on the join key once, and
+  * filters reach the parquet scans.
+  */
+object JoinQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      // revenue per nation: lineitem ⋈ orders ⋈ supplier ⋈ nation, with
+      // the supplier and customer nation required to match (TPC-H q5 uses
+      // customer-supplier nation equality; testdata has no c/s address
+      // regions so the shape is supplier-nation revenue by order year)
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10""",
+
+    "q5_local_supplier_volume" -> """
+      SELECT n_name, year(o_orderdate) AS o_year,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2""")
+}
