@@ -180,16 +180,21 @@ object Dedup {
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
                   threshold: Double, lshPlanes: Int = 0, seed: Long = 42L): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val joined =
-      if (lshPlanes <= 0)
-        v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      else {
-        val sketched = v.withColumn("sk", Similarity.signSketch(col("v"), lshPlanes, seed))
-        sketched.as("a").join(sketched.as("b"),
-          col("a.sk") === col("b.sk") && col("a.id") < col("b.id"))
-      }
-    joined.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    if (lshPlanes <= 0)
+      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    else {
+      // scale path: codegen'd sketches for candidates, codegen'd
+      // exploded-join cosine for verification — no interpreted lambdas
+      // on the hot path
+      val sk = Similarity.signSketchDf(v, "id", "v", lshPlanes, seed)
+      val cand = sk.as("a").join(sk.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      Similarity.cosineForPairs(cand, v, "id", "v")
+        .filter(col("cosine") >= threshold)
+    }
   }
 }

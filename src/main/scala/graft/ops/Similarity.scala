@@ -30,7 +30,8 @@ object Similarity {
     (pmod(Hashing.md5Int(concat_ws("_", lit(seed), lit(i), j)), lit(2000001L)) - 1000000L)
       .cast(DoubleType) / 1000000.0
 
-  /** Sign sketch: bit i = 1 iff dot(v, plane_i) > 0. Returns a long. */
+  /** Sign sketch: bit i = 1 iff dot(v, plane_i) > 0. Returns a long.
+    * Lambda path — small inputs only; the scale path is [[signSketchDf]]. */
   def signSketch(v: Column, planes: Int, seed: Long = 42L): Column = {
     val bits = (0 until planes).map { i =>
       val dot = aggregate(zip_with(v,
@@ -39,6 +40,46 @@ object Similarity {
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Cheap deterministic pseudo-random plane component for the explode
+    * path: LCG over (seed, plane, dim) — pure codegen'd arithmetic (the
+    * md5 variant costs a hash per (row, plane)). */
+  private def lcgComponent(i: Int, pos: Column, seed: Long): Column = {
+    val h = pmod(lit(1103515245L) * (lit(i.toLong) * 1000003L + pos + lit(seed)) + 12345L,
+      lit(2147483647L))
+    (pmod(h, lit(2000001L)) - 1000000L).cast(DoubleType) / 1000000.0
+  }
+
+  /** Scale-path sign sketches: posexplode the vectors once, compute all
+    * plane dots as codegen'd sum aggregates (map-side partial agg), fold
+    * the sign bits into a long bucket. Returns (idCol, bucket). */
+  def signSketchDf(v: DataFrame, idCol: String, vecCol: String, planes: Int,
+                   seed: Long = 42L): DataFrame = {
+    val ex = v.select(col(idCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+    val aggs = (0 until planes).map(i =>
+      sum(col("__x") * lcgComponent(i, col("__pos"), seed)).as(s"__d$i"))
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until planes).map(i =>
+          when(col(s"__d$i") > 0, lit(1L << i)).otherwise(lit(0L)): Column)
+          .reduce(_ bitwiseOR _).as("bucket"))
+  }
+
+  /** Scale-path pairwise cosine: for a (id_a, id_b) candidate frame,
+    * join both sides' exploded UNIT vectors and sum the products —
+    * everything codegen'd, shuffles bounded by |candidates| x dims. */
+  def cosineForPairs(pairs: DataFrame, v: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val norm = sqrt(aggregate(col(vecCol), lit(0.0), (acc, x) => acc + x * x))
+    val unit = v.select(col(idCol),
+      posexplode(transform(col(vecCol), x => x / norm)).as(Seq("__pos", "__x")))
+    pairs
+      .join(unit.select(col(idCol).as("id_a"), col("__pos"), col("__x").as("__xa")), "id_a")
+      .join(unit.select(col(idCol).as("id_b"), col("__pos"), col("__x").as("__xb")),
+        Seq("id_b", "__pos"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__xa") * col("__xb")).as("cosine"))
   }
 
   /** Brute-force cosine top-k: every (query, corpus) pair scored, window
