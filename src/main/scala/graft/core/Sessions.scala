@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")

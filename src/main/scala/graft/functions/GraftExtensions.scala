@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point registering the engine's native
+  * expressions (currently `unicode_sum`). Wire up with
+  * `.withExtensions(new GraftExtensions)` (done in Sessions) or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_sum"),
+      new ExpressionInfo(classOf[UnicodeSum].getName, "unicode_sum"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "unicode_sum takes exactly one argument")
+        UnicodeSum(children.head)
+      }))
+  }
+}

@@ -27,10 +27,12 @@ object Hashing {
     conv(substring(sha2(c.cast(StringType), 256), 1, 15), 16, 10).cast(LongType)
 
   /** Sum of character code points (reference H4 "embedding" component,
-    * `hashing_methods_ui.py:301-307`) — expressed with higher-order
-    * `aggregate`, still codegen-friendly, no UDF. */
+    * `hashing_methods_ui.py:301-307`) — the native codegen'd
+    * [[graft.functions.UnicodeSum]] expression (registered as SQL
+    * `unicode_sum` by GraftExtensions); the interpreted higher-order
+    * `aggregate(split(...), ...)` form it replaces ran per-character. */
   def codepointSum(c: Column): Column =
-    aggregate(split(c.cast(StringType), ""), lit(0L), (acc, ch) => acc + ascii(ch))
+    call_function("unicode_sum", c.cast(StringType))
 
   /** H1 — simple modular hash: pmod(murmur3, n). Stable replacement for the
     * reference's `hash(value) % 2^31 % n`. */

@@ -25,7 +25,10 @@ object StreamingQueries {
 
     "st4_json_props" -> ((s, dir) =>
       Streams.withProps(Tables.events(s, dir))
-        .groupBy("event_type").agg(sum("k").as("sum_k"), count(lit(1)).as("n"))))
+        .groupBy("event_type").agg(sum("k").as("sum_k"), count(lit(1)).as("n"))),
+
+    "st5_big_spender" -> ((s, dir) =>
+      graft.streaming.Stateful.bigSpenderBatch(Tables.events(s, dir), threshold = 500.0)))
 
   val oracles: Map[String, String] = Map(
     "st1_tumbling_window" -> """
@@ -62,5 +65,13 @@ object StreamingQueries {
     "st4_json_props" -> """
       SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
              count(*) AS n
-      FROM events GROUP BY 1""")
+      FROM events GROUP BY 1""",
+
+    "st5_big_spender" -> """
+      WITH r AS (SELECT user_id, value,
+                        sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+                 FROM events)
+      SELECT user_id, round(running, 4) AS total_at_crossing
+      FROM r WHERE running >= 500.0 AND running - value < 500.0""")
 }
