@@ -52,10 +52,11 @@ object Balancing {
     }
   }
 
-  /** B6 — random oversample minority classes to ~the majority size by
-    * sampling WITH replacement (`…logic.py:57-65`). Output size per class is
-    * binomially distributed around the majority count (distributed-exact
-    * duplication would serialize on a single task; documented approximation). */
+  /** B6 — random oversample minority classes to EXACTLY the majority size
+    * (`…logic.py:57-65`; imblearn RandomOverSampler is exact-size): every
+    * row is duplicated deficit/n times, and the remainder goes to the
+    * first `deficit % n` rows of a seeded-random ranking — one windowed
+    * rank per class + an explode, fully distributed. */
   case class Oversample(target: String, seed: Long = 42L) extends TableOp {
     def describe = s"oversample classes of $target to majority size"
     def apply(df: DataFrame): DataFrame = {
@@ -65,7 +66,17 @@ object Balancing {
       val parts = counts.toSeq.map { case (cls, n) =>
         val sub = df.filter(col(target) <=> lit(cls))
         if (n >= maxCount) sub
-        else sub.sample(withReplacement = true, maxCount.toDouble / n, seed)
+        else {
+          val deficit = maxCount - n
+          val perRow = deficit / n
+          val extra = deficit % n
+          val w = Window.partitionBy(col(target)).orderBy(rand(seed))
+          sub.withColumn("__rn", row_number().over(w))
+            .withColumn("__copies",
+              lit(1L + perRow) + when(col("__rn") <= extra, 1L).otherwise(0L))
+            .withColumn("__i", explode(sequence(lit(1L), col("__copies"))))
+            .drop("__rn", "__copies", "__i")
+        }
       }
       parts.reduce(_.unionByName(_))
     }

@@ -40,7 +40,11 @@ object Dedup {
     * the corpus generates quadratic pairs but never decides near-dup). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
                         threshold: Double, maxDocsPerShingle: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    // join key = 60-bit md5 of the shingle: an 8-byte shuffle key instead
+    // of the n-word string (collision odds ~ |shingles|^2 / 2^60 — nil)
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("__s"))
+      .select(col("id"), Hashing.md5Int(col("__s")).as("sh"))
     val pruned = sh.withColumn("__df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("__df") <= maxDocsPerShingle).drop("__df")

@@ -37,8 +37,7 @@ object BalancingQueries {
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
     "b6_oversample" -> ((s, dir) =>
-      // Sizes are binomial around the majority count — rows-only; the
-      // spec asserts the ratio tolerance.
+      // Exact-size oversample: every class lands on the majority count.
       Oversample("o_orderstatus")(Tables.orders(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
@@ -68,6 +67,12 @@ object BalancingQueries {
       WITH m AS (SELECT min(cnt) AS mn FROM
                  (SELECT count(*) AS cnt FROM orders GROUP BY o_orderstatus))
       SELECT o_orderstatus, (SELECT mn FROM m) AS n
+      FROM orders GROUP BY o_orderstatus""",
+
+    "b6_oversample" -> """
+      WITH m AS (SELECT max(cnt) AS mx FROM
+                 (SELECT count(*) AS cnt FROM orders GROUP BY o_orderstatus))
+      SELECT o_orderstatus, (SELECT mx FROM m) AS n
       FROM orders GROUP BY o_orderstatus""",
 
     "b12_trim_equal" -> """

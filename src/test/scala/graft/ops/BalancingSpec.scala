@@ -33,15 +33,14 @@ class BalancingSpec extends SparkSpec {
     assert(counts.distinct.length == 1)
   }
 
-  test("B6 oversample: classes within 10% of majority size") {
+  test("B6 oversample: every class exactly at majority size") {
     val byClass = orders.groupBy("o_orderstatus").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val maxN = byClass.values.max
     val out = Oversample("o_orderstatus", seed = 11L)(orders)
     out.groupBy("o_orderstatus").count().collect().foreach { r =>
-      val n = r.getLong(1)
-      assert(n >= maxN * 0.9 && n <= maxN * 1.1,
-        s"class ${r.getString(0)} count $n vs majority $maxN")
+      assert(r.getLong(1) == maxN,
+        s"class ${r.getString(0)} count ${r.getLong(1)} vs majority $maxN")
     }
   }
 

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** Property tests (SURVEY §5): operator invariants over ScalaCheck-
+  * generated frames. The scalatest/scalacheck bridge isn't in the offline
+  * dependency set, so generation is driven directly: each property samples
+  * `Trials` deterministic frames from a Gen. */
+class PropertySpec extends SparkSpec {
+
+  private val Trials = 5
+
+  private def samples[A](g: Gen[A]): Seq[A] =
+    (0 until Trials).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(Long, Option[Double], String)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0L, 30L),
+      Gen.option(Gen.choose(-100.0, 100.0)), Gen.oneOf("a", "b", "c")))
+
+  test("imputation never changes non-null cells and fills every null (I1/I2)") {
+    for (data <- samples(rowsGen) if data.exists(_._2.isDefined)) {
+      import spark.implicits._
+      val df = data.map { case (k, v, c) => (k, v.map(Double.box).orNull, c) }
+        .toDF("k", "x", "c").withColumn("x", col("x").cast("double"))
+      for (op <- Seq(Imputation.FillMean("x"), Imputation.FillMedian("x"))) {
+        val out = op(df)
+        assert(out.filter(col("x").isNull).count() == 0)
+        // the multiset of original non-null values survives
+        val before = df.filter(col("x").isNotNull).groupBy("x").count()
+        val after = out.groupBy("x").count()
+        val lost = before.as("b").join(after.as("a"), Seq("x"))
+          .filter(col("a.count") < col("b.count"))
+        assert(lost.count() == 0)
+      }
+    }
+  }
+
+  test("trim never exceeds N per class and never invents rows (B12)") {
+    for (data <- samples(rowsGen) if data.nonEmpty; n <- Seq(1L, 3L, 10L)) {
+      import spark.implicits._
+      val df = data.map { case (k, v, c) => (k, v.getOrElse(0.0), c) }.toDF("k", "x", "c")
+      val out = Balancing.TrimEqual("c", n, orderCols = Seq("k", "x"))(df)
+      assert(out.groupBy("c").count().collect().forall(_.getLong(1) <= n))
+      assert(out.join(df, Seq("k", "x", "c"), "left_anti").count() == 0)
+    }
+  }
+
+  test("label encoding is injective and alphabetical on categories (E2)") {
+    val catsGen = Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))
+    for (cats <- samples(catsGen)) {
+      import spark.implicits._
+      val df = cats.zipWithIndex.map { case (c, i) => (i, c) }.toDF("i", "c")
+      val mapping = Encoding.LabelEncode("c")(df)
+        .select("c", "c_label").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sorted = cats.distinct.sorted
+      assert(mapping.size == sorted.size)
+      sorted.zipWithIndex.foreach { case (c, i) => assert(mapping(c) == i.toLong, c) }
+    }
+  }
+
+  test("hash ops stay in range [0, n) and are deterministic (H2/H5)") {
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.alphaNumStr), Gen.choose(2, 64))
+    for ((vals, n) <- samples(gen)) {
+      import spark.implicits._
+      val df = vals.toDF("c")
+      for (op <- Seq(Hashing.FeatureHash("c", n), Hashing.UniversalHash("c", n))) {
+        val out1 = op(df).select("c_hashed").collect().map(_.getLong(0))
+        assert(out1.forall(h => h >= 0 && h < n))
+        val out2 = op(df).select("c_hashed").collect().map(_.getLong(0))
+        assert(out1.sameElements(out2))
+      }
+    }
+  }
+
+  test("merge-interval remaps inside values and leaves outside values (P7)") {
+    val gen = Gen.zip(rowsGen, Gen.choose(-50.0, 0.0), Gen.choose(0.0, 50.0))
+    for ((data, lo, hi) <- samples(gen) if data.nonEmpty && lo <= hi) {
+      import spark.implicits._
+      val df = data.map { case (k, v, c) => (k, v.getOrElse(0.0), c) }.toDF("k", "x", "c")
+      val out = Relational.MergeInterval("x", lo, hi, lo)(df)
+      assert(out.filter(col("x").between(lo, hi) && col("x") =!= lo).count() == 0)
+      val outside = df.filter(!col("x").between(lo, hi)).groupBy("x").count()
+      val outsideAfter = out.filter(!col("x").between(lo, hi)).groupBy("x").count()
+      assert(outside.except(outsideAfter).count() == 0)
+    }
+  }
+}
