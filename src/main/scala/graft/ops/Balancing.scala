@@ -29,15 +29,20 @@ object Balancing {
     (train, test)
   }
 
-  /** B1 stratified — per-class Bernoulli sample of ~fraction for train;
-    * complement (same rand stream, so exact partition of rows) for test
-    * (`cross_validation_optuna_logic.py:58-60`). */
+  /** B1 stratified — EXACT per-class split (sklearn stratify=y parity:
+    * every class contributes floor(n_c * testFraction) rows to test):
+    * seeded-random rank within each class partition, threshold at the
+    * class's exact test quota (`cross_validation_optuna_logic.py:58-60`).
+    * One shuffle on the class key. */
   def stratifiedSplit(df: DataFrame, target: String, testFraction: Double,
                       seed: Long): (DataFrame, DataFrame) = {
-    val r = rand(seed)
-    val tagged = df.withColumn("__r", r)
-    (tagged.filter(col("__r") >= testFraction).drop("__r"),
-     tagged.filter(col("__r") < testFraction).drop("__r"))
+    val w = Window.partitionBy(col(target)).orderBy(rand(seed))
+    val wAll = Window.partitionBy(col(target))
+    val tagged = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__quota", floor(count(lit(1)).over(wAll) * testFraction))
+    (tagged.filter(col("__rn") > col("__quota")).drop("__rn", "__quota"),
+     tagged.filter(col("__rn") <= col("__quota")).drop("__rn", "__quota"))
   }
 
   /** B3 — random undersample every class to ~the minority size

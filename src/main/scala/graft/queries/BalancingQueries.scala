@@ -24,11 +24,12 @@ object BalancingQueries {
     }),
 
     "b1_stratified_split" -> ((s, dir) => {
+      // exact stratification: per-class test count = floor(n_c * 0.2)
       val (train, test) = stratifiedSplit(Tables.orders(s, dir), "o_orderpriority",
         0.2, seed = 42L)
       train.select(col("o_orderpriority"), lit("train").as("bucket"))
         .unionByName(test.select(col("o_orderpriority"), lit("test").as("bucket")))
-        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .groupBy("o_orderpriority", "bucket").agg(count(lit(1)).as("n"))
     }),
 
     "b3_undersample" -> ((s, dir) =>
@@ -61,7 +62,10 @@ object BalancingQueries {
       SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1""",
 
     "b1_stratified_split" -> """
-      SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1""",
+      WITH c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1)
+      SELECT o_orderpriority, 'test' AS bucket, CAST(floor(cnt * 0.2) AS BIGINT) AS n FROM c
+      UNION ALL
+      SELECT o_orderpriority, 'train', cnt - CAST(floor(cnt * 0.2) AS BIGINT) FROM c""",
 
     "b3_undersample" -> """
       WITH m AS (SELECT min(cnt) AS mn FROM
