@@ -54,15 +54,6 @@ object Neighbors {
       d * d
     }.reduce(_ + _)
 
-  /** Deterministic projection of the flat scaled columns (md5-derived
-    * plane component per dimension — constants folded at plan time). */
-  def projectionFlat(dims: Int, planeIdx: Int, f: String => Column, seed: Long): Column =
-    (0 until dims).map { i =>
-      // plane component for (plane, dim) — a literal, not per-row work
-      val h = Hashing.md5Int(lit(s"${seed}_${planeIdx}_$i"))
-      f(s"__f$i") * ((pmod(h, lit(2000001L)) - 1000000L).cast(DoubleType) / 1000000.0)
-    }.reduce(_ + _)
-
   /** Approximate k-NN join: for each left row, the k nearest right rows.
     * Input frames must carry unique `idCol`s and `__f*` flat scaled
     * columns (from withScaled). Candidates come from a 2-D GRID over the

@@ -103,10 +103,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, planes: Int = 8, probes: Int = 1,
               seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bucket", signSketch(col("cv"), planes, seed))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qbucket", signSketch(col("qv"), planes, seed))
+    val cv = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val c = cv.join(
+      signSketchDf(cv, "corpus_id", "cv", planes, seed), "corpus_id")
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val q = qv.join(signSketchDf(qv, "query_id", "qv", planes, seed), "query_id")
+      .withColumnRenamed("bucket", "qbucket")
     // probe buckets: own bucket + Hamming-1 neighbors if probes > 1
     val probeBuckets =
       if (probes <= 1) array(col("qbucket"))
