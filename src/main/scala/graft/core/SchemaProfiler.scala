@@ -100,7 +100,8 @@ object SchemaProfiler {
       .withColumn("dtype", dtypeOf(col("column")))
       .withColumn("non_null", col("n_rows") - col("null_count"))
       .withColumn("semantic",
-        when(col("dtype").isin("int", "bigint", "double", "float", "smallint", "tinyint"), lit("numeric"))
+        when(col("dtype").isin("int", "bigint", "double", "float", "smallint", "tinyint")
+          || col("dtype").startsWith("decimal"), lit("numeric"))
           .when(col("dtype") === "boolean", lit("boolean"))
           .when(col("dtype").isin("date", "timestamp"), lit("date"))
           .when(col("non_null") > 0 && col("date_count") > col("non_null") * 0.8, lit("date"))

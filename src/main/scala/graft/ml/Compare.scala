@@ -20,7 +20,7 @@ object Compare {
       val t0 = System.nanoTime()
       val m = Models.fit(train, labelCol, name, task,
         params.getOrElse(name, Map.empty), seed)
-      val pred = Models.transformLabeled(m, test, labelCol, task)
+      val pred = Models.transformLabeled(m, test, labelCol, task, train = Some(train))
       val metrics = task match {
         case Models.Classification => Metrics.classificationMetrics(pred, "label", "prediction")
         case Models.Regression => Metrics.regressionMetrics(pred, "label", "prediction")

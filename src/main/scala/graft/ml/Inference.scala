@@ -22,7 +22,7 @@ object Inference {
                  primaryMetric: String, outDir: String, datasetName: String,
                  seed: Long = 42L): FinalResult = {
     val fitted = Models.fit(train, labelCol, model, task, params, seed)
-    val pred = Models.transformLabeled(fitted, test, labelCol, task)
+    val pred = Models.transformLabeled(fitted, test, labelCol, task, train = Some(train))
     val metrics = task match {
       case Models.Classification => Metrics.classificationMetrics(pred, "label", "prediction")
       case Models.Regression => Metrics.regressionMetrics(pred, "label", "prediction")

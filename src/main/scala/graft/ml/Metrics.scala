@@ -40,6 +40,11 @@ object Metrics {
     def rec(c: String) = if (actual(c) == 0) 0.0 else tp(c) / actual(c)
     def f1(c: String) = { val p = prec(c); val r = rec(c); if (p + r == 0) 0.0 else 2 * p * r / (p + r) }
 
+    positiveLabel.map(_.toString).foreach { pos =>
+      require(labels.contains(pos),
+        s"positiveLabel '$pos' not among observed labels ${labels.mkString(",")} " +
+          "(note labels are stringified: a double column yields '1.0', not '1')")
+    }
     val (p, r, f) = positiveLabel.map(_.toString) match {
       case Some(pos) if labels.size <= 2 => (prec(pos), rec(pos), f1(pos))
       case _ =>

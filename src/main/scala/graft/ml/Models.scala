@@ -81,11 +81,18 @@ object Models {
   /** Label preparation OUTSIDE the persisted pipeline (so a saved model
     * transforms label-free inference rows): "label" = double cast, or
     * alphabetical codes for string classification labels (sklearn
-    * LabelEncoder parity — same dictionary as Encoding.labelDictionary). */
-  def withLabel(df: DataFrame, labelCol: String, task: Task): DataFrame = {
+    * LabelEncoder parity — same dictionary as Encoding.labelDictionary).
+    *
+    * `dictFrom` is the frame the code dictionary is built from — pass the
+    * TRAINING frame when labeling an eval/test frame, or codes can shift
+    * when a fold is missing an alphabetically-early class (sklearn
+    * LabelEncoder fit on train has exactly this contract; unseen test
+    * labels are dropped like sklearn errors on them). */
+  def withLabel(df: DataFrame, labelCol: String, task: Task,
+                dictFrom: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     if (task == Classification && !df.schema(labelCol).dataType.isInstanceOf[NumericType]) {
-      val dict = graft.ops.Encoding.labelDictionary(df, labelCol)
+      val dict = graft.ops.Encoding.labelDictionary(dictFrom.getOrElse(df), labelCol)
       df.join(broadcast(dict), Seq(labelCol), "inner")
         .withColumn("label", col("__code").cast("double")).drop("__code")
     } else df.withColumn("label", col(labelCol).cast("double"))
@@ -111,8 +118,10 @@ object Models {
           params: Params = Map.empty, seed: Long = 42L): PipelineModel =
     pipeline(df, labelCol, model, task, params, seed).fit(withLabel(df, labelCol, task))
 
-  /** Transform with the label attached — what every evaluation path uses. */
+  /** Transform with the label attached — what every evaluation path uses.
+    * `train` (when available) anchors the label dictionary so test-side
+    * codes match the space the model was fitted in. */
   def transformLabeled(model: PipelineModel, df: DataFrame, labelCol: String,
-                       task: Task): DataFrame =
-    model.transform(withLabel(df, labelCol, task))
+                       task: Task, train: Option[DataFrame] = None): DataFrame =
+    model.transform(withLabel(df, labelCol, task, dictFrom = train))
 }

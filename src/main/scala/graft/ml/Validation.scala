@@ -36,7 +36,7 @@ object Validation {
       val train = folded.filter(col("fold") =!= i).drop("fold")
       val test = folded.filter(col("fold") === i).drop("fold")
       val m = Models.fit(train, labelCol, model, task, params, seed)
-      val pred = Models.transformLabeled(m, test, labelCol, task)
+      val pred = Models.transformLabeled(m, test, labelCol, task, train = Some(train))
       val score = task match {
         case Classification =>
           Metrics.classificationMetrics(pred, "label", "prediction")(metric)
@@ -85,7 +85,7 @@ object Validation {
       val sub = if (f >= 1.0) train else train.sample(withReplacement = false, f, seed)
       val m = Models.fit(sub, labelCol, model, task, params, seed)
       def score(d: DataFrame): Double = {
-        val pred = Models.transformLabeled(m, d, labelCol, task)
+        val pred = Models.transformLabeled(m, d, labelCol, task, train = Some(sub))
         task match {
           case Classification => Metrics.classificationMetrics(pred, "label", "prediction")(metric)
           case Regression => Metrics.regressionMetrics(pred, "label", "prediction")(metric)

@@ -65,25 +65,30 @@ object Balancing {
   case class Oversample(target: String, seed: Long = 42L) extends TableOp {
     def describe = s"oversample classes of $target to majority size"
     def apply(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
       val counts = classCounts(df, target).collect()
         .map(r => r.get(0) -> r.getLong(1)).toMap
       val maxCount = counts.values.max
-      val parts = counts.toSeq.map { case (cls, n) =>
-        val sub = df.filter(col(target) <=> lit(cls))
-        if (n >= maxCount) sub
-        else {
-          val deficit = maxCount - n
-          val perRow = deficit / n
-          val extra = deficit % n
-          val w = Window.partitionBy(col(target)).orderBy(rand(seed))
-          sub.withColumn("__rn", row_number().over(w))
-            .withColumn("__copies",
-              lit(1L + perRow) + when(col("__rn") <= extra, 1L).otherwise(0L))
-            .withColumn("__i", explode(sequence(lit(1L), col("__copies"))))
-            .drop("__rn", "__copies", "__i")
-        }
+      // ONE pass: per-class quotas as a broadcast dictionary, remainder
+      // assigned by in-class seeded rank, duplication via explode
+      val quotaRows = counts.toSeq.map { case (cls, n) =>
+        val deficit = maxCount - n
+        org.apache.spark.sql.Row(cls, deficit / n, deficit % n)
       }
-      parts.reduce(_.unionByName(_))
+      val quotaSchema = org.apache.spark.sql.types.StructType(Seq(
+        df.schema(target),
+        org.apache.spark.sql.types.StructField("__per_row", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__extra", org.apache.spark.sql.types.LongType)))
+      val quota = spark.createDataFrame(
+        spark.sparkContext.parallelize(quotaRows, 1), quotaSchema)
+      val w = Window.partitionBy(col(target)).orderBy(rand(seed))
+      df.join(broadcast(quota), Seq(target))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__copies",
+          lit(1L) + col("__per_row") + when(col("__rn") <= col("__extra"), 1L).otherwise(0L))
+        .withColumn("__i", explode(sequence(lit(1L), col("__copies"))))
+        .drop("__rn", "__copies", "__i", "__per_row", "__extra")
+        .select(df.columns.map(col): _*)
     }
   }
 

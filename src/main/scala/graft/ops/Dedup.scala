@@ -48,7 +48,10 @@ object Dedup {
     val pruned = sh.withColumn("__df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("__df") <= maxDocsPerShingle).drop("__df")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh")) // shingles are distinct already
+    // sizes over the PRUNED universe: Jaccard is then consistent with the
+    // pair-common counts (stop-shingles are removed from the feature set,
+    // not just from the join)
+    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("n_sh")) // shingles are distinct already
     val common = pruned.as("a").join(pruned.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -106,6 +109,9 @@ object Dedup {
                       bands: Int, rowsPerBand: Int, threshold: Double,
                       seed: Long = 42L): DataFrame = {
     val k = bands * rowsPerBand
+    // cached because it feeds three consumers (signatures + both verify
+    // joins); app-scoped — a long-lived session running many corpora
+    // should spark.catalog.clearCache() between runs
     val shingled = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .persist()
     // banding carries ONLY (id, band, key): the shingle arrays would be

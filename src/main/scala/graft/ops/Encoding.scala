@@ -48,9 +48,17 @@ object Encoding {
           .distinct().limit(maxCategories + 1)
           .collect().map(_.getString(0)).sorted.toSeq
       require(vs.size <= maxCategories, s"$c has >$maxCategories categories; one-hot refused")
-      val withDummies = vs.foldLeft(df) { (d, v) =>
-        d.withColumn(s"${c}_${sanitize(v)}",
-          (col(c).cast(StringType) === v).cast(IntegerType))
+      // sanitize() can collide ('a.b' and 'a_b'); disambiguate with a
+      // numeric suffix so no category's indicator is silently overwritten
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val named = vs.map { v =>
+        val base = s"${c}_${sanitize(v)}"
+        val k = seen.getOrElse(base, 0)
+        seen(base) = k + 1
+        (v, if (k == 0) base else s"${base}_$k")
+      }
+      val withDummies = named.foldLeft(df) { case (d, (v, name)) =>
+        d.withColumn(name, (col(c).cast(StringType) === v).cast(IntegerType))
       }
       if (dropOriginal) withDummies.drop(c) else withDummies
     }
@@ -133,8 +141,7 @@ object Encoding {
     }
   }
 
-  /** The reference's 6 accepted date formats (`checking_data_formats_ui.py:405`),
-    * in its try-order. */
-  val referenceDateFormats: Seq[String] =
-    Seq("M/d/yyyy", "M/d/yy", "d/M/yyyy", "yyyy-M-d", "d.M.yyyy", "yyyy/M/d")
+  /** The reference's 6 accepted date formats — single source of truth in
+    * [[graft.core.SchemaProfiler.DateFormats]]. */
+  val referenceDateFormats: Seq[String] = graft.core.SchemaProfiler.DateFormats
 }

@@ -40,9 +40,12 @@ object Smote {
     val base = minority.withColumn("__rn", row_number().over(w))
       .withColumn("__quota", lit(perRow) + when(col("__rn") <= extra, 1L).otherwise(0L))
       .filter(col("__quota") > 0)
+    // array_sort fixes the shuffle-fetch-dependent collect_list order —
+    // neighbor choice must be stable under stage retries (struct sorts by
+    // its first field, nbr_rank)
     val nn = Neighbors.knnJoin(minority, minority, "__id", k, width, seed)
       .groupBy(col("l_id").as("__id"))
-      .agg(collect_list(struct(col("nbr_rank"), col("nbr_id"))).as("__nbrs"))
+      .agg(array_sort(collect_list(struct(col("nbr_rank"), col("nbr_id")))).as("__nbrs"))
     val withNbrs = base.join(nn, Seq("__id"), "left")
     val expanded = withNbrs
       .withColumn("__j", explode(sequence(lit(1), col("__quota"))))
@@ -129,7 +132,7 @@ object Smote {
             .withColumn("__pick", (Neighbors.detUniform(seed + 1, col("__id"), col("__j")) * k).cast(IntegerType))
           val nnList = Neighbors.knnJoin(minority, minority, "__id", k, width, seed)
             .groupBy(col("l_id").as("__id"))
-            .agg(collect_list(struct(col("nbr_rank"), col("nbr_id"))).as("__nbrs"))
+            .agg(array_sort(collect_list(struct(col("nbr_rank"), col("nbr_id")))).as("__nbrs"))
           val expanded = q.join(nnList, Seq("__id"), "left")
             .withColumn("__nbr_id",
               when(size(col("__nbrs")) > 0,
@@ -196,7 +199,11 @@ object Smote {
             .groupBy(col("l_id").as("__id")).agg(avg("dist").as("__md"))
           val w = org.apache.spark.sql.expressions.Window
             .orderBy(asc("__md"), asc("__id"))
-          clsRows.join(meanDist, "__id")
+          // left join: rows with no approximate-kNN candidate rank last
+          // (infinite distance) instead of vanishing — class size stays
+          // exactly minCount
+          clsRows.join(meanDist, Seq("__id"), "left")
+            .withColumn("__md", coalesce(col("__md"), lit(Double.MaxValue)))
             .withColumn("__r", row_number().over(w))
             .filter(col("__r") <= minCount)
             .drop("__md", "__r")
