@@ -24,7 +24,27 @@ object Inference {
     val fitted = Models.fit(train, labelCol, model, task, params, seed)
     val pred = Models.transformLabeled(fitted, test, labelCol, task, train = Some(train))
     val metrics = task match {
-      case Models.Classification => Metrics.classificationMetrics(pred, "label", "prediction")
+      case Models.Classification =>
+        val base = Metrics.classificationMetrics(pred, "label", "prediction")
+        // M3 parity: ROC-AUC from the probability column — binary AUC of
+        // P(class 1), or weighted OvR for multiclass
+        val withAuc =
+          if (!pred.columns.contains("probability")) base
+          else {
+            import org.apache.spark.sql.functions.{col => fcol}
+            import org.apache.spark.ml.functions.vector_to_array
+            val probAt = (i: Int) => vector_to_array(fcol("probability"))(i)
+            val classes = pred.select("label").distinct()
+              .collect().map(_.getDouble(0)).sorted.toSeq
+            val auc =
+              if (classes.size == 2)
+                Metrics.binaryAuc(pred.withColumn("__p1", probAt(1)), "__p1",
+                  fcol("label") === 1.0)
+              else Metrics.weightedOvrAuc(pred, "label",
+                c => probAt(c.toDouble.toInt), classes)
+            base + ("roc_auc" -> auc)
+          }
+        withAuc
       case Models.Regression => Metrics.regressionMetrics(pred, "label", "prediction")
     }
     val v = metrics(primaryMetric)

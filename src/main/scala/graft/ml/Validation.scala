@@ -49,11 +49,35 @@ object Validation {
     scores
   }
 
+  /** Per-fold CV with the FULL metric map per fold (multi-scoring). */
+  def crossValidateAll(df: DataFrame, labelCol: String, model: String, task: Task,
+                       k: Int = 3, params: Models.Params = Map.empty,
+                       seed: Long = 42L,
+                       orderCols: Seq[String] = Nil): Seq[(Int, Map[String, Double])] = {
+    val folded = withFold(df, labelCol, k, orderCols, seed).persist()
+    val scores = (0 until k).map { i =>
+      val train = folded.filter(col("fold") =!= i).drop("fold")
+      val test = folded.filter(col("fold") === i).drop("fold")
+      val m = Models.fit(train, labelCol, model, task, params, seed)
+      val pred = Models.transformLabeled(m, test, labelCol, task, train = Some(train))
+      val all = task match {
+        case Classification => Metrics.classificationMetrics(pred, "label", "prediction")
+        case Regression => Metrics.regressionMetrics(pred, "label", "prediction")
+      }
+      i -> all
+    }
+    folded.unpersist()
+    scores
+  }
+
   /** Random hyperparameter search (M8/M9): n seeded uniform draws from a
-    * param space, each scored by CV mean; returns trials sorted best-first.
+    * param space, each trial CV-scored on EVERY metric (the reference's
+    * multi-scoring dict), ranked by the `refit` metric — sklearn
+    * RandomizedSearchCV(scoring={...}, refit=metric) semantics.
     * Param space: name -> list of candidate values (None-style sentinels
     * allowed as values). */
-  case class Trial(params: Models.Params, mean: Double, std: Double)
+  case class Trial(params: Models.Params, mean: Double, std: Double,
+                   metrics: Map[String, Double] = Map.empty)
 
   def randomSearch(df: DataFrame, labelCol: String, model: String, task: Task,
                    space: Map[String, Seq[Any]], nTrials: Int, k: Int = 3,
@@ -63,11 +87,14 @@ object Validation {
     val higherIsBetter = true
     val trials = (1 to nTrials).map { _ =>
       val draw: Models.Params = space.map { case (k2, vs) => k2 -> vs(rng.nextInt(vs.size)) }
-      val scores = crossValidate(df, labelCol, model, task, k, draw, metric, seed, orderCols)
-        .map(_._2)
-      val mean = scores.sum / scores.size
+      val perFold = crossValidateAll(df, labelCol, model, task, k, draw, seed, orderCols)
+      val metricNames = perFold.head._2.keySet
+      val means = metricNames.map(mn =>
+        mn -> perFold.map(_._2(mn)).sum / perFold.size).toMap
+      val scores = perFold.map(_._2(metric))
+      val mean = means(metric)
       val std = math.sqrt(scores.map(s => (s - mean) * (s - mean)).sum / scores.size)
-      Trial(draw, mean, std)
+      Trial(draw, mean, std, means)
     }
     trials.sortBy(t => if (higherIsBetter) -t.mean else t.mean)
   }

@@ -48,6 +48,9 @@ class MlSpec extends SparkSpec {
       nTrials = 3, k = 2, metric = "accuracy", orderCols = Seq("id"))
     assert(trials.size == 3)
     assert(trials.sliding(2).forall { case Seq(a, b) => a.mean >= b.mean; case _ => true })
+    // multi-scoring: every trial carries the full metric dict (M9)
+    assert(trials.forall(t => Seq("accuracy", "precision", "recall", "f1")
+      .forall(t.metrics.contains)), trials.head.metrics.toString)
   }
 
   test("M11 learning curve: val score improves with more data") {
@@ -73,6 +76,8 @@ class MlSpec extends SparkSpec {
     val res = Inference.finalTrain(tr, te, "y", "logreg", Classification,
       Map.empty, "accuracy", dir, "synth")
     assert(res.metrics("accuracy") > 0.9)
+    assert(res.metrics.contains("roc_auc") && res.metrics("roc_auc") > 0.95,
+      res.metrics.toString)
     val reloaded = Inference.load(res.modelPath)
     val features = Seq("id", "x1", "x2", "noise")
     val pos = Inference.inferOne(spark, reloaded,
