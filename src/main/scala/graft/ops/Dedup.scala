@@ -45,9 +45,12 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("__s"))
       .select(col("id"), Hashing.md5Int(col("__s")).as("sh"))
+    // cached: feeds both self-join sides and the size aggregate (same
+    // app-scoped-cache note as minhashLshPairs)
     val pruned = sh.withColumn("__df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("__df") <= maxDocsPerShingle).drop("__df")
+      .persist()
     // sizes over the PRUNED universe: Jaccard is then consistent with the
     // pair-common counts (stop-shingles are removed from the feature set,
     // not just from the join)
