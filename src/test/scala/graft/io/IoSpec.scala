@@ -30,6 +30,24 @@ class IoSpec extends SparkSpec {
     assert(TrialLog.read(path).size == 3)
   }
 
+  test("S10/S11 template and description files round-trip") {
+    val dir = graft.queries.Q.tempDir("tmpl")
+    val template = Map(
+      "age" -> Nil,
+      "sex" -> Seq("F", "M"),
+      "priority" -> Seq("1-URGENT", "2-HIGH"))
+    TemplateIo.writeQuestionTemplate(s"$dir/q.txt", template)
+    val back = TemplateIo.readQuestionTemplate(s"$dir/q.txt")
+    assert(back.keySet == template.keySet)
+    assert(back("sex")._2 == Seq("F", "M"))
+    assert(back("age")._2.isEmpty)
+    assert(back("priority")._2 == Seq("1-URGENT", "2-HIGH"))
+
+    val desc = Map("age" -> "age in years", "sex" -> "biological sex")
+    TemplateIo.writeDescriptions(s"$dir/d.txt", desc)
+    assert(TemplateIo.readDescriptions(s"$dir/d.txt") == desc)
+  }
+
   test("M5 Compare.run returns per-model metrics with timing") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toDouble, i % 2 == 0))
