@@ -24,13 +24,41 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column (array form — the
+    * interpreted-lambda path; fine for small frames and the specs'
+    * reference semantics). The SCALE path is [[shingleRows]]. */
   def shingles(c: Column, n: Int): Column = {
     val toks = Text.tokens(c)
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Distinct shingles as EXPLODED rows (id, sh): posexplode the tokens,
+    * build each shingle with window `lead`s over (id, pos) — every step
+    * whole-stage codegen except one id-partitioned window shuffle.
+    * Profiling at sf0.1: the array-lambda form above took 6.7 s of the
+    * minhash pipeline; this shape is the fix. Documents shorter than n
+    * tokens contribute their whole text as one shingle (same semantics as
+    * `shingles`). */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val tok = df.select(col(idCol).as("id"), toks.as("__toks"))
+      .withColumn("__nt", size(col("__toks")))
+    val long = tok.filter(col("__nt") >= n)
+      .select(col("id"), posexplode(col("__toks")).as(Seq("__pos", "__t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("__pos")
+    val leads = (1 until n).map(j => lead(col("__t"), j).over(w))
+    val shingled = long
+      .withColumn("sh", concat_ws(" ", (col("__t") +: leads): _*))
+      .withColumn("__full", if (n > 1) leads.last.isNotNull else lit(true))
+      .filter(col("__full")) // window exprs must be projected before WHERE
+      .select("id", "sh")
+    val short = tok.filter(col("__nt") < n)
+      .select(col("id"), concat_ws(" ", col("__toks")).as("sh"))
+    shingled.unionByName(short).dropDuplicates("id", "sh")
   }
 
   /** Candidate pairs sharing >=1 shingle, with exact Jaccard similarity.
@@ -42,9 +70,8 @@ object Dedup {
                         threshold: Double, maxDocsPerShingle: Int = 1000): DataFrame = {
     // join key = 60-bit md5 of the shingle: an 8-byte shuffle key instead
     // of the n-word string (collision odds ~ |shingles|^2 / 2^60 — nil)
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("__s"))
-      .select(col("id"), Hashing.md5Int(col("__s")).as("sh"))
+    val sh = shingleRows(df, textCol, idCol, n)
+      .select(col("id"), Hashing.md5Int(col("sh")).as("sh"))
     // cached: feeds both self-join sides and the size aggregate (same
     // app-scoped-cache note as minhashLshPairs)
     val pruned = sh.withColumn("__df",
@@ -87,16 +114,16 @@ object Dedup {
     }: _*)
   }
 
-  /** Signatures via explode + k min-aggregates: md5 runs ONCE per
-    * (doc, shingle) inside whole-stage codegen, the k permutations are
-    * plain modular arithmetic, and the only shuffle is the groupBy(id) —
-    * ~7x faster than the per-row lambda path at sf0.1 and the shape that
-    * scales (map-side partial min-aggregation). Returns (id, sig). */
-  def minhashSignatures(shingled: DataFrame, idCol: String, k: Int,
+  /** Signatures over EXPLODED (id, sh) shingle rows via k min-aggregates:
+    * md5 runs ONCE per (doc, shingle) inside whole-stage codegen, the k
+    * permutations are plain modular arithmetic, and the only shuffle is
+    * the groupBy(id) — map-side partial min-aggregation, the shape that
+    * scales. Returns (id, sig). */
+  def minhashSignatures(shingleRows: DataFrame, idCol: String, k: Int,
                         seed: Long = 42L): DataFrame = {
     val params = minhashParams(k, seed)
-    val ex = shingled.select(col(idCol), explode(col("sh")).as("__s"))
-      .withColumn("__h", pmod(Hashing.md5Int(col("__s")), lit(MinhashP)))
+    val ex = shingleRows
+      .withColumn("__h", pmod(Hashing.md5Int(col("sh")), lit(MinhashP)))
     val aggs = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("__h") + lit(b), lit(MinhashP))).as(s"__m$i")
     }
@@ -112,14 +139,13 @@ object Dedup {
                       bands: Int, rowsPerBand: Int, threshold: Double,
                       seed: Long = 42L): DataFrame = {
     val k = bands * rowsPerBand
-    // cached because it feeds three consumers (signatures + both verify
-    // joins); app-scoped — a long-lived session running many corpora
-    // should spark.catalog.clearCache() between runs
-    val shingled = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .persist()
-    // banding carries ONLY (id, band, key): the shingle arrays would be
-    // duplicated x bands through the explode+join otherwise
-    val banded = minhashSignatures(shingled, "id", k, seed)
+    // cached because it feeds three consumers (signatures, sizes, verify);
+    // app-scoped — a long-lived session running many corpora should
+    // spark.catalog.clearCache() between runs
+    val exploded = shingleRows(df, textCol, idCol, n).persist()
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // banding carries ONLY (id, band, key)
+    val banded = minhashSignatures(exploded, "id", k, seed)
       .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key"))))
@@ -130,13 +156,20 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact verify only on the (few) candidates: join shingles back by id
-    val withSh = cand
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    withSh.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+    // exact verify anchored on the candidate PAIRS (a shingle self-join
+    // would blow up quadratically on hot shingles): expand each pair with
+    // the a-side shingles, then match b-side shingles on (id_b, hash)
+    val hashed = exploded.select(col("id"), Hashing.md5Int(col("sh")).as("__h"))
+    val withA = cand.join(hashed.withColumnRenamed("id", "id_a"), "id_a")
+    val common = withA.join(hashed.withColumnRenamed("id", "id_b"),
+        Seq("id_b", "__h"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
       .withColumn("jaccard", col("common").cast(DoubleType) /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+        (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
