@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  test("shingleRows (codegen path) equals the array-form shingles for random docs") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 1000L),
+      Gen.choose(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+          .map(_.mkString(" ")))))
+    for (docs <- samples(docGen, 3); n <- Seq(2, 3)) {
+      val df = docs.toDF("doc_id", "text").dropDuplicates("doc_id")
+      val arrayForm = df.select(col("doc_id").as("id"),
+        explode(Dedup.shingles(col("text"), n)).as("sh"))
+        .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val rowForm = Dedup.shingleRows(df, "text", "doc_id", n)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rowForm == arrayForm,
+        s"n=$n diff: ${(rowForm diff arrayForm) ++ (arrayForm diff rowForm)}")
+    }
+  }
+
+  test("exact dedup keeps exactly one row per distinct text, lowest id") {
+    import spark.implicits._
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b"), (5L, "b"), (4L, "c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 2L, "c" -> 4L))
+  }
+
+  test("minhash LSH finds planted near-dups with the production banding") {
+    import spark.implicits._
+    val base = (0L until 40L).map(i =>
+      (i, (0 until 30).map(j => s"w${(i * 7 + j * 3) % 50}").mkString(" ")))
+    val corpus = (base ++ base.take(8).map { case (i, t) =>
+      (i + 1000, t + " tail token") }).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(corpus, "text", "doc_id", n = 3,
+      bands = 21, rowsPerBand = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 8L).foreach(i => assert(pairs.contains((i, i + 1000)), s"missing pair $i"))
+  }
+}
