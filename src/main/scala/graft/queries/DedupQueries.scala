@@ -30,7 +30,7 @@ object DedupQueries {
 
   /** Corpus with near-duplicates: docs with doc_id < 50 also appear
     * perturbed (two tokens appended) under ids +10000. */
-  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") < 50)
       .select((col("doc_id") + 10000).as("doc_id"),

@@ -144,8 +144,8 @@ object EncodingQueries {
 
     "h4_embedding_hash" -> s"""
       SELECT c_custkey, c_mktsegment,
-             ((list_sum(list_transform(string_split(c_mktsegment, ''), x -> unicode(x))) % 2147483648)
-              + ${Md5IntSql("c_mktsegment")}) % 64 AS c_mktsegment_hashed
+             CAST(((list_sum(list_transform(string_split(c_mktsegment, ''), x -> unicode(x))) % 2147483648)
+              + ${Md5IntSql("c_mktsegment")}) % 64 AS BIGINT) AS c_mktsegment_hashed
       FROM customer""",
 
     "h5_universal_hash" -> s"""

@@ -19,9 +19,13 @@ object MultimodalQueries {
           col("meta.modality").as("modality"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.frames").as("frames"))),
 
+    // features joined to a CSV string: the driver's pandas canonicalizer
+    // cannot sort/hash ARRAY cells, so both sides project a scalar.
     "mm2_feature_extract" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text"))),
+        Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text"))
+        .withColumn("features",
+          array_join(col("features").cast("array<string>"), ","))),
 
     "mm3_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -31,8 +35,8 @@ object MultimodalQueries {
           length(col("frame_bytes")).as("frame_len"))))
 
   private val histSql: String = (0 until 16)
-    .map(j => s"len(list_filter(string_split(text, ''), c -> unicode(c) % 16 = $j))")
-    .mkString("[CAST(", " AS BIGINT), CAST(", " AS BIGINT)]")
+    .map(j => s"CAST(len(list_filter(string_split(text, ''), c -> unicode(c) % 16 = $j)) AS BIGINT)")
+    .mkString("array_to_string([", ", ", "], ',')")
 
   val oracles: Map[String, String] = Map(
     "mm1_media_schema" -> """

@@ -63,7 +63,7 @@ object StreamingQueries {
       FROM s GROUP BY user_id, sid""",
 
     "st4_json_props" -> """
-      SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              count(*) AS n
       FROM events GROUP BY 1""",
 
