@@ -19,6 +19,15 @@ import Q.QueryFn
   */
 object DedupQueries {
 
+  /** d3 banding config — single source of truth shared with
+    * tools.ProfileD3 (r2 ADVICE: the profiler must measure the same
+    * pipeline the bench runs). 21 bands x 3 rows:
+    * P(candidate | j=0.7) = 1-(1-0.343)^21 = 0.9999. */
+  val D3Bands = 21
+  val D3RowsPerBand = 3
+  val D3Shingle = 3
+  val D3Threshold = 0.7
+
   /** Corpus with exact duplicates: every doc twice (ids +10000). */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
@@ -70,10 +79,10 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     "d3_minhash_lsh" -> ((s, dir) =>
-      // 21 bands x 3 rows: P(candidate | j=0.7) = 1-(1-0.343)^21 = 0.9999
-      // with ~30x fewer false candidates than 32x2 at low jaccard
-      Dedup.minhashLshPairs(nearCorpus(s, dir), "text", "doc_id", n = 3,
-        bands = 21, rowsPerBand = 3, threshold = 0.7)
+      // see D3Bands/D3RowsPerBand above: ~30x fewer false candidates
+      // than 32x2 at low jaccard, recall 0.9999 at the 0.7 threshold
+      Dedup.minhashLshPairs(nearCorpus(s, dir), "text", "doc_id", n = D3Shingle,
+        bands = D3Bands, rowsPerBand = D3RowsPerBand, threshold = D3Threshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     "d4_simhash" -> ((s, dir) =>

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Scratch stage-profiler for the d3_minhash_lsh bench query. Times each
   * pipeline stage with a count() so the expensive stage is measurable
-  * instead of guessed. Not part of the library surface.
+  * instead of guessed. Banding config comes from DedupQueries (single
+  * source of truth — retuning d3 retunes this profiler with it). Not part
+  * of the library surface.
   */
 object ProfileD3 {
   def main(args: Array[String]): Unit = {
@@ -19,40 +21,31 @@ object ProfileD3 {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    import graft.queries.DedupQueries.{D3Bands, D3RowsPerBand, D3Shingle, D3Threshold}
     val corpus = graft.queries.DedupQueries.nearCorpus(spark, sfDir)
     time("warmup corpus")(corpus.count())
 
-    import graft.ops.{Dedup, Hashing}
-    val exploded = time("shingleRows") {
-      val e = Dedup.shingleRows(corpus, "text", "doc_id", 3).persist()
-      e.count(); e
-    }
-    val sizes = time("sizes")(exploded.groupBy("id").agg(count(lit(1)).as("n_sh")))
-    time("sizes count")(sizes.count())
-    val sigs = time("signatures 63") {
-      val s = Dedup.minhashSignatures(exploded, "id", 63); s.count(); s
-    }
-    val banded = sigs
-      .select(col("id"),
-        explode(transform(sequence(lit(0), lit(20)),
-          b => struct(b.as("band"), slice(col("sig"), b * 3 + 1, lit(3)).as("key"))))
-          .as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
-    time("banded count")(banded.count())
+    import graft.ops.Dedup
+    val ex = Dedup.shingleHashRows(corpus, "text", "doc_id", D3Shingle)
+    time("shingleHashRows")(ex.count())
+    time("sizes count")(ex.groupBy("id").agg(count(lit(1)).as("n_sh")).count())
+    val banded = Dedup.minhashBandKeys(ex, "id", D3Bands, D3RowsPerBand)
+    time("band keys")(banded.count())
     val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b").persist()
+      .dropDuplicates("id_a", "id_b")
     time("candidates")(println("[profile] n_cand = " + cand.count()))
-    val hashed = exploded.select(col("id"), Hashing.md5Int(col("sh")).as("__h"))
-    val withA = cand.join(hashed.withColumnRenamed("id", "id_a"), "id_a")
-    val common = withA.join(hashed.withColumnRenamed("id", "id_b"), Seq("id_b", "__h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    time("verify join")(common.count())
     time("full query end2end") {
-      Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 21, 3, 0.7).count()
+      Dedup.minhashLshPairs(corpus, "text", "doc_id", D3Shingle,
+        D3Bands, D3RowsPerBand, D3Threshold).count()
     }
+    time("end2end again") {
+      Dedup.minhashLshPairs(corpus, "text", "doc_id", D3Shingle,
+        D3Bands, D3RowsPerBand, D3Threshold).count()
+    }
+    println("[profile] persistentRDDs after runs = " +
+      spark.sparkContext.getPersistentRDDs.size)
     spark.stop()
   }
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  /** Interpreted array higher-order functions (the ~100x-slower path) must
+    * not appear anywhere in a declared scale path's plan. */
+  private def assertNoInterpretedLambda(df: org.apache.spark.sql.DataFrame,
+                                        what: String): Unit = {
+    val plan = df.queryExecution.optimizedPlan.toString
+    for (bad <- Seq("aggregate(", "zip_with(", "transform("))
+      assert(!plan.contains(bad), s"$what plan contains interpreted $bad")
+  }
+
+  test("bruteForceTopK and ivfTopK plans are lambda-free (codegen scoring)") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 3)
+    assertNoInterpretedLambda(
+      Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 5), "bruteForceTopK")
+    assertNoInterpretedLambda(
+      Similarity.ivfTopK(e, q, "embedding", "vec_id", 5, planes = 3, probes = 2),
+      "ivfTopK")
+  }
+
+  test("cosineForPairs matches the interpreted cosine() reference") {
+    val e = Tables.embeddings(spark, sf).limit(40)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val ref = pairs.select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Similarity.cosineForPairs(
+        pairs.select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")),
+        e, "vec_id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, c) =>
+      assert(math.abs(c - ref(k)) < 1e-9, s"pair $k: $c vs ${ref(k)}")
+    }
+  }
+
+  test("bruteForceTopK ranks by exact cosine (spot-check one query)") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 1)
+    val top = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 5)
+      .orderBy("rank").collect()
+    assert(top.length == 5)
+    val cosines = top.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sortBy(-_)), "ranks not cosine-descending")
+  }
+}
