@@ -99,6 +99,63 @@ object Validation {
     trials.sortBy(t => if (higherIsBetter) -t.mean else t.mean)
   }
 
+  /** Generic seeded search loop shared by random and adaptive search:
+    * draw from `space`, score with `objective`, return trials sorted
+    * best-first. With `exploit > 0` and at least `warmup` completed
+    * trials, each param is drawn from the values seen in the TOP
+    * `quantile` of history with probability `exploit`, else uniformly —
+    * a top-quantile marginal resampler, the documented stand-in for
+    * Optuna's TPE (`cross_validation_optuna_logic.py:116-164`; real TPE
+    * fits per-param KDEs, same exploit-the-good-region idea). The rng
+    * call count per trial is fixed, so draws are reproducible. */
+  def searchWith(space: Map[String, Seq[Any]], nTrials: Int, seed: Long,
+                 warmup: Int = 0, quantile: Double = 0.3, exploit: Double = 0.0)
+                (objective: Models.Params => Double): Seq[Trial] = {
+    val rng = new scala.util.Random(seed)
+    val ordered = space.toSeq.sortBy(_._1) // stable param order for the rng stream
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Models.Params, Double)]
+    (1 to nTrials).foreach { _ =>
+      val topVals: Map[String, Seq[Any]] =
+        if (history.size < warmup || exploit <= 0) Map.empty
+        else {
+          val top = history.sortBy(-_._2)
+            .take(math.max(1, math.ceil(history.size * quantile).toInt))
+          ordered.map { case (p, _) => p -> top.map(_._1(p)).toSeq }.toMap
+        }
+      val draw: Models.Params = ordered.map { case (p, vs) =>
+        val u = rng.nextDouble()
+        val pool = topVals.get(p).filter(t => u < exploit && t.nonEmpty).getOrElse(vs)
+        p -> pool(rng.nextInt(pool.size))
+      }.toMap
+      history += ((draw, objective(draw)))
+    }
+    history.toSeq.map { case (p, v) => Trial(p, v, 0.0) }.sortBy(-_.mean)
+  }
+
+  /** M10 — adaptive hyperparameter search: [[searchWith]] over CV mean
+    * score, optionally appending every trial to a resumable [[graft.io.TrialLog]]
+    * (numbering continues from the log — the `load_if_exists=True`
+    * contract). */
+  def adaptiveSearch(df: DataFrame, labelCol: String, model: String, task: Task,
+                     space: Map[String, Seq[Any]], nTrials: Int, k: Int = 3,
+                     metric: String = "f1", seed: Long = 42L, warmup: Int = 5,
+                     quantile: Double = 0.3, exploit: Double = 0.7,
+                     orderCols: Seq[String] = Nil,
+                     logPath: Option[String] = None): Seq[Trial] = {
+    val offset = logPath.map(p => graft.io.TrialLog.read(p).size).getOrElse(0)
+    var n = offset
+    searchWith(space, nTrials, seed, warmup, quantile, exploit) { draw =>
+      val scores = crossValidate(df, labelCol, model, task, k, draw, metric, seed, orderCols)
+      val mean = scores.map(_._2).sum / scores.size
+      logPath.foreach { p =>
+        graft.io.TrialLog.append(p, graft.io.TrialLog.Trial(n,
+          draw.map { case (k2, v) => k2 -> v.toString }, mean))
+      }
+      n += 1
+      mean
+    }
+  }
+
   /** Learning curve (M11): for each train fraction, fit on a seeded sample
     * and score train + validation — overfit gap per point
     * (`learning_curve_worker.py:35-104`). */

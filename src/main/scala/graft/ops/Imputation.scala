@@ -149,9 +149,11 @@ object Imputation {
   }
 
   /** I8 (full) — MICE-style round-robin: repeatedly regression-impute each
-    * null-bearing numeric column from the best-correlated complete
-    * predictor, `maxIter` rounds (`mice_method.py:256-354`). Uses the
-    * closed-form fit above per (column, round) — 2 scans per pair. */
+    * null-bearing numeric column from the best-|corr| predictor among the
+    * candidates, `maxIter` rounds (`mice_method.py:256-354`). The pick is
+    * ONE corr-aggregate scan per (column, round) over the target's
+    * non-null rows (ties keep the earliest candidate — deterministic);
+    * the closed-form fit above then costs one more scan. */
   case class MiceImpute(targets: Seq[String], predictors: Seq[String],
                         maxIter: Int = 3, roundTo: Option[Int] = None) extends TableOp {
     def describe = s"MICE-impute ${targets.mkString(",")}"
@@ -159,8 +161,18 @@ object Imputation {
       var cur = df
       for (_ <- 1 to maxIter; t <- targets) {
         val preds = predictors.filterNot(_ == t)
-        if (preds.nonEmpty)
-          cur = RegressionImpute(t, preds.head, roundTo = roundTo)(cur)
+        if (preds.nonEmpty) {
+          val best =
+            if (preds.size == 1) preds.head
+            else {
+              val aggs = preds.map(p => corr(col(t), col(p)))
+              val row = cur.filter(col(t).isNotNull).agg(aggs.head, aggs.tail: _*).first()
+              preds.zipWithIndex.map { case (p, i) =>
+                p -> (if (row.isNullAt(i)) 0.0 else math.abs(row.getDouble(i)))
+              }.maxBy(_._2)._1 // first max in candidate order on ties
+            }
+          cur = RegressionImpute(t, best, roundTo = roundTo)(cur)
+        }
       }
       cur
     }

@@ -35,9 +35,9 @@ object Smote {
     if (n == 0 || deficit <= 0) return minority.limit(0).select(feats.map(col): _*)
     val perRow = deficit / n
     val extra = (deficit % n).toInt
-    // stable per-row index for quota assignment
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__id"))
-    val base = minority.withColumn("__rn", row_number().over(w))
+    // stable per-row index for quota assignment — zipWithIndex-based
+    // global rank, NOT a single-partition Window.orderBy (r2 VERDICT 4)
+    val base = Ordinals.withGlobalRank(minority, Seq(col("__id")), "__rn")
       .withColumn("__quota", lit(perRow) + when(col("__rn") <= extra, 1L).otherwise(0L))
       .filter(col("__quota") > 0)
     // array_sort fixes the shuffle-fetch-dependent collect_list order —
@@ -120,13 +120,21 @@ object Smote {
             .agg(avg((col("__nbr_cls") =!= cls).cast(DoubleType)).as("__w"))
           val weighted = minority.join(nn, Seq("__id"), "left")
             .withColumn("__w", coalesce(col("__w"), lit(0.0)))
-          // quota proportional to weight, exact total = deficit
+          // quota proportional to weight, exact total = deficit:
+          // floor share + largest-remainder top-up (the floor alone
+          // under-fills by up to n-1 — r2 VERDICT item 5)
           val totW = weighted.agg(sum("__w")).first().getDouble(0)
           val deficit = majority - n
-          val withQuota =
-            if (totW <= 0) weighted.withColumn("__quota", lit(deficit / math.max(n, 1L)))
-            else weighted.withColumn("__quota",
-              floor(col("__w") / totW * deficit).cast(LongType))
+          val share =
+            if (totW <= 0) lit(deficit.toDouble / math.max(n, 1L)) // uniform fallback
+            else col("__w") / totW * deficit
+          val withShare = weighted.withColumn("__q0", floor(share).cast(LongType))
+            .withColumn("__rem", share - floor(share))
+          val shortfall = deficit - withShare.agg(sum("__q0")).first().getLong(0)
+          val withQuota = Ordinals.withGlobalRank(withShare,
+              Seq(desc("__rem"), asc("__id")), "__rr")
+            .withColumn("__quota",
+              col("__q0") + when(col("__rr") <= shortfall, 1L).otherwise(0L))
           val q = withQuota.filter(col("__quota") > 0)
             .withColumn("__j", explode(sequence(lit(1), col("__quota"))))
             .withColumn("__pick", (Neighbors.detUniform(seed + 1, col("__id"), col("__j")) * k).cast(IntegerType))
@@ -197,15 +205,15 @@ object Smote {
           val others = all.filter(col(target) =!= cls)
           val meanDist = Neighbors.knnJoin(clsRows, others, "__id", nNeighbors, width, seed)
             .groupBy(col("l_id").as("__id")).agg(avg("dist").as("__md"))
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(asc("__md"), asc("__id"))
           // left join: rows with no approximate-kNN candidate rank last
           // (infinite distance) instead of vanishing — class size stays
-          // exactly minCount
-          clsRows.join(meanDist, Seq("__id"), "left")
-            .withColumn("__md", coalesce(col("__md"), lit(Double.MaxValue)))
-            .withColumn("__r", row_number().over(w))
-            .filter(col("__r") <= minCount)
+          // exactly minCount. Global rank via zipWithIndex, not the
+          // single-partition Window.orderBy (r2 VERDICT 4).
+          val ranked = Ordinals.withGlobalRank(
+            clsRows.join(meanDist, Seq("__id"), "left")
+              .withColumn("__md", coalesce(col("__md"), lit(Double.MaxValue))),
+            Seq(asc("__md"), asc("__id")), "__r")
+          ranked.filter(col("__r") <= minCount)
             .drop("__md", "__r")
             .transform(dropInternal)
         }

@@ -108,6 +108,12 @@ object SmoteQueries {
       WITH c AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
       SELECT o_orderstatus, (SELECT min(n) FROM c) AS n FROM c""",
 
+    // largest-remainder quota makes ADASYN's fill exact: every class
+    // reaches majority size, same count contract as SMOTE
+    "b7_adasyn" -> """
+      WITH c AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
+      SELECT o_orderstatus, (SELECT max(n) FROM c) AS n FROM c""",
+
     "b8_borderline_smote" -> """
       WITH c AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
       SELECT o_orderstatus, (SELECT max(n) FROM c) AS n FROM c""",

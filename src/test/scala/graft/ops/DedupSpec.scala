@@ -48,4 +48,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (0L until 8L).foreach(i => assert(pairs.contains((i, i + 1000)), s"missing pair $i"))
   }
+
+  test("dedup leaves no persisted RDDs behind across back-to-back corpus runs") {
+    import spark.implicits._
+    val corpus = (0L until 60L).map(i =>
+      (i, (0 until 20).map(j => s"w${(i * 5 + j) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 21, 3, 0.7).count()
+    Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.7).count()
+    Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 21, 3, 0.7).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.size} persistent RDDs")
+  }
 }

@@ -55,4 +55,19 @@ class ImputationSpec extends SparkSpec {
       .orderBy("i").select("x").collect().map(_.getDouble(0))
     assert(out.toSeq == Seq(10.0, 10.0, 15.0, 20.0, 20.0))
   }
+
+  test("I8 MICE picks the best-|corr| predictor, not the first candidate") {
+    import spark.implicits._
+    // good = 2*y exactly (|corr| = 1); noise is uncorrelated and listed
+    // FIRST — preds.head would regress on noise and fill garbage
+    val df = Seq(
+      (1L, 7.0, 10.0, 20.0), (2L, 3.0, 30.0, 60.0), (3L, 9.0, 20.0, 40.0),
+      (4L, 1.0, 50.0, 100.0), (5L, 5.0, 40.0, 80.0))
+      .toDF("id", "noise", "y", "good")
+      .withColumn("y", when(col("id") === 5L, lit(null)).otherwise(col("y")))
+    val out = MiceImpute(targets = Seq("y"), predictors = Seq("noise", "good"),
+      maxIter = 1)(df)
+    val filled = out.filter(col("id") === 5L).select("y").first().getDouble(0)
+    assert(math.abs(filled - 40.0) < 1e-9, s"filled $filled, want 40.0 (= good/2)")
+  }
 }

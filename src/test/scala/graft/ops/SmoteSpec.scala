@@ -42,6 +42,13 @@ class SmoteSpec extends SparkSpec {
     assert(frac == 0)
   }
 
+  test("B7 ADASYN: largest-remainder quota fills every class EXACTLY to majority") {
+    val before = classCounts(orders)
+    val majority = before.values.max
+    val after = classCounts(Smote.AdasynOp("o_orderstatus", k = 3, width = 0.25)(orders))
+    assert(after.values.forall(_ == majority), after.toString)
+  }
+
   test("B5 NearMiss: every class at minority size") {
     val before = classCounts(orders)
     val out = Smote.NearMissOp("o_orderstatus", width = 0.25)(orders)
