@@ -1,18 +1,38 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.ml.{Metrics, Validation}
+import graft.ml.{Compare, Importance, Inference, Metrics, Models, Validation}
 import Q.QueryFn
 
 /** Driver-checked queries for the ML layer. MLlib model fits aren't
-  * SQL-reproducible, but every METRIC and FOLD computation is — so the
-  * evaluators (the part that must agree with sklearn semantics) are
-  * oracle-checked on deterministic rule-based predictions, and the model
-  * paths are covered by MlSpec.
+  * SQL-reproducible IN GENERAL, but every METRIC and FOLD computation is —
+  * and so is MLlib's LinearRegression with regParam=0 (normal-equation
+  * OLS, affine-invariant under the pipeline's StandardScaler), which
+  * DuckDB reproduces exactly via regr_slope/regr_intercept. The value
+  * loop (tune -> final-train -> persist -> infer) therefore gets FULL
+  * oracles on the linear path (m12/m16/s8/b16) and rows-only entries
+  * where the model is tree/ensemble (m8/m10/m11/m5c/m6).
   */
 object MlQueries {
+
+  /** Deterministic train/test split on orders, single numeric feature —
+    * the OLS-oracle-able frame: y = o_totalprice, x = o_custkey. */
+  private def olsTrain(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderkey") % 4 =!= 0)
+      .select("o_custkey", "o_totalprice")
+  private def olsTest(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+      .select("o_custkey", "o_totalprice")
+
+  /** Binary-label classification frame for the search queries. */
+  private def clsFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_custkey").cast("double").as("o_custkey"),
+      col("o_totalprice"),
+      (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent"))
 
   /** HALF_UP rounding to match SQL round() exactly. */
   private def r(x: Double, digits: Int): Double =
@@ -70,7 +90,121 @@ object MlQueries {
     "m5_fold_assign" -> ((s, dir) =>
       Validation.withFold(Tables.orders(s, dir), "o_orderpriority", 3,
         orderCols = Seq("o_orderkey"))
-        .groupBy("fold", "o_orderpriority").agg(count(lit(1)).as("n"))))
+        .groupBy("fold", "o_orderpriority").agg(count(lit(1)).as("n"))),
+
+    // ---- the value loop: tune -> final-train -> persist -> infer ----
+
+    "m8_random_search" -> ((s, dir) => {
+      // M8/M9: 3 CV-scored logreg trials over a C grid; rows-only (MLlib
+      // L-BFGS isn't SQL-reproducible) — one row per trial, rank-ordered
+      val trials = Validation.randomSearch(clsFrame(s, dir), "urgent", "logreg",
+        Models.Classification, space = Map("C" -> Seq(0.1, 1.0, 10.0)),
+        nTrials = 3, k = 2, metric = "f1",
+        orderCols = Seq("o_custkey", "o_totalprice"))
+      import s.implicits._
+      trials.zipWithIndex.map { case (t, i) =>
+        (i + 1, t.params("C").toString.toDouble, r(t.mean, 4))
+      }.toDF("rank", "c_value", "mean_f1")
+    }),
+
+    "m10_adaptive_search" -> ((s, dir) => {
+      // M10: top-quantile adaptive sampler over the same space — rows-only
+      val trials = Validation.adaptiveSearch(clsFrame(s, dir), "urgent", "logreg",
+        Models.Classification, space = Map("C" -> Seq(0.1, 1.0, 10.0)),
+        nTrials = 4, k = 2, metric = "f1", warmup = 2,
+        orderCols = Seq("o_custkey", "o_totalprice"))
+      import s.implicits._
+      trials.zipWithIndex.map { case (t, i) => (i + 1, r(t.mean, 4)) }
+        .toDF("rank", "mean_f1")
+    }),
+
+    "m11_learning_curve" -> ((s, dir) => {
+      // M11: linear-regression curve over train fractions; rows-only
+      // (the fractional samples are partition-layout-dependent)
+      val pts = Validation.learningCurve(olsTrain(s, dir), olsTest(s, dir),
+        "o_totalprice", "linear", Models.Regression,
+        fractions = Seq(0.2, 0.5, 1.0), metric = "r2")
+      import s.implicits._
+      pts.map(p => (p.fraction, r(p.trainScore, 3), r(p.valScore, 3)))
+        .toDF("fraction", "train_r2", "val_r2")
+    }),
+
+    "m12_final_train" -> ((s, dir) => {
+      // M12: final train (linear OLS) + test-set metrics — FULL oracle via
+      // DuckDB regr_slope/regr_intercept on the same split
+      val out = java.nio.file.Files.createTempDirectory("graft_m12_").toString
+      val res = Inference.finalTrain(olsTrain(s, dir), olsTest(s, dir),
+        "o_totalprice", "linear", Models.Regression, Map.empty,
+        primaryMetric = "r2", outDir = out, datasetName = "orders")
+      import s.implicits._
+      Seq((r(res.metrics("r2"), 6), r(res.metrics("mae"), 2)))
+        .toDF("r2", "mae")
+    }),
+
+    "m16_inference" -> ((s, dir) => {
+      // M16: one-row questionnaire inference — FULL oracle (prediction is
+      // the OLS line at x = 1000)
+      val m = Models.fit(olsTrain(s, dir), "o_totalprice", "linear",
+        Models.Regression)
+      val pred = Inference.inferOne(s, m, Map("o_custkey" -> 1000.0),
+        features = Seq("o_custkey"))
+      import s.implicits._
+      Seq(r(pred, 4)).toDF("prediction")
+    }),
+
+    "s8_model_roundtrip" -> ((s, dir) => {
+      // S8: persist via finalTrain's metric-stamped path, reload, predict —
+      // FULL oracle on the prediction; reloaded_match proves the roundtrip
+      val out = java.nio.file.Files.createTempDirectory("graft_s8_").toString
+      val res = Inference.finalTrain(olsTrain(s, dir), olsTest(s, dir),
+        "o_totalprice", "linear", Models.Regression, Map.empty,
+        primaryMetric = "r2", outDir = out, datasetName = "orders")
+      val reloaded = Inference.load(res.modelPath)
+      val m = Models.fit(olsTrain(s, dir), "o_totalprice", "linear",
+        Models.Regression)
+      val p1 = Inference.inferOne(s, m, Map("o_custkey" -> 1000.0), Seq("o_custkey"))
+      val p2 = Inference.inferOne(s, reloaded, Map("o_custkey" -> 1000.0), Seq("o_custkey"))
+      import s.implicits._
+      Seq((r(p2, 4), p1 == p2)).toDF("prediction", "reloaded_match")
+    }),
+
+    "b16_pair_save" -> ((s, dir) => {
+      // B16: one-version train/test pair save + S7 lineage check + read
+      // back — FULL count oracle on the same deterministic split
+      val df = Tables.customer(s, dir).select("c_custkey", "c_nationkey", "c_acctbal")
+      val tracker = new graft.io.MetaTracker
+      tracker.addChange("balanced pair save")
+      val out = java.nio.file.Files.createTempDirectory("graft_b16_").toString
+      val (trainPath, testPath) = graft.io.VersionedCsv.savePair(
+        df.filter(col("c_custkey") % 5 =!= 0), df.filter(col("c_custkey") % 5 === 0),
+        out, "cust", tracker)
+      import s.implicits._
+      Seq(("train", graft.io.VersionedCsv.read(s, trainPath).count(), tracker.version),
+        ("test", graft.io.VersionedCsv.read(s, testPath).count(), tracker.version))
+        .toDF("part", "n", "version")
+    }),
+
+    "m5c_model_compare" -> ((s, dir) => {
+      // M5: multi-model comparison cards; rows-only (tree fit not SQL-
+      // reproducible) — one row per model
+      val res = Compare.run(olsTrain(s, dir).limit(4000), olsTest(s, dir).limit(2000),
+        "o_totalprice", Models.Regression, Seq("linear", "rf"),
+        params = Map("rf" -> Map("n_estimators" -> 5, "max_depth" -> 4)))
+      import s.implicits._
+      res.map(x => (x.model, r(x.metrics("r2"), 3))).toDF("model", "r2")
+    }),
+
+    "m6_importances" -> ((s, dir) => {
+      // M6: native importances of the final linear model = |coefficient|
+      // per feature; rows-only (one row per feature)
+      val tr = Tables.orders(s, dir).filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_custkey"), (col("o_orderkey") % 97).as("o_ordmod"),
+          col("o_totalprice"))
+      val m = Models.fit(tr, "o_totalprice", "linear", Models.Regression)
+      val imps = Importance.native(m, Models.numericFeatures(tr, "o_totalprice"))
+      import s.implicits._
+      imps.map { case (f, v) => (f, r(v, 4)) }.toDF("feature", "importance")
+    }))
 
   val oracles: Map[String, String] = Map(
     "m1_binary_metrics" -> """
@@ -148,5 +282,34 @@ object MlQueries {
                o_orderpriority
         FROM orders)
       SELECT fold, o_orderpriority, count(*) AS n
-      FROM f GROUP BY 1, 2""")
+      FROM f GROUP BY 1, 2""",
+
+    // MLlib LinearRegression (regParam=0) is exact OLS and scale-
+    // invariant through the pipeline's StandardScaler — DuckDB's
+    // regr_slope/regr_intercept reproduce it bit-near (rounded)
+    "m12_final_train" -> """
+      WITH tr AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 <> 0),
+      te AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 = 0),
+      f AS (SELECT regr_slope(y, x) AS m, regr_intercept(y, x) AS b FROM tr),
+      p AS (SELECT y, f.m * x + f.b AS yh FROM te, f),
+      a AS (SELECT sum((y - yh) * (y - yh)) AS sse, avg(abs(y - yh)) AS mae,
+                   var_pop(y) AS vp, count(*) AS n FROM p)
+      SELECT round(1.0 - sse / (vp * n), 6) AS r2, round(mae, 2) AS mae FROM a""",
+
+    "m16_inference" -> """
+      WITH f AS (SELECT regr_slope(o_totalprice, o_custkey) AS m,
+                        regr_intercept(o_totalprice, o_custkey) AS b
+                 FROM orders WHERE o_orderkey % 4 <> 0)
+      SELECT round(m * 1000.0 + b, 4) AS prediction FROM f""",
+
+    "s8_model_roundtrip" -> """
+      WITH f AS (SELECT regr_slope(o_totalprice, o_custkey) AS m,
+                        regr_intercept(o_totalprice, o_custkey) AS b
+                 FROM orders WHERE o_orderkey % 4 <> 0)
+      SELECT round(m * 1000.0 + b, 4) AS prediction, TRUE AS reloaded_match FROM f""",
+
+    "b16_pair_save" -> """
+      SELECT 'train' AS part, count(*) AS n, 1 AS version FROM customer WHERE c_custkey % 5 <> 0
+      UNION ALL
+      SELECT 'test', count(*), 1 FROM customer WHERE c_custkey % 5 = 0""")
 }

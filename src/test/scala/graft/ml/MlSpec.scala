@@ -102,4 +102,41 @@ class MlSpec extends SparkSpec {
     val imps = Importance.native(m, Seq("id", "x1", "x2", "noise")).toMap
     assert(imps("x1") > imps("noise"))
   }
+
+  test("M10 adaptive search beats pure random at equal trial budget") {
+    // seeded quadratic objective with a unique optimum at (21, 13): the
+    // top-quantile resampler must find better configs than uniform draws
+    // on average over seeds (equal budget, identical space)
+    val space: Map[String, Seq[Any]] = Map(
+      "x" -> (0 until 30).map(i => i: Any),
+      "y" -> (0 until 30).map(i => i: Any))
+    def obj(p: Models.Params): Double = {
+      val x = p("x").toString.toDouble; val y = p("y").toString.toDouble
+      -((x - 21) * (x - 21) + (y - 13) * (y - 13))
+    }
+    val seeds = (1L to 9L)
+    def bestOf(exploit: Double): Double = seeds.map { s =>
+      Validation.searchWith(space, nTrials = 30, seed = s, warmup = 6,
+        quantile = 0.25, exploit = exploit)(obj).head.mean
+    }.sum / seeds.size
+    val adaptive = bestOf(0.5)
+    val random = bestOf(0.0)
+    assert(adaptive > random, s"adaptive $adaptive vs random $random")
+  }
+
+  test("M10 adaptive search appends a resumable trial log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_m10_").toString
+    val log = s"$dir/trials.jsonl"
+    val space: Map[String, Seq[Any]] = Map("C" -> Seq(0.1, 1.0, 10.0))
+    val df = synth
+    Validation.adaptiveSearch(df, "y", "logreg", Classification, space,
+      nTrials = 2, k = 2, metric = "accuracy", warmup = 1,
+      orderCols = Seq("id"), logPath = Some(log))
+    assert(graft.io.TrialLog.read(log).map(_.number) == Seq(0, 1))
+    Validation.adaptiveSearch(df, "y", "logreg", Classification, space,
+      nTrials = 1, k = 2, metric = "accuracy", warmup = 1,
+      orderCols = Seq("id"), logPath = Some(log))
+    // numbering resumed from the existing log (load_if_exists contract)
+    assert(graft.io.TrialLog.read(log).map(_.number) == Seq(0, 1, 2))
+  }
 }
