@@ -78,9 +78,23 @@ object SourceQueries {
   private def profileDocuments: QueryFn = (s, dir) =>
     SchemaProfiler.profile(Tables.documents(s, dir))
 
+  /** S4: nation -> minimal .xlsx fixture -> JDK-only Excel scan. */
+  private def s4ExcelScan: QueryFn = (s, dir) => {
+    val path = Q.tempDir("graft_s4") + "/nation.xlsx"
+    val src = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      .orderBy("n_nationkey").collect()
+    graft.io.ExcelSource.write(
+      Seq("n_nationkey", "n_name") +:
+        src.toIndexedSeq.map(r => Seq(r.get(0).toString, r.getString(1))),
+      path)
+    graft.io.ExcelSource.read(s, path)
+      .select(col("n_nationkey").cast("int"), col("n_name"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "s1_csv_roundtrip" -> s1CsvRoundtrip,
     "s2_csv_allstring" -> s2CsvAllString,
+    "s4_excel_scan" -> s4ExcelScan,
     "s7_version_check" -> s7VersionCheck,
     "s9_params_json" -> s9ParamsJson,
     "s13_schema_profile" -> profileDocuments)
@@ -88,6 +102,8 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "s1_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s4_excel_scan" ->
+      "SELECT n_nationkey, n_name FROM nation",
     "s2_csv_allstring" ->
       "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
     "s7_version_check" -> """

@@ -58,4 +58,42 @@ class IoSpec extends SparkSpec {
     assert(res.forall(_.seconds > 0))
     assert(res.forall(_.metrics.contains("accuracy")))
   }
+
+  test("S4 Excel roundtrip: header, values, ragged rows, escaping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_").toString
+    val path = s"$dir/t.xlsx"
+    ExcelSource.write(Seq(
+      Seq("id", "name", "note"),
+      Seq("1", "a<b&c", "x"),
+      Seq("2", "plain", null), // missing trailing cell
+      Seq("3", "z", "y")), path)
+    val df = ExcelSource.read(spark, path)
+    assert(df.columns.toSeq == Seq("id", "name", "note"))
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("1", "a<b&c", "x"), ("2", "plain", null), ("3", "z", "y")))
+  }
+
+  test("S4 Excel reader resolves shared strings") {
+    // hand-built minimal xlsx exercising t="s" cells + sharedStrings.xml
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_ss_").toString
+    val path = s"$dir/ss.xlsx"
+    val out = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(content.getBytes("UTF-8")); out.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>col</t></si><si><t>hello world</t></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>42.5</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    out.close()
+    val df = ExcelSource.read(spark, path)
+    assert(df.columns.toSeq == Seq("col", "_c1"))
+    val r = df.collect().head
+    assert(r.getString(0) == "hello world" && r.getString(1) == "42.5")
+  }
 }
