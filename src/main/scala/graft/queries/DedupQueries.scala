@@ -108,8 +108,9 @@ object DedupQueries {
     }),
 
     "s2_ann_ivf" -> ((s, dir) => {
-      // IVF recall depends on bucketing — oracle-free; the spec asserts
-      // recall vs brute force. Output is per-query hit counts.
+      // IVF bucketing is deterministic LCG arithmetic, so per-query hit
+      // counts ARE oracle-able: the SQL below replays the sketch planes,
+      // bucket join, Hamming-1 probes, and top-k rank in DuckDB.
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "embedding",
         "vec_id", k = 10, planes = 6, probes = 2)
@@ -166,6 +167,37 @@ object DedupQueries {
              round(${cosSql("a.v", "b.v")}, 6) AS cosine
       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
       WHERE ${cosSql("a.v", "b.v")} >= 0.99""",
+
+    // replays Similarity.{lcgComponent,signSketchDf,ivfTopK} exactly:
+    // plane weights from the seeded LCG, sign-bit buckets, own +
+    // Hamming-1 probe buckets, exact top-10 re-rank, hit counts
+    "s2_ann_ivf" -> s"""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (SELECT unnest(range(64)) AS pos),
+      planes AS (SELECT unnest(range(6)) AS i),
+      comp AS (SELECT i, pos,
+                 ((((1103515245 * (i * 1000003 + pos + 42) + 12345) % 2147483647)
+                   % 2000001) - 1000000) / 1000000.0 AS w
+               FROM planes, dims),
+      dots AS (SELECT c.vec_id, comp.i, sum(c.v[comp.pos + 1] * comp.w) AS d
+               FROM c, comp GROUP BY 1, 2),
+      buck AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN (1 << i) ELSE 0 END) AS bucket
+               FROM dots GROUP BY 1),
+      q AS (SELECT c.vec_id AS query_id, c.v AS qv, buck.bucket AS qbucket
+            FROM c JOIN buck USING (vec_id) WHERE vec_id < 5),
+      probes AS (SELECT query_id, qv, qbucket AS bucket FROM q
+                 UNION ALL
+                 SELECT query_id, qv, xor(qbucket, (1 << i)) FROM q, planes),
+      cand AS (SELECT p.query_id, cb.vec_id AS corpus_id, p.qv, c2.v AS cv
+               FROM probes p
+               JOIN buck cb ON cb.bucket = p.bucket
+               JOIN c c2 ON c2.vec_id = cb.vec_id
+               WHERE cb.vec_id <> p.query_id),
+      scored AS (SELECT query_id, corpus_id, ${cosSql("qv", "cv")} AS cosine FROM cand),
+      topk AS (SELECT query_id, corpus_id FROM scored
+               QUALIFY row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, corpus_id) <= 10)
+      SELECT query_id, count(*) AS n_hits FROM topk GROUP BY 1""",
 
     "s1_ann_topk" -> s"""
       WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

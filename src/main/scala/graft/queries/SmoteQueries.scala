@@ -75,12 +75,14 @@ object SmoteQueries {
         .select(col("c_custkey"), round(col("c_acctbal"), 4).as("c_acctbal"))),
 
     "i9_model_impute" -> ((s, dir) =>
-      // MLlib linear fit isn't SQL-reproducible: invariants only —
-      // no nulls remain, complete rows untouched (checked by count+sum).
+      // MLlib 'linear' at regParam=0 is exact two-predictor OLS
+      // (affine-invariant through the pipeline scaler), so the imputed
+      // SUM is a full oracle via the 2x2 normal equations in SQL.
       NnImpute.ModelImpute("c_acctbal")(
         customerWithNulls(s, dir).select("c_custkey", "c_nationkey", "c_acctbal"))
         .agg(count(lit(1)).as("n_rows"), count(col("c_acctbal")).as("n_notnull"),
-          round(sum(when(col("c_custkey") % 10 =!= 0, col("c_acctbal"))), 2).as("sum_untouched"))))
+          round(sum(when(col("c_custkey") % 10 =!= 0, col("c_acctbal"))), 2).as("sum_untouched"),
+          round(sum(when(col("c_custkey") % 10 === 0, col("c_acctbal"))), 1).as("sum_imputed"))))
 
   /** Shared SQL fragments for the exact-kNN oracles. */
   private val NullBalSql = "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END"
@@ -131,6 +133,24 @@ object SmoteQueries {
       f AS (SELECT pid, avg(dtv) AS fill FROM nn WHERE rn <= 5 GROUP BY pid)
       SELECT t.c_custkey, round(COALESCE(t.tgt, f.fill), 4) AS c_acctbal
       FROM t LEFT JOIN f ON f.pid = t.c_custkey""",
+
+    "i9_model_impute" -> s"""
+      WITH t AS (SELECT c_custkey AS x1, c_nationkey AS x2, $NullBalSql AS tgt FROM customer),
+      c AS (SELECT * FROM t WHERE tgt IS NOT NULL),
+      m AS (SELECT var_pop(x1) AS s11, var_pop(x2) AS s22,
+                   covar_pop(x1, x2) AS s12,
+                   covar_pop(x1, tgt) AS s1y, covar_pop(x2, tgt) AS s2y,
+                   avg(x1) AS m1, avg(x2) AS m2, avg(tgt) AS my FROM c),
+      b AS (SELECT (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+                   (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2,
+                   m1, m2, my FROM m),
+      f AS (SELECT my - b1 * m1 - b2 * m2 AS b0, b1, b2 FROM b),
+      filled AS (SELECT COALESCE(tgt, f.b0 + f.b1 * x1 + f.b2 * x2) AS v,
+                        tgt IS NULL AS was_null, x1 FROM t, f)
+      SELECT count(*) AS n_rows, count(v) AS n_notnull,
+             round(sum(CASE WHEN NOT was_null THEN v END), 2) AS sum_untouched,
+             round(sum(CASE WHEN was_null THEN v END), 1) AS sum_imputed
+      FROM filled""",
 
     "i6_hotdeck_impute" -> s"""
       WITH $scaledCte,

@@ -59,6 +59,25 @@ class IoSpec extends SparkSpec {
     assert(res.forall(_.metrics.contains("accuracy")))
   }
 
+  test("S5 wrapped-META header wraps at 150 chars on | boundaries and round-trips") {
+    val t = new MetaTracker
+    (1 to 12).foreach { i =>
+      t.addChange(s"change number $i with a reasonably long description text")
+      t.commit()
+    }
+    val lines = MetaTracker.wrappedLines(t)
+    assert(lines.length > 1, "long history should wrap")
+    assert(lines.forall(_.startsWith("# META: ")))
+    assert(lines.forall(_.length <= 150), lines.map(_.length).toString)
+    val back = MetaTracker.parseWrapped(lines)
+    assert(back.version == 12)
+    assert(back.historyPairs == t.historyPairs)
+    // short history stays on one line
+    val short = new MetaTracker
+    short.addChange("import"); short.commit()
+    assert(MetaTracker.wrappedLines(short) == Seq("# META: v1 import"))
+  }
+
   test("S4 Excel roundtrip: header, values, ragged rows, escaping") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_").toString
     val path = s"$dir/t.xlsx"

@@ -22,6 +22,16 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("feature extraction: array contract — array<bigint> of length 16") {
+    // the mm2 driver oracle verifies a CSV-string projection (pandas
+    // canonicalizer limitation); this keeps the ARRAY shape covered
+    val f = Multimodal.extractFeatures(media)
+    assert(f.schema("features").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+    assert(f.filter(size(col("features")) =!= 16).count() == 0)
+  }
+
   test("frame sampling: indices stride correctly and slices are uniform") {
     val frames = Multimodal.sampleFrames(
       Multimodal.fromText(Tables.documents(spark, sf), "doc_id", "text", "video"),
