@@ -35,59 +35,47 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Distinct shingles as EXPLODED rows (id, sh): posexplode the tokens,
+  /** Shingle rows (id, sh), NOT yet deduplicated: posexplode the tokens,
     * build each shingle with window `lead`s over (id, pos) — every step
-    * whole-stage codegen except one id-partitioned window shuffle.
-    * Profiling at sf0.1: the array-lambda form above took 6.7 s of the
-    * minhash pipeline; this shape is the fix. Documents shorter than n
-    * tokens contribute their whole text as one shingle (same semantics as
-    * `shingles`). */
-  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    * whole-stage codegen except ONE id-partitioned window shuffle.
+    * Documents shorter than n tokens contribute their whole text as one
+    * shingle THROUGH THE SAME PATH: `concat_ws` skips the null leads, so
+    * the `__pos == 0` row of a short doc is already the full-text shingle
+    * (no separate union branch — a branch re-scans the corpus once per
+    * downstream consumer, which at 100 TB is the whole cost). */
+  private def shingleRowsRaw(df: DataFrame, textCol: String, idCol: String,
+                             n: Int): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    val tok = df.select(col(idCol).as("id"), toks.as("__toks"))
+    val exploded = df.select(col(idCol).as("id"), toks.as("__toks"))
       .withColumn("__nt", size(col("__toks")))
-    val long = tok.filter(col("__nt") >= n)
-      .select(col("id"), posexplode(col("__toks")).as(Seq("__pos", "__t")))
+      .select(col("id"), col("__nt"), posexplode(col("__toks")).as(Seq("__pos", "__t")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("__pos")
     val leads = (1 until n).map(j => lead(col("__t"), j).over(w))
-    val shingled = long
+    exploded
       .withColumn("sh", concat_ws(" ", (col("__t") +: leads): _*))
-      .withColumn("__full", if (n > 1) leads.last.isNotNull else lit(true))
-      .filter(col("__full")) // window exprs must be projected before WHERE
+      .withColumn("__keep", // window exprs must be projected before WHERE
+        (if (n > 1) leads.last.isNotNull else lit(true)) ||
+          (col("__nt") < n && col("__pos") === 0))
+      .filter(col("__keep"))
       .select("id", "sh")
-    val short = tok.filter(col("__nt") < n)
-      .select(col("id"), concat_ws(" ", col("__toks")).as("sh"))
-    shingled.unionByName(short).dropDuplicates("id", "sh")
   }
 
+  /** Distinct shingles as EXPLODED rows (id, sh). Profiling at sf0.1: the
+    * array-lambda `shingles` form cost 6.7 s of the minhash pipeline;
+    * this shape is the fix. The dedup aggregate adds NO shuffle — the
+    * frame is still hash-partitioned by id from the lead-window. */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleRowsRaw(df, textCol, idCol, n).dropDuplicates("id", "sh")
+
   /** Distinct shingles as EXPLODED 60-bit HASH rows (id, __h) — the d2/d3
-    * hot-path shape. Same construction as [[shingleRows]] but the shingle
-    * string is hashed immediately (8-byte rows through every downstream
-    * shuffle instead of n-word strings) and the distinct runs BEFORE the
-    * union with short docs, while the frame is still hash-partitioned by
-    * id from the lead-window — so the dedup aggregate adds NO shuffle and
-    * every later groupBy("id") reuses the one window exchange. */
-  def shingleHashRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val tok = df.select(col(idCol).as("id"), toks.as("__toks"))
-      .withColumn("__nt", size(col("__toks")))
-    val long = tok.filter(col("__nt") >= n)
-      .select(col("id"), posexplode(col("__toks")).as(Seq("__pos", "__t")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("__pos")
-    val leads = (1 until n).map(j => lead(col("__t"), j).over(w))
-    val shingled = long
-      .withColumn("sh", concat_ws(" ", (col("__t") +: leads): _*))
-      .withColumn("__full", if (n > 1) leads.last.isNotNull else lit(true))
-      .filter(col("__full")) // window exprs must be projected before WHERE
+    * hot-path shape: the shingle string is hashed immediately, so every
+    * downstream shuffle carries 8-byte keys instead of n-word strings,
+    * and every later groupBy("id") hangs off the one window exchange. */
+  def shingleHashRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleRowsRaw(df, textCol, idCol, n)
       .select(col("id"), Hashing.md5Int(col("sh")).as("__h"))
-      .dropDuplicates("id", "__h") // no shuffle: already partitioned by id
-    // short docs contribute one whole-text shingle — distinct trivially
-    val short = tok.filter(col("__nt") < n)
-      .select(col("id"), Hashing.md5Int(concat_ws(" ", col("__toks"))).as("__h"))
-    shingled.unionByName(short)
-  }
+      .dropDuplicates("id", "__h")
 
   /** Candidate pairs sharing >=1 shingle, with exact Jaccard similarity.
     * Inverted index: explode shingles -> self-join on shingle -> count
