@@ -263,6 +263,47 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair list (id_a, id_b):
+    * iterative min-label propagation — each round every node takes the
+    * min of its own and its neighbors' labels; driver loop stops at
+    * fixpoint. O(component diameter) rounds (near-dup clusters are
+    * shallow), each round ONE shuffle join + ONE aggregate; labels are
+    * localCheckpoint'ed so lineage stays flat and nothing persists past
+    * the call. Returns (id, component) for every id appearing in
+    * `pairs`, component = min id of the cluster — the keep-one key a
+    * dedup pipeline drops duplicates by. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("__dc")), "dst")
+        .groupBy(col("src").as("id")).agg(min("__dc").as("__nc"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("comp", "__old"), "id")
+        .filter(col("comp") =!= col("__old")).count()
+      labels = updated
+      it += 1
+    }
+    labels
+  }
+
+  /** Keep-one-per-cluster: drop every row of `df` whose id appears in a
+    * near-dup cluster under a non-minimal id. Composes any pair
+    * generator above with [[components]]. */
+  def canonicalize(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val dupes = components(pairs).filter(col("id") =!= col("comp")).select("id")
+    df.join(dupes.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs above `threshold`.
     * `Similarity.cosine` does the arithmetic; candidate generation here is
     * the sign-LSH band join (random-hyperplane sketch) — brute force only
@@ -270,12 +311,14 @@ object Dedup {
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
                   threshold: Double, lshPlanes: Int = 0, seed: Long = 42L): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    if (lshPlanes <= 0)
-      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+    if (lshPlanes <= 0) {
+      // all-pairs candidates, but scoring still goes through the
+      // codegen exploded-join aggregate (no interpreted lambda)
+      val cand = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      Similarity.cosineForPairs(cand, v, "id", "v")
         .filter(col("cosine") >= threshold)
-    else {
+    } else {
       // scale path: codegen'd sketches for candidates, codegen'd
       // exploded-join cosine for verification — no interpreted lambdas
       // on the hot path

@@ -99,6 +99,14 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    "d6_dup_components" -> ((s, dir) =>
+      // near-dup clusters over the d2 pair list: (id, component) where
+      // component = min doc id of the connected cluster
+      Dedup.components(
+        Dedup.ngramJaccardPairs(nearCorpus(s, dir), "text", "doc_id", n = 3,
+          threshold = 0.7))
+        .select(col("id").as("doc_id"), col("comp").as("component"))),
+
     "s1_ann_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "embedding",
@@ -157,6 +165,22 @@ object DedupQueries {
     "d3_minhash_lsh" -> jaccardOracle(NearCorpusSql, 3, 0.7),
 
     "d4_simhash" -> simhashOracle,
+
+    // transitive closure over the d2 pair list: each node's component is
+    // the min id it can reach (recursive CTE = the label-propagation
+    // fixpoint the Spark op iterates to)
+    "d6_dup_components" -> s"""
+      WITH RECURSIVE pairs AS (${jaccardOracle(NearCorpusSql, 3, 0.7)}),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      nodes AS (SELECT DISTINCT src AS id FROM edges)
+      SELECT n.id AS doc_id,
+             least(n.id, (SELECT min(r) FROM reach WHERE reach.id = n.id)) AS component
+      FROM nodes n""",
 
     "d5_cosine_dup" -> s"""
       WITH corpus AS (

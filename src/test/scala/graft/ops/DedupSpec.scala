@@ -49,6 +49,20 @@ class DedupSpec extends SparkSpec {
     (0L until 8L).foreach(i => assert(pairs.contains((i, i + 1000)), s"missing pair $i"))
   }
 
+  test("components: chains resolve transitively to the min id; canonicalize keeps one per cluster") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, NOT all directly linked), pair 10-11,
+    // singleton 20 (no pairs — absent from components, kept by canonicalize)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val df = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val kept = Dedup.canonicalize(df, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L))
+  }
+
   test("dedup leaves no persisted RDDs behind across back-to-back corpus runs") {
     import spark.implicits._
     val corpus = (0L until 60L).map(i =>
