@@ -108,6 +108,58 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** True-IVF top-k: k-means coarse quantizer (MLlib, seeded) instead of
+    * sign-LSH cells — centroids ADAPT to the data distribution, so
+    * clustered embedding corpora get balanced cells (sign-LSH cells
+    * don't). Corpus rows are assigned to their nearest centroid once;
+    * each query probes its `nprobe` nearest centroids and re-ranks those
+    * cells exactly with the codegen cosine aggregate. Scan fraction ~
+    * nprobe/nlist of the corpus per query at 100 TB; centroid model is
+    * O(nlist x dims) driver state, broadcast implicitly. */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("cell")
+      .fit(c.withColumn("__fv", array_to_vector(col("cv"))))
+    val cells = km.transform(c.withColumn("__fv", array_to_vector(col("cv"))))
+      .select(col("corpus_id"), col("cv"), col("cell"))
+    // nprobe nearest centroids per query: centroids are tiny — exploded
+    // (cell, pos, value) rows joined to the exploded queries, one sq-dist
+    // aggregate, per-query top-nprobe window (all codegen)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centEx = km.clusterCenters.zipWithIndex.flatMap { case (v, cid) =>
+      v.toArray.zipWithIndex.map { case (x, pos) => (cid, pos, x) }
+    }.toSeq.toDF("cell", "__pos", "__cx")
+    val qEx = q.select(col("query_id"), posexplode(col("qv")).as(Seq("__pos", "__qx")))
+    val qCells = qEx.join(broadcast(centEx), "__pos")
+      .groupBy("query_id", "cell")
+      .agg(sum((col("__qx") - col("__cx")) * (col("__qx") - col("__cx"))).as("__d2"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(asc("__d2"), asc("cell"))
+    val probes = qCells.withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe).select("query_id", "cell")
+    val qp = q.join(probes, "query_id")
+    val cx = cells.select(col("corpus_id"), col("cell"),
+      posexplode(col("cv")).as(Seq("__pos", "__cx")))
+    val qpx = qp.select(col("query_id"), col("cell"),
+      posexplode(col("qv")).as(Seq("__pos", "__qx")))
+    val scored = cx.join(broadcast(qpx), Seq("cell", "__pos"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(cosineAgg(col("__cx"), col("__qx")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-style top-k: corpus bucketed by sign-sketch; per query only its
     * own bucket (plus optional Hamming-1 probes) is re-ranked exactly.
     * Trades recall for a corpus-partition-pruned scan — the 100 TB path.

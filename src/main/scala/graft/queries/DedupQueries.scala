@@ -123,6 +123,15 @@ object DedupQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "embedding",
         "vec_id", k = 10, planes = 6, probes = 2)
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
+    "s3_ann_ivf_kmeans" -> ((s, dir) => {
+      // true-IVF (k-means coarse quantizer): MLlib centroids aren't
+      // SQL-reproducible — rows-only; SimilaritySpec bounds recall.
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 5), "embedding",
+        "vec_id", k = 10, nlist = 8, nprobe = 3)
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     }))
 
   /** Strict left-fold cosine in DuckDB, matching Spark's aggregate order. */

@@ -42,6 +42,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfKmeansTopK: codegen scoring, sane ranks, recall beats scan fraction") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfKmeansTopK(e, q, "embedding", "vec_id", 10,
+      nlist = 8, nprobe = 4)
+    assertNoInterpretedLambda(ivf, "ivfKmeansTopK")
+    val got = ivf.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // isotropic-random embeddings are the worst case; probing half the
+    // cells must still beat a trivial corpus-fraction bound
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+    assert(got.forall { case (qid, cid) => qid != cid })
+  }
+
   test("bruteForceTopK ranks by exact cosine (spot-check one query)") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") === 1)
