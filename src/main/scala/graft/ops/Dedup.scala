@@ -268,8 +268,11 @@ object Dedup {
     * min of its own and its neighbors' labels; driver loop stops at
     * fixpoint. O(component diameter) rounds (near-dup clusters are
     * shallow), each round ONE shuffle join + ONE aggregate; labels are
-    * localCheckpoint'ed so lineage stays flat and nothing persists past
-    * the call. Returns (id, component) for every id appearing in
+    * localCheckpoint'ed so the pair plan executes once and lineage stays
+    * flat. The checkpoints are RDD-level storage: the ContextCleaner
+    * frees them when the returned frame is dropped (GC-scoped, unlike a
+    * Dataset persist(), which leaks in the CacheManager until an explicit
+    * unpersist). Returns (id, component) for every id appearing in
     * `pairs`, component = min id of the cluster — the keep-one key a
     * dedup pipeline drops duplicates by. */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {

@@ -68,11 +68,14 @@ class DedupSpec extends SparkSpec {
     val corpus = (0L until 60L).map(i =>
       (i, (0 until 20).map(j => s"w${(i * 5 + j) % 40}").mkString(" ")))
       .toDF("doc_id", "text")
-    spark.catalog.clearCache()
+    // snapshot-based: other suites (and components' GC-managed
+    // localCheckpoints) may hold entries; the pair generators themselves
+    // must add NOTHING
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 21, 3, 0.7).count()
     Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.7).count()
     Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 21, 3, 0.7).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"leaked: ${spark.sparkContext.getPersistentRDDs.size} persistent RDDs")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"pair generators leaked ${added.size} persistent RDDs")
   }
 }
