@@ -28,7 +28,16 @@ object StreamingQueries {
         .groupBy("event_type").agg(sum("k").as("sum_k"), count(lit(1)).as("n"))),
 
     "st5_big_spender" -> ((s, dir) =>
-      graft.streaming.Stateful.bigSpenderBatch(Tables.events(s, dir), threshold = 500.0)))
+      graft.streaming.Stateful.bigSpenderBatch(Tables.events(s, dir), threshold = 500.0)),
+
+    "st6_stream_dedup" -> ((s, dir) => {
+      // batch path of the unified dedup call site over a dup-planted
+      // stream; the REAL-stream path (watermark state eviction) is
+      // proven by StreamingSpec against this same function
+      val e = Tables.events(s, dir)
+      Streams.dedupByKey(e.unionByName(e), Seq("event_id"))
+        .agg(count(lit(1)).as("n_rows"), count_distinct(col("event_id")).as("n_ids"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "st1_tumbling_window" -> """
@@ -73,5 +82,10 @@ object StreamingQueries {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
                  FROM events)
       SELECT user_id, round(running, 4) AS total_at_crossing
-      FROM r WHERE running >= 500.0 AND running - value < 500.0""")
+      FROM r WHERE running >= 500.0 AND running - value < 500.0""",
+
+    "st6_stream_dedup" -> """
+      WITH doubled AS (SELECT event_id FROM events UNION ALL SELECT event_id FROM events)
+      SELECT count(DISTINCT event_id) AS n_rows, count(DISTINCT event_id) AS n_ids
+      FROM doubled""")
 }

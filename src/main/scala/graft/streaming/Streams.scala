@@ -47,15 +47,30 @@ object Streams {
   def withProps(events: DataFrame): DataFrame =
     events.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
 
+  /** Streaming exact dedup for continuous ingestion (the training-data
+    * pipeline's "don't index the same document twice" step): in stream
+    * mode, `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * key and EVICTS key state once the watermark passes — state is
+    * bounded by (keys per `delay` horizon), not by stream history. In
+    * batch mode the same call site does a plain `dropDuplicates`
+    * backfill. Duplicates farther apart than `delay` are kept (that is
+    * the documented horizon trade-off that makes 100 TB/day feasible). */
+  def dedupByKey(src: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+                 delay: String = "2 hours", streaming: Boolean = false): DataFrame =
+    if (streaming)
+      src.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+    else src.dropDuplicates(keyCols)
+
   /** Run any of the transforms as a REAL stream from parquet files into an
     * in-memory sink; returns the query (caller awaits/stops). Used by the
     * spec to prove stream-mode execution, not just batch semantics. */
   def runFileStream(spark: SparkSession, sourceDir: String, schema: org.apache.spark.sql.types.StructType,
-                    transform: DataFrame => DataFrame, sinkName: String): StreamingQuery = {
+                    transform: DataFrame => DataFrame, sinkName: String,
+                    mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     transform(stream).writeStream
       .format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
   }

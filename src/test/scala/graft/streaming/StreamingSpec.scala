@@ -37,4 +37,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(expected),
       s"stream rows ${got.length} vs batch ${expected.length}")
   }
+
+  test("streaming dedup: planted duplicate event_ids dropped within the watermark") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.events(spark, sf).limit(2000)
+    val doubled = base.unionByName(base) // every event twice
+    val dir = java.nio.file.Files.createTempDirectory("events_dup").toString
+    doubled.write.mode("overwrite").parquet(dir)
+    val distinctIds = base.select("event_id").distinct().count()
+    val q = Streams.runFileStream(spark, dir, doubled.schema,
+      Streams.dedupByKey(_, Seq("event_id"), streaming = true), "dedup_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_sink")
+    assert(got.count() == distinctIds,
+      s"stream kept ${got.count()} rows, want $distinctIds")
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    // batch path of the same call site agrees on the kept key set
+    assert(Streams.dedupByKey(doubled, Seq("event_id")).count() == distinctIds)
+  }
 }
