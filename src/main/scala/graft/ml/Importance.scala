@@ -46,14 +46,18 @@ object Importance {
       .toSeq.sortBy(-_._2)
 
   /** Shuffle ONE column: reassign its values to rows in seeded-random
-    * order (exact permutation — the value multiset is unchanged). Two
-    * narrow window passes, no join. */
+    * order (exact permutation — the value multiset is unchanged). The
+    * two random ordinals come from `Ordinals.withGlobalRank` (sort +
+    * zipWithIndex), NOT a single-partition global window; the rejoin
+    * shuffles on the ordinal — everything O(partition) per task. */
   def shuffleColumn(df: DataFrame, c: String, seed: Long): DataFrame = {
     val others = df.columns.filterNot(_ == c)
-    val wRand = Window.orderBy(rand(seed))
-    val wRand2 = Window.orderBy(rand(seed + 1))
-    val left = df.select((others.map(col) :+ row_number().over(wRand).as("__rid")): _*)
-    val right = df.select(col(c), row_number().over(wRand2).as("__rid"))
+    val left = graft.ops.Ordinals.withGlobalRank(
+      df.select(others.map(col): _*).withColumn("__r", rand(seed)),
+      Seq(col("__r")), "__rid").drop("__r")
+    val right = graft.ops.Ordinals.withGlobalRank(
+      df.select(col(c)).withColumn("__r", rand(seed + 1)),
+      Seq(col("__r")), "__rid").drop("__r")
     left.join(right, "__rid").drop("__rid")
   }
 

@@ -58,15 +58,17 @@ object Metrics {
 
   /** Binary ROC-AUC via Mann-Whitney U with tie correction:
     * AUC = sum over distinct scores of npos_s * (cumNegBelow + nneg_s/2),
-    * normalized by npos * nneg. One groupBy(score) + one ordered window
-    * over DISTINCT scores (small), no full sort of rows. */
+    * normalized by npos * nneg. One groupBy(score), then the cumulative
+    * negative count comes from `Ordinals.withRunningTotal` (range-sorted
+    * two-phase prefix sum) — NOT a global window: continuous scores make
+    * the distinct-score frame O(data), and a single-partition window
+    * there is the classic rank-AUC scale killer. */
   def binaryAucDf(pred: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
     val perScore = pred.groupBy(col(scoreCol).as("s"))
       .agg(sum(when(labelCol, 1L).otherwise(0L)).as("npos"),
         sum(when(labelCol, 0L).otherwise(1L)).as("nneg"))
-    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val u = perScore
-      .withColumn("cumneg", sum("nneg").over(w) - col("nneg"))
+    val u = graft.ops.Ordinals.withRunningTotal(perScore, Seq(col("s")), "nneg", "__cn")
+      .withColumn("cumneg", col("__cn") - col("nneg"))
       .select(sum(col("npos") * (col("cumneg") + col("nneg") / 2.0)).as("u"),
         sum("npos").as("np"), sum("nneg").as("nn"))
     u.select((col("u") / (col("np") * col("nn"))).as("auc"))
