@@ -195,15 +195,17 @@ object MlQueries {
     }),
 
     "m6_importances" -> ((s, dir) => {
-      // M6: native importances of the final linear model = |coefficient|
-      // per feature; rows-only (one row per feature)
+      // M6: native importances of the final linear model = |standardized
+      // coefficient| per feature — FULL oracle: the scaled-pipeline coef
+      // equals raw-OLS coef x stddev_samp(feature), and 2-predictor raw
+      // OLS is the 2x2 normal equations in SQL
       val tr = Tables.orders(s, dir).filter(col("o_orderkey") % 4 =!= 0)
         .select(col("o_custkey"), (col("o_orderkey") % 97).as("o_ordmod"),
           col("o_totalprice"))
       val m = Models.fit(tr, "o_totalprice", "linear", Models.Regression)
       val imps = Importance.native(m, Models.numericFeatures(tr, "o_totalprice"))
       import s.implicits._
-      imps.map { case (f, v) => (f, r(v, 4)) }.toDF("feature", "importance")
+      imps.map { case (f, v) => (f, r(v, 2)) }.toDF("feature", "importance")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -311,5 +313,18 @@ object MlQueries {
     "b16_pair_save" -> """
       SELECT 'train' AS part, count(*) AS n, 1 AS version FROM customer WHERE c_custkey % 5 <> 0
       UNION ALL
-      SELECT 'test', count(*), 1 FROM customer WHERE c_custkey % 5 = 0""")
+      SELECT 'test', count(*), 1 FROM customer WHERE c_custkey % 5 = 0""",
+
+    "m6_importances" -> """
+      WITH t AS (SELECT o_custkey AS x1, o_orderkey % 97 AS x2, o_totalprice AS y
+                 FROM orders WHERE o_orderkey % 4 <> 0),
+      m AS (SELECT var_pop(x1) AS s11, var_pop(x2) AS s22, covar_pop(x1, x2) AS s12,
+                   covar_pop(x1, y) AS s1y, covar_pop(x2, y) AS s2y,
+                   stddev_samp(x1) AS sd1, stddev_samp(x2) AS sd2 FROM t),
+      b AS (SELECT (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+                   (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2,
+                   sd1, sd2 FROM m)
+      SELECT 'o_custkey' AS feature, round(abs(b1 * sd1), 2) AS importance FROM b
+      UNION ALL
+      SELECT 'o_ordmod', round(abs(b2 * sd2), 2) FROM b""")
 }
