@@ -2,16 +2,17 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.pipeline.TableOp
 
 /** Sampling / balancing / trimming (SURVEY §2.4 B1, B3, B6, B12-B14;
   * reference `preprocessing/data_balancing/`).
   *
-  * Scale design: all class-wise caps are windowed ranks partitioned by the
-  * class column — one hash shuffle on the class key; a skewed majority
-  * class is exactly what AQE skew handling + the rank-limit prune handle.
+  * Scale design: all class-wise caps rank via `Ordinals.withPerKeyRank`
+  * (range-sorted global index minus the class's broadcast first-index) —
+  * a hot majority class spreads over MANY partitions instead of sorting
+  * through the one reducer a `Window.partitionBy(class)` would assign it.
+  * Per-class counts travel as a broadcast dictionary.
   * Random paths thread explicit seeds (reference pins random_state=42).
   * Every trim supports a DETERMINISTIC order (for reproducible pipelines
   * and oracle checks) or a seeded-random order (reference semantics).
@@ -31,23 +32,20 @@ object Balancing {
 
   /** B1 stratified — EXACT per-class split (sklearn stratify=y parity:
     * every class contributes floor(n_c * testFraction) rows to test):
-    * seeded-random rank within each class partition, threshold at the
-    * class's exact test quota (`cross_validation_optuna_logic.py:58-60`).
-    * One shuffle on the class key. */
+    * seeded-random per-key rank, threshold at the class's exact test
+    * quota (`cross_validation_optuna_logic.py:58-60`). */
   def stratifiedSplit(df: DataFrame, target: String, testFraction: Double,
                       seed: Long): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col(target)).orderBy(rand(seed))
-    val wAll = Window.partitionBy(col(target))
-    val tagged = df
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__quota", floor(count(lit(1)).over(wAll) * testFraction))
-    (tagged.filter(col("__rn") > col("__quota")).drop("__rn", "__quota"),
-     tagged.filter(col("__rn") <= col("__quota")).drop("__rn", "__quota"))
+    val tagged = Ordinals.withPerKeyRank(withClassCount(df, target),
+        target, Seq(rand(seed)), "__rn")
+      .withColumn("__quota", floor(col("__cn") * testFraction))
+    (tagged.filter(col("__rn") > col("__quota")).drop("__rn", "__quota", "__cn"),
+     tagged.filter(col("__rn") <= col("__quota")).drop("__rn", "__quota", "__cn"))
   }
 
   /** B3 — random undersample every class to ~the minority size
     * (`data_balancing_list_method_logic.py:24-32`). Exact-size per class via
-    * windowed rank over a seeded-random order (not Bernoulli — reference
+    * per-key rank over a seeded-random order (not Bernoulli — reference
     * RandomUnderSampler is exact). */
   case class Undersample(target: String, seed: Long = 42L) extends TableOp {
     def describe = s"undersample classes of $target to minority size"
@@ -60,8 +58,8 @@ object Balancing {
   /** B6 — random oversample minority classes to EXACTLY the majority size
     * (`…logic.py:57-65`; imblearn RandomOverSampler is exact-size): every
     * row is duplicated deficit/n times, and the remainder goes to the
-    * first `deficit % n` rows of a seeded-random ranking — one windowed
-    * rank per class + an explode, fully distributed. */
+    * first `deficit % n` rows of a seeded-random per-key ranking + an
+    * explode, fully distributed. */
   case class Oversample(target: String, seed: Long = 42L) extends TableOp {
     def describe = s"oversample classes of $target to majority size"
     def apply(df: DataFrame): DataFrame = {
@@ -81,9 +79,8 @@ object Balancing {
         org.apache.spark.sql.types.StructField("__extra", org.apache.spark.sql.types.LongType)))
       val quota = spark.createDataFrame(
         spark.sparkContext.parallelize(quotaRows, 1), quotaSchema)
-      val w = Window.partitionBy(col(target)).orderBy(rand(seed))
-      df.join(broadcast(quota), Seq(target))
-        .withColumn("__rn", row_number().over(w))
+      Ordinals.withPerKeyRank(df.join(broadcast(quota), Seq(target)),
+          target, Seq(rand(seed)), "__rn")
         .withColumn("__copies",
           lit(1L) + col("__per_row") + when(col("__rn") <= col("__extra"), 1L).otherwise(0L))
         .withColumn("__i", explode(sequence(lit(1L), col("__copies"))))
@@ -112,8 +109,7 @@ object Balancing {
       if (total <= maxTotal) df
       else {
         val f = maxTotal.toDouble / total
-        val cap = greatest(lit(1L), floor(count(lit(1))
-          .over(Window.partitionBy(col(target))) * f))
+        val cap = greatest(lit(1L), floor(col("__cn") * f))
         trimPerClass(df, target, cap, orderExpr(orderCols, seed))
       }
     }
@@ -127,8 +123,7 @@ object Balancing {
     def apply(df: DataFrame): DataFrame = {
       val top = classCounts(df, target).orderBy(desc("__n"), asc(target)).first()
       val majority = top.get(0)
-      val cap = when(col(target) <=> lit(majority), lit(n))
-        .otherwise(count(lit(1)).over(Window.partitionBy(col(target))))
+      val cap = when(col(target) <=> lit(majority), lit(n)).otherwise(col("__cn"))
       trimPerClass(df, target, cap, orderExpr(orderCols, seed))
     }
   }
@@ -170,15 +165,23 @@ object Balancing {
     }
   }
 
-  /** Shared kernel: keep the first `cap` rows per class under `orderBy`.
-    * One shuffle on the class key; rank prune is pipelined. */
+  /** Attach each row's class count as `__cn` via a NULL-SAFE broadcast
+    * join of the class dictionary (null classes keep their count too). */
+  private def withClassCount(df: DataFrame, target: String): DataFrame = {
+    val counts = classCounts(df, target)
+      .select(col(target).as("__k"), col("__n").as("__cn"))
+    df.join(broadcast(counts), col(target) <=> col("__k")).drop("__k")
+  }
+
+  /** Shared kernel: keep the first `cap` rows per class under `orderBy`
+    * (`cap` may reference the class count as `__cn`). Per-class ranks
+    * come from the range-sorted global index — no per-class reducer. */
   private def trimPerClass(df: DataFrame, target: String, cap: Column,
                            orderBy: Column): DataFrame = {
-    val w = Window.partitionBy(col(target)).orderBy(orderBy)
-    df.withColumn("__rn", row_number().over(w))
+    Ordinals.withPerKeyRank(withClassCount(df, target), target, Seq(orderBy), "__rn")
       .withColumn("__cap", cap)
       .filter(col("__rn") <= col("__cap"))
-      .drop("__rn", "__cap")
+      .drop("__rn", "__cap", "__cn")
   }
 
   private def orderExpr(orderCols: Seq[String], seed: Long): Column =

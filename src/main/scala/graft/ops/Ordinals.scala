@@ -26,6 +26,23 @@ object Ordinals {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
+  /** Per-key 1-based rank under `sortCols` WITHOUT a per-key window
+    * reducer: global rank over (key, sortCols) via [[withGlobalRank]],
+    * then subtract each key's first global index (a broadcast dictionary
+    * — the key column must be low-cardinality, which class/target
+    * columns are by definition). A pathologically hot key (a 50 TB
+    * majority class) no longer sorts through ONE reducer: the range
+    * sort spreads it across many partitions. */
+  def withPerKeyRank(df: DataFrame, key: String, sortCols: Seq[Column],
+                     out: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idx = withGlobalRank(df, col(key).asc +: sortCols, "__gidx")
+    val firsts = idx.groupBy(col(key).as("__k")).agg(min("__gidx").as("__first"))
+    idx.join(broadcast(firsts), col(key) <=> col("__k"))
+      .withColumn(out, col("__gidx") - col("__first") + 1L)
+      .drop("__gidx", "__first", "__k")
+  }
+
   /** Append `out` = INCLUSIVE running total of numeric `valueCol` under
     * the total order `sortCols` — the distributed form of
     * `sum(v).over(Window.orderBy(...))`: range-sort, one light pass for
