@@ -15,13 +15,17 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Exact dedup: canonical row = min(idCol) per identical `textCol`
-    * (hash-partition on the text hash, not the text itself). */
+  /** Exact dedup: canonical row = min(idCol) per identical `textCol`.
+    * Two-phase min-aggregate + join-back on the UNIQUE (hash, id) pair —
+    * not a per-text window: min() gets map-side partial aggregation, so
+    * a pathologically hot text (the same document ingested millions of
+    * times) collapses before the shuffle instead of sorting through one
+    * reducer, and the join key is collision-free per row. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val h = md5(col(textCol))
+    val winners = df.groupBy(h.as("__h")).agg(min(col(idCol)).as("__keep"))
+    df.join(winners, h === col("__h") && col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
   }
 
   /** Distinct word n-gram shingles of a text column (array form — the

@@ -72,6 +72,24 @@ object Similarity {
   private def cosineAgg(xa: Column, xb: Column): Column =
     sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))
 
+  /** Salted two-phase per-query top-k: a plain
+    * `Window.partitionBy(query)` sends EVERY candidate of a query
+    * through one reducer (the whole corpus, for brute force). Phase 1
+    * ranks within (query, salt-of-corpus_id) — bounded slices; phase 2
+    * ranks the <= salts*k survivors per query. Any true top-k row is in
+    * its salt group's top-k, so the result is exactly the global rank. */
+  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 16): DataFrame = {
+    val order = Seq(desc("cosine"), asc("corpus_id"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("corpus_id")), lit(salts)))
+      .orderBy(order: _*)
+    val local = scored.withColumn("__lr", row_number().over(w1))
+      .filter(col("__lr") <= k).drop("__lr")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(order: _*)
+    local.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  }
+
   /** Scale-path pairwise cosine: for a (id_a, id_b) candidate frame,
     * join both sides' raw exploded elements and compute dot + both norms
     * in one aggregate — everything codegen'd (zero higher-order
@@ -103,9 +121,7 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .groupBy("query_id", "corpus_id")
       .agg(cosineAgg(col("__cx"), col("__qx")).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** True-IVF top-k: k-means coarse quantizer (MLlib, seeded) instead of
@@ -155,9 +171,7 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .groupBy("query_id", "corpus_id")
       .agg(cosineAgg(col("__cx"), col("__qx")).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** IVF-style top-k: corpus bucketed by sign-sketch; per query only its
@@ -190,8 +204,6 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .groupBy("query_id", "corpus_id")
       .agg(cosineAgg(col("__cx"), col("__qx")).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 }
