@@ -201,10 +201,14 @@ object Relational {
 
   /** A12 — deterministic dedup: canonical row = lowest tiebreaker per key
     * group (a keep-first `dropDuplicates` with defined order; reference
-    * README dedup feature). Scale: one hash-shuffle on the dedup key —
-    * same cost as groupBy; no sort of the full table. */
+    * README dedup feature). Scale: min-aggregate (map-side combined, so a
+    * hot key collapses BEFORE the shuffle) + join back on (keys,
+    * tiebreaker) — no per-key window reducer, no sort of the full table.
+    * Requires (keys, tiebreaker) unique per kept row, which a
+    * deterministic keep-first needs anyway. */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String], tiebreaker: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(asc(tiebreaker))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val winners = df.groupBy(keys.map(col): _*)
+      .agg(min(col(tiebreaker)).as(tiebreaker))
+    df.join(winners, keys :+ tiebreaker, "leftsemi")
   }
 }
