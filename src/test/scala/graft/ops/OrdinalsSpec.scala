@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** The scalable ordinal primitives must be EXACTLY the window semantics
+  * they replace — proven on random frames against the single-partition
+  * window forms (which are fine at test scale).
+  */
+class OrdinalsSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(11L + i)))
+
+  private val frameGen = Gen.listOfN(80,
+    Gen.zip(Gen.choose(0L, 10000L), Gen.oneOf("a", "b", "c", "d"), Gen.choose(0, 50)))
+
+  test("withGlobalRank equals row_number over the global window") {
+    import spark.implicits._
+    for (rows <- samples(frameGen, 3)) {
+      val df = rows.toDF("id", "k", "v").dropDuplicates("id")
+      val expected = df.withColumn("r",
+          row_number().over(Window.orderBy(col("id"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val got = Ordinals.withGlobalRank(df, Seq(col("id")), "r")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("withPerKeyRank equals row_number over the per-key window") {
+    import spark.implicits._
+    for (rows <- samples(frameGen, 3)) {
+      val df = rows.toDF("id", "k", "v").dropDuplicates("id")
+      val expected = df.withColumn("r",
+          row_number().over(Window.partitionBy("k").orderBy(col("id"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val got = Ordinals.withPerKeyRank(df, "k", Seq(col("id").asc), "r")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("withRunningTotal equals the cumulative-sum window") {
+    import spark.implicits._
+    for (rows <- samples(frameGen, 3)) {
+      val df = rows.toDF("id", "k", "v").dropDuplicates("id")
+        .withColumn("v", col("v").cast("double"))
+      val w = Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df.withColumn("ct", sum("v").over(w))
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val got = Ordinals.withRunningTotal(df, Seq(col("id")), "v", "ct")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (id, v) =>
+        assert(math.abs(v - expected(id)) < 1e-9, s"id $id: $v vs ${expected(id)}")
+      }
+    }
+  }
+
+  test("withPerKeyRank handles null keys (null-safe class dictionary)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, None))
+      .toDF("id", "k")
+    val got = Ordinals.withPerKeyRank(df, "k", Seq(col("id").asc), "r")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L, 2L -> 1L, 4L -> 2L))
+  }
+}
