@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.ml.Models.{Task, Classification, Regression}
 
@@ -17,13 +16,17 @@ import graft.ml.Models.{Task, Classification, Regression}
   */
 object Validation {
 
-  /** Stratified fold assignment: row_number over (class, order) mod k.
-    * With orderCols empty the order is seeded-random. */
+  /** Stratified fold assignment: per-class rank over `orderCols` mod k.
+    * With orderCols empty the order is seeded-random. The rank comes
+    * from `Ordinals.withPerKeyRank` (range-sorted global index minus the
+    * class's broadcast first-index) — a huge class spreads across many
+    * partitions instead of sorting through one window reducer. */
   def withFold(df: DataFrame, labelCol: String, k: Int,
                orderCols: Seq[String] = Nil, seed: Long = 42L): DataFrame = {
     val ord = if (orderCols.nonEmpty) struct(orderCols.map(col): _*) else rand(seed)
-    val w = Window.partitionBy(col(labelCol)).orderBy(ord)
-    df.withColumn("fold", pmod(row_number().over(w), lit(k)))
+    graft.ops.Ordinals.withPerKeyRank(df, labelCol, Seq(ord.asc), "__rn")
+      .withColumn("fold", pmod(col("__rn"), lit(k)).cast("int"))
+      .drop("__rn")
   }
 
   /** Per-fold CV scores for a model spec. Returns (foldIndex, metric). */
