@@ -267,6 +267,25 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Cross-corpus decontamination — the "remove eval-benchmark overlap
+    * from training data" step: a corpus doc is contaminated when >=
+    * `maxOverlap` of its distinct n-gram shingles appear ANYWHERE in the
+    * benchmark. Inverted-index join on 60-bit shingle hashes (benchmark
+    * shingle sets are eval-sized and hash-bucketed — never a cross
+    * join); contaminated ids anti-join out of the corpus. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                    idCol: String, n: Int, maxOverlap: Double): DataFrame = {
+    val cs = shingleHashRows(corpus, textCol, idCol, n)
+    val bs = shingleHashRows(benchmark, textCol, idCol, n)
+      .select("__h").distinct()
+    val sizes = cs.groupBy("id").agg(count(lit(1)).as("__n_sh"))
+    val hits = cs.join(bs, "__h").groupBy("id").agg(count(lit(1)).as("__hits"))
+    val contaminated = sizes.join(hits, "id")
+      .filter(col("__hits") >= col("__n_sh") * maxOverlap)
+      .select(col("id").as(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list (id_a, id_b):
     * iterative min-label propagation — each round every node takes the
     * min of its own and its neighbors' labels; driver loop stops at

@@ -96,4 +96,17 @@ object Text {
   def fingerprint(c: Column): Column =
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(FingerprintMod)))
+
+  /** PII scrubbing for training text: regex redaction of emails, IPv4
+    * addresses, and phone-shaped numbers — map-only codegen'd
+    * `regexp_replace` chain (IP before phone: an IP's dotted groups must
+    * not half-match the phone pattern). Patterns stay inside the syntax
+    * Java regex and RE2 share, so the oracle is expressible. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
 }

@@ -99,6 +99,16 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    "d7_decontaminate" -> ((s, dir) => {
+      // benchmark = docs 0..29 verbatim (overlap 1.0 -> contaminated) —
+      // surviving corpus ids, exact shingle-overlap oracle below
+      val corpus = Tables.documents(s, dir).select("doc_id", "text")
+      val benchmark = corpus.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      Dedup.decontaminate(corpus, benchmark, "text", "doc_id", n = 3,
+        maxOverlap = 0.8).select("doc_id")
+    }),
+
     "d6_dup_components" -> ((s, dir) =>
       // near-dup clusters over the d2 pair list: (id, component) where
       // component = min doc id of the connected cluster
@@ -174,6 +184,20 @@ object DedupQueries {
     "d3_minhash_lsh" -> jaccardOracle(NearCorpusSql, 3, 0.7),
 
     "d4_simhash" -> simhashOracle,
+
+    "d7_decontaminate" -> """
+      WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> list_reduce(list_transform(range(i, i + 3),
+                    j -> (string_split_regex(trim(text), '\s+'))[j + 1]),
+                  (a, b) -> a || ' ' || b)))) AS sh
+           FROM documents),
+      bs AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 30),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hits AS (SELECT s.doc_id, count(*) AS h FROM sh s JOIN bs USING (sh) GROUP BY 1),
+      bad AS (SELECT sizes.doc_id FROM sizes JOIN hits USING (doc_id)
+              WHERE h >= n_sh * 0.8)
+      SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
 
     // transitive closure over the d2 pair list: each node's component is
     // the min id it can reach (recursive CTE = the label-propagation

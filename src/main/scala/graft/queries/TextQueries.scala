@@ -43,7 +43,16 @@ object TextQueries {
       // survivor counts — the composite op a C4-style cleaning run uses.
       Tables.documents(s, dir)
         .filter(Text.qualityScore(col("text")) >= 0.75)
-        .groupBy("lang").agg(count(lit(1)).as("n"))))
+        .groupBy("lang").agg(count(lit(1)).as("n"))),
+
+    "t6_redact_pii" -> ((s, dir) =>
+      // planted PII appended per doc, scrubbed by the redaction chain;
+      // value-level oracle over the full redacted text
+      Tables.documents(s, dir).select(col("doc_id"),
+        Text.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 10.0.0."),
+          pmod(col("doc_id"), lit(250)), lit(" tel 555-123-4567")))
+          .as("redacted"))))
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val lowToksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -108,5 +117,19 @@ object TextQueries {
     "t5_quality_filter" -> s"""
       SELECT lang, count(*) AS n FROM documents
       WHERE $qualitySql >= 0.75
-      GROUP BY lang""")
+      GROUP BY lang""",
+
+    // 'g' flag: DuckDB replaces only the first match by default, Spark
+    // replaces all; patterns stay inside the Java-regex/RE2 shared syntax
+    "t6_redact_pii" -> """
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || doc_id || '@example.com or 10.0.0.'
+                        || (doc_id % 250) || ' tel 555-123-4567',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+      FROM documents""")
 }

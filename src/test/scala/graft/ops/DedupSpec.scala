@@ -49,6 +49,39 @@ class DedupSpec extends SparkSpec {
     (0L until 8L).foreach(i => assert(pairs.contains((i, i + 1000)), s"missing pair $i"))
   }
 
+  test("decontaminate drops benchmark-overlapping docs, keeps disjoint ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim in benchmark
+      (2L, "one two three four five six seven"),   // disjoint
+      (3L, "alpha beta gamma delta nine ten"))     // partial overlap (< 0.8)
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, benchmark, "text", "doc_id",
+      n = 3, maxOverlap = 0.8).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // tighter threshold also drops the partial overlap (2 of 4 shingles)
+    val strict = Dedup.decontaminate(corpus, benchmark, "text", "doc_id",
+      n = 3, maxOverlap = 0.5).collect().map(_.getLong(0)).toSet
+    assert(strict == Set(2L))
+  }
+
+  test("redactPii scrubs emails, IPs, and phones but not plain text") {
+    import spark.implicits._
+    val out = Seq(
+      "mail me at a.b+c@test-site.org today",
+      "server 192.168.1.100 and backup 10.0.0.7",
+      "call 555-123-4567 or 555 987 6543",
+      "version 1.2 costs 12.50 dollars")
+      .toDF("t").select(Text.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "server <IP> and backup <IP>")
+    assert(out(2) == "call <PHONE> or <PHONE>")
+    assert(out(3) == "version 1.2 costs 12.50 dollars") // untouched
+  }
+
   test("components: chains resolve transitively to the min id; canonicalize keeps one per cluster") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, NOT all directly linked), pair 10-11,
