@@ -20,7 +20,8 @@ object Bench {
     "h2_feature_hash", "i1_mean_fill", "i4_interpolate",
     "i8_regression_impute", "b12_trim_equal", "b13_trim_proportional",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-    "d5_cosine_dup", "d6_dup_components", "s1_ann_topk", "t1_token_count", "t2_quality_score",
+    "d5_cosine_dup", "d6_dup_components", "d7_decontaminate",
+    "s1_ann_topk", "t1_token_count", "t2_quality_score",
     "t4_fingerprint", "st1_tumbling_window", "st3_session_window",
     "mm2_feature_extract")
 
