@@ -95,6 +95,17 @@ object Neighbors {
       .select("l_id", "nbr_id", "dist", "nbr_rank")
   }
 
+  /** Grid width for a bounded per-cell occupancy: on z-scaled (std=1)
+    * data the 2-D candidate join fans out as rows-per-cell per probe,
+    * and rows-per-cell ~ n * width^2 / 36 (~6 std units of mass per
+    * dim) — so width must SHRINK as 1/sqrt(n) or the join goes
+    * super-linear. A FIXED width that is fine at sf0.01 is 10x the
+    * fan-out at sf0.1 and 10^4x at cluster scale; callers that know
+    * their row count should use this instead of a constant. */
+  def autoWidth(n: Long, targetPerCell: Int = 64): Double =
+    if (n <= 0) 0.25
+    else math.min(1.0, 6.0 * math.sqrt(targetPerCell.toDouble / n))
+
   /** Deterministic uniform in [0,1) from columns — the seeded "random"
     * stream every synthesis step uses (reproducible across runs/engines). */
   def detUniform(seed: Long, cols: Column*): Column =

@@ -40,10 +40,14 @@ object Smote {
     val base = Ordinals.withGlobalRank(minority, Seq(col("__id")), "__rn")
       .withColumn("__quota", lit(perRow) + when(col("__rn") <= extra, 1L).otherwise(0L))
       .filter(col("__quota") > 0)
+    // kNN LEFT side = only the rows that will synthesize (__quota > 0):
+    // a near-majority class with a tiny deficit must not pay a full
+    // class self-join — candidates shrink by deficit/class-size. The
+    // RIGHT side stays the whole class (same neighbors as before).
     // array_sort fixes the shuffle-fetch-dependent collect_list order —
     // neighbor choice must be stable under stage retries (struct sorts by
     // its first field, nbr_rank)
-    val nn = Neighbors.knnJoin(minority, minority, "__id", k, width, seed)
+    val nn = Neighbors.knnJoin(base, minority, "__id", k, width, seed)
       .groupBy(col("l_id").as("__id"))
       .agg(array_sort(collect_list(struct(col("nbr_rank"), col("nbr_id")))).as("__nbrs"))
     val withNbrs = base.join(nn, Seq("__id"), "left")
@@ -135,10 +139,13 @@ object Smote {
               Seq(desc("__rem"), asc("__id")), "__rr")
             .withColumn("__quota",
               col("__q0") + when(col("__rr") <= shortfall, 1L).otherwise(0L))
-          val q = withQuota.filter(col("__quota") > 0)
+          val qRows = withQuota.filter(col("__quota") > 0)
+          val q = qRows
             .withColumn("__j", explode(sequence(lit(1), col("__quota"))))
             .withColumn("__pick", (Neighbors.detUniform(seed + 1, col("__id"), col("__j")) * k).cast(IntegerType))
-          val nnList = Neighbors.knnJoin(minority, minority, "__id", k, width, seed)
+          // neighbor LISTS only for rows that synthesize (same trick as
+          // synthesize(): left side of the kNN shrinks to the quota rows)
+          val nnList = Neighbors.knnJoin(qRows, minority, "__id", k, width, seed)
             .groupBy(col("l_id").as("__id"))
             .agg(array_sort(collect_list(struct(col("nbr_rank"), col("nbr_id")))).as("__nbrs"))
           val expanded = q.join(nnList, Seq("__id"), "left")

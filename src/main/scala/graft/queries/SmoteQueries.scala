@@ -18,6 +18,12 @@ object SmoteQueries {
   private def ordersNumeric(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
 
+  /** Occupancy-scaled grid width — a constant would make the candidate
+    * join super-linear as the SF grows (Neighbors.autoWidth scaladoc);
+    * counts-based oracles are width-invariant, so this is oracle-safe. */
+  private def ow(s: org.apache.spark.sql.SparkSession, dir: String): Double =
+    graft.ops.Neighbors.autoWidth(Tables.orders(s, dir).count())
+
   /** customer with c_acctbal nulled where c_custkey % 10 = 0 (planted
     * missing pattern; mirrored in the oracles). */
   private def customerWithNulls(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -26,7 +32,7 @@ object SmoteQueries {
 
   val queries: Map[String, QueryFn] = Map(
     "b2_smote" -> ((s, dir) =>
-      Smote.SmoteOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+      Smote.SmoteOp("o_orderstatus", k = 5, width = ow(s, dir))(ordersNumeric(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
     "b4_cluster_centroids" -> ((s, dir) => {
@@ -41,23 +47,23 @@ object SmoteQueries {
     }),
 
     "b5_nearmiss" -> ((s, dir) =>
-      Smote.NearMissOp("o_orderstatus", width = 0.25)(ordersNumeric(s, dir))
+      Smote.NearMissOp("o_orderstatus", width = ow(s, dir))(ordersNumeric(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
     "b7_adasyn" -> ((s, dir) =>
-      Smote.AdasynOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+      Smote.AdasynOp("o_orderstatus", k = 5, width = ow(s, dir))(ordersNumeric(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
     "b8_borderline_smote" -> ((s, dir) =>
-      Smote.BorderlineSmoteOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+      Smote.BorderlineSmoteOp("o_orderstatus", k = 5, width = ow(s, dir))(ordersNumeric(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
     "b9_smote_tomek" -> ((s, dir) =>
-      Smote.SmoteTomekOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+      Smote.SmoteTomekOp("o_orderstatus", k = 5, width = ow(s, dir))(ordersNumeric(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
     "b10_smote_enn" -> ((s, dir) =>
-      Smote.SmoteEnnOp("o_orderstatus", k = 5, width = 0.25)(ordersNumeric(s, dir))
+      Smote.SmoteEnnOp("o_orderstatus", k = 5, width = ow(s, dir))(ordersNumeric(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
     "b11_bagging_passthrough" -> ((s, dir) =>
