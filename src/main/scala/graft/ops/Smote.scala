@@ -203,13 +203,17 @@ object Smote {
     def apply(df: DataFrame): DataFrame = {
       val (base, feats, counts) = prep(df, target)
       val minCount = counts.values.min
+      // imblearn NearMiss(version=1) ranks each over-represented class by
+      // mean distance to the MINORITY class's samples (not to every other
+      // class) — faithful AND ~|data|/|minority| cheaper on the kNN join
+      val minorityCls = counts.toSeq.minBy { case (c, n) => (n, c) }._1
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
       val parts = counts.toSeq.sortBy(_._1).map { case (cls, n) =>
         val clsRows = all.filter(col(target) === cls)
         if (n <= minCount) dropInternal(clsRows)
         else {
-          val others = all.filter(col(target) =!= cls)
+          val others = all.filter(col(target) === minorityCls)
           val meanDist = Neighbors.knnJoin(clsRows, others, "__id", nNeighbors, width, seed)
             .groupBy(col("l_id").as("__id")).agg(avg("dist").as("__md"))
           // left join: rows with no approximate-kNN candidate rank last
