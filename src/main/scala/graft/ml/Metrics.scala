@@ -112,4 +112,10 @@ object Metrics {
       "mae" -> agg.getDouble(2),
       "explained_variance" -> (1.0 - agg.getDouble(4) / agg.getDouble(5)))
   }
+
+  /** Orientation of a metric: true when larger values are better. Loss
+    * metrics (mse/mae/rmse) invert the ranking a search loop must apply
+    * (sklearn encodes the same fact as `neg_mean_squared_error`). */
+  def higherIsBetter(metric: String): Boolean =
+    !Set("mse", "mae", "rmse", "loss")(metric.toLowerCase)
 }

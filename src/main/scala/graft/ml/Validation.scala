@@ -87,7 +87,7 @@ object Validation {
                    metric: String = "f1", seed: Long = 42L,
                    orderCols: Seq[String] = Nil): Seq[Trial] = {
     val rng = new scala.util.Random(seed)
-    val higherIsBetter = true
+    val higherIsBetter = Metrics.higherIsBetter(metric)
     val trials = (1 to nTrials).map { _ =>
       val draw: Models.Params = space.map { case (k2, vs) => k2 -> vs(rng.nextInt(vs.size)) }
       val perFold = crossValidateAll(df, labelCol, model, task, k, draw, seed, orderCols)
@@ -113,18 +113,23 @@ object Validation {
     * call count per trial is fixed, so draws are reproducible. Keep
     * `exploit` moderate (~0.5): the sampler only re-draws SEEN values,
     * so high exploit starves exploration (measured: 0.5 beats both 0.0
-    * and 0.8 on a seeded quadratic objective — MlSpec). */
+    * and 0.8 on a seeded quadratic objective — MlSpec).
+    * `higherIsBetter=false` flips BOTH the top-quantile selection and the
+    * final ranking — with a loss objective the default would exploit the
+    * worst trials and return an inverted ranking. */
   def searchWith(space: Map[String, Seq[Any]], nTrials: Int, seed: Long,
-                 warmup: Int = 0, quantile: Double = 0.3, exploit: Double = 0.0)
+                 warmup: Int = 0, quantile: Double = 0.3, exploit: Double = 0.0,
+                 higherIsBetter: Boolean = true)
                 (objective: Models.Params => Double): Seq[Trial] = {
     val rng = new scala.util.Random(seed)
     val ordered = space.toSeq.sortBy(_._1) // stable param order for the rng stream
+    val rank = (v: Double) => if (higherIsBetter) -v else v // sortBy key: best first
     val history = scala.collection.mutable.ArrayBuffer.empty[(Models.Params, Double)]
     (1 to nTrials).foreach { _ =>
       val topVals: Map[String, Seq[Any]] =
         if (history.size < warmup || exploit <= 0) Map.empty
         else {
-          val top = history.sortBy(-_._2)
+          val top = history.sortBy(t => rank(t._2))
             .take(math.max(1, math.ceil(history.size * quantile).toInt))
           ordered.map { case (p, _) => p -> top.map(_._1(p)).toSeq }.toMap
         }
@@ -135,7 +140,7 @@ object Validation {
       }.toMap
       history += ((draw, objective(draw)))
     }
-    history.toSeq.map { case (p, v) => Trial(p, v, 0.0) }.sortBy(-_.mean)
+    history.toSeq.map { case (p, v) => Trial(p, v, 0.0) }.sortBy(t => rank(t.mean))
   }
 
   /** M10 — adaptive hyperparameter search: [[searchWith]] over CV mean
@@ -150,7 +155,8 @@ object Validation {
                      logPath: Option[String] = None): Seq[Trial] = {
     val offset = logPath.map(p => graft.io.TrialLog.read(p).size).getOrElse(0)
     var n = offset
-    searchWith(space, nTrials, seed, warmup, quantile, exploit) { draw =>
+    searchWith(space, nTrials, seed, warmup, quantile, exploit,
+               Metrics.higherIsBetter(metric)) { draw =>
       val scores = crossValidate(df, labelCol, model, task, k, draw, metric, seed, orderCols)
       val mean = scores.map(_._2).sum / scores.size
       logPath.foreach { p =>

@@ -15,17 +15,22 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Exact dedup: canonical row = min(idCol) per identical `textCol`.
-    * Two-phase min-aggregate + join-back on the UNIQUE (hash, id) pair —
-    * not a per-text window: min() gets map-side partial aggregation, so
-    * a pathologically hot text (the same document ingested millions of
-    * times) collapses before the shuffle instead of sorting through one
-    * reducer, and the join key is collision-free per row. */
+  /** Exact dedup: canonical row = min (id, rest of row) per identical
+    * `textCol` — ONE min-struct aggregate keyed by md5(text). The struct
+    * leads with the id, so min() keeps the lowest id and breaks id ties
+    * by the remaining columns' values: exactly one row survives per text
+    * even when idCol repeats (the old min+join-back shape kept every row
+    * matching the min id). Scale: min() gets map-side partial
+    * aggregation, so a pathologically hot text (the same document
+    * ingested millions of times) collapses to one candidate row per input
+    * partition BEFORE the shuffle instead of sorting through one reducer;
+    * the shuffle carries one row per (partition, text), strictly less
+    * than the old winners-join which re-shuffled the whole frame. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val h = md5(col(textCol))
-    val winners = df.groupBy(h.as("__h")).agg(min(col(idCol)).as("__keep"))
-    df.join(winners, h === col("__h") && col(idCol) === col("__keep"))
-      .drop("__h", "__keep")
+    val rest = (idCol +: df.columns.filterNot(_ == idCol).toSeq)
+    df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(struct(rest.map(col): _*)).as("__first"))
+      .select(df.columns.map(c => col(s"__first.`$c`").as(c)): _*)
   }
 
   /** Distinct word n-gram shingles of a text column (array form — the
@@ -46,7 +51,15 @@ object Dedup {
     * shingle THROUGH THE SAME PATH: `concat_ws` skips the null leads, so
     * the `__pos == 0` row of a short doc is already the full-text shingle
     * (no separate union branch — a branch re-scans the corpus once per
-    * downstream consumer, which at 100 TB is the whole cost). */
+    * downstream consumer, which at 100 TB is the whole cost).
+    *
+    * ZERO-token docs (empty / whitespace-only text) take the SAME
+    * short-doc path: `split(trim(text))` yields `[""]`, so their single
+    * shingle is the empty string. Empty duplicates therefore still
+    * cluster in d2/d3 (Jaccard 1.0 via {""} = {""}) and an empty
+    * benchmark doc decontaminates empty corpus docs — nothing silently
+    * bypasses shingle-based dedup (DedupSpec pins this; the DuckDB
+    * oracles carry a matching short-doc branch). */
   private def shingleRowsRaw(df: DataFrame, textCol: String, idCol: String,
                              n: Int): DataFrame = {
     val toks = Text.tokens(col(textCol))
@@ -213,7 +226,9 @@ object Dedup {
     * shuffle. The per-bit counters are BYTE-PACKED: four 16-bit counters
     * ride in each 64-bit sum aggregate (bits/4 sums instead of one sum
     * per bit; fields can't carry into each other while every doc has
-    * < 65536 tokens — beyond that, split documents upstream). */
+    * < 65536 tokens — beyond that the job FAILS LOUDLY with raise_error
+    * instead of silently corrupting signatures: split such documents
+    * upstream). */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int): DataFrame = {
     val fieldBits = 16
     val perSum = 64 / fieldBits // 4 counters per aggregate
@@ -235,7 +250,13 @@ object Dedup {
         .bitwiseAND(lit((1L << fieldBits) - 1))
       when(nj * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("id"), sig.as("simhash"))
+    // guard the packing invariant: a doc with >= 2^16 tokens would carry
+    // into the adjacent counter field and silently corrupt the signature
+    agg.select(col("id"),
+      when(col("__n") >= lit(1L << fieldBits),
+        raise_error(concat(lit("simhash: document "), col("id").cast(StringType),
+          lit(s" has >= ${1L << fieldBits} tokens; packed counters would overflow — split it upstream"))))
+        .otherwise(sig).as("simhash"))
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxDist. Candidate
@@ -272,7 +293,10 @@ object Dedup {
     * `maxOverlap` of its distinct n-gram shingles appear ANYWHERE in the
     * benchmark. Inverted-index join on 60-bit shingle hashes (benchmark
     * shingle sets are eval-sized and hash-bucketed — never a cross
-    * join); contaminated ids anti-join out of the corpus. */
+    * join); contaminated ids anti-join out of the corpus. Docs shorter
+    * than n tokens (including empty docs) carry their whole trimmed text
+    * as one shingle — see [[shingleRows]] — so an empty benchmark doc
+    * flags empty corpus docs. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, textCol: String,
                     idCol: String, n: Int, maxOverlap: Double): DataFrame = {
     val cs = shingleHashRows(corpus, textCol, idCol, n)
@@ -287,18 +311,27 @@ object Dedup {
   }
 
   /** Connected components over a near-dup pair list (id_a, id_b):
-    * iterative min-label propagation — each round every node takes the
-    * min of its own and its neighbors' labels; driver loop stops at
-    * fixpoint. O(component diameter) rounds (near-dup clusters are
-    * shallow), each round ONE shuffle join + ONE aggregate; labels are
+    * min-label propagation with POINTER DOUBLING — each round every node
+    * takes the min of its own and its neighbors' labels, then follows its
+    * label's label (comp := comp(comp)). Doubling squares the propagation
+    * distance per round, so convergence is O(log diameter) rounds — a
+    * duplicate CHAIN of length 10^6 converges in ~20 rounds where plain
+    * propagation needs 10^6. Each round: two shuffle joins + one
+    * aggregate, then a changed-count that is a plain scan of the freshly
+    * checkpointed partitions (the changed flag is computed IN the round's
+    * plan — no extra join against the previous labels). Labels are
     * localCheckpoint'ed so the pair plan executes once and lineage stays
     * flat. The checkpoints are RDD-level storage: the ContextCleaner
     * frees them when the returned frame is dropped (GC-scoped, unlike a
     * Dataset persist(), which leaks in the CacheManager until an explicit
-    * unpersist). Returns (id, component) for every id appearing in
-    * `pairs`, component = min id of the cluster — the keep-one key a
-    * dedup pipeline drops duplicates by. */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * unpersist). THROWS IllegalStateException if the fixpoint is not
+    * reached within maxIter rounds (silently-wrong cluster labels are
+    * worse than a loud failure); with doubling, the default 25 covers any
+    * component a near-dup graph can realistically hold (~2^25 diameter).
+    * Returns (id, component) for every id appearing in `pairs`,
+    * component = min id of the cluster — the keep-one key a dedup
+    * pipeline drops duplicates by. */
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint(true)
@@ -307,18 +340,30 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // 1) min over self + neighbours' labels
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("__dc")), "dst")
         .groupBy(col("src").as("id")).agg(min("__dc").as("__nc"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("__mid"))
+      // 2) pointer doubling: labels point at node ids, so comp(comp) is a
+      //    self-join of this round's mapping (left: a label always names a
+      //    node, but keep the coalesce as belt-and-braces)
+      val updated = stepped.join(
+          stepped.select(col("id").as("__mid"), col("__mid").as("__cc")),
+          Seq("__mid"), "left")
+        .select(col("id"), coalesce(col("__cc"), col("__mid")).as("comp"),
+          (coalesce(col("__cc"), col("__mid")) =!= col("__old")).as("__chg"))
         .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("comp", "__old"), "id")
-        .filter(col("comp") =!= col("__old")).count()
-      labels = updated
+      changed = updated.filter(col("__chg")).count()
+      labels = updated.select("id", "comp")
       it += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"components: min-label propagation did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter")
     labels
   }
 

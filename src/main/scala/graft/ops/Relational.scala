@@ -199,16 +199,24 @@ object Relational {
     top.unionByName(bottom).dropDuplicates(c)
   }
 
-  /** A12 — deterministic dedup: canonical row = lowest tiebreaker per key
-    * group (a keep-first `dropDuplicates` with defined order; reference
-    * README dedup feature). Scale: min-aggregate (map-side combined, so a
-    * hot key collapses BEFORE the shuffle) + join back on (keys,
-    * tiebreaker) — no per-key window reducer, no sort of the full table.
-    * Requires (keys, tiebreaker) unique per kept row, which a
-    * deterministic keep-first needs anyway. */
+  /** A12 — deterministic dedup: canonical row = lowest (tiebreaker, rest
+    * of row) per key group — a keep-first `dropDuplicates` with defined
+    * order (reference README dedup feature). ONE min-struct aggregate:
+    * the struct leads with the tiebreaker, so min() picks the lowest
+    * tiebreaker and breaks remaining ties by the other columns' values —
+    * exactly one row survives per key group even when rows tie on (keys,
+    * tiebreaker), e.g. fully identical duplicate rows (the old
+    * min+leftsemi shape kept EVERY row matching the min tiebreaker).
+    * Scale: map-side combine collapses a hot key to one candidate row per
+    * input partition BEFORE the shuffle — no per-key window reducer, no
+    * join back, no sort of the full table. Null tiebreakers order first
+    * (struct ordering), so an all-null group still keeps one row. */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String], tiebreaker: String): DataFrame = {
-    val winners = df.groupBy(keys.map(col): _*)
-      .agg(min(col(tiebreaker)).as(tiebreaker))
-    df.join(winners, keys :+ tiebreaker, "leftsemi")
+    val rest = (tiebreaker +: df.columns.filterNot(c =>
+      c == tiebreaker || keys.contains(c)).toSeq)
+    df.groupBy(keys.map(col): _*)
+      .agg(min(struct(rest.map(col): _*)).as("__first"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__first.`$c`").as(c)): _*)
   }
 }

@@ -49,7 +49,10 @@ object DedupQueries {
     """SELECT doc_id, text FROM documents
        UNION ALL SELECT doc_id + 10000, text || ' extra token' FROM documents WHERE doc_id < 50"""
 
-  /** Exact n-gram Jaccard pairs oracle (shared by d2 and d3). */
+  /** Exact n-gram Jaccard pairs oracle (shared by d2 and d3). Docs with
+    * < n tokens (incl. empty docs, whose token list is ['']) contribute
+    * their whole whitespace-normalized text as ONE shingle — the same
+    * short-doc branch `Dedup.shingleRows` takes. */
   private def jaccardOracle(corpusSql: String, n: Int, threshold: Double): String = s"""
     WITH corpus AS ($corpusSql),
     sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -57,7 +60,12 @@ object DedupQueries {
              i -> list_reduce(list_transform(range(i, i + $n),
                     j -> (string_split_regex(trim(text), '\\s+'))[j + 1]),
                   (a, b) -> a || ' ' || b)))) AS sh
-           FROM corpus),
+           FROM corpus
+           WHERE len(string_split_regex(trim(text), '\\s+')) >= $n
+           UNION ALL
+           SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS sh
+           FROM corpus
+           WHERE len(string_split_regex(trim(text), '\\s+')) < $n),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -191,7 +199,12 @@ object DedupQueries {
              i -> list_reduce(list_transform(range(i, i + 3),
                     j -> (string_split_regex(trim(text), '\s+'))[j + 1]),
                   (a, b) -> a || ' ' || b)))) AS sh
-           FROM documents),
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+           UNION ALL
+           SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) < 3),
       bs AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 30),
       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       hits AS (SELECT s.doc_id, count(*) AS h FROM sh s JOIN bs USING (sh) GROUP BY 1),

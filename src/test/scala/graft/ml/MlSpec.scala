@@ -124,6 +124,30 @@ class MlSpec extends SparkSpec {
     assert(adaptive > random, s"adaptive $adaptive vs random $random")
   }
 
+  test("M10 loss objectives: higherIsBetter=false exploits the LOW trials and ranks ascending") {
+    // minimize a quadratic loss: with the orientation flag the adaptive
+    // sampler must do at least as well as (and here better than) uniform
+    // random, and the returned ranking must lead with the smallest loss
+    val space: Map[String, Seq[Any]] = Map(
+      "x" -> (0 until 30).map(i => i: Any),
+      "y" -> (0 until 30).map(i => i: Any))
+    def loss(p: Models.Params): Double = {
+      val x = p("x").toString.toDouble; val y = p("y").toString.toDouble
+      (x - 21) * (x - 21) + (y - 13) * (y - 13)
+    }
+    val seeds = (1L to 9L)
+    def bestOf(exploit: Double): Double = seeds.map { s =>
+      val trials = Validation.searchWith(space, nTrials = 30, seed = s, warmup = 6,
+        quantile = 0.25, exploit = exploit, higherIsBetter = false)(loss)
+      assert(trials.head.mean == trials.map(_.mean).min) // best-first = smallest loss
+      trials.head.mean
+    }.sum / seeds.size
+    assert(bestOf(0.5) < bestOf(0.0),
+      s"adaptive ${bestOf(0.5)} should beat random ${bestOf(0.0)} on a loss")
+    // and the metric-name default wires through: mae is a loss
+    assert(!Metrics.higherIsBetter("mae") && Metrics.higherIsBetter("f1"))
+  }
+
   test("M10 adaptive search appends a resumable trial log") {
     val dir = java.nio.file.Files.createTempDirectory("graft_m10_").toString
     val log = s"$dir/trials.jsonl"

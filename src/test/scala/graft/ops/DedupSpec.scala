@@ -37,6 +37,58 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("a" -> 1L, "b" -> 2L, "c" -> 4L))
   }
 
+  test("exact dedup collapses fully identical rows (non-unique ids) to ONE survivor") {
+    import spark.implicits._
+    // the canonical dedup input: the same (id, text) row ingested twice,
+    // plus an id collision with different extra columns — exactly one row
+    // must survive per text (r3 ADVICE: the old min+join-back kept both)
+    val df = Seq((1L, "a", "x"), (1L, "a", "x"), (1L, "a", "y"), (2L, "b", "z"))
+      .toDF("doc_id", "text", "extra")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length == 2)
+    // deterministic: min (id, text, extra) struct -> "x" beats "y"
+    assert(out.toSet == Set((1L, "a", "x"), (2L, "b", "z")))
+  }
+
+  test("zero-token docs shingle to \"\" — they cluster together, never silently bypass dedup") {
+    import spark.implicits._
+    val corpus = Seq((1L, ""), (2L, "   "), (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    // empty and whitespace-only docs carry ONE empty-string shingle
+    val sh = Dedup.shingleRows(corpus, "text", "doc_id", 3)
+      .filter(col("id") =!= 3L).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.toSet == Set((1L, ""), (2L, "")))
+    // so empty duplicates ARE a near-dup pair (Jaccard 1.0)...
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // ...and an empty benchmark doc decontaminates empty corpus docs
+    val kept = Dedup.decontaminate(corpus, corpus.filter(col("doc_id") === 1L),
+      "text", "doc_id", n = 3, maxOverlap = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // exact dedup collapses them too (keys on the text itself)
+    val exact = Dedup.exactDedup(Seq((5L, ""), (6L, ""), (7L, "x")).toDF("doc_id", "text"),
+      "text", "doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(5L, 7L))
+  }
+
+  test("simhash fails loudly on a >= 65536-token document instead of corrupting the signature") {
+    import spark.implicits._
+    val big = Array.fill(65536)("tok").mkString(" ")
+    val df = Seq((1L, big)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.simhash(df, "text", "doc_id", bits = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("split it upstream")), s"got: $e")
+    // one token below the limit still works
+    val ok = Seq((1L, Array.fill(65535)("tok").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.simhash(ok, "text", "doc_id", bits = 64).count() == 1)
+  }
+
   test("minhash LSH finds planted near-dups with the production banding") {
     import spark.implicits._
     val base = (0L until 40L).map(i =>
@@ -94,6 +146,17 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.canonicalize(df, pairs, "doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 10L, 20L))
+  }
+
+  test("components: a chain far deeper than the round budget converges via pointer doubling") {
+    import spark.implicits._
+    // diameter-300 chain: plain min-propagation would need 300 rounds and
+    // previously returned WRONG labels silently at maxIter=20 (r3 ADVICE);
+    // doubling needs ~log2(300) ~ 9 rounds
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length == 301)
+    assert(comp.forall(_._2 == 0L), s"unconverged labels: ${comp.filter(_._2 != 0L).take(5).toSeq}")
   }
 
   test("dedup leaves no persisted RDDs behind across back-to-back corpus runs") {

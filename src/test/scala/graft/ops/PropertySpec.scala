@@ -38,6 +38,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupKeepFirst returns exactly ONE input row per key, min tiebreaker (A12)") {
+    for (data <- samples(rowsGen) if data.nonEmpty) {
+      import spark.implicits._
+      // duplicate every row so rows tying on (keys, tiebreaker) exist —
+      // the r3-ADVICE case the old min+leftsemi shape kept twice
+      val df = (data ++ data).map { case (k, v, c) => (k, v.getOrElse(0.0), c) }
+        .toDF("k", "x", "c")
+      val out = Relational.dedupKeepFirst(df, Seq("c"), "k")
+      val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      val perKey = rows.groupBy(_._3)
+      assert(rows.length == perKey.size, "more than one survivor for some key")
+      val minK = data.groupBy(_._3).map { case (c, rs) => c -> rs.map(_._1).min }
+      perKey.foreach { case (c, rs) => assert(rs.head._1 == minK(c)) }
+      // every survivor is a real input row
+      val input = (data ++ data).map { case (k, v, c) => (k, v.getOrElse(0.0), c) }.toSet
+      rows.foreach(r => assert(input.contains(r)))
+    }
+  }
+
   test("trim never exceeds N per class and never invents rows (B12)") {
     for (data <- samples(rowsGen) if data.nonEmpty; n <- Seq(1L, 3L, 10L)) {
       import spark.implicits._
