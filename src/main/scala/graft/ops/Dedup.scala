@@ -44,54 +44,58 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Shingle rows (id, sh), NOT yet deduplicated: posexplode the tokens,
-    * build each shingle with window `lead`s over (id, pos) — every step
-    * whole-stage codegen except ONE id-partitioned window shuffle.
-    * Documents shorter than n tokens contribute their whole text as one
-    * shingle THROUGH THE SAME PATH: `concat_ws` skips the null leads, so
-    * the `__pos == 0` row of a short doc is already the full-text shingle
-    * (no separate union branch — a branch re-scans the corpus once per
-    * downstream consumer, which at 100 TB is the whole cost).
+  /** Shingle rows (id, sh), NOT yet deduplicated — ZERO-shuffle: shingle
+    * i is row i of `arrays_zip` over n shifted `slice`s of the token
+    * array, exploded and `concat_ws`-joined. Every step is a plain
+    * codegen collection expression (no higher-order-function lambdas, no
+    * window): shingling runs at parquet-scan speed with NO exchange. (The
+    * previous shape built shingles with `lead()` over an id-partitioned
+    * window — a full shuffle AND sort of every token row; profiled at
+    * sf0.1 that window was most of d2/d3/d7's cost.)
     *
-    * ZERO-token docs (empty / whitespace-only text) take the SAME
-    * short-doc path: `split(trim(text))` yields `[""]`, so their single
-    * shingle is the empty string. Empty duplicates therefore still
-    * cluster in d2/d3 (Jaccard 1.0 via {""} = {""}) and an empty
-    * benchmark doc decontaminates empty corpus docs — nothing silently
-    * bypasses shingle-based dedup (DedupSpec pins this; the DuckDB
-    * oracles carry a matching short-doc branch). */
+    * Documents shorter than n tokens contribute their whole
+    * whitespace-normalized text as ONE shingle via the `when` branch —
+    * same output contract as before. ZERO-token docs (empty /
+    * whitespace-only text) take that same short-doc path:
+    * `split(trim(text))` yields `[""]`, so their single shingle is the
+    * empty string. Empty duplicates therefore still cluster in d2/d3
+    * (Jaccard 1.0 via {""} = {""}) and an empty benchmark doc
+    * decontaminates empty corpus docs — nothing silently bypasses
+    * shingle-based dedup (DedupSpec pins this; the DuckDB oracles carry a
+    * matching short-doc branch). */
   private def shingleRowsRaw(df: DataFrame, textCol: String, idCol: String,
                              n: Int): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val exploded = df.select(col(idCol).as("id"), toks.as("__toks"))
-      .withColumn("__nt", size(col("__toks")))
-      .select(col("id"), col("__nt"), posexplode(col("__toks")).as(Seq("__pos", "__t")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("__pos")
-    val leads = (1 until n).map(j => lead(col("__t"), j).over(w))
-    exploded
-      .withColumn("sh", concat_ws(" ", (col("__t") +: leads): _*))
-      .withColumn("__keep", // window exprs must be projected before WHERE
-        (if (n > 1) leads.last.isNotNull else lit(true)) ||
-          (col("__nt") < n && col("__pos") === 0))
-      .filter(col("__keep"))
-      .select("id", "sh")
+    val base = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+    val sz = size(col("__toks"))
+    val m = sz - (n - 1) // full-shingle count when sz >= n
+    val full = arrays_zip((0 until n).map(j =>
+      slice(col("__toks"), lit(j + 1), greatest(m, lit(0))).as(j.toString)): _*)
+    val short = array(struct((concat_ws(" ", col("__toks")).as("0") +:
+      (1 until n).map(j => lit(null).cast(StringType).as(j.toString))): _*))
+    base
+      .select(col("id"), explode(when(sz < n, short).otherwise(full)).as("__sh"))
+      .select(col("id"), concat_ws(" ",
+        (0 until n).map(j => col("__sh").getField(j.toString)): _*).as("sh"))
   }
 
   /** Distinct shingles as EXPLODED rows (id, sh). Profiling at sf0.1: the
     * array-lambda `shingles` form cost 6.7 s of the minhash pipeline;
-    * this shape is the fix. The dedup aggregate adds NO shuffle — the
-    * frame is still hash-partitioned by id from the lead-window. */
+    * this shape is the fix. */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     shingleRowsRaw(df, textCol, idCol, n).dropDuplicates("id", "sh")
 
   /** Distinct shingles as EXPLODED 60-bit HASH rows (id, __h) — the d2/d3
-    * hot-path shape: the shingle string is hashed immediately, so every
-    * downstream shuffle carries 8-byte keys instead of n-word strings,
-    * and every later groupBy("id") hangs off the one window exchange. */
+    * hot-path shape: the shingle string is hashed BEFORE the one explicit
+    * repartition-by-id exchange, so the only shuffle of the whole shingle
+    * stage carries 16-byte (id, hash) rows (shingle construction itself
+    * is exchange-free — see [[shingleRows]]). Hash-partitioning by id
+    * satisfies the dedup aggregate's (id, __h) clustering AND every later
+    * groupBy("id"), so all downstream consumers hang off this single
+    * exchange (AQE stage reuse materializes it once). */
   def shingleHashRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     shingleRowsRaw(df, textCol, idCol, n)
       .select(col("id"), Hashing.md5Int(col("sh")).as("__h"))
+      .repartition(col("id"))
       .dropDuplicates("id", "__h")
 
   /** Candidate pairs sharing >=1 shingle, with exact Jaccard similarity.
