@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus assembly for LLM training data: repetition filtering
+  * (Gopher-style), token-budget sequence packing, and source-mixture
+  * sampling — the steps between "cleaned documents" and "training
+  * batches" that the reference's tabular pipeline stops short of, built
+  * for the 100 TB path:
+  *
+  *  - repetition: one repartition-by-doc exchange, both aggregates
+  *    hang off it map-side-combined;
+  *  - packing: distributed prefix sum ([[Ordinals.withRunningTotal]] —
+  *    range-sort, NOT a single-partition window);
+  *  - mixing: per-source rank via [[Ordinals.withPerKeyRank]] (broadcast
+  *    first-index dictionary, hot sources spread across partitions).
+  */
+object Corpus {
+
+  /** Per-doc word-n-gram repetition stats — the Gopher repetition rules
+    * (Rae et al. 2021, §A1.1: "fraction of characters in the most common
+    * n-gram" family, word-count form):
+    *
+    *  - `top_ngram_frac`: occurrences of the doc's most frequent n-gram
+    *    over total n-gram occurrences;
+    *  - `dup_ngram_frac`: fraction of n-gram occurrences beyond each
+    *    gram's first (1 - distinct/total).
+    *
+    * Boilerplate/spam (repeated headers, SEO keyword stuffing) scores
+    * high on both; natural prose stays low. Docs shorter than n tokens
+    * carry their whole text as ONE gram (top_ngram_frac 1.0, dup 0.0) —
+    * threshold repetition filters on a minimum length, as Gopher does.
+    *
+    * Scale: grams are hashed to 8-byte keys before the ONE exchange
+    * (repartition by doc id); the per-(doc, gram) count and the per-doc
+    * rollup both satisfy their clustering from it — no second shuffle. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    Dedup.shingleRowsRaw(df, textCol, idCol, n)
+      .select(col("id"), Hashing.md5Int(col("sh")).as("__g"))
+      .repartition(col("id"))
+      .groupBy("id", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("id").agg(
+        (max("__c").cast(DoubleType) / sum("__c")).as("top_ngram_frac"),
+        (lit(1.0) - count(lit(1)).cast(DoubleType) / sum("__c")).as("dup_ngram_frac"))
+      .withColumnRenamed("id", idCol)
+
+  /** Token-budget sequence packing: assign each doc (in `idCol` order) to
+    * the training shard its EXCLUSIVE token prefix-sum falls in —
+    * seq_id = floor((cumsum - own) / budget). Document-level packing:
+    * a doc is never split, so a shard can overflow by at most one doc
+    * (the standard greedy pretraining packer). Returns
+    * (idCol, n_tokens, seq_id).
+    *
+    * Scale: the prefix sum is [[Ordinals.withRunningTotal]] — a
+    * range-partitioned sort plus an O(#partitions) offset pass, NOT a
+    * `sum().over(Window.orderBy)` single-partition window. Exact while
+    * total tokens < 2^53 (double mantissa) — 100 TB of text is ~25 T
+    * tokens, three orders inside the bound. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    budget: Long): DataFrame = {
+    val toks = df.select(col(idCol), Text.tokenCount(col(textCol)).as("n_tokens"))
+    Ordinals.withRunningTotal(toks, Seq(col(idCol).asc), "n_tokens", "__cum")
+      .select(col(idCol), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / budget).cast(LongType).as("seq_id"))
+  }
+
+  /** Source-mixture sampling: keep the first floor(weight * totalRows)
+    * docs of each weighted source, in `idCol` order — the deterministic
+    * quota form of training-mix assembly (Pile/Dolma-style source
+    * weights). Sources absent from `weights` are dropped; a source with
+    * fewer rows than its quota contributes all it has (the available
+    * data caps the mixture, as in any real mix run). Deterministic, so
+    * re-runs and the SQL oracle reproduce the exact selection.
+    *
+    * Scale: per-source rank is [[Ordinals.withPerKeyRank]] — range sort
+    * + broadcast first-index dictionary (source is low-cardinality); a
+    * dominant source spreads over many partitions instead of one
+    * window reducer. */
+  def mixSources(df: DataFrame, sourceCol: String, idCol: String,
+                 weights: Map[String, Double], totalRows: Long): DataFrame = {
+    require(weights.nonEmpty, "mixSources: weights must not be empty")
+    val quotaCol = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(math.floor(w * totalRows).toLong)).otherwise(acc)
+    }
+    Ordinals.withPerKeyRank(
+        df.filter(col(sourceCol).isin(weights.keys.toSeq: _*)),
+        sourceCol, Seq(col(idCol).asc), "__rk")
+      .filter(col("__rk") <= quotaCol)
+      .drop("__rk")
+  }
+}

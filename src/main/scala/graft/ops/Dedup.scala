@@ -63,8 +63,8 @@ object Dedup {
     * decontaminates empty corpus docs — nothing silently bypasses
     * shingle-based dedup (DedupSpec pins this; the DuckDB oracles carry a
     * matching short-doc branch). */
-  private def shingleRowsRaw(df: DataFrame, textCol: String, idCol: String,
-                             n: Int): DataFrame = {
+  private[ops] def shingleRowsRaw(df: DataFrame, textCol: String, idCol: String,
+                                  n: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
     val sz = size(col("__toks"))
     val m = sz - (n - 1) // full-shingle count when sz >= n

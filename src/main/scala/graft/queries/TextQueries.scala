@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.Text
+import graft.ops.{Corpus, Text}
 import Q.QueryFn
 
 /** Driver-checked queries for the text-analysis suite over `documents`:
@@ -52,7 +52,26 @@ object TextQueries {
         Text.redactPii(concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or 10.0.0."),
           pmod(col("doc_id"), lit(250)), lit(" tel 555-123-4567")))
-          .as("redacted"))))
+          .as("redacted"))),
+
+    "t7_repetition" -> ((s, dir) =>
+      // Gopher-style repetition stats over word 2-grams
+      Corpus.repetitionStats(Tables.documents(s, dir), "text", "doc_id", n = 2)
+        .select(col("doc_id"),
+          round(col("top_ngram_frac"), 6).as("top_ngram_frac"),
+          round(col("dup_ngram_frac"), 6).as("dup_ngram_frac"))),
+
+    "t8_pack_sequences" -> ((s, dir) =>
+      // token-budget packing: greedy doc-level shards of ~512 tokens
+      Corpus.packSequences(Tables.documents(s, dir), "text", "doc_id",
+        budget = 512)),
+
+    "t9_source_mix" -> ((s, dir) =>
+      // deterministic 50/30/20 mixture over three sources, 40-doc target
+      Corpus.mixSources(Tables.documents(s, dir), "source", "doc_id",
+        weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        totalRows = 40)
+        .select("doc_id", "source")))
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val lowToksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -131,5 +150,38 @@ object TextQueries {
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
-      FROM documents""")
+      FROM documents""",
+
+    // word 2-grams with the same short-doc branch as the dedup shingles:
+    // docs with < 2 tokens carry their whole normalized text as one gram
+    "t7_repetition" -> s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                     i -> t[i + 1] || ' ' || t[i + 2])) AS g
+            FROM toks WHERE len(t) >= 2
+            UNION ALL
+            SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS g
+            FROM documents WHERE len($toksSql) < 2),
+      c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_ngram_frac,
+             round(1 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_ngram_frac
+      FROM c GROUP BY 1""",
+
+    "t8_pack_sequences" -> s"""
+      WITH t AS (SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len($toksSql) END AS n_tokens
+                 FROM documents)
+      SELECT doc_id, n_tokens,
+             CAST(floor(coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0)
+               / 512.0) AS BIGINT) AS seq_id
+      FROM t""",
+
+    "t9_source_mix" -> """
+      SELECT doc_id, source FROM documents
+      WHERE source IN ('src0', 'src1', 'src2')
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <=
+        CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END""")
 }
