@@ -168,17 +168,30 @@ object Validation {
     }
   }
 
-  /** Learning curve (M11): for each train fraction, fit on a seeded sample
-    * and score train + validation — overfit gap per point
-    * (`learning_curve_worker.py:35-104`). */
+  /** Learning curve (M11): for each train fraction, fit on a subset and
+    * score train + validation — overfit gap per point
+    * (`learning_curve_worker.py:35-104`). Subsets are a seeded random
+    * sample by default; with `orderCols` (which must be a TOTAL order),
+    * fraction f = the FIRST ceil(f*n) rows under that order — exactly
+    * reproducible across runs and partition layouts (and hence
+    * SQL-oracle-able), assigned via the distributed global rank, not a
+    * single-partition window. */
   case class CurvePoint(fraction: Double, trainScore: Double, valScore: Double)
 
   def learningCurve(train: DataFrame, test: DataFrame, labelCol: String,
                     model: String, task: Task, fractions: Seq[Double],
                     params: Models.Params = Map.empty, metric: String = "f1",
-                    seed: Long = 42L): Seq[CurvePoint] = {
+                    seed: Long = 42L, orderCols: Seq[String] = Nil): Seq[CurvePoint] = {
+    val ranked = if (orderCols.isEmpty) None else Some((
+      graft.ops.Ordinals.withGlobalRank(train, orderCols.map(col(_).asc), "__rk"),
+      train.count()))
     fractions.map { f =>
-      val sub = if (f >= 1.0) train else train.sample(withReplacement = false, f, seed)
+      val sub =
+        if (f >= 1.0) train
+        else ranked match {
+          case Some((r, n)) => r.filter(col("__rk") <= math.ceil(f * n).toLong).drop("__rk")
+          case None => train.sample(withReplacement = false, f, seed)
+        }
       val m = Models.fit(sub, labelCol, model, task, params, seed)
       def score(d: DataFrame): Double = {
         val pred = Models.transformLabeled(m, d, labelCol, task, train = Some(sub))

@@ -13,8 +13,9 @@ import Q.QueryFn
   * OLS, affine-invariant under the pipeline's StandardScaler), which
   * DuckDB reproduces exactly via regr_slope/regr_intercept. The value
   * loop (tune -> final-train -> persist -> infer) therefore gets FULL
-  * oracles on the linear path (m12/m16/s8/b16) and rows-only entries
-  * where the model is tree/ensemble (m8/m10/m11/m5c/m6).
+  * oracles on the linear path (m11/m12/m16/s8/b16) and rows-only entries
+  * where the trials depend on the JVM rng stream or tree/ensemble fits
+  * (m8/m10/m5c).
   */
 object MlQueries {
 
@@ -119,11 +120,13 @@ object MlQueries {
     }),
 
     "m11_learning_curve" -> ((s, dir) => {
-      // M11: linear-regression curve over train fractions; rows-only
-      // (the fractional samples are partition-layout-dependent)
+      // M11: linear-regression curve over train fractions — FULL oracle:
+      // deterministic prefix subsets under the total order (o_custkey,
+      // o_totalprice), OLS closed form per fraction in DuckDB
       val pts = Validation.learningCurve(olsTrain(s, dir), olsTest(s, dir),
         "o_totalprice", "linear", Models.Regression,
-        fractions = Seq(0.2, 0.5, 1.0), metric = "r2")
+        fractions = Seq(0.2, 0.5, 1.0), metric = "r2",
+        orderCols = Seq("o_custkey", "o_totalprice"))
       import s.implicits._
       pts.map(p => (p.fraction, r(p.trainScore, 3), r(p.valScore, 3)))
         .toDF("fraction", "train_r2", "val_r2")
@@ -289,6 +292,32 @@ object MlQueries {
     // MLlib LinearRegression (regParam=0) is exact OLS and scale-
     // invariant through the pipeline's StandardScaler — DuckDB's
     // regr_slope/regr_intercept reproduce it bit-near (rounded)
+    // deterministic prefix subsets (rank under the unique total order
+    // (x, y)) + per-fraction OLS closed form; r2 = 1 - SSE/(var_pop*n)
+    "m11_learning_curve" -> """
+      WITH tr AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 <> 0),
+      te AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 = 0),
+      ranked AS (SELECT x, y, row_number() OVER (ORDER BY x, y) AS rn,
+                        count(*) OVER () AS n FROM tr),
+      fr AS (SELECT unnest([0.2, 0.5, 1.0]) AS fraction),
+      sub AS (SELECT fraction, x, y FROM fr JOIN ranked
+              ON rn <= CAST(ceil(fraction * n) AS BIGINT)),
+      fit AS (SELECT fraction, regr_slope(y, x) AS m, regr_intercept(y, x) AS b
+              FROM sub GROUP BY 1),
+      trs AS (SELECT fraction,
+                     1.0 - sum((y - yh) * (y - yh)) / (var_pop(y) * count(*)) AS train_r2
+              FROM (SELECT s.fraction, s.y, f.m * s.x + f.b AS yh
+                    FROM sub s JOIN fit f USING (fraction))
+              GROUP BY 1),
+      tes AS (SELECT fraction,
+                     1.0 - sum((y - yh) * (y - yh)) / (var_pop(y) * count(*)) AS val_r2
+              FROM (SELECT f.fraction, te.y, f.m * te.x + f.b AS yh
+                    FROM te CROSS JOIN fit f)
+              GROUP BY 1)
+      SELECT CAST(fraction AS DOUBLE) AS fraction,
+             round(train_r2, 3) AS train_r2, round(val_r2, 3) AS val_r2
+      FROM trs JOIN tes USING (fraction)""",
+
     "m12_final_train" -> """
       WITH tr AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 <> 0),
       te AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 = 0),
