@@ -16,14 +16,37 @@ import org.apache.spark.sql.types.LongType
 object Ordinals {
 
   /** Append `out` = 1-based global rank of the row under `sortCols`
-    * (must be a total order for a deterministic result). */
+    * (must be a total order for a deterministic result).
+    *
+    * Stays entirely in DataFrame/Tungsten land (no `.rdd` round trip —
+    * the old zipWithIndex shape deserialized EVERY row to a GenericRow
+    * and back, and the rebuilt frame was a codegen/pruning barrier):
+    * after the range sort, `monotonically_increasing_id` is contiguous
+    * within each partition in row order, so global rank = local offset +
+    * the partition's cumulative row count. The per-partition (count,
+    * first-id) pairs are one tiny aggregate — O(#partitions) on the
+    * driver, broadcast back. Both jobs read the same materialized sort
+    * stage (AQE stage reuse); a recompute is safe anyway because range
+    * boundaries, AQE coalescing, and in-partition order are all
+    * deterministic for a total sort order on the same data. */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column], out: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
     val sorted = df.orderBy(sortCols: _*)
-    val schema = sorted.schema.add(out, LongType, nullable = false)
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(rows, schema)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val parts = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), min("__mid").as("__m0"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = parts.map { case (pid, c, m0) =>
+      val off = (pid, acc - m0 + 1L); acc += c; off
+    }.toSeq.toDF("__pid", "__off")
+    sorted.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__mid") + col("__off"))
+      .drop("__pid", "__mid", "__off")
   }
 
   /** Per-key 1-based rank under `sortCols` WITHOUT a per-key window
