@@ -143,6 +143,15 @@ object Validation {
     history.toSeq.map { case (p, v) => Trial(p, v, 0.0) }.sortBy(t => rank(t.mean))
   }
 
+  /** M18 — grid editor -> config expansion: the cartesian product of a
+    * param space in deterministic (alphabetical param, listed value)
+    * order — sklearn GridSearchCV.param_grid semantics. Driver-side by
+    * nature (a grid is O(combinations), never data-sized). */
+  def gridExpand(space: Map[String, Seq[Any]]): Seq[Models.Params] =
+    space.toSeq.sortBy(_._1).foldLeft(Seq(Map.empty: Models.Params)) {
+      case (acc, (k, vs)) => for (m <- acc; v <- vs) yield m + (k -> v)
+    }
+
   /** M10 — adaptive hyperparameter search: [[searchWith]] over CV mean
     * score, optionally appending every trial to a resumable [[graft.io.TrialLog]]
     * (numbering continues from the log — the `load_if_exists=True`

@@ -44,6 +44,18 @@ object JoinQueries {
         .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    "q7_range_join" -> ((s, dir) => {
+      // view -> purchase by the same user within 1 hour: the bucketed
+      // range join (no per-user cartesian); exact-microsecond oracle
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.ops.RangeJoin.within(views, buys, "user_id", "ts", gapSec = 3600)
+        .select(col("l_event_id").as("view_id"), col("r_event_id").as("purchase_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -68,5 +80,13 @@ object JoinQueries {
       JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
-      GROUP BY 1, 2""")
+      GROUP BY 1, 2""",
+
+    "q7_range_join" -> """
+      SELECT a.event_id AS view_id, b.event_id AS purchase_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'view' AND b.event_type = 'purchase'
+       AND epoch_us(b.ts) >= epoch_us(a.ts)
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""")
 }

@@ -40,6 +40,18 @@ object MiscQueries {
       Seq((Compare.pickTarget(Tables.orders(s, dir)).getOrElse("none"),
         Compare.pickTarget(Tables.part(s, dir)).getOrElse("none")))
         .toDF("orders_target", "part_target")
+    }),
+
+    "s11_column_desc" -> ((s, _) => {
+      // S11: column-description file round trip — FULL (literal) oracle
+      val path = Q.tempDir("graft_s11") + "/descriptions.txt"
+      graft.io.TemplateIo.writeDescriptions(path, Map(
+        "o_orderkey" -> "order primary key",
+        "o_totalprice" -> "order total in cents: sum of extended prices",
+        "o_orderpriority" -> "urgency bucket 1-5"))
+      import s.implicits._
+      graft.io.TemplateIo.readDescriptions(path).toSeq
+        .map { case (c, d) => (c, d) }.toDF("column_name", "description")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -62,5 +74,12 @@ object MiscQueries {
         (2, '3', 0.79, false)) AS t(number, max_depth, value, is_best)""",
 
     "m17_target_heuristic" -> """
-      SELECT 'o_orderpriority' AS orders_target, 'p_retailprice' AS part_target""")
+      SELECT 'o_orderpriority' AS orders_target, 'p_retailprice' AS part_target""",
+
+    "s11_column_desc" -> """
+      SELECT * FROM (VALUES
+        ('o_orderkey', 'order primary key'),
+        ('o_orderpriority', 'urgency bucket 1-5'),
+        ('o_totalprice', 'order total in cents: sum of extended prices'))
+        AS t(column_name, description)""")
 }

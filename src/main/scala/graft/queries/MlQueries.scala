@@ -119,6 +119,43 @@ object MlQueries {
         .toDF("rank", "mean_f1")
     }),
 
+    "m1b_model_zoo" -> ((s, dir) => {
+      // M1/M2: the model zoo end-to-end — standardize+fit+self-predict
+      // each family; rows-only (tree/ensemble fits aren't SQL-replayable)
+      val df = clsFrame(s, dir)
+      import s.implicits._
+      Seq("logreg", "rf", "gb").map { name =>
+        val m = Models.fit(df, "urgent", name, Models.Classification)
+        val pred = Models.transformLabeled(m, df, "urgent",
+          Models.Classification, train = Some(df))
+        val acc = Metrics.classificationMetrics(pred, "label", "prediction")("accuracy")
+        (name, r(acc, 2))
+      }.toDF("model", "train_accuracy")
+    }),
+
+    "m13_permutation_importance" -> ((s, dir) => {
+      // M13/M14: SHAP stand-in — permutation importance of both features
+      // under the logistic model; rows-only (the permutation order is
+      // partition-layout dependent by design)
+      val df = clsFrame(s, dir)
+      val m = Models.fit(df, "urgent", "logreg", Models.Classification)
+      val imps = Importance.permutation(m, df, "urgent",
+        Seq("o_custkey", "o_totalprice"), Models.Classification,
+        metric = "accuracy", nRepeats = 1)
+      import s.implicits._
+      imps.map { case (f, _) => f }.sorted.toDF("feature")
+    }),
+
+    "m18_grid_expand" -> ((s, _) => {
+      // M18: grid editor -> config expansion — FULL oracle (deterministic
+      // cartesian product, literal SQL cross join)
+      val grid = Validation.gridExpand(Map(
+        "C" -> Seq(0.1, 1.0, 10.0), "penalty" -> Seq("l1", "l2")))
+      import s.implicits._
+      grid.map(g => (g("C").toString.toDouble, g("penalty").toString))
+        .toDF("c_value", "penalty")
+    }),
+
     "m11_learning_curve" -> ((s, dir) => {
       // M11: linear-regression curve over train fractions — FULL oracle:
       // deterministic prefix subsets under the total order (o_custkey,
@@ -292,6 +329,11 @@ object MlQueries {
     // MLlib LinearRegression (regParam=0) is exact OLS and scale-
     // invariant through the pipeline's StandardScaler — DuckDB's
     // regr_slope/regr_intercept reproduce it bit-near (rounded)
+    "m18_grid_expand" -> """
+      SELECT CAST(c_value AS DOUBLE) AS c_value, penalty
+      FROM (SELECT unnest([0.1, 1.0, 10.0]) AS c_value),
+           (SELECT unnest(['l1', 'l2']) AS penalty)""",
+
     // deterministic prefix subsets (rank under the unique total order
     // (x, y)) + per-fraction OLS closed form; r2 = 1 - SSE/(var_pop*n)
     "m11_learning_curve" -> """
