@@ -61,6 +61,30 @@ object Streams {
       src.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
     else src.dropDuplicates(keyCols)
 
+  /** Interval (time-window) join: pairs with the same key where the
+    * right event lands within `[left.ts, left.ts + gapSec]`. In stream
+    * mode this is Spark's native stream-stream inner join — watermarks on
+    * BOTH sides plus the time-range condition let the engine evict join
+    * state older than the horizon, so state is bounded by the event rate
+    * × delay, not stream history. In batch mode the same call site
+    * delegates to [[graft.ops.RangeJoin.within]] (the gap-bucket
+    * equi-join — a raw inequality join would re-pair each key's whole
+    * history). Output columns are `l_`/`r_`-prefixed in both modes. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, gapSec: Long, delay: String = "2 hours",
+                   streaming: Boolean = false): DataFrame =
+    if (!streaming) graft.ops.RangeJoin.within(left, right, keyCol, tsCol, gapSec)
+    else {
+      val l = left.select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+        .withWatermark(s"l_$tsCol", delay)
+      val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+        .withWatermark(s"r_$tsCol", delay)
+      l.join(r,
+        col(s"l_$keyCol") === col(s"r_$keyCol") &&
+          col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+          col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $gapSec SECONDS"))
+    }
+
   /** Run any of the transforms as a REAL stream from parquet files into an
     * in-memory sink; returns the query (caller awaits/stops). Used by the
     * spec to prove stream-mode execution, not just batch semantics. */

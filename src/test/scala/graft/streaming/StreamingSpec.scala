@@ -38,6 +38,28 @@ class StreamingSpec extends SparkSpec {
       s"stream rows ${got.length} vs batch ${expected.length}")
   }
 
+  test("interval join: real stream-stream join equals the batch gap-bucket join") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables.events(spark, sf)
+    def views(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+    def buys(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val expected = Streams.intervalJoin(views(batch), buys(batch),
+        "user_id", "ts", gapSec = 3600)
+      .select("l_event_id", "r_event_id").collect().map(_.toString).sorted
+    assert(expected.nonEmpty, "fixture produced no within-1h pairs")
+    val q = Streams.runFileStream(spark, eventsDir, batch.schema,
+      df => Streams.intervalJoin(views(df), buys(df), "user_id", "ts",
+          gapSec = 3600, streaming = true)
+        .select("l_event_id", "r_event_id"),
+      "ij_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(120000)
+    val got = spark.table("ij_sink").collect().map(_.toString).sorted
+    assert(got.sameElements(expected),
+      s"stream pairs ${got.length} vs batch ${expected.length}")
+  }
+
   test("streaming dedup: planted duplicate event_ids dropped within the watermark") {
     import org.apache.spark.sql.functions._
     val base = Tables.events(spark, sf).limit(2000)
