@@ -49,6 +49,36 @@ object Ordinals {
       .drop("__pid", "__mid", "__off")
   }
 
+  /** Rows at chosen 1-based GLOBAL ranks under `sortCols` (a total
+    * order), without materializing a rank column: range-sort once,
+    * locate each wanted rank's (partition, local offset) on the driver
+    * from the per-partition counts — 2 jobs, no join, O(#partitions)
+    * driver data, bounded executor memory at any scale. `ranksOf`
+    * receives the total row count and returns the wanted ranks;
+    * out-of-range ranks are ignored. Backs [[graft.ops.Relational.exactMedian]]
+    * (order statistics without buffering a column in an agg). */
+  def rowsAtRanks(df: DataFrame, sortCols: Seq[Column],
+                  ranksOf: Long => Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sorted = df.orderBy(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val parts = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), min("__mid").as("__m0"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = parts.map(_._2).sum
+    val targets = ranksOf(n).distinct.filter(r => r >= 1 && r <= n).map { r =>
+      var rem = r; var i = 0
+      while (rem > parts(i)._2) { rem -= parts(i)._2; i += 1 }
+      (parts(i)._1, parts(i)._3 + rem - 1)
+    }
+    if (targets.isEmpty) sorted.filter(lit(false)).drop("__pid", "__mid")
+    else sorted.filter(targets.map { case (p, m) =>
+        col("__pid") === p && col("__mid") === m
+      }.reduce(_ || _)).drop("__pid", "__mid")
+  }
+
   /** Per-key 1-based rank under `sortCols` WITHOUT a per-key window
     * reducer: global rank over (key, sortCols) via [[withGlobalRank]],
     * then subtract each key's first global index (a broadcast dictionary

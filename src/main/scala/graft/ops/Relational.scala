@@ -141,21 +141,61 @@ object Relational {
       .select("column", "null_count", "null_pct")
   }
 
-  /** A7 — column stats in one pass: mean/median/min/max/std
-    * (`mice_method.py:115-120`). Exact median — at 100 TB swap in
-    * `percentile_approx` behind `approximate=true`. */
+  /** Exact median of one column, memory-bounded at ANY scale:
+    * distributed range sort + global-rank selection of the middle
+    * element(s). Spark's builtin exact `median`/`percentile` aggregate
+    * buffers every value in the aggregation buffer — fine for a
+    * dictionary-valued column, an OOM for a continuous one at 100 TB.
+    * Returns null for an all-null/empty column (SQL median semantics). */
+  def exactMedian(df: DataFrame, c: String): Option[Double] = {
+    val vals = df.select(col(c).cast(DoubleType).as("__v"))
+      .filter(col("__v").isNotNull)
+    val mids = Ordinals.rowsAtRanks(vals, Seq(col("__v").asc),
+        n => Seq((n + 1) / 2, n / 2 + 1)) // middle pair; equal when n odd
+      .collect().map(_.getDouble(0))
+    if (mids.isEmpty) None else Some(mids.sum / mids.length)
+  }
+
+  /** A7 — column stats: mean/median/min/max/std (`mice_method.py:115-120`).
+    * The moment aggregates are one hash-agg pass. The EXACT median goes
+    * through [[exactMedian]] (sort + rank selection per column — bounded
+    * memory; the builtin exact percentile aggregate buffers every value);
+    * `approximate=true` keeps everything in the single pass with
+    * `percentile_approx` (mergeable sketch) — the 100 TB default when a
+    * 1e-4-quantile error is acceptable. */
   def columnStats(df: DataFrame, cols: Seq[String], approximate: Boolean = false): DataFrame = {
     val aggs = cols.flatMap { c =>
-      val med = if (approximate) percentile_approx(col(c), lit(0.5), lit(10000)) else median(col(c))
-      Seq(avg(col(c)).as(s"mean_$c"), med.as(s"median_$c"),
-        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        stddev(col(c)).as(s"std_$c"))
+      Seq(avg(col(c)).as(s"mean_$c"), min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"), stddev(col(c)).as(s"std_$c")) ++
+        (if (approximate)
+           Seq(percentile_approx(col(c), lit(0.5), lit(10000)).as(s"median_$c"))
+         else Nil)
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = cols.map(c =>
-      s"'$c', `mean_$c`, CAST(`median_$c` AS DOUBLE), CAST(`min_$c` AS DOUBLE), CAST(`max_$c` AS DOUBLE), `std_$c`"
-    ).mkString(s"stack(${cols.length}, ", ", ", ") as (column, mean, median, min, max, std)")
-    row.selectExpr(stackExpr)
+    if (approximate) {
+      val stackExpr = cols.map(c =>
+        s"'$c', `mean_$c`, CAST(`median_$c` AS DOUBLE), CAST(`min_$c` AS DOUBLE), CAST(`max_$c` AS DOUBLE), `std_$c`"
+      ).mkString(s"stack(${cols.length}, ", ", ", ") as (column, mean, median, min, max, std)")
+      row.selectExpr(stackExpr)
+    } else {
+      val stackExpr = cols.map(c =>
+        s"'$c', `mean_$c`, CAST(`min_$c` AS DOUBLE), CAST(`max_$c` AS DOUBLE), `std_$c`"
+      ).mkString(s"stack(${cols.length}, ", ", ", ") as (column, mean, min, max, std)")
+      // medians are independent single-column jobs — run them concurrently
+      // (the scheduler interleaves their stages across the executor pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val medFutures = cols.map(c => c -> Future(exactMedian(df, c)))
+      val meds = medFutures.map { case (c, f) => c -> Await.result(f, Duration.Inf) }
+      val medCol = meds.foldLeft(lit(null).cast(DoubleType)) {
+        case (acc, (c, m)) =>
+          when(col("column") === c, m.map(lit(_)).getOrElse(lit(null).cast(DoubleType)))
+            .otherwise(acc)
+      }
+      row.selectExpr(stackExpr).withColumn("median", medCol)
+        .select("column", "mean", "median", "min", "max", "std")
+    }
   }
 
   /** A8 — Pearson correlation matrix over numeric columns, melted to

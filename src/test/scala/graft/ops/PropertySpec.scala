@@ -38,6 +38,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactMedian (sort + rank selection) equals the in-memory median (A7)") {
+    for (data <- samples(rowsGen)) {
+      import spark.implicits._
+      val df = data.map { case (k, v, c) => (k, v.map(Double.box).orNull, c) }
+        .toDF("k", "x", "c").withColumn("x", col("x").cast("double"))
+      val vals = data.flatMap(_._2).sorted
+      val expected =
+        if (vals.isEmpty) None
+        else if (vals.size % 2 == 1) Some(vals(vals.size / 2))
+        else Some((vals(vals.size / 2 - 1) + vals(vals.size / 2)) / 2.0)
+      val got = Relational.exactMedian(df, "x")
+      assert(got.map(BigDecimal(_).setScale(9, BigDecimal.RoundingMode.HALF_UP)) ==
+        expected.map(BigDecimal(_).setScale(9, BigDecimal.RoundingMode.HALF_UP)),
+        s"got $got want $expected over ${vals.size} values")
+    }
+  }
+
   test("dedupKeepFirst returns exactly ONE input row per key, min tiebreaker (A12)") {
     for (data <- samples(rowsGen) if data.nonEmpty) {
       import spark.implicits._
