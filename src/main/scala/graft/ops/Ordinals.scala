@@ -22,28 +22,26 @@ object Ordinals {
     * the old zipWithIndex shape deserialized EVERY row to a GenericRow
     * and back, and the rebuilt frame was a codegen/pruning barrier):
     * after the range sort, `monotonically_increasing_id` is contiguous
-    * within each partition in row order, so global rank = local offset +
-    * the partition's cumulative row count. The per-partition (count,
-    * first-id) pairs are one tiny aggregate — O(#partitions) on the
-    * driver, broadcast back. Both jobs read the same materialized sort
-    * stage (AQE stage reuse); a recompute is safe anyway because range
-    * boundaries, AQE coalescing, and in-partition order are all
-    * deterministic for a total sort order on the same data. */
+    * within each partition in row order, so global rank = local id -
+    * partition's first id + the preceding partitions' cumulative count.
+    * The per-partition (count, first-id) frame is O(#partitions) —
+    * dictionary-sized — so its cumulative sum may run through the one
+    * deliberate keyless window (SCALING.md's accepted class), and the
+    * broadcast join back happens IN THE SAME ACTION as the output: the
+    * range-sort exchange appears twice in the static plan and AQE stage
+    * reuse materializes it ONCE (no separate collect job, no second
+    * sort pass, nothing persisted). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column], out: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val spark = df.sparkSession
-    import spark.implicits._
     val sorted = df.orderBy(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-    val parts = sorted.groupBy("__pid")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("__pid").rowsBetween(Long.MinValue, -1)
+    val offsets = sorted.groupBy("__pid")
       .agg(count(lit(1)).as("__c"), min("__mid").as("__m0"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    var acc = 0L
-    val offsets = parts.map { case (pid, c, m0) =>
-      val off = (pid, acc - m0 + 1L); acc += c; off
-    }.toSeq.toDF("__pid", "__off")
+      .withColumn("__off", coalesce(sum("__c").over(w), lit(0L)) - col("__m0") + 1L)
+      .select("__pid", "__off")
     sorted.join(broadcast(offsets), "__pid")
       .withColumn(out, col("__mid") + col("__off"))
       .drop("__pid", "__mid", "__off")
