@@ -66,6 +66,36 @@ object Corpus {
         floor((col("__cum") - col("n_tokens")) / budget).cast(LongType).as("seq_id"))
   }
 
+  /** Per-source quality gate: keep documents whose [[Text.qualityScore]]
+    * is >= their OWN source's median quality — the relative form of
+    * C4-style filtering (an absolute threshold over-prunes sources whose
+    * baseline quality differs; a per-source quantile self-calibrates).
+    * Returns (idCol, sourceCol, quality rounded to 6).
+    *
+    * The per-source median is EXACT but buffers no values: rows rank
+    * within their source via [[Ordinals.withPerKeyRank]] (range sort +
+    * broadcast first-index dictionary), the two middle ranks per source
+    * are picked against a broadcast count dictionary, and their mean is
+    * the median (odd sizes: both ranks coincide) — the same
+    * rank-selection recipe as the a7 exact median, per group. Source is
+    * low-cardinality by construction (a corpus has tens of sources, not
+    * millions), so every dictionary is broadcast-sized. */
+  def qualityGate(df: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String): DataFrame = {
+    val q = df.select(col(idCol), col(sourceCol),
+      Text.qualityScore(col(textCol)).as("__q"))
+    val ranked = Ordinals.withPerKeyRank(q, sourceCol,
+      Seq(col("__q").asc, col(idCol).asc), "__rk")
+    val counts = q.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val medians = ranked.join(broadcast(counts), sourceCol)
+      .filter(col("__rk") === floor((col("__n") + 1) / 2) ||
+        col("__rk") === floor((col("__n") + 2) / 2))
+      .groupBy(sourceCol).agg(avg("__q").as("__med"))
+    q.join(broadcast(medians), sourceCol)
+      .filter(col("__q") >= col("__med"))
+      .select(col(idCol), col(sourceCol), round(col("__q"), 6).as("quality"))
+  }
+
   /** Source-mixture sampling: keep the first floor(weight * totalRows)
     * docs of each weighted source, in `idCol` order — the deterministic
     * quota form of training-mix assembly (Pile/Dolma-style source

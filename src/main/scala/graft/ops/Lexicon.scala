@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level lexical statistics for training-data pipelines:
+  * vocabulary building, TF-IDF keyword extraction, unigram
+  * language-model scoring. These are the cross-document complements of
+  * [[Text]]'s map-only per-row features — each needs one or two hash
+  * shuffles over token rows, never a collect and never O(n^2).
+  *
+  * Scale contract: token rows explode once per query; per-(doc, term)
+  * counts collapse token occurrences BEFORE any term-keyed shuffle
+  * (map-side partial aggregation), so the term-join volume is bounded by
+  * distinct (doc, term) pairs, not raw token occurrences. Hot terms
+  * ("the") are a skew risk only in the term-count aggregate, which is a
+  * partial-aggregated count — a hot term costs one row per input
+  * partition, not a hot reducer.
+  */
+object Lexicon {
+
+  /** Lowercased whitespace token OCCURRENCE rows (id, term). Zero-token
+    * docs (empty/whitespace text) contribute nothing: `split(trim(""))`
+    * yields `[""]` and the empty-string token is dropped — consistent
+    * with [[Text.tokenCount]] counting such docs as 0. */
+  def tokenRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(Text.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Per-(doc, term) occurrence counts (id, term, c) — the shared base of
+    * TF-IDF and LM scoring. One explicit repartition-by-id exchange; the
+    * (id, term) count and any per-doc rollup both satisfy their
+    * clustering from it (same recipe as [[Corpus.repetitionStats]]). */
+  def docTermCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    tokenRows(df, textCol, idCol)
+      .repartition(col("id"))
+      .groupBy("id", "term").agg(count(lit(1)).as("c"))
+
+  /** Corpus vocabulary: terms with >= `minCount` total occurrences, the
+    * `topK` most frequent (ties broken alphabetically). Returns
+    * (term, n) — the vocab-building step before tokenizer training.
+    *
+    * Scale: one partial-aggregated count keyed by term, then
+    * `orderBy.limit` plans as TakeOrderedAndProject — per-partition
+    * top-K merged on the driver, O(K x partitions) driver data, no
+    * global sort of the vocabulary. */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String,
+                 minCount: Long = 1L, topK: Int = Int.MaxValue): DataFrame =
+    tokenRows(df, textCol, idCol)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(topK)
+
+  /** Per-document top-`k` TF-IDF keywords: tf = occurrences / doc length,
+    * idf = ln(N / df_t) with N = docs having >= 1 token and df_t = docs
+    * containing the term. Returns (id, term, tfidf) with tfidf ROUNDED
+    * to 6 digits BEFORE ranking, so rank order is reproducible across
+    * engines (a last-ulp ln() difference can't flip near-ties; exact
+    * ties break alphabetically).
+    *
+    * Scale: (doc, term) counts -> term-keyed join for df_t -> id-keyed
+    * join for doc length; the final per-doc top-k window partitions by
+    * id (already clustered by the doc-length join — sort only, no new
+    * exchange). N rides a 1-row broadcast. */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val dt = docTermCounts(df, textCol, idCol)
+    val docLen = dt.groupBy("id").agg(sum("c").as("__len"))
+    val dfT = dt.groupBy("term").agg(count(lit(1)).as("__df"))
+    val nDocs = docLen.agg(count(lit(1)).as("__nd"))
+    val scored = dt
+      .join(dfT, "term")
+      .crossJoin(broadcast(nDocs))
+      .join(docLen, "id")
+      .withColumn("tfidf", round(
+        (col("c").cast(DoubleType) / col("__len")) *
+          log(col("__nd").cast(DoubleType) / col("__df")), 6))
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("id").as(idCol), col("term"), col("tfidf"))
+  }
+
+  /** Unigram language-model score: per doc, the mean over token
+    * occurrences of ln p(term), with p estimated from THIS corpus
+    * (count / total occurrences). The distributed form of the CCNet /
+    * Wikipedia-LM quality signal — low (very negative) scores mark
+    * gibberish built from rare terms, high scores mark common-word
+    * boilerplate. Returns (id, n_tokens, mean_logprob rounded to 6).
+    * Zero-token docs are absent (no occurrences to average).
+    *
+    * Scale: term probabilities come from one partial-aggregated count
+    * keyed by term; the corpus total is a 1-row broadcast; the per-doc
+    * mean reuses the (doc, term) clustering. No collect — the term
+    * distribution never leaves the cluster. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dt = docTermCounts(df, textCol, idCol)
+    val ct = dt.groupBy("term").agg(sum("c").as("__ct"))
+    val total = ct.agg(sum("__ct").as("__tot"))
+    dt.join(ct, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum("c").as("n_tokens"),
+        round(sum(col("c") * log(col("__ct").cast(DoubleType) / col("__tot"))) /
+          sum("c"), 6).as("mean_logprob"))
+      .withColumnRenamed("id", idCol)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Corpus, Text}
+import graft.ops.{Corpus, Lexicon, Text}
 import Q.QueryFn
 
 /** Driver-checked queries for the text-analysis suite over `documents`:
@@ -71,7 +71,25 @@ object TextQueries {
       Corpus.mixSources(Tables.documents(s, dir), "source", "doc_id",
         weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         totalRows = 40)
-        .select("doc_id", "source")))
+        .select("doc_id", "source")),
+
+    "t10_quality_gate" -> ((s, dir) =>
+      // per-source exact-median quality gate (rank selection, no value
+      // buffering) — the self-calibrating form of C4-style filtering
+      Corpus.qualityGate(Tables.documents(s, dir), "text", "doc_id", "source")),
+
+    "t11_vocab" -> ((s, dir) =>
+      // vocabulary building: top-50 terms with >= 2 occurrences
+      Lexicon.vocabulary(Tables.documents(s, dir), "text", "doc_id",
+        minCount = 2L, topK = 50)),
+
+    "t12_tfidf" -> ((s, dir) =>
+      // per-doc top-3 TF-IDF keywords, rank-stable via pre-rank rounding
+      Lexicon.tfidfTopK(Tables.documents(s, dir), "text", "doc_id", k = 3)),
+
+    "t13_lm_score" -> ((s, dir) =>
+      // corpus-unigram LM mean log-prob per doc (CCNet-style LM signal)
+      Lexicon.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")))
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val lowToksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -183,5 +201,45 @@ object TextQueries {
       SELECT doc_id, source FROM documents
       WHERE source IN ('src0', 'src1', 'src2')
       QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <=
-        CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END""")
+        CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12 ELSE 8 END""",
+
+    // quantile_cont(0.5) interpolates midway between the two middle order
+    // statistics for even group sizes — exactly the rank-selection mean
+    // the Spark side computes (quality values are dyadic rationals, so
+    // the comparison against the median is bit-exact in both engines)
+    "t10_quality_gate" -> s"""
+      WITH q AS (SELECT doc_id, source, $qualitySql AS q FROM documents),
+      m AS (SELECT source, quantile_cont(q, 0.5) AS med FROM q GROUP BY source)
+      SELECT q.doc_id, q.source, round(q.q, 6) AS quality
+      FROM q JOIN m USING (source) WHERE q.q >= m.med""",
+
+    "t11_vocab" -> s"""
+      WITH tok AS (SELECT unnest($lowToksSql) AS term FROM documents),
+      c AS (SELECT term, count(*) AS n FROM tok WHERE term <> '' GROUP BY term)
+      SELECT term, n FROM c WHERE n >= 2
+      QUALIFY row_number() OVER (ORDER BY n DESC, term) <= 50""",
+
+    // tfidf is rounded to 6 digits BEFORE the per-doc rank on both sides,
+    // so a last-ulp ln() difference cannot flip near-ties
+    "t12_tfidf" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(c) AS len FROM dt GROUP BY 1),
+      dfreq AS (SELECT term, count(*) AS dfc FROM dt GROUP BY 1),
+      nd AS (SELECT count(*) AS nd FROM dl)
+      SELECT doc_id, term, tfidf FROM (
+        SELECT dt.doc_id, dt.term,
+               round((CAST(c AS DOUBLE) / len) * ln(CAST(nd AS DOUBLE) / dfc), 6) AS tfidf
+        FROM dt JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd)
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3""",
+
+    "t13_lm_score" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> '' GROUP BY 1, 2),
+      ct AS (SELECT term, sum(c) AS ct FROM dt GROUP BY 1),
+      tot AS (SELECT sum(ct) AS tot FROM ct)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             round(sum(c * ln(CAST(ct AS DOUBLE) / tot)) / sum(c), 6) AS mean_logprob
+      FROM dt JOIN ct USING (term) CROSS JOIN tot
+      GROUP BY doc_id""")
 }

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LexiconSpec extends SparkSpec {
+
+  test("vocabulary: counts, minCount filter, deterministic top-K ties") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b THE"), (2L, "b c the"), (3L, "   "), (4L, ""))
+      .toDF("doc_id", "text")
+    // lowercased counts: a=2, b=2, the=2, c=1; empty docs contribute nothing
+    val all = Lexicon.vocabulary(df, "text", "doc_id", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(all.toSeq == Seq(("a", 2L), ("b", 2L), ("the", 2L)))
+    val top2 = Lexicon.vocabulary(df, "text", "doc_id", minCount = 1L, topK = 2)
+      .collect().map(_.getString(0))
+    assert(top2.toSeq == Seq("a", "b")) // n ties break alphabetically
+  }
+
+  test("tfidfTopK: hand-checked tf*ln(N/df), everywhere-terms score 0") {
+    import spark.implicits._
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = Lexicon.tfidfTopK(df, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    // N=2; d1: x tf=2/3 idf=ln2 -> 0.462098, y idf=ln1=0
+    //      d2: z tf=1/2 idf=ln2 -> 0.346574, y 0
+    assert(out.toSeq == Seq(
+      (1L, "x", 0.462098), (1L, "y", 0.0),
+      (2L, "z", 0.346574), (2L, "y", 0.0)))
+  }
+
+  test("unigramLogProb: mean ln p over occurrences; empty docs absent") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b"), (3L, " ")).toDF("doc_id", "text")
+    // corpus counts a=2, b=2, total=4: every token has p=0.5
+    val out = Lexicon.unigramLogProb(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, -0.693147), (2L, 1L, -0.693147)))
+  }
+
+  test("qualityGate: survivors are exactly the docs at/above their source's exact median") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog while other animals watch the scene",
+      "zz", "!!!???!!!", "a b c the d e f g h i j k l m n o p q r s t u v w x y z one",
+      "the data pipeline reads the table and writes the result to the store every day",
+      "??", "the end", "supercalifragilisticexpialidocious antidisestablishmentarianism floccinaucinihilipilification")
+    val df = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, if (i % 2 == 0) "sa" else "sb")
+    }.toDF("doc_id", "text", "source")
+    val q = df.select(col("doc_id"), col("source"),
+        graft.ops.Text.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = q.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.map(_._3).sorted
+      val n = sorted.length
+      val med = (sorted((n - 1) / 2) + sorted(n / 2)) / 2.0
+      rows.filter(_._3 >= med).map(_._1).toSeq
+    }.toSet
+    val got = Corpus.qualityGate(df, "text", "doc_id", "source")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty && got.size < texts.length)
+  }
+}
