@@ -23,7 +23,8 @@ object Bench {
     "d5_cosine_dup", "d6_dup_components", "d7_decontaminate",
     "s1_ann_topk", "t1_token_count", "t2_quality_score",
     "t4_fingerprint", "t7_repetition", "t8_pack_sequences",
-    "t9_source_mix", "st1_tumbling_window", "st3_session_window",
+    "t9_source_mix", "t12_tfidf", "t13_lm_score",
+    "st1_tumbling_window", "st3_session_window",
     "mm2_feature_extract")
 
   def main(args: Array[String]): Unit = {
