@@ -85,6 +85,62 @@ object Lexicon {
       .select(col("id").as(idCol), col("term"), col("tfidf"))
   }
 
+  /** Character-trigram rows (id, tri [, carried cols]) over
+    * whitespace-normalized lowercase text — the n-gram feature the
+    * trigram language-ID trains on. Zero-shuffle construction: the same
+    * shifted-`slice` + `arrays_zip` recipe as [[Dedup.shingleRowsRaw]],
+    * per character — plain codegen collection expressions, no
+    * higher-order lambdas, no window. Docs shorter than 3 characters
+    * contribute nothing (and classify as "und" downstream). */
+  def charTrigramRows(df: DataFrame, textCol: String, idCol: String,
+                      carryCols: Seq[String] = Nil): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    val base = df.select((col(idCol).as("id") +: carryCols.map(col) :+
+        split(norm, "").as("__ch")): _*)
+      .filter(size(col("__ch")) >= 3)
+    val m = size(col("__ch")) - 2
+    val z = arrays_zip((0 until 3).map(j =>
+      slice(col("__ch"), lit(j + 1), m).as(j.toString)): _*)
+    base
+      .select((col("id") +: carryCols.map(col) :+ explode(z).as("__t")): _*)
+      .select((col("id") +: carryCols.map(col) :+
+        concat((0 until 3).map(j => col("__t").getField(j.toString)): _*).as("tri")): _*)
+  }
+
+  /** Trigram language-ID, trained and applied in one plan (the
+    * char-n-gram upgrade [[Text.langId]]'s docstring points at): per-lang
+    * profiles = the `topM` most frequent trigrams among rows labeled by
+    * `langCol` (Cavnar-Trenkle-style); a doc's predicted language is the
+    * profile its trigram OCCURRENCES hit most (ties alphabetical; docs
+    * hitting nothing — including docs under 3 chars — predict "und").
+    * Returns (idCol, lang_pred).
+    *
+    * Scale: the trigram alphabet is bounded, so per-lang profile frames
+    * are dictionary-sized — the profile ranking window partitions by
+    * lang over O(alphabet^3) rows, and the classify join BROADCASTS the
+    * profile (topM x #langs rows), so a hot trigram never shuffle-skews;
+    * per-(doc, tri) counts collapse occurrences map-side before scoring;
+    * the argmax is a min-struct aggregate over <= #langs rows per doc,
+    * not a window over data. */
+  def trigramLangId(df: DataFrame, textCol: String, idCol: String,
+                    langCol: String, topM: Int = 100): DataFrame = {
+    val tri = charTrigramRows(df, textCol, idCol, carryCols = Seq(langCol))
+    val prof = tri.groupBy(langCol, "tri").agg(count(lit(1)).as("__n"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(langCol).orderBy(col("__n").desc, col("tri").asc)))
+      .filter(col("__rn") <= topM)
+      .select(col(langCol).as("__plang"), col("tri"))
+    val dc = tri.groupBy("id", "tri").agg(count(lit(1)).as("__c"))
+    val best = dc.join(broadcast(prof), "tri")
+      .groupBy("id", "__plang").agg(sum("__c").as("__score"))
+      .groupBy("id")
+      .agg(min(struct((-col("__score")).as("s"), col("__plang").as("l"))).as("__b"))
+      .select(col("id").as(idCol), col("__b.l").as("lang_pred"))
+    df.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
+  }
+
   /** Unigram language-model score: per doc, the mean over token
     * occurrences of ln p(term), with p estimated from THIS corpus
     * (count / total occurrences). The distributed form of the CCNet /

@@ -89,7 +89,12 @@ object TextQueries {
 
     "t13_lm_score" -> ((s, dir) =>
       // corpus-unigram LM mean log-prob per doc (CCNet-style LM signal)
-      Lexicon.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")))
+      Lexicon.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")),
+
+    "t14_trigram_langid" -> ((s, dir) =>
+      // char-trigram language-ID trained on the corpus's own labels
+      Lexicon.trigramLangId(Tables.documents(s, dir), "text", "doc_id",
+        "lang", topM = 100)))
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val lowToksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -241,5 +246,22 @@ object TextQueries {
       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
              round(sum(c * ln(CAST(ct AS DOUBLE) / tot)) / sum(c), 6) AS mean_logprob
       FROM dt JOIN ct USING (term) CROSS JOIN tot
-      GROUP BY doc_id""")
+      GROUP BY doc_id""",
+
+    "t14_trigram_langid" -> """
+      WITH norm AS (SELECT doc_id, lang,
+                      regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+                    FROM documents),
+      tri AS (SELECT doc_id, lang,
+                unnest(list_transform(range(len(s) - 2), i -> s[i + 1 : i + 3])) AS tri
+              FROM norm WHERE len(s) >= 3),
+      lp AS (SELECT lang, tri, count(*) AS n FROM tri GROUP BY 1, 2),
+      prof AS (SELECT lang AS plang, tri FROM lp
+               QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) <= 100),
+      dc AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+      sc AS (SELECT doc_id, plang, sum(c) AS score FROM dc JOIN prof USING (tri) GROUP BY 1, 2),
+      best AS (SELECT doc_id, plang AS lang_pred FROM sc
+               QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) = 1)
+      SELECT d.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred
+      FROM documents d LEFT JOIN best b USING (doc_id)""")
 }

@@ -40,6 +40,30 @@ class LexiconSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, -0.693147), (2L, 1L, -0.693147)))
   }
 
+  test("trigramLangId: recovers labels on distinct languages; tiny docs predict und") {
+    import spark.implicits._
+    val en = Seq("the cat sat on the mat with the dog",
+      "the quick brown fox jumps over the lazy dog",
+      "she sells sea shells on the sea shore")
+    val de = Seq("der hund und die katze spielen in dem garten",
+      "die kinder lesen das buch in der schule",
+      "der vogel singt und die sonne scheint")
+    val fr = Seq("le chat et le chien jouent dans le jardin",
+      "les enfants lisent le livre dans la classe",
+      "le soleil brille et les oiseaux chantent")
+    val rows = (en.map(("en", _)) ++ de.map(("de", _)) ++ fr.map(("fr", _)))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) } :+
+      (99L, "ab", "en") // under 3 chars -> no trigrams -> und
+    val df = rows.toDF("doc_id", "text", "lang")
+    val pred = Lexicon.trigramLangId(df, "text", "doc_id", "lang", topM = 60)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = rows.map(r => r._1 -> r._3).toMap
+    val full = rows.filter(_._1 != 99L)
+    assert(full.forall(r => pred(r._1) == truth(r._1)),
+      full.map(r => s"${r._1}: ${pred(r._1)} vs ${truth(r._1)}").mkString(", "))
+    assert(pred(99L) == "und")
+  }
+
   test("qualityGate: survivors are exactly the docs at/above their source's exact median") {
     import spark.implicits._
     val texts = Seq(
