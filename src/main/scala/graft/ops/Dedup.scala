@@ -336,9 +336,22 @@ object Dedup {
     * component = min id of the cluster — the keep-one key a dedup
     * pipeline drops duplicates by. */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint(true)
+    // Size the round parallelism to the GRAPH, not the corpus: the pair
+    // list is usually orders of magnitude smaller than the input (that's
+    // the point of near-dup candidate pruning), and every round launches
+    // ~6 stages over these partitions. The count is free — the checkpoint
+    // above already materialized the edges. O(1) driver data; at scale
+    // (>= ~1M edges/partition budget) this keeps full parallelism.
+    val nEdges = edges0.count()
+    val parts = math.max(1L, math.min(nEdges / 1000000L + 1L,
+      edges0.rdd.getNumPartitions.toLong)).toInt
+    val edges =
+      if (parts < edges0.rdd.getNumPartitions)
+        edges0.repartition(parts, col("dst")).localCheckpoint(true)
+      else edges0
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     var changed = 1L
