@@ -94,7 +94,16 @@ object TextQueries {
     "t14_trigram_langid" -> ((s, dir) =>
       // char-trigram language-ID trained on the corpus's own labels
       Lexicon.trigramLangId(Tables.documents(s, dir), "text", "doc_id",
-        "lang", topM = 100)))
+        "lang", topM = 100)),
+
+    "t15_corpus_pipeline" -> ((s, dir) => {
+      // the composed cleaning loop in ONE declarative plan:
+      // quality filter -> exact dedup -> token-budget packing
+      val docs = Tables.documents(s, dir)
+      val clean = docs.filter(Text.qualityScore(col("text")) >= 0.8)
+      val deduped = graft.ops.Dedup.exactDedup(clean, "text", "doc_id")
+      Corpus.packSequences(deduped, "text", "doc_id", budget = 512)
+    }))
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val lowToksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -263,5 +272,18 @@ object TextQueries {
       best AS (SELECT doc_id, plang AS lang_pred FROM sc
                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) = 1)
       SELECT d.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred
-      FROM documents d LEFT JOIN best b USING (doc_id)""")
+      FROM documents d LEFT JOIN best b USING (doc_id)""",
+
+    "t15_corpus_pipeline" -> s"""
+      WITH clean AS (SELECT * FROM documents WHERE $qualitySql >= 0.8),
+      ded AS (SELECT * FROM clean
+              QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+      t AS (SELECT doc_id,
+              CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens
+            FROM ded)
+      SELECT doc_id, n_tokens,
+             CAST(floor(coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0)
+               / 512.0) AS BIGINT) AS seq_id
+      FROM t""")
 }

@@ -64,6 +64,21 @@ class LexiconSpec extends SparkSpec {
     assert(pred(99L) == "und")
   }
 
+  test("corpus invariants on testdata: vocab mass = token mass, tfidf >= 0, logprob <= 0") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val tokenMass = docs.select(graft.ops.Text.tokenCount(col("text")).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val vocabMass = Lexicon.vocabulary(docs, "text", "doc_id")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(vocabMass == tokenMass) // every occurrence lands in exactly one vocab row
+    val negTfidf = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3)
+      .filter(col("tfidf") < 0).count()
+    assert(negTfidf == 0) // df_t <= N so idf >= 0
+    val posLp = Lexicon.unigramLogProb(docs, "text", "doc_id")
+      .filter(col("mean_logprob") > 0).count()
+    assert(posLp == 0) // probabilities <= 1
+  }
+
   test("qualityGate: survivors are exactly the docs at/above their source's exact median") {
     import spark.implicits._
     val texts = Seq(
