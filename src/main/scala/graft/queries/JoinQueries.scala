@@ -56,6 +56,19 @@ object JoinQueries {
         .select("event_id", "user_id", "ts")
       graft.ops.RangeJoin.within(views, buys, "user_id", "ts", gapSec = 3600)
         .select(col("l_event_id").as("view_id"), col("r_event_id").as("purchase_id"))
+    }),
+
+    "q8_asof_join" -> ((s, dir) => {
+      // each purchase matched to the user's LATEST error at-or-before it
+      // (left-join semantics) — verified against DuckDB's native ASOF JOIN
+      val ev = Tables.events(s, dir)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errs = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      graft.ops.RangeJoin.asOf(buys, errs, "user_id", "ts")
+        .select(col("l_event_id").as("purchase_id"),
+          col("r_event_id").as("error_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -88,5 +101,16 @@ object JoinQueries {
         ON a.user_id = b.user_id
        AND a.event_type = 'view' AND b.event_type = 'purchase'
        AND epoch_us(b.ts) >= epoch_us(a.ts)
-       AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""")
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""",
+
+    // microsecond-truncated timestamps on both sides (the engine compares
+    // unix_micros; the raw parquet carries nanoseconds)
+    "q8_asof_join" -> """
+      WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+                 FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+            FROM events WHERE event_type = 'error')
+      SELECT l.event_id AS purchase_id, r.event_id AS error_id
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.tus >= r.tus""")
 }

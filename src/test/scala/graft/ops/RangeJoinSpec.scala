@@ -47,4 +47,47 @@ class RangeJoinSpec extends SparkSpec {
       assert(fast == naive, s"trial $i: ${(fast diff naive) ++ (naive diff fast)}")
     }
   }
+
+  test("asOf: latest-at-or-before match, left-join nulls, null keys, tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts(10)), (2L, 10L, ts(5)), (3L, 20L, ts(7)))
+      .toDF("event_id", "user_id", "t")
+      .unionByName(Seq((4L, ts(9))).toDF("event_id", "t")
+        .withColumn("user_id", lit(null).cast("long")).select("event_id", "user_id", "t"))
+    val right = Seq((10L, 10L, ts(5)), (11L, 10L, ts(8)), (12L, 30L, ts(1)))
+      .toDF("event_id", "user_id", "t")
+    def run(tol: Option[Long]) =
+      RangeJoin.asOf(left, right, "user_id", "t", tol)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val got = run(None)
+    // 1: latest of {5, 8} <= 10 is 8; 2: equal-ts inclusive; 3: no rows
+    // for key 20; 4: null key never matches
+    assert(got == Map(1L -> Some(11L), 2L -> Some(10L), 3L -> None, 4L -> None))
+    val tol = run(Some(1L))
+    // 10 - 8 = 2s > 1s tolerance -> nulled; 5 - 5 = 0 stays
+    assert(tol == Map(1L -> None, 2L -> Some(10L), 3L -> None, 4L -> None))
+  }
+
+  test("asOf matches the naive per-row argmax on random event sets") {
+    import spark.implicits._
+    val gen = Gen.listOfN(100, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 300L)))
+    val evs = gen(Gen.Parameters.default, Seed(7L)).get
+      .zipWithIndex.map { case ((u, sec), id) => (id.toLong, u, ts(sec * 7 + id)) }
+    // ts unique per key by construction (id folded into the second);
+    // right side is a strict subset so matches are non-trivial
+    val rEvs = evs.filter(_._1 % 3 == 0)
+    val df = evs.toDF("event_id", "user_id", "t")
+    val rdf = rEvs.toDF("event_id", "user_id", "t")
+    val fast = RangeJoin.asOf(df, rdf, "user_id", "t")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val naive = evs.map { case (la, ua, ta) =>
+      val cands = rEvs.filter { case (_, ub, tb) =>
+        ub == ua && !tb.after(ta) }
+      la -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(_._3.getTime)._1))
+    }.toMap
+    assert(fast == naive)
+  }
 }
