@@ -79,6 +79,27 @@ class LexiconSpec extends SparkSpec {
     assert(posLp == 0) // probabilities <= 1
   }
 
+  test("plans: tfidf top-k short-circuits; trigram profiles broadcast; asOf shuffles once") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val tfidfPlan = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(tfidfPlan.contains("WindowGroupLimit"),
+      "per-doc top-k should plan as WindowGroupLimit (rank short-circuit), not a full window sort")
+    val langPlan = Lexicon.trigramLangId(docs, "text", "doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(langPlan.contains("BroadcastHashJoin"),
+      "the trigram classify join must broadcast the profile dictionary")
+    val ev = graft.core.Tables.events(spark, sf)
+    val asofPlan = RangeJoin.asOf(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "error"), "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(asofPlan).length
+    assert(shuffles == 1, s"asOf must shuffle exactly once (saw $shuffles):\n$asofPlan")
+    assert(!asofPlan.contains("SortMergeJoin") && !asofPlan.contains("Cartesian"),
+      "asOf must not plan a join at all — it is a union + window")
+  }
+
   test("qualityGate: survivors are exactly the docs at/above their source's exact median") {
     import spark.implicits._
     val texts = Seq(
