@@ -97,11 +97,23 @@ object SourceQueries {
     "s4_excel_scan" -> s4ExcelScan,
     "s7_version_check" -> s7VersionCheck,
     "s9_params_json" -> s9ParamsJson,
-    "s13_schema_profile" -> profileDocuments)
+    "s13_schema_profile" -> profileDocuments,
+
+    "s14_corpus_sink" -> ((s, dir) => {
+      // partitioned-layout write + pruned read-back: per-lang counts
+      // must survive the hive-partitioned round trip exactly
+      val out = Q.tempDir("graft_s14")
+      graft.io.CorpusSink.writePartitioned(
+        Tables.documents(s, dir), out, "lang", maxRecordsPerFile = 100L)
+      graft.io.CorpusSink.readPartitioned(s, out)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "s1_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s14_corpus_sink" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "s4_excel_scan" ->
       "SELECT n_nationkey, n_name FROM nation",
     "s2_csv_allstring" ->

@@ -1,0 +1,44 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusSinkSpec extends SparkSpec {
+
+  test("writePartitioned: per-value directories, bounded files, pruned reads, exact round trip") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = graft.queries.Q.tempDir("corpus-sink")
+    CorpusSink.writePartitioned(docs, out, "lang", maxRecordsPerFile = 20L)
+
+    // one directory per language, hive-style
+    val dirs = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(dirs == langs.map(l => s"lang=$l"))
+
+    // every data file respects maxRecordsPerFile
+    val files = Files.walk(Paths.get(out)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    for (f <- files) {
+      val n = spark.read.parquet(f.toString).count()
+      assert(n <= 20, s"$f has $n rows > maxRecordsPerFile")
+    }
+
+    // round trip: same (doc_id -> lang) mapping
+    val back = CorpusSink.readPartitioned(spark, out)
+    val orig = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rt = back.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt == orig)
+
+    // a per-language read prunes at the PARTITION level (no data IO for
+    // other languages), visible as PartitionFilters in the scan
+    val pruned = back.filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected partition pruning in:\n$scan")
+  }
+}
