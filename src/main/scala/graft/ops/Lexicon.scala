@@ -48,12 +48,15 @@ object Lexicon {
     * top-K merged on the driver, O(K x partitions) driver data, no
     * global sort of the vocabulary. */
   def vocabulary(df: DataFrame, textCol: String, idCol: String,
-                 minCount: Long = 1L, topK: Int = Int.MaxValue): DataFrame =
-    tokenRows(df, textCol, idCol)
+                 minCount: Long = 1L, topK: Int = Int.MaxValue): DataFrame = {
+    val counts = tokenRows(df, textCol, idCol)
       .groupBy("term").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .orderBy(col("n").desc, col("term").asc)
-      .limit(topK)
+    // unbounded topK means "the whole vocabulary" — skip the order+limit
+    // entirely rather than plan a pointless global sort with a max limit
+    if (topK == Int.MaxValue) counts
+    else counts.orderBy(col("n").desc, col("term").asc).limit(topK)
+  }
 
   /** Per-document top-`k` TF-IDF keywords: tf = occurrences / doc length,
     * idf = ln(N / df_t) with N = docs having >= 1 token and df_t = docs

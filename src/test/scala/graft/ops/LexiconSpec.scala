@@ -11,7 +11,7 @@ class LexiconSpec extends SparkSpec {
       .toDF("doc_id", "text")
     // lowercased counts: a=2, b=2, the=2, c=1; empty docs contribute nothing
     val all = Lexicon.vocabulary(df, "text", "doc_id", minCount = 2L)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(all.toSeq == Seq(("a", 2L), ("b", 2L), ("the", 2L)))
     val top2 = Lexicon.vocabulary(df, "text", "doc_id", minCount = 1L, topK = 2)
       .collect().map(_.getString(0))
