@@ -76,8 +76,12 @@ object RangeJoin {
       .withColumn("__k", col(s"l_$keyCol"))
       .withColumn("__us", unix_micros(col(s"l_$tsCol")))
       .withColumn("__side", lit(1))
+    // null keys and null timestamps never match (SQL comparison
+    // semantics — an ASOF oracle's l.ts >= r.ts is false for NULL);
+    // dropping them here keeps a null-ts right row from masquerading as
+    // "earliest" under the window's nulls-first sort
     val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
-      .filter(col(s"r_$keyCol").isNotNull)
+      .filter(col(s"r_$keyCol").isNotNull && col(s"r_$tsCol").isNotNull)
       .withColumn("__k", col(s"r_$keyCol"))
       .withColumn("__us", unix_micros(col(s"r_$tsCol")))
       .withColumn("__side", lit(0))

@@ -56,6 +56,10 @@ class RangeJoinSpec extends SparkSpec {
         .withColumn("user_id", lit(null).cast("long")).select("event_id", "user_id", "t"))
     val right = Seq((10L, 10L, ts(5)), (11L, 10L, ts(8)), (12L, 30L, ts(1)))
       .toDF("event_id", "user_id", "t")
+      .unionByName(Seq(13L).toDF("event_id")
+        .withColumn("user_id", lit(10L))
+        .withColumn("t", lit(null).cast("timestamp"))
+        .select("event_id", "user_id", "t")) // null ts must never match
     def run(tol: Option[Long]) =
       RangeJoin.asOf(left, right, "user_id", "t", tol)
         .collect().map(r => r.getLong(0) ->
