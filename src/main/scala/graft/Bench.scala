@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume", "a1_value_counts", "a7_column_stats",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q8_asof_join", "a1_value_counts", "a7_column_stats",
     "a8_corr_matrix", "p3_range_filter", "e1_onehot", "e3_target_encode",
     "h2_feature_hash", "i1_mean_fill", "i4_interpolate",
     "i8_regression_impute", "b12_trim_equal", "b13_trim_proportional",
