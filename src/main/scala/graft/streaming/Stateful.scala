@@ -40,6 +40,44 @@ object Stateful {
       }
   }
 
+  /** Streaming as-of enrichment — the stream form of
+    * [[graft.ops.RangeJoin.asOf]]: every left event is paired with the
+    * LATEST right event of the same key at-or-before its (microsecond)
+    * timestamp, or None. Both sides arrive as one tagged stream
+    * (side 0 = right/state, side 1 = left/probe); per-key state is ONE
+    * small record (the newest right event so far) — O(keys) state total,
+    * not O(events), no watermark buffering needed.
+    *
+    * Within a micro-batch events are sorted by (us, side), so intra-batch
+    * disorder is repaired exactly like the batch operator's window sort;
+    * ACROSS batches a right event that arrives after a left event it
+    * should have matched cannot retro-match (already emitted — the
+    * inherent append-mode tradeoff; feed time-ordered batches, as any
+    * log-compacted source does, and stream == batch, which
+    * `StatefulSpec` proves on the real file stream). */
+  case class TaggedEvent(key: Long, us: Long, side: Int, id: Long)
+  case class LatestRight(us: Long, id: Long)
+  case class AsOfMatch(key: Long, left_id: Long, right_id: Option[Long])
+
+  def asOfEnrichStream(events: Dataset[TaggedEvent]): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[TaggedEvent], state: GroupState[LatestRight]) =>
+          val batch = rows.toArray.sortBy(e => (e.us, e.side))
+          var s = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfMatch]
+          batch.foreach { e =>
+            if (e.side == 0) {
+              if (s.forall(_.us <= e.us)) s = Some(LatestRight(e.us, e.id))
+            } else
+              out += AsOfMatch(key, e.id, s.filter(_.us <= e.us).map(_.id))
+          }
+          s.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Batch equivalent (oracle-checkable): the first event per user whose
     * running sum (in ts order, event_id tiebreak) crosses the threshold.
     * NOTE: streaming arrival order is file order; the batch oracle fixes
