@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions entry point registering the engine's native
-  * expressions (currently `unicode_sum`). Wire up with
+  * expressions (`unicode_sum`, `dot_product`). Wire up with
   * `.withExtensions(new GraftExtensions)` (done in Sessions) or
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -17,6 +17,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "unicode_sum takes exactly one argument")
         UnicodeSum(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "dot_product takes exactly two arguments")
+        DotProduct(children.head, children(1))
       }))
   }
 }

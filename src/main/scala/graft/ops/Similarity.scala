@@ -66,11 +66,13 @@ object Similarity {
           .reduce(_ bitwiseOR _).as("bucket"))
   }
 
-  /** Cosine for an exploded element join, computed entirely inside ONE
-    * aggregate: dot / (|a| * |b|) where all three sums run over the
-    * pair's joined elements — no interpreted array lambda anywhere. */
-  private def cosineAgg(xa: Column, xb: Column): Column =
-    sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))
+  /** Native codegen dot product ([[graft.functions.DotProduct]],
+    * registered by GraftExtensions) — ONE per-row loop, no posexplode
+    * row inflation, no aggregate, no interpreted lambda. Every scoring
+    * path below rides on it; norms are computed ONCE per vector row
+    * (not once per candidate pair). */
+  private def dp(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
 
   /** Salted two-phase per-query top-k: a plain
     * `Window.partitionBy(query)` sends EVERY candidate of a query
@@ -91,18 +93,22 @@ object Similarity {
   }
 
   /** Scale-path pairwise cosine: for a (id_a, id_b) candidate frame,
-    * join both sides' raw exploded elements and compute dot + both norms
-    * in one aggregate — everything codegen'd (zero higher-order
-    * lambdas), shuffles bounded by |candidates| x dims. */
+    * attach both sides' WHOLE vectors (plus per-vector norms, computed
+    * once per row) and score with the native `dot_product` expression —
+    * two joins carrying |candidates| rows, zero row inflation. (The
+    * previous shape joined posexploded elements and re-aggregated: every
+    * candidate pair became `dims` rows through a shuffle-side aggregate.) */
   def cosineForPairs(pairs: DataFrame, v: DataFrame, idCol: String,
                      vecCol: String): DataFrame = {
-    val ex = v.select(col(idCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+    val vn = v.select(col(idCol), col(vecCol).as("__vec"),
+      sqrt(dp(col(vecCol), col(vecCol))).as("__n"))
     pairs
-      .join(ex.select(col(idCol).as("id_a"), col("__pos"), col("__x").as("__xa")), "id_a")
-      .join(ex.select(col(idCol).as("id_b"), col("__pos"), col("__x").as("__xb")),
-        Seq("id_b", "__pos"))
-      .groupBy("id_a", "id_b")
-      .agg(cosineAgg(col("__xa"), col("__xb")).as("cosine"))
+      .join(vn.select(col(idCol).as("id_a"), col("__vec").as("__va"),
+        col("__n").as("__na")), "id_a")
+      .join(vn.select(col(idCol).as("id_b"), col("__vec").as("__vb"),
+        col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dp(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
   }
 
   /** Brute-force cosine top-k: corpus elements joined to the BROADCAST
@@ -114,13 +120,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                      idCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("__cn", sqrt(dp(col("cv"), col("cv"))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val cx = c.select(col("corpus_id"), posexplode(col("cv")).as(Seq("__pos", "__cx")))
-    val qx = q.select(col("query_id"), posexplode(col("qv")).as(Seq("__pos", "__qx")))
-    val scored = cx.join(broadcast(qx), "__pos")
+      .withColumn("__qn", sqrt(dp(col("qv"), col("qv"))))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
-      .groupBy("query_id", "corpus_id")
-      .agg(cosineAgg(col("__cx"), col("__qx")).as("cosine"))
+      .select(col("query_id"), col("corpus_id"),
+        (dp(col("cv"), col("qv")) / (col("__cn") * col("__qn"))).as("cosine"))
     topKPerQuery(scored, k)
   }
 
@@ -144,33 +150,30 @@ object Similarity {
       .fit(c.withColumn("__fv", array_to_vector(col("cv"))))
     val cells = km.transform(c.withColumn("__fv", array_to_vector(col("cv"))))
       .select(col("corpus_id"), col("cv"), col("cell"))
-    // nprobe nearest centroids per query: centroids are tiny — exploded
-    // (cell, pos, value) rows joined to the exploded queries, one sq-dist
-    // aggregate, per-query top-nprobe window (all codegen)
+    // nprobe nearest centroids per query: centroids are a tiny broadcast
+    // (cell, array) frame; squared distance = |q|^2 - 2 q.c + |c|^2 via
+    // three native dot_products — per (query, centroid) ROW, no explode
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centEx = km.clusterCenters.zipWithIndex.flatMap { case (v, cid) =>
-      v.toArray.zipWithIndex.map { case (x, pos) => (cid, pos, x) }
-    }.toSeq.toDF("cell", "__pos", "__cx")
-    val qEx = q.select(col("query_id"), posexplode(col("qv")).as(Seq("__pos", "__qx")))
-    val qCells = qEx.join(broadcast(centEx), "__pos")
-      .groupBy("query_id", "cell")
-      .agg(sum((col("__qx") - col("__cx")) * (col("__qx") - col("__cx"))).as("__d2"))
+    val centArr = km.clusterCenters.zipWithIndex
+      .map { case (v, cid) => (cid, v.toArray.toSeq) }.toSeq.toDF("cell", "__cv")
+    val qCells = q.crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("cell"),
+        (dp(col("qv"), col("qv")) - lit(2.0) * dp(col("qv"), col("__cv")) +
+          dp(col("__cv"), col("__cv"))).as("__d2"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(asc("__d2"), asc("cell"))
     val probes = qCells.withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nprobe).select("query_id", "cell")
     val qp = q.join(probes, "query_id")
-    val cx = cells.select(col("corpus_id"), col("cell"),
-      posexplode(col("cv")).as(Seq("__pos", "__cx")))
-    val qpx = qp.select(col("query_id"), col("cell"),
-      posexplode(col("qv")).as(Seq("__pos", "__qx")))
-    val scored = cx.join(broadcast(qpx), Seq("cell", "__pos"))
+      .withColumn("__qn", sqrt(dp(col("qv"), col("qv"))))
+    val scored = cells.withColumn("__cn", sqrt(dp(col("cv"), col("cv"))))
+      .join(broadcast(qp), "cell")
       .filter(col("query_id") =!= col("corpus_id"))
-      .groupBy("query_id", "corpus_id")
-      .agg(cosineAgg(col("__cx"), col("__qx")).as("cosine"))
+      .select(col("query_id"), col("corpus_id"),
+        (dp(col("cv"), col("qv")) / (col("__cn") * col("__qn"))).as("cosine"))
     topKPerQuery(scored, k)
   }
 
@@ -196,14 +199,12 @@ object Similarity {
       else array((col("qbucket") +: (0 until planes).map(i =>
         col("qbucket").bitwiseXOR(lit(1L << i)))): _*)
     val qp = q.select(col("query_id"), col("qv"), explode(probeBuckets).as("bucket"))
-    val cx = c.select(col("corpus_id"), col("bucket"),
-      posexplode(col("cv")).as(Seq("__pos", "__cx")))
-    val qpx = qp.select(col("query_id"), col("bucket"),
-      posexplode(col("qv")).as(Seq("__pos", "__qx")))
-    val scored = cx.join(broadcast(qpx), Seq("bucket", "__pos"))
+      .withColumn("__qn", sqrt(dp(col("qv"), col("qv"))))
+    val scored = c.withColumn("__cn", sqrt(dp(col("cv"), col("cv"))))
+      .join(broadcast(qp), "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
-      .groupBy("query_id", "corpus_id")
-      .agg(cosineAgg(col("__cx"), col("__qx")).as("cosine"))
+      .select(col("query_id"), col("corpus_id"),
+        (dp(col("cv"), col("qv")) / (col("__cn") * col("__qn"))).as("cosine"))
     topKPerQuery(scored, k)
   }
 }
