@@ -42,28 +42,36 @@ object Similarity {
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
-  /** Cheap deterministic pseudo-random plane component for the explode
-    * path: LCG over (seed, plane, dim) — pure codegen'd arithmetic (the
-    * md5 variant costs a hash per (row, plane)). */
-  private def lcgComponent(i: Int, pos: Column, seed: Long): Column = {
-    val h = pmod(lit(1103515245L) * (lit(i.toLong) * 1000003L + pos + lit(seed)) + 12345L,
-      lit(2147483647L))
-    (pmod(h, lit(2000001L)) - 1000000L).cast(DoubleType) / 1000000.0
+  /** Cheap deterministic pseudo-random plane component: LCG over
+    * (seed, plane, dim). The s2 oracle SQL replays this formula exactly —
+    * keep both in sync. */
+  private def lcgComponent(i: Int, pos: Int, seed: Long): Double = {
+    val h = math.floorMod(
+      1103515245L * (i.toLong * 1000003L + pos + seed) + 12345L, 2147483647L)
+    (math.floorMod(h, 2000001L) - 1000000L).toDouble / 1000000.0
   }
 
-  /** Scale-path sign sketches: posexplode the vectors once, compute all
-    * plane dots as codegen'd sum aggregates (map-side partial agg), fold
-    * the sign bits into a long bucket. Returns (idCol, bucket). */
+  /** Scale-path sign sketches — MAP-ONLY (r4): the planes are
+    * O(planes x dims) DRIVER-SIDE array literals, and each sign bit is
+    * one native `dot_product` against the vector column, so the whole
+    * sketch is a single codegen projection: no posexplode, no aggregate,
+    * NO SHUFFLE. (The previous shape exploded every vector to element
+    * rows and ran `planes` sum-aggregates through a groupBy.) The plane
+    * dimensionality is probed from the first row (one O(1) driver job) —
+    * embedding columns are fixed-width by contract. Returns
+    * (idCol, bucket). */
   def signSketchDf(v: DataFrame, idCol: String, vecCol: String, planes: Int,
                    seed: Long = 42L): DataFrame = {
-    val ex = v.select(col(idCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
-    val aggs = (0 until planes).map(i =>
-      sum(col("__x") * lcgComponent(i, col("__pos"), seed)).as(s"__d$i"))
-    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        (0 until planes).map(i =>
-          when(col(s"__d$i") > 0, lit(1L << i)).otherwise(lit(0L)): Column)
-          .reduce(_ bitwiseOR _).as("bucket"))
+    val head = v.select(size(col(vecCol)).as("n")).limit(1).collect()
+    if (head.isEmpty) return v.select(col(idCol), lit(0L).as("bucket"))
+    val dims = head(0).getInt(0)
+    val planeArr = (0 until planes).map(i =>
+      (0 until dims).map(pos => lcgComponent(i, pos, seed)))
+    val bucket = (0 until planes).map(i =>
+      when(dp(col(vecCol), typedlit(planeArr(i))) > 0, lit(1L << i))
+        .otherwise(lit(0L)): Column)
+      .reduce(_ bitwiseOR _)
+    v.select(col(idCol), bucket.as("bucket"))
   }
 
   /** Native codegen dot product ([[graft.functions.DotProduct]],
