@@ -63,6 +63,69 @@ object Multimodal {
     hist
   }
 
+  /** REAL header sniffing (NOT a stub — no codec library needed):
+    * container format and pixel dimensions parsed straight from magic
+    * bytes. PNG (IHDR), JPEG (SOFn scan), GIF (logical screen), BMP
+    * (BITMAPINFOHEADER), WAV (RIFF/WAVE: channels x sample rate stand in
+    * for width x height). Unknown/truncated content -> ("unknown", 0, 0).
+    * This is the part of "decode" a data pipeline actually needs at
+    * ingest time — routing, size filters, aspect-ratio stats — and it
+    * runs at full speed in the same partition seam as the codec stub. */
+  def sniffHeader(b: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int) = b(i) & 0xFF
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b == null || b.length < 12) ("unknown", 0, 0)
+    else if (be32(0) == 0x89504E47 && be32(4) == 0x0D0A1A0A && b.length >= 24 &&
+      new String(b, 12, 4, "US-ASCII") == "IHDR")
+      ("png", be32(16), be32(20))
+    else if (u8(0) == 0xFF && u8(1) == 0xD8) {
+      // walk JPEG segments to the first SOFn (C0-CF except C4/C8/CC)
+      var i = 2
+      var out = ("jpeg", 0, 0)
+      var done = false
+      while (!done && i + 9 < b.length) {
+        if (u8(i) != 0xFF) { done = true }
+        else {
+          val m = u8(i + 1)
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            out = ("jpeg", be16(i + 7), be16(i + 5)); done = true
+          } else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) i += 2
+          else i += 2 + be16(i + 2)
+        }
+      }
+      out
+    }
+    else if (new String(b, 0, 6, "US-ASCII").startsWith("GIF8"))
+      ("gif", le16(6), le16(8))
+    else if (u8(0) == 'B' && u8(1) == 'M' && b.length >= 26)
+      ("bmp", le32(18), le32(22))
+    else if (new String(b, 0, 4, "US-ASCII") == "RIFF" && b.length >= 36 &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE")
+      ("wav", le16(22), le32(24)) // channels, sample rate
+    else ("unknown", 0, 0)
+  }
+
+  /** Header description through the partition seam: media table ->
+    * (media_id, format, width, height) using [[sniffHeader]]. */
+  def describeMedia(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val (f, w, h) = sniffHeader(bytes)
+        Row(r.getLong(0), f, w, h)
+      }
+    }(encoder)
+  }
+
   /** Feature extraction through the decode seam: media table ->
     * (media_id, features array, n_bytes). Batch shape: one partition of
     * records in, one iterator of feature rows out. */

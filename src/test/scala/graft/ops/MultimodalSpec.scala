@@ -61,4 +61,32 @@ class MultimodalSpec extends SparkSpec {
     // and every IVF hit is a genuine corpus neighbor of its query (sane ids)
     assert(ivf.forall { case (qid, cid) => qid != cid })
   }
+
+  test("sniffHeader parses real PNG/JPEG/GIF/BMP/WAV headers from raw bytes") {
+    import spark.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      bytes(0, 0, 2, 0x80, 0, 0, 1, 0xE0, 8, 6, 0, 0, 0) // 640x480
+    val jpeg = bytes(0xFF, 0xD8, // SOI
+      0xFF, 0xE0, 0, 4, 0, 0, // APP0 (len 4)
+      0xFF, 0xC0, 0, 11, 8, 0, 0xF0, 1, 0x40, 1, 0, 0, 0) // SOF0 h=240 w=320
+    val gif = "GIF89a".getBytes ++ bytes(0x20, 0x01, 0xC8, 0x00, 0, 0) // 288x200
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      bytes(0x64, 0, 0, 0) ++ bytes(0x32, 0, 0, 0) ++ bytes(0, 0) // 100x50
+    val wav = "RIFF".getBytes ++ bytes(0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ bytes(16, 0, 0, 0, 1, 0, 2, 0, 0x44, 0xAC, 0, 0) ++
+      new Array[Byte](8) // stereo 44100
+    val txt = "just some text, no media header".getBytes
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, bmp), (5L, wav), (6L, txt))
+      .toDF("media_id", "content")
+    val got = Multimodal.describeMedia(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == ("png", 640, 480))
+    assert(got(2L) == ("jpeg", 320, 240))
+    assert(got(3L) == ("gif", 288, 200))
+    assert(got(4L) == ("bmp", 100, 50))
+    assert(got(5L) == ("wav", 2, 44100))
+    assert(got(6L) == ("unknown", 0, 0))
+  }
 }
