@@ -71,13 +71,15 @@ object Lexicon {
     * exchange). N rides a 1-row broadcast. */
   def tfidfTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val dt = docTermCounts(df, textCol, idCol)
-    val docLen = dt.groupBy("id").agg(sum("c").as("__len"))
+    // doc length as a window over the id-clustering dt already has — a
+    // sort, not another scan branch + join (docs are bounded-size, so a
+    // per-doc window partition is never a hot reducer)
+    val dtl = dt.withColumn("__len", sum("c").over(Window.partitionBy("id")))
     val dfT = dt.groupBy("term").agg(count(lit(1)).as("__df"))
-    val nDocs = docLen.agg(count(lit(1)).as("__nd"))
-    val scored = dt
+    val nDocs = dt.agg(count_distinct(col("id")).as("__nd"))
+    val scored = dtl
       .join(dfT, "term")
       .crossJoin(broadcast(nDocs))
-      .join(docLen, "id")
       .withColumn("tfidf", round(
         (col("c").cast(DoubleType) / col("__len")) *
           log(col("__nd").cast(DoubleType) / col("__df")), 6))
