@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product takes exactly two arguments")
         DotProduct(children.head, children(1))
       }))
+    // whole-operator nodes (custom LogicalPlan -> SparkPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }
 }

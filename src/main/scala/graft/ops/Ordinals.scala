@@ -96,29 +96,14 @@ object Ordinals {
 
   /** Append `out` = INCLUSIVE running total of numeric `valueCol` under
     * the total order `sortCols` — the distributed form of
-    * `sum(v).over(Window.orderBy(...))`: range-sort, one light pass for
-    * per-partition sums (collected — O(#partitions) driver data), one
-    * pass adding each partition's exclusive offset to a local
-    * accumulator. */
+    * `sum(v).over(Window.orderBy(...))`, now a CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.RunningTotalPlan]], planned by the injected
+    * [[graft.plans.RunningTotalStrategy]]): the exec declares the range
+    * sort as its required child distribution (no extra exchange) and
+    * runs the two-phase offset scan over the materialized shuffle in
+    * Tungsten rows — no `.rdd` GenericRow round trip, no codegen
+    * barrier. (The previous RDD shape deserialized every row twice.) */
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
-                       out: String): DataFrame = {
-    val sorted = df.orderBy(sortCols: _*)
-    val idx = sorted.schema.fieldIndex(valueCol)
-    val rdd = sorted.rdd
-    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
-      Iterator((i, it.foldLeft(0.0)((a, r) => a + r.getAs[Number](idx).doubleValue())))
-    }.collect().toMap
-    val offsets = {
-      val arr = new Array[Double](rdd.getNumPartitions)
-      var acc = 0.0
-      for (i <- arr.indices) { arr(i) = acc; acc += partSums.getOrElse(i, 0.0) }
-      arr
-    }
-    val schema = sorted.schema.add(out, org.apache.spark.sql.types.DoubleType, nullable = false)
-    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var acc = offsets(i)
-      it.map { r => acc += r.getAs[Number](idx).doubleValue(); Row.fromSeq(r.toSeq :+ acc) }
-    }
-    df.sparkSession.createDataFrame(rows, schema)
-  }
+                       out: String): DataFrame =
+    graft.plans.RunningTotal(df, sortCols, valueCol, out)
 }

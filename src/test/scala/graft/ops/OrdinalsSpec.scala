@@ -62,6 +62,22 @@ class OrdinalsSpec extends SparkSpec {
     }
   }
 
+  test("withRunningTotal plans as RunningTotalExec: one range exchange, no hash shuffle") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val out = Ordinals.withRunningTotal(df, Seq(col("id").asc), "v", "run")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("RunningTotal ["), plan) // exec nodeName strips the Exec suffix
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // null values contribute 0 (SQL SUM semantics), non-nulls accumulate
+    val withNull = Seq((1L, Some(2.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "v")
+    val got = Ordinals.withRunningTotal(withNull, Seq(col("id").asc), "v", "run")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 2.0, 2L -> 2.0, 3L -> 5.0))
+  }
+
   test("withPerKeyRank handles null keys (null-safe class dictionary)") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, None))
