@@ -3,10 +3,10 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Scratch: measure Ordinals.withRunningTotal (RDD two-phase, zero
-  * exchange) against a DataFrame-native variant (per-partition window —
-  * one extra full exchange, but no Row ser/de). Decides SCALING.md's
-  * prefix-sum row. */
+/** Scratch: measure Ordinals.withRunningTotal (now the custom
+  * RunningTotalExec — zero extra exchange, Tungsten rows) against a
+  * DataFrame window variant (per-partition window — one extra full
+  * exchange). Evidence for SCALING.md's prefix-sum row. */
 object ProfileRunningTotal {
 
   def dfVariant(df: DataFrame, sortCols: Seq[Column], valueCol: String,
@@ -43,7 +43,7 @@ object ProfileRunningTotal {
         println(f"$tag run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (max=$n)")
       }
     }
-    time("rdd")(graft.ops.Ordinals.withRunningTotal(li, sortCols, "l_quantity", "run"))
+    time("exec")(graft.ops.Ordinals.withRunningTotal(li, sortCols, "l_quantity", "run"))
     time("df ")(dfVariant(li, sortCols, "l_quantity", "run"))
     spark.stop()
   }
