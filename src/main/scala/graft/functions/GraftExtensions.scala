@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product takes exactly two arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "simhash64 takes (tokens, bits)")
+        SimHash64(children.head, children(1))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

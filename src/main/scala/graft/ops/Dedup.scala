@@ -224,44 +224,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash: `bits`-wide signature; bit j set iff the sum over tokens of
-    * (+1 if bit j of md5Int(token) else -1) is positive — equivalently
-    * iff 2 * popcount_j > n_tokens. One explode + one groupBy — linear
-    * shuffle. The per-bit counters are BYTE-PACKED: four 16-bit counters
-    * ride in each 64-bit sum aggregate (bits/4 sums instead of one sum
-    * per bit; fields can't carry into each other while every doc has
-    * < 65536 tokens — beyond that the job FAILS LOUDLY with raise_error
-    * instead of silently corrupting signatures: split such documents
-    * upstream). */
-  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int): DataFrame = {
-    val fieldBits = 16
-    val perSum = 64 / fieldBits // 4 counters per aggregate
-    val nSums = (bits + perSum - 1) / perSum
-    val tok = df.select(col(idCol).as("id"),
-      explode(Text.tokens(col(textCol))).as("t"))
-      .withColumn("h", Hashing.md5Int(col("t")))
-    val packed = (0 until nSums).map { s =>
-      val perToken = (0 until perSum).filter(f => s * perSum + f < bits).map { f =>
-        shiftleft(shiftrightunsigned(col("h"), s * perSum + f).bitwiseAND(lit(1L)),
-          f * fieldBits)
-      }.reduce(_ + _) // disjoint fields, each 0/1 per token — no carry
-      sum(perToken).as(s"__s$s")
-    }
-    val agg = tok.groupBy("id")
-      .agg(count(lit(1)).as("__n"), packed: _*)
-    val sig = (0 until bits).map { j =>
-      val nj = shiftrightunsigned(col(s"__s${j / perSum}"), (j % perSum) * fieldBits)
-        .bitwiseAND(lit((1L << fieldBits) - 1))
-      when(nj * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    // guard the packing invariant: a doc with >= 2^16 tokens would carry
-    // into the adjacent counter field and silently corrupt the signature
-    agg.select(col("id"),
-      when(col("__n") >= lit(1L << fieldBits),
-        raise_error(concat(lit("simhash: document "), col("id").cast(StringType),
-          lit(s" has >= ${1L << fieldBits} tokens; packed counters would overflow — split it upstream"))))
-        .otherwise(sig).as("simhash"))
-  }
+  /** SimHash: `bits`-wide signature; bit j set iff more than half the
+    * tokens have bit j of md5Int(token) set. SimHash is ROW-LOCAL, and
+    * since r4 the implementation is too: the native `simhash64`
+    * expression ([[graft.functions.SimHash64]]) loops tokens inside
+    * whole-stage codegen — MAP-ONLY, no explode, no shuffle, and no
+    * token-count bound (the old packed-counter shape exploded every
+    * token through a groupBy and failed loudly at 2^16 tokens/doc).
+    * A null `textCol` yields a null signature (the row stays). */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      call_function("simhash64", Text.tokens(col(textCol)), lit(bits)).as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance <= maxDist. Candidate
     * generation: split the signature into maxDist+1 blocks — any pair

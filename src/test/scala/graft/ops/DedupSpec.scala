@@ -74,19 +74,44 @@ class DedupSpec extends SparkSpec {
     assert(exact == Set(5L, 7L))
   }
 
-  test("simhash fails loudly on a >= 65536-token document instead of corrupting the signature") {
+  test("simhash matches the per-token counting reference (native expression)") {
     import spark.implicits._
-    val big = Array.fill(65536)("tok").mkString(" ")
-    val df = Seq((1L, big)).toDF("doc_id", "text")
-    val e = intercept[Exception] {
-      Dedup.simhash(df, "text", "doc_id", bits = 64).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("split it upstream")), s"got: $e")
-    // one token below the limit still works
-    val ok = Seq((1L, Array.fill(65535)("tok").mkString(" "))).toDF("doc_id", "text")
-    assert(Dedup.simhash(ok, "text", "doc_id", bits = 64).count() == 1)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha alpha alpha beta"),
+      (3L, "x"),
+      (4L, "repeated repeated words words words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhash(docs, "text", "doc_id", bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: explode tokens, count bit-j majorities
+    val tok = docs.select(col("doc_id"),
+        explode(graft.ops.Text.tokens(col("text"))).as("t"))
+      .withColumn("h", Hashing.md5Int(col("t")))
+    val ref = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        (0 until 16).map(j => sum(shiftrightunsigned(col("h"), j)
+          .bitwiseAND(lit(1L))).as(s"c$j")): _*)
+      .collect().map { r =>
+        val n = r.getLong(1)
+        val sig = (0 until 16).foldLeft(0L) { (acc, j) =>
+          if (2 * r.getLong(2 + j) > n) acc | (1L << j) else acc
+        }
+        r.getLong(0) -> sig
+      }.toMap
+    assert(got == ref)
+  }
+
+  test("simhash handles >= 65536-token documents (row-local, no packed-counter bound)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array.fill(70000)("tok").mkString(" ")),
+      (2L, "tok")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "text", "doc_id", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a unanimous corpus of one token has that token's hash as signature,
+    // regardless of repetition count
+    assert(sigs(1L) == sigs(2L))
   }
 
   test("minhash LSH finds planted near-dups with the production banding") {
