@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "simhash64 takes (tokens, bits)")
         SimHash64(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_stats"),
+      new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "ngram_stats takes (tokens, n)")
+        NgramStats(children.head, children(1))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

@@ -33,18 +33,18 @@ object Corpus {
     * carry their whole text as ONE gram (top_ngram_frac 1.0, dup 0.0) —
     * threshold repetition filters on a minimum length, as Gopher does.
     *
-    * Scale: grams are hashed to 8-byte keys before the ONE exchange
-    * (repartition by doc id); the per-(doc, gram) count and the per-doc
-    * rollup both satisfy their clustering from it — no second shuffle. */
+    * Scale: repetition stats are ROW-LOCAL, and since r4 the
+    * implementation is too — the native `ngram_stats` expression
+    * ([[graft.functions.NgramStats]]) counts grams in one per-row loop
+    * inside codegen: MAP-ONLY, no explode, no shuffle. (The previous
+    * shape exploded grams and rolled up through a repartition-by-doc
+    * exchange.) */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    Dedup.shingleRowsRaw(df, textCol, idCol, n)
-      .select(col("id"), Hashing.md5Int(col("sh")).as("__g"))
-      .repartition(col("id"))
-      .groupBy("id", "__g").agg(count(lit(1)).as("__c"))
-      .groupBy("id").agg(
-        (max("__c").cast(DoubleType) / sum("__c")).as("top_ngram_frac"),
-        (lit(1.0) - count(lit(1)).cast(DoubleType) / sum("__c")).as("dup_ngram_frac"))
-      .withColumnRenamed("id", idCol)
+    df.select(col(idCol),
+        call_function("ngram_stats", Text.tokens(col(textCol)), lit(n)).as("__s"))
+      .select(col(idCol),
+        col("__s.top_ngram_frac").as("top_ngram_frac"),
+        col("__s.dup_ngram_frac").as("dup_ngram_frac"))
 
   /** Token-budget sequence packing: assign each doc (in `idCol` order) to
     * the training shard its EXCLUSIVE token prefix-sum falls in —
