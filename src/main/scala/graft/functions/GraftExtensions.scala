@@ -39,6 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "ngram_stats takes (tokens, n)")
         NgramStats(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "fingerprint64 takes exactly one argument")
+        Fingerprint64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "count_in"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "count_in takes exactly two arguments")
+        CountIn(children.head, children(1))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

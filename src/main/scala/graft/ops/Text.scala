@@ -40,14 +40,18 @@ object Text {
 
   def stopwordRatio(c: Column): Column = {
     val toks = tokens(lower(c))
-    val hits = size(filter(toks, t => t.isin(EnStopwords: _*)))
+    // native count_in: occurrence count against the stopword set in one
+    // codegen loop (a filter() lambda runs interpreted per token)
+    val hits = call_function("count_in", toks, typedlit(EnStopwords))
     when(size(toks) === 0, 0.0).otherwise(hits.cast(DoubleType) / size(toks))
   }
 
   def meanWordLen(c: Column): Column = {
     val toks = tokens(c)
+    // sum of token lengths == length of the separator-free join — a
+    // plain builtin chain, no per-element aggregate lambda
     when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / size(toks))
+      length(concat_ws("", toks)).cast(DoubleType) / size(toks))
   }
 
   /** Composite quality score in [0,1]: rewards mid-range length, modest
@@ -75,7 +79,7 @@ object Text {
   def langScores(c: Column): Seq[(String, Column)] = {
     val toks = tokens(lower(c))
     StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*))).cast(LongType)
+      lang -> call_function("count_in", toks, typedlit(words)).cast(LongType)
     }
   }
 
@@ -91,11 +95,13 @@ object Text {
 
   /** Polynomial rolling-hash fingerprint of the raw text:
     * fold(acc*31 + codepoint) mod 1e9+7 — deterministic, engine-agnostic
-    * (DuckDB: list_reduce with a prepended 0 accumulator). */
+    * (DuckDB: list_reduce with a prepended 0 accumulator). Native
+    * codegen kernel ([[graft.functions.Fingerprint64]]) — the
+    * higher-order form materialized a per-character array and ran the
+    * lambda interpreted per element. */
   val FingerprintMod = 1000000007L
   def fingerprint(c: Column): Column =
-    aggregate(split(c, ""), lit(0L),
-      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(FingerprintMod)))
+    call_function("fingerprint64", c.cast(StringType))
 
   /** PII scrubbing for training text: regex redaction of emails, IPv4
     * addresses, and phone-shaped numbers — map-only codegen'd

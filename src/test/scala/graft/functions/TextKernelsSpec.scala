@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextKernelsSpec extends SparkSpec {
+
+  test("fingerprint64 matches the higher-order rolling-hash form") {
+    import spark.implicits._
+    val df = Seq("abc", "", "hello world again", "MiXeD CaSe 123").toDF("s")
+    val both = df.select(
+      call_function("fingerprint64", col("s")).as("native"),
+      aggregate(split(col("s"), ""), lit(0L),
+        (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L))).as("ho"))
+    assert(both.filter(col("native") =!= col("ho")).count() == 0)
+  }
+
+  test("count_in counts occurrences (not distinct matches), skips nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("the", "cat", "the", "dog"), Seq("the", "dog")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("a", "b"), Seq.empty[String])).toDF("a", "b")
+    val out = df.select(call_function("count_in", col("a"), col("b"))).collect()
+    assert(out(0).getLong(0) == 3) // the, the, dog — duplicates count
+    assert(out(1).getLong(0) == 0)
+    assert(out(2).getLong(0) == 0)
+  }
+
+  test("both kernels participate in whole-stage codegen") {
+    val fp = spark.range(50)
+      .select(call_function("fingerprint64", col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(fp.contains("*(1) Project [fingerprint64"), fp)
+    val ci = spark.range(50)
+      .select(array(col("id").cast("string")).as("a"))
+      .select(call_function("count_in", col("a"), col("a")))
+      .queryExecution.executedPlan.toString
+    assert(ci.contains("*(1) Project [count_in"), ci)
+  }
+}
