@@ -27,6 +27,21 @@ class TextKernelsSpec extends SparkSpec {
     assert(out(2).getLong(0) == 0)
   }
 
+  test("every graft extension function is callable from plain SQL") {
+    val r = spark.sql(
+      """SELECT unicode_sum('abc')                       AS us,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |       fingerprint64('abc')                     AS fp,
+        |       count_in(array('a', 'b', 'a'), array('a')) AS ci,
+        |       simhash64(array('tok'), 16)              AS sh,
+        |       ngram_stats(array('x', 'y', 'x', 'y'), 2).dup_ngram_frac AS dup
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 'a' + 'b' + 'c')
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(3) == 2L)
+    assert(r.getDouble(5) > 0.0) // "x y" appears twice among 3 grams
+  }
+
   test("both kernels participate in whole-stage codegen") {
     val fp = spark.range(50)
       .select(call_function("fingerprint64", col("id").cast("string")))
