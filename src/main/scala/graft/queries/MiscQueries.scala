@@ -14,6 +14,22 @@ import Q.QueryFn
 object MiscQueries {
 
   val queries: Map[String, QueryFn] = Map(
+    "q9_sql_surface" -> ((s, dir) => {
+      // the spark.sql(...) surface end-to-end: temp views over the same
+      // parquet tables, ANSI SQL with a graft extension function in the
+      // projection — proves the SQL entry point plans identically to the
+      // DataFrame API (same Catalyst plan underneath)
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n,
+               sum(unicode_sum(l_returnflag)) AS flag_codepoints
+        FROM lineitem_v
+        WHERE l_quantity >= 10
+        GROUP BY l_returnflag""")
+    }),
+
     "s10_question_template" -> ((s, dir) => {
       val t = Inference.questionTemplate(Tables.orders(s, dir),
         Seq("o_orderpriority", "o_orderstatus", "o_totalprice"))
@@ -55,6 +71,16 @@ object MiscQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // unicode_sum('A') = 65, 'N' = 78, 'R' = 82 — one ASCII char per flag
+    "q9_sql_surface" -> """
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n,
+             sum(unicode(l_returnflag)) AS flag_codepoints
+      FROM lineitem
+      WHERE l_quantity >= 10
+      GROUP BY l_returnflag""",
+
     "s10_question_template" -> """
       SELECT 'o_orderpriority' AS feature,
              count(DISTINCT o_orderpriority) AS n_choices,
