@@ -146,6 +146,23 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Resize through the decode seam — the pipeline-side contract of an
+    * image resize: meta reflects the new (width, height), content shrinks
+    * to the new pixel budget. The PIXEL TRANSFORM is the deterministic
+    * stand-in (crop to the first w*h bytes — a real scaler drops into the
+    * same column expression or partition seam); everything around it —
+    * schema, meta rewrite, byte budget — is real. Codegen column ops
+    * only, map-only at any scale. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      expr(s"substring(content, 1, ${w * h})").as("content"),
+      struct(
+        col("meta.modality").as("modality"),
+        lit(w).as("width"),
+        lit(h).as("height"),
+        col("meta.frames").as("frames")).as("meta"))
+
   /** Frame sampling for "video" rows: emit every `stride`-th frame index
     * with a per-frame byte slice — the explode pattern a video pipeline
     * uses (row count scales by frames/stride, bytes stay columnar). */

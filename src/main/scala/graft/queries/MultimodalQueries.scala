@@ -32,7 +32,17 @@ object MultimodalQueries {
         Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text",
           modality = "video"), stride = 5)
         .select(col("media_id"), col("frame_idx"),
-          length(col("frame_bytes")).as("frame_len"))))
+          length(col("frame_bytes")).as("frame_len"))),
+
+    "mm4_resize" -> ((s, dir) =>
+      // resize in the decode seam: new pixel budget caps the byte length,
+      // meta rewritten to the target dimensions
+      Multimodal.resize(
+        Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text"),
+        w = 16, h = 12)
+        .select(col("media_id"), length(col("content")).as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.frames").as("frames"))))
 
   private val histSql: String = (0 until 16)
     .map(j => s"CAST(len(list_filter(string_split(text, ''), c -> unicode(c) % 16 = $j)) AS BIGINT)")
@@ -60,5 +70,12 @@ object MultimodalQueries {
       f AS (SELECT media_id, n, frames, unnest(range(0, frames, 5)) AS frame_idx FROM m)
       SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
              CAST(n // frames AS INT) AS frame_len
-      FROM f""")
+      FROM f""",
+
+    "mm4_resize" -> """
+      SELECT doc_id AS media_id,
+             least(octet_length(encode(text)), 192) AS n_bytes,
+             CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+             CAST(length(text) % 30 + 1 AS INT) AS frames
+      FROM documents""")
 }
