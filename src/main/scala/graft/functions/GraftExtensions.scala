@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "count_in takes exactly two arguments")
         CountIn(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "quantize_i8 takes (vec, scale)")
+        QuantizeI8(children.head, children(1))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

@@ -150,6 +150,16 @@ object DedupQueries {
       Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 5), "embedding",
         "vec_id", k = 10, nlist = 8, nprobe = 3)
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
+    "s5_ann_quantized" -> ((s, dir) => {
+      // int8-quantized top-k: integer dot products are engine-exact, so
+      // ranks AND rounded scores are fully oracle-able
+      val e = Tables.embeddings(s, dir)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 5), "embedding",
+        "vec_id", k = 10)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
     }))
 
   /** Strict left-fold cosine in DuckDB, matching Spark's aggregate order. */
@@ -276,6 +286,25 @@ object DedupQueries {
         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
                ${cosSql("q.v", "c.v")} AS cosine
         FROM c, q WHERE q.vec_id <> c.vec_id)
+      SELECT query_id, corpus_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank,
+             round(cosine, 6) AS cosine
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) <= 10""",
+
+    // replays quantizeInt8 exactly: scale = max|x|, cells =
+    // round(127 x / scale); integer dots make ranks engine-exact
+    "s5_ann_quantized" -> s"""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      qz AS (SELECT vec_id,
+               list_transform(v, x ->
+                 round(127 * x / greatest(list_max(v), -list_min(v)))) AS q
+             FROM c),
+      q AS (SELECT vec_id, q FROM qz WHERE vec_id < 5),
+      scored AS (
+        SELECT q.vec_id AS query_id, qz.vec_id AS corpus_id,
+               ${cosSql("q.q", "qz.q")} AS cosine
+        FROM qz, q WHERE q.vec_id <> qz.vec_id)
       SELECT query_id, corpus_id,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank,
              round(cosine, 6) AS cosine

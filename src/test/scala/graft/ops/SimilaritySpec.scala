@@ -25,6 +25,20 @@ class SimilaritySpec extends SparkSpec {
       "ivfTopK")
   }
 
+  test("int8-quantized top-k nearly matches exact top-k, lambda-free plan") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(e, q, "embedding", "vec_id", 10)
+    assertNoInterpretedLambda(quant, "quantizedTopK")
+    val got = quant.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"int8 recall $recall") // 64-dim int8 barely moves ranks
+  }
+
   test("cosineForPairs matches the interpreted cosine() reference") {
     val e = Tables.embeddings(spark, sf).limit(40)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
