@@ -41,4 +41,19 @@ class CorpusSinkSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("lang"),
       s"expected partition pruning in:\n$scan")
   }
+
+  test("sortWithinFiles orders rows inside every written file (row-group stats lever)") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = graft.queries.Q.tempDir("corpus-sink-sorted")
+    CorpusSink.writePartitioned(docs, out, "lang",
+      maxRecordsPerFile = 1000000L, sortWithinFiles = Seq("doc_id"))
+    val files = Files.walk(Paths.get(out)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val ids = spark.read.parquet(f.toString).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"$f not sorted")
+    }
+  }
 }
