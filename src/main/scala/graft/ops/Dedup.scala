@@ -287,7 +287,15 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
-  /** Connected components over a near-dup pair list (id_a, id_b):
+  /** Connected components over a near-dup pair list (id_a, id_b).
+    *
+    * TWO-TIER: when the deduplicated edge list fits a single task
+    * (`localEdgeBudget`, default 2M edges), components are computed in ONE
+    * stage by a per-partition union-find with path compression — a near-dup
+    * pair list is usually orders of magnitude smaller than the corpus
+    * (that's the point of candidate pruning), and the distributed loop
+    * below costs ~6 scheduled stages PER ROUND, pure overhead at that
+    * size. Above the budget, the distributed fixpoint runs:
     * min-label propagation with POINTER DOUBLING — each round every node
     * takes the min of its own and its neighbors' labels, then follows its
     * label's label (comp := comp(comp)). Doubling squares the propagation
@@ -308,9 +316,13 @@ object Dedup {
     * Returns (id, component) for every id appearing in `pairs`,
     * component = min id of the cluster — the keep-one key a dedup
     * pipeline drops duplicates by. */
-  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def components(pairs: DataFrame, maxIter: Int = 25,
+                 localEdgeBudget: Long = 2L * 1000 * 1000): DataFrame = {
+    val undirected = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .distinct().localCheckpoint(true)
+    if (undirected.count() <= localEdgeBudget) return localComponents(undirected)
+    val edges0 = undirected
+      .unionByName(undirected.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     // Size the round parallelism to the GRAPH, not the corpus: the pair
     // list is usually orders of magnitude smaller than the input (that's
@@ -355,6 +367,39 @@ object Dedup {
         s"components: min-label propagation did not converge in $maxIter rounds " +
           s"($changed labels still changing) — raise maxIter")
     labels
+  }
+
+  /** Exact components of a small (≤ localEdgeBudget) edge list in ONE
+    * task: union-find with path compression over the coalesced edges,
+    * emitting (id, rep) under arbitrary representatives, then a tiny
+    * groupBy remap to comp = min(id) — the remap keeps the id type
+    * generic (min() is SQL-ordered for any orderable column, so string
+    * and numeric ids both work without a JVM Ordering). The single task
+    * is bounded by the caller's edge budget, NOT corpus-sized — the
+    * distributed loop in [[components]] remains the unbounded path. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    val labeled = edges.coalesce(1).rdd.mapPartitions { it =>
+      val parent = new scala.collection.mutable.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var root = x
+        while (parent.get(root).exists(_ != root)) root = parent(root)
+        var cur = x // path compression
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      it.foreach { r =>
+        val ra = find(r.get(0)); val rb = find(r.get(1))
+        parent(ra) = ra
+        parent(rb) = ra
+      }
+      parent.keysIterator.map(k => org.apache.spark.sql.Row(k, find(k)))
+    }
+    val labels = spark.createDataFrame(labeled, StructType(Seq(
+      StructField("id", idType), StructField("rep", idType))))
+    labels.join(labels.groupBy("rep").agg(min(col("id")).as("comp")), "rep")
+      .select("id", "comp")
   }
 
   /** Keep-one-per-cluster: drop every row of `df` whose id appears in a

@@ -178,10 +178,32 @@ class DedupSpec extends SparkSpec {
     // diameter-300 chain: plain min-propagation would need 300 rounds and
     // previously returned WRONG labels silently at maxIter=20 (r3 ADVICE);
     // doubling needs ~log2(300) ~ 9 rounds
+    // localEdgeBudget = 0 forces the distributed loop (the default would
+    // take the single-task union-find fast path at this size)
     val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.components(pairs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val comp = Dedup.components(pairs, localEdgeBudget = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(comp.length == 301)
     assert(comp.forall(_._2 == 0L), s"unconverged labels: ${comp.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("components: single-task fast path and distributed loop agree; string ids work") {
+    import spark.implicits._
+    // mixed shapes: a chain, a triangle + duplicate/reversed edges, a pair
+    val edges = Seq((5L, 6L), (6L, 7L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (9L, 8L)).toDF("id_a", "id_b")
+    val local = Dedup.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.components(edges, localEdgeBudget = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 5L, 8L -> 8L, 9L -> 8L))
+    // generic id type: comp = min(id) under SQL string ordering
+    val s = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("id_a", "id_b")
+    val sc = Dedup.components(s)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sc == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("dedup leaves no persisted RDDs behind across back-to-back corpus runs") {
