@@ -275,13 +275,23 @@ object Dedup {
     * as one shingle — see [[shingleRows]] — so an empty benchmark doc
     * flags empty corpus docs. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, textCol: String,
-                    idCol: String, n: Int, maxOverlap: Double): DataFrame = {
+                    idCol: String, n: Int, maxOverlap: Double,
+                    broadcastBenchmark: Boolean = true): DataFrame = {
     val cs = shingleHashRows(corpus, textCol, idCol, n)
-    val bs = shingleHashRows(benchmark, textCol, idCol, n)
-      .select("__h").distinct()
-    val sizes = cs.groupBy("id").agg(count(lit(1)).as("__n_sh"))
-    val hits = cs.join(bs, "__h").groupBy("id").agg(count(lit(1)).as("__hits"))
-    val contaminated = sizes.join(hits, "id")
+    val bs0 = shingleHashRows(benchmark, textCol, idCol, n)
+      .select("__h").distinct().withColumn("__hit", lit(1))
+    // The benchmark is eval-sized while the corpus is the 100 TB side, so
+    // the overlap join broadcasts the benchmark's distinct shingle hashes
+    // by default: the corpus-side shingle rows are then never re-shuffled
+    // by hash — one LEFT broadcast join preserves the id partitioning and
+    // a single groupBy(id) computes size AND hit count together (the old
+    // shape aggregated the corpus shingles twice and shuffle-joined on
+    // the shingle hash). Pass broadcastBenchmark=false for a
+    // pathologically large benchmark suite.
+    val bs = if (broadcastBenchmark) broadcast(bs0) else bs0
+    val contaminated = cs.join(bs, Seq("__h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n_sh"), count(col("__hit")).as("__hits"))
       .filter(col("__hits") >= col("__n_sh") * maxOverlap)
       .select(col("id").as(idCol))
     corpus.join(contaminated, Seq(idCol), "left_anti")
