@@ -60,6 +60,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "quantize_i8 takes (vec, scale)")
         QuantizeI8(children.head, children(1))
       }))
+    // Spark's own runtime-filter bloom expressions, surfaced as callable
+    // functions (4.1 ships them for join runtime filters but registers no
+    // SQL names): bloom_agg(longCol[, items[, bits]]) -> binary filter,
+    // bloom_might_contain(filterBinary, longCol) -> boolean. Both are
+    // codegen-participating catalyst expressions — the probe side is a
+    // map-only predicate, the shape a 100 TB semi-join prune needs.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        children.size match {
+          case 1 => new BloomFilterAggregate(children.head)
+          case 2 => new BloomFilterAggregate(children.head, children(1))
+          case 3 => new BloomFilterAggregate(children.head, children(1), children(2))
+          case n => throw new IllegalArgumentException(
+            s"bloom_agg takes (value[, estimatedItems[, numBits]]), got $n args")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "bloom_might_contain takes (filter, value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

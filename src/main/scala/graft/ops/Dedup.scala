@@ -297,6 +297,35 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]] for a benchmark whose shingle set exceeds the
+    * broadcast budget but whose BLOOM FILTER does not: build a Bloom
+    * filter over the benchmark's distinct shingle hashes (one aggregate —
+    * ~1.2 GB per 10^9 shingles at 10 bits/item, so any realistic eval
+    * suite fits), ship it as a literal into a map-only
+    * `bloom_might_contain` prune over the corpus shingles, and run the
+    * exact overlap join ONLY on the surviving rows. False positives cost
+    * shuffle bytes, never correctness: the verify join is exact, so the
+    * result equals [[decontaminate]] bit-for-bit. The corpus side is
+    * never re-shuffled by hash except for the pruned sliver. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                         idCol: String, n: Int, maxOverlap: Double,
+                         expectedShingles: Long = 4L * 1000 * 1000): DataFrame = {
+    val cs = shingleHashRows(corpus, textCol, idCol, n)
+    val bs = shingleHashRows(benchmark, textCol, idCol, n)
+      .select("__h").distinct()
+    val bloomRow = bs.agg(call_function("bloom_agg", col("__h"),
+      lit(expectedShingles), lit(expectedShingles * 10)).as("bf")).head()
+    if (bloomRow.isNullAt(0)) return corpus // empty benchmark: nothing to drop
+    val bloom = bloomRow.getAs[Array[Byte]](0)
+    val candidate = cs.filter(call_function("bloom_might_contain", lit(bloom), col("__h")))
+    val hits = candidate.join(bs, "__h").groupBy("id").agg(count(lit(1)).as("__hits"))
+    val sizes = cs.groupBy("id").agg(count(lit(1)).as("__n_sh"))
+    val contaminated = sizes.join(hits, "id")
+      .filter(col("__hits") >= col("__n_sh") * maxOverlap)
+      .select(col("id").as(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list (id_a, id_b).
     *
     * TWO-TIER: when the deduplicated edge list fits a single task

@@ -125,6 +125,16 @@ object DedupQueries {
           threshold = 0.7))
         .select(col("id").as("doc_id"), col("comp").as("component"))),
 
+    "d8_decontaminate_bloom" -> ((s, dir) => {
+      // the no-broadcast scale path: bloom prune + exact verify — result
+      // must equal d7 bit-for-bit (same oracle)
+      val corpus = Tables.documents(s, dir).select("doc_id", "text")
+      val benchmark = corpus.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      Dedup.decontaminateBloom(corpus, benchmark, "text", "doc_id", n = 3,
+        maxOverlap = 0.8, expectedShingles = 200000L).select("doc_id")
+    }),
+
     "s1_ann_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "embedding",
@@ -204,6 +214,26 @@ object DedupQueries {
     "d4_simhash" -> simhashOracle,
 
     "d7_decontaminate" -> """
+      WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> list_reduce(list_transform(range(i, i + 3),
+                    j -> (string_split_regex(trim(text), '\s+'))[j + 1]),
+                  (a, b) -> a || ' ' || b)))) AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+           UNION ALL
+           SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) < 3),
+      bs AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 30),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hits AS (SELECT s.doc_id, count(*) AS h FROM sh s JOIN bs USING (sh) GROUP BY 1),
+      bad AS (SELECT sizes.doc_id FROM sizes JOIN hits USING (doc_id)
+              WHERE h >= n_sh * 0.8)
+      SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    // the bloom path is a pure shuffle prune — exact same semantics as d7
+    "d8_decontaminate_bloom" -> """
       WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
              range(len(string_split_regex(trim(text), '\s+')) - 2),
              i -> list_reduce(list_transform(range(i, i + 3),

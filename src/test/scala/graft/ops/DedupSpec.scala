@@ -144,6 +144,38 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set(2L))
   }
 
+  test("decontaminateBloom equals decontaminate (bloom is a prune, not a semantic)") {
+    import spark.implicits._
+    // 40 docs sharing vocab so the tiny bloom (high fp rate at
+    // expectedShingles=10) must NOT change the result — false positives
+    // only add rows to the exact verify join
+    val corpus = (0L until 40L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j) % 60}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val benchmark = corpus.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 900).as("doc_id"), col("text"))
+    for (ov <- Seq(0.5, 0.8); items <- Seq(10L, 100000L)) {
+      val exact = Dedup.decontaminate(corpus, benchmark, "text", "doc_id", 3, ov)
+        .collect().map(_.getLong(0)).toSet
+      val bloom = Dedup.decontaminateBloom(corpus, benchmark, "text", "doc_id",
+        3, ov, expectedShingles = items).collect().map(_.getLong(0)).toSet
+      assert(bloom == exact, s"mismatch at maxOverlap=$ov items=$items")
+    }
+    // empty benchmark: bloom aggregate yields null -> corpus unchanged
+    val none = Dedup.decontaminateBloom(corpus, corpus.filter(lit(false)),
+      "text", "doc_id", 3, 0.8).count()
+    assert(none == 40L)
+  }
+
+  test("bloom_agg / bloom_might_contain are SQL-callable and codegen the probe") {
+    val hit = spark.sql(
+      """SELECT bloom_might_contain(
+           (SELECT bloom_agg(h, 100L, 1000L)
+            FROM (SELECT xxhash64(col) AS h FROM VALUES ('a'),('b') AS t(col))),
+           xxhash64('a')) AS hit""").collect().head.getBoolean(0)
+    assert(hit)
+  }
+
   test("redactPii scrubs emails, IPs, and phones but not plain text") {
     import spark.implicits._
     val out = Seq(
