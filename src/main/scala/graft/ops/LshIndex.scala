@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Persisted MinHash-LSH index of an already-deduplicated corpus, and the
+  * incremental near-dup check against it — the PRODUCTION dedup shape: a
+  * daily batch is checked against years of history without re-shingling
+  * (or re-shuffling) the history. The index holds three tables derived
+  * once per corpus:
+  *
+  *   - `bandKeys` (id, key): one 64-bit LSH band hash per (doc, band) —
+  *     [[Dedup.minhashBandKeys]] output, the candidate-join probe target;
+  *   - `shingles` (id, __h): distinct 60-bit shingle hashes per doc —
+  *     the exact-verify side;
+  *   - `sizes` (id, n_sh): per-doc distinct shingle counts — the Jaccard
+  *     denominator.
+  *
+  * At scale the new batch is orders of magnitude smaller than the index,
+  * so [[incrementalPairs]] BROADCASTS the batch's band keys and probes
+  * the index with a map-side join: the index is scanned, never shuffled.
+  * Candidate pairs (bounded by banding collisions, not corpus size) then
+  * verify exactly against the union of index and batch shingles.
+  *
+  * Mirrors the reference's dedup feature set at its incremental-ingest
+  * boundary (the reference re-runs whole-corpus dedup per import;
+  * `preprocessing/duplicate_data_ui.py:60-120` — at 100 TB that re-run
+  * is the thing this index removes).
+  */
+object LshIndex {
+
+  /** The three index tables. Band parameters are the caller's contract:
+    * query-time `(n, bands, rowsPerBand, seed)` must match build-time
+    * values (persisted alongside the tables by [[save]]). */
+  case class Index(bandKeys: DataFrame, shingles: DataFrame, sizes: DataFrame,
+                   n: Int, bands: Int, rowsPerBand: Int, seed: Long)
+
+  /** Build the index tables for a corpus in one pass over its shingles
+    * (one id-partitioned exchange feeds band keys, shingles, and sizes —
+    * the [[Dedup.shingleHashRows]] reuse contract). */
+  def build(df: DataFrame, textCol: String, idCol: String, n: Int,
+            bands: Int, rowsPerBand: Int, seed: Long = 42L): Index = {
+    val ex = Dedup.shingleHashRows(df, textCol, idCol, n)
+    Index(
+      bandKeys = Dedup.minhashBandKeys(ex, "id", bands, rowsPerBand, seed),
+      shingles = ex,
+      sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh")),
+      n = n, bands = bands, rowsPerBand = rowsPerBand, seed = seed)
+  }
+
+  /** Persist the index as three parquet tables plus a one-row params
+    * table (so [[load]] can refuse a mismatched query config). `mode` is
+    * "error" by default; pass "append" to add a verified batch's entries
+    * — the index grows by exactly the kept docs, nothing is rewritten. */
+  def save(ix: Index, path: String, mode: String = "error"): Unit = {
+    ix.bandKeys.write.mode(mode).parquet(s"$path/bandkeys")
+    ix.shingles.write.mode(mode).parquet(s"$path/shingles")
+    ix.sizes.write.mode(mode).parquet(s"$path/sizes")
+    val spark = ix.bandKeys.sparkSession
+    import spark.implicits._
+    Seq((ix.n, ix.bands, ix.rowsPerBand, ix.seed))
+      .toDF("n", "bands", "rowsPerBand", "seed")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def load(spark: SparkSession, path: String): Index = {
+    val p = spark.read.parquet(s"$path/params").head()
+    Index(
+      bandKeys = spark.read.parquet(s"$path/bandkeys"),
+      shingles = spark.read.parquet(s"$path/shingles"),
+      sizes = spark.read.parquet(s"$path/sizes"),
+      n = p.getAs[Int]("n"), bands = p.getAs[Int]("bands"),
+      rowsPerBand = p.getAs[Int]("rowsPerBand"), seed = p.getAs[Long]("seed"))
+  }
+
+  /** Near-dup pairs between `newDocs` and the index, PLUS pairs inside
+    * `newDocs` itself (a batch can carry its own duplicates) — exactly
+    * the pairs [[Dedup.minhashLshPairs]] would emit on (corpus ∪ batch)
+    * restricted to >= 1 new side, without touching the corpus text.
+    * Output (id_a, id_b, jaccard), id_a < id_b, exact Jaccard at
+    * `threshold`. Ids must be disjoint between index and batch.
+    *
+    * Scale shape: the batch's band keys broadcast into a map-side probe
+    * of `index.bandKeys` (the index is never shuffled); candidates are
+    * banding-collision-bounded; the exact verify joins candidates (small
+    * side) against the shingle tables. Pass `broadcastNewSide=false` if
+    * the "batch" is itself corpus-sized. */
+  def incrementalPairs(newDocs: DataFrame, index: Index, textCol: String,
+                       idCol: String, threshold: Double,
+                       broadcastNewSide: Boolean = true): DataFrame = {
+    val exNew = Dedup.shingleHashRows(newDocs, textCol, idCol, index.n)
+    val sizesNew = exNew.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val bandedNew = Dedup.minhashBandKeys(exNew, "id",
+      index.bands, index.rowsPerBand, index.seed)
+    val bNew = if (broadcastNewSide) broadcast(bandedNew) else bandedNew
+    // new-vs-old: probe the index with the (broadcast) batch keys
+    val candOld = index.bandKeys.as("o").join(bNew.as("nw"),
+        col("o.key") === col("nw.key"))
+      .select(least(col("o.id"), col("nw.id")).as("id_a"),
+        greatest(col("o.id"), col("nw.id")).as("id_b"))
+    // new-vs-new: the d3 self-join, batch-sized
+    val candNew = bandedNew.as("a").join(bandedNew.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = candOld.unionByName(candNew).dropDuplicates("id_a", "id_b")
+    val allSh = index.shingles.unionByName(exNew)
+    val allSizes = index.sizes.unionByName(sizesNew)
+    // pair-anchored exact verify, same shape as minhashLshPairs
+    val withA = cand.join(allSh.withColumnRenamed("id", "id_a"), "id_a")
+    val common = withA.join(allSh.withColumnRenamed("id", "id_b"),
+        Seq("id_b", "__h"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(allSizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(allSizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Index entries for the batch docs a dedup run decided to KEEP —
+    * append these via `save(ix, path, mode = "append")` to grow the
+    * index incrementally. */
+  def entriesFor(keptDocs: DataFrame, index: Index, textCol: String,
+                 idCol: String): Index = {
+    val b = build(keptDocs, textCol, idCol, index.n, index.bands,
+      index.rowsPerBand, index.seed)
+    b.copy(n = index.n, bands = index.bands,
+      rowsPerBand = index.rowsPerBand, seed = index.seed)
+  }
+}

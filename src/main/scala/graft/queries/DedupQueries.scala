@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, LshIndex, Similarity}
 import Q.QueryFn
 
 /** Driver-checked queries for deduplication and similarity search.
@@ -125,6 +125,20 @@ object DedupQueries {
           threshold = 0.7))
         .select(col("id").as("doc_id"), col("comp").as("component"))),
 
+    "d9_incremental_lsh" -> ((s, dir) => {
+      // the production ingest shape: a perturbed batch (docs 0..49, ids
+      // +20000) checked against an LSH index of the corpus — no corpus
+      // re-shingling, index probed via broadcast batch band keys
+      val corpus = Tables.documents(s, dir).select("doc_id", "text")
+      val newBatch = corpus.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      val ix = LshIndex.build(corpus, "text", "doc_id", n = D3Shingle,
+        bands = D3Bands, rowsPerBand = D3RowsPerBand)
+      LshIndex.incrementalPairs(newBatch, ix, "text", "doc_id", D3Threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "d8_decontaminate_bloom" -> ((s, dir) => {
       // the no-broadcast scale path: bloom prune + exact verify — result
       // must equal d7 bit-for-bit (same oracle)
@@ -231,6 +245,15 @@ object DedupQueries {
       bad AS (SELECT sizes.doc_id FROM sizes JOIN hits USING (doc_id)
               WHERE h >= n_sh * 0.8)
       SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    // incremental LSH == full LSH on (corpus ∪ batch) restricted to
+    // >= 1 new side; recall 1 on this fixture (same banding as d3)
+    "d9_incremental_lsh" -> s"""
+      SELECT id_a, id_b, jaccard FROM (${jaccardOracle(
+        """SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 20000, text || ' extra token'
+           FROM documents WHERE doc_id < 50""", 3, 0.7)})
+      WHERE id_a >= 20000 OR id_b >= 20000""",
 
     // the bloom path is a pure shuffle prune — exact same semantics as d7
     "d8_decontaminate_bloom" -> """

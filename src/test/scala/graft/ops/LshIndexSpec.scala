@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LshIndexSpec extends SparkSpec {
+
+  // corpus: 60 docs with rolling shared vocab; batch: near-dups of docs
+  // 0..7 (ids +1000), one internal batch dup pair (2000/2001), one novel
+  private def corpus = {
+    import spark.implicits._
+    (0L until 60L).map(i =>
+      (i, (0 until 20).map(j => s"w${(i * 5 + j) % 80}").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+  private def batch = {
+    import spark.implicits._
+    val near = (0L until 8L).map(i =>
+      (i + 1000L, (0 until 20).map(j => s"w${(i * 5 + j) % 80}").mkString(" ") + " x"))
+    val internal = Seq(
+      (2000L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+      (2001L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"))
+    val novel = Seq((3000L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+    (near ++ internal ++ novel).toDF("doc_id", "text")
+  }
+
+  test("incrementalPairs == full LSH on the union, restricted to >=1 new side") {
+    val ix = LshIndex.build(corpus, "text", "doc_id", n = 3, bands = 21, rowsPerBand = 3)
+    val inc = LshIndex.incrementalPairs(batch, ix, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshPairs(corpus.unionByName(batch), "text", "doc_id",
+        3, 21, 3, 0.7)
+      .filter(col("id_a") >= 1000 || col("id_b") >= 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full, s"inc=$inc full=$full")
+    // the planted shapes are all present
+    (0L until 8L).foreach(i => assert(inc.contains((i, i + 1000L)), s"missing ($i, ${i + 1000})"))
+    assert(inc.contains((2000L, 2001L)), "missing internal batch dup")
+    assert(!inc.exists { case (a, b) => a < 1000 && b < 1000 },
+      "old-old pair leaked into the incremental result")
+    assert(!inc.exists { case (a, b) => a == 3000L || b == 3000L },
+      "novel doc matched something")
+  }
+
+  test("save/load round-trips tables AND band params; append grows the index") {
+    val dir = java.nio.file.Files.createTempDirectory("lshix").toString
+    val ix = LshIndex.build(corpus, "text", "doc_id", n = 3, bands = 21, rowsPerBand = 3)
+    LshIndex.save(ix, dir)
+    val loaded = LshIndex.load(spark, dir)
+    assert((loaded.n, loaded.bands, loaded.rowsPerBand, loaded.seed) == (3, 21, 3, 42L))
+    val inc = LshIndex.incrementalPairs(batch, loaded, "text", "doc_id", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.contains((0L, 1000L)) && inc.contains((2000L, 2001L)))
+    // keep the novel doc + one internal-dup survivor, append, re-check:
+    // a SECOND batch near-dup of the novel doc must now be caught
+    import spark.implicits._
+    val kept = batch.filter(col("doc_id").isin(3000L, 2000L))
+    LshIndex.save(LshIndex.entriesFor(kept, loaded, "text", "doc_id"), dir, mode = "append")
+    val grown = LshIndex.load(spark, dir)
+    assert(grown.sizes.count() == ix.sizes.count() + 2)
+    val batch2 = Seq((4000L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11")).toDF("doc_id", "text")
+    val inc2 = LshIndex.incrementalPairs(batch2, grown, "text", "doc_id", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc2 == Set((3000L, 4000L)), s"got $inc2")
+  }
+
+  test("the index probe never shuffles the index side (broadcast batch keys)") {
+    val ix = LshIndex.build(corpus, "text", "doc_id", n = 3, bands = 21, rowsPerBand = 3)
+    val plan = LshIndex.incrementalPairs(batch, ix, "text", "doc_id", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast probe in:\n$plan")
+  }
+}
