@@ -43,6 +43,28 @@ object Balancing {
      tagged.filter(col("__rn") <= col("__quota")).drop("__rn", "__quota", "__cn"))
   }
 
+  /** Leakage-safe split: near-dup CLUSTERS never straddle the train/test
+    * boundary (a test doc with a train-side near-duplicate is a leaked
+    * answer — the failure mode group-wise splitting exists for). Each
+    * doc's group = its connected component over `pairs` (its own id when
+    * unpaired); the group key hash-routes the whole cluster to one side.
+    * Deterministic (seeded md5 arithmetic, no rand()), one broadcast-able
+    * join against the component labels (pair graphs are pruned-small),
+    * map-only otherwise. Returns df + a `split` column ('train'/'test');
+    * testFraction is approximate at group granularity — exact fractions
+    * are impossible without splitting a cluster. */
+  def groupSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                 testFraction: Double, seed: Long = 42L): DataFrame = {
+    val comp = Dedup.components(pairs).withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("split",
+        when(pmod(Hashing.md5Int(concat_ws(":",
+            coalesce(col("comp"), col(idCol)).cast("string"), lit(seed))),
+          lit(1000L)) < lit(math.round(testFraction * 1000)), "test")
+          .otherwise("train"))
+      .drop("comp")
+  }
+
   /** B3 — random undersample every class to ~the minority size
     * (`data_balancing_list_method_logic.py:24-32`). Exact-size per class via
     * per-key rank over a seeded-random order (not Bernoulli — reference

@@ -125,6 +125,14 @@ object DedupQueries {
           threshold = 0.7))
         .select(col("id").as("doc_id"), col("comp").as("component"))),
 
+    "b17_group_split" -> ((s, dir) =>
+      // leakage-safe split: near-dup clusters (d2 pairs) hash-route
+      // whole to one side; seeded md5 arithmetic = exact oracle below
+      graft.ops.Balancing.groupSplit(nearCorpus(s, dir), "doc_id",
+        Dedup.ngramJaccardPairs(nearCorpus(s, dir), "text", "doc_id", n = 3,
+          threshold = 0.7), testFraction = 0.3, seed = 42L)
+        .select("doc_id", "split")),
+
     "d9_incremental_lsh" -> ((s, dir) => {
       // the production ingest shape: a perturbed batch (docs 0..49, ids
       // +20000) checked against an LSH index of the corpus — no corpus
@@ -245,6 +253,29 @@ object DedupQueries {
       bad AS (SELECT sizes.doc_id FROM sizes JOIN hits USING (doc_id)
               WHERE h >= n_sh * 0.8)
       SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    // component labels as in d6, then the same md5 split arithmetic the
+    // Spark side computes: group = component (own id when unpaired)
+    "b17_group_split" -> s"""
+      WITH RECURSIVE pairs AS (${jaccardOracle(NearCorpusSql, 3, 0.7)}),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      comp AS (SELECT n.id AS doc_id,
+                 least(n.id, (SELECT min(r) FROM reach WHERE reach.id = n.id)) AS component
+               FROM nodes n),
+      corpus AS ($NearCorpusSql),
+      grp AS (SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS g
+              FROM corpus c LEFT JOIN comp USING (doc_id))
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(g AS VARCHAR) || ':42'), 1, 15)) AS BIGINT)
+                       % 1000 < 300
+                  THEN 'test' ELSE 'train' END AS split
+      FROM grp""",
 
     // incremental LSH == full LSH on (corpus ∪ batch) restricted to
     // >= 1 new side; recall 1 on this fixture (same banding as d3)

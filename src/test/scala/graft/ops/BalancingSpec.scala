@@ -72,4 +72,31 @@ class BalancingSpec extends SparkSpec {
     assert(after(majority) == 50L)
     (before.keySet - majority).foreach(k => assert(after(k) == before(k)))
   }
+
+  test("groupSplit: near-dup clusters never straddle the boundary; deterministic") {
+    import spark.implicits._
+    // three clusters (chain 1-2-3, pair 10-11, pair 20-21) + loose docs
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 31L, 32L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = groupSplit(docs, "doc_id", pairs, testFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 10, "every doc gets a split")
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "chain cluster split apart")
+    assert(Set(out(10L), out(11L)).size == 1)
+    assert(Set(out(20L), out(21L)).size == 1)
+    // deterministic across invocations
+    val again = groupSplit(docs, "doc_id", pairs, testFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+    // a different seed can route groups differently, but purity holds
+    val other = groupSplit(docs, "doc_id", pairs, testFraction = 0.5, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(other(1L), other(2L), other(3L)).size == 1)
+    // fraction is approximately honored over many singleton groups
+    val many = (0L until 2000L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val frac = groupSplit(many, "doc_id", noPairs, testFraction = 0.3)
+      .filter(col("split") === "test").count() / 2000.0
+    assert(math.abs(frac - 0.3) < 0.05, s"test fraction $frac far from 0.3")
+  }
 }
