@@ -98,6 +98,67 @@ object Dedup {
       .repartition(col("id"))
       .dropDuplicates("id", "__h")
 
+  /** POSITIONED shingle hash rows (id, pos, __h) — no dedup (positions
+    * matter), no short-doc branch (a doc under n tokens has no length-n
+    * span). Same exchange-free arrays_zip construction as
+    * [[shingleRowsRaw]]; pos is 0-based token offset. */
+  private[ops] def shinglePosRows(df: DataFrame, textCol: String, idCol: String,
+                                  n: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+    val sz = size(col("__toks"))
+    val m = sz - (n - 1)
+    val full = arrays_zip((0 until n).map(j =>
+      slice(col("__toks"), lit(j + 1), greatest(m, lit(0))).as(j.toString)): _*)
+    base.filter(sz >= n)
+      .select(col("id"), posexplode(full).as(Seq("pos", "__sh")))
+      .select(col("id"), col("pos"), Hashing.md5Int(concat_ws(" ",
+        (0 until n).map(j => col("__sh").getField(j.toString)): _*)).as("__h"))
+  }
+
+  /** Exact repeated token spans — the "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al., 2022) exact-substring signal in
+    * a shingle-hash formulation Spark can run without a distributed
+    * suffix array: a length-`minTokens` span is DUPLICATED when its
+    * shingle hash occurs >= 2 times anywhere in the corpus (cross- or
+    * within-doc); overlapping/adjacent duplicated spans merge into
+    * maximal intervals per doc. Returns (id, span_start, span_end) in
+    * 0-based token offsets, span_end inclusive.
+    *
+    * Scale: the duplicated-hash set is an aggregate semi-join on the
+    * 8-byte shingle hash (map-side partial counts; repeated content is
+    * the only thing that survives the >= 2 filter); the island merge is a
+    * per-DOC window — bounded by document length, never corpus-sized. */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               minTokens: Int): DataFrame = {
+    val sh = shinglePosRows(df, textCol, idCol, minTokens)
+    val dup = sh.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__h")
+    val hits = sh.join(dup, "__h").select("id", "pos")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    hits
+      .withColumn("__brk", when(col("pos") - lag("pos", 1).over(w) > minTokens, 1)
+        .otherwise(0))
+      .withColumn("__isl", sum("__brk").over(w))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + minTokens - 1).as("span_end"))
+      .select("id", "span_start", "span_end")
+  }
+
+  /** Per-doc duplicated-token budget from [[dupSpans]]: (id, n_tokens,
+    * dup_tokens, dup_frac) for every doc — the RefinedWeb-style "drop or
+    * trim docs that are mostly duplicated text" filter signal. Docs with
+    * no duplicated span report 0. */
+  def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
+                   minTokens: Int): DataFrame = {
+    val spans = dupSpans(df, textCol, idCol, minTokens)
+      .groupBy("id").agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    df.select(col(idCol).as("id"), size(Text.tokens(col(textCol))).as("n_tokens"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac", col("dup_tokens").cast(DoubleType) / col("n_tokens"))
+  }
+
   /** Candidate pairs sharing >=1 shingle, with exact Jaccard similarity.
     * Inverted index: explode shingles -> self-join on shingle -> count
     * common per pair -> Jaccard from per-doc shingle counts.

@@ -125,6 +125,14 @@ object DedupQueries {
           threshold = 0.7))
         .select(col("id").as("doc_id"), col("comp").as("component"))),
 
+    "d10_dup_spans" -> ((s, dir) =>
+      // Lee-et-al-style exact repeated spans (>= 10 tokens, merged
+      // maximal intervals, 0-based inclusive offsets)
+      Dedup.dupSpans(Tables.documents(s, dir).select("doc_id", "text"),
+        "text", "doc_id", minTokens = 10)
+        .select(col("id").as("doc_id"), col("span_start").cast("long"),
+          col("span_end").cast("long"))),
+
     "b17_group_split" -> ((s, dir) =>
       // leakage-safe split: near-dup clusters (d2 pairs) hash-route
       // whole to one side; seeded md5 arithmetic = exact oracle below
@@ -253,6 +261,28 @@ object DedupQueries {
       bad AS (SELECT sizes.doc_id FROM sizes JOIN hits USING (doc_id)
               WHERE h >= n_sh * 0.8)
       SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    // duplicated = shingle occurs >= 2 times anywhere; islands merge at
+    // gap <= minTokens; grouping by the raw shingle string is equivalent
+    // to the engine's 60-bit hash grouping (collisions negligible, as d2)
+    "d10_dup_spans" -> """
+      WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_transform(range(len(t) - 9), i ->
+               {'pos': i, 'sh': list_reduce(list_transform(range(i, i + 10), j -> t[j + 1]),
+                                            (a, b) -> a || ' ' || b)})) AS u
+             FROM tok WHERE len(t) >= 10),
+      pos AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM sh),
+      dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (sh)),
+      isl AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                     THEN 1 ELSE 0 END AS brk
+              FROM hits),
+      grp AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM isl)
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
+      FROM grp GROUP BY doc_id, g""",
 
     // component labels as in d6, then the same md5 split arithmetic the
     // Spark side computes: group = component (own id when unpaired)

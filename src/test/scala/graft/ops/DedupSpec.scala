@@ -176,6 +176,31 @@ class DedupSpec extends SparkSpec {
     assert(hit)
   }
 
+  test("dupSpans finds repeated spans, merges overlaps, skips short docs") {
+    import spark.implicits._
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6-token repeated block
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared b1 b2 b3"),     // span at pos 3..8
+      (2L, s"$shared c1 c2 c3 c4 c5 c6"),     // span at pos 0..5
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"), // unique: no spans
+      (4L, "x1 x2 x3"))                        // shorter than n: no shingles
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "text", "doc_id", minTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 3, 8), (2L, 0, 5)), s"got $spans")
+    // within-doc repetition also counts (the block appears twice in ONE doc)
+    val self = Seq((9L, s"$shared q1 q2 $shared")).toDF("doc_id", "text")
+    val selfSpans = Dedup.dupSpans(self, "text", "doc_id", 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // hits at pos 0 and 8: gap 8 > 6, so the two occurrences stay separate
+    assert(selfSpans == Set((9L, 0, 5), (9L, 8, 13)), s"got $selfSpans")
+    // stats: doc 1 has 6 of 12 tokens duplicated; doc 3 none
+    val stats = Dedup.dupSpanStats(docs, "text", "doc_id", 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(stats(1L) == ((6L, 0.5)), s"got ${stats(1L)}")
+    assert(stats(3L)._1 == 0L && stats(4L)._1 == 0L)
+  }
+
   test("redactPii scrubs emails, IPs, and phones but not plain text") {
     import spark.implicits._
     val out = Seq(
