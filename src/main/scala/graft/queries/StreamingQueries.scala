@@ -37,9 +37,73 @@ object StreamingQueries {
       val e = Tables.events(s, dir)
       Streams.dedupByKey(e.unionByName(e), Seq("event_id"))
         .agg(count(lit(1)).as("n_rows"), count_distinct(col("event_id")).as("n_ids"))
+    }),
+
+    "st7_ingest_dedup" -> ((s, dir) => {
+      // one IngestDedup.step against a fresh index of the corpus: batch =
+      // 25 perturbed corpus docs (near-dups of history, dropped) + 25
+      // token-REVERSED docs (novel shingle sets, kept). The real
+      // file-stream path (cross-batch index growth) is IngestDedupSpec;
+      // the drop rule here is the exact oracle below.
+      val corpus = Tables.documents(s, dir).select("doc_id", "text")
+      val batch = corpus.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+        .unionByName(corpus.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select((col("doc_id") + 31000).as("doc_id"),
+            concat_ws(" ", reverse(graft.ops.Text.tokens(col("text")))).as("text")))
+      val ixDir = java.nio.file.Files.createTempDirectory("st7ix").toString
+      graft.ops.LshIndex.save(graft.ops.LshIndex.build(corpus, "text", "doc_id",
+        n = 3, bands = 21, rowsPerBand = 3), ixDir, mode = "overwrite")
+      graft.streaming.IngestDedup.step(batch, ixDir, "text", "doc_id",
+        threshold = 0.7).select("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    // kept = batch docs with NO >= 0.7 Jaccard pair into the corpus AND
+    // min of their within-batch near-dup component (the step() drop rule)
+    "st7_ingest_dedup" -> """
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 30000, text || ' extra token'
+        FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 31000,
+          array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' ')
+        FROM documents WHERE doc_id >= 25 AND doc_id < 50),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(len(string_split_regex(trim(text), '\s+')) - 2),
+               i -> list_reduce(list_transform(range(i, i + 3),
+                      j -> (string_split_regex(trim(text), '\s+'))[j + 1]),
+                    (a, b) -> a || ' ' || b)))) AS sh
+             FROM corpus
+             WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+             UNION ALL
+             SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS sh
+             FROM corpus
+             WHERE len(string_split_regex(trim(text), '\s+')) < 3),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b
+                FROM prs JOIN sizes na ON na.doc_id = id_a
+                         JOIN sizes nb ON nb.doc_id = id_b
+                WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.7),
+      oldpair AS (SELECT id_b AS id FROM pairs WHERE id_b >= 30000 AND id_a < 30000
+                  UNION SELECT id_a FROM pairs WHERE id_a >= 30000 AND id_b < 30000),
+      nn AS (SELECT id_a, id_b FROM pairs WHERE id_a >= 30000 AND id_b >= 30000),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM nn UNION SELECT id_b, id_a FROM nn),
+      reach AS (SELECT src AS id, dst AS r FROM edges
+                UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      comp AS (SELECT n.id, least(n.id, (SELECT min(r) FROM reach WHERE reach.id = n.id)) AS c
+               FROM nodes n),
+      dropped AS (SELECT id FROM oldpair UNION SELECT id FROM comp WHERE c <> id),
+      batch AS (SELECT doc_id + 30000 AS doc_id FROM documents WHERE doc_id < 25
+                UNION ALL SELECT doc_id + 31000 FROM documents
+                WHERE doc_id >= 25 AND doc_id < 50)
+      SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT id FROM dropped)""",
+
     "st1_tumbling_window" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 4) AS sum_value
