@@ -510,6 +510,40 @@ object Dedup {
     df.join(dupes.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al., 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding near-dup pairs
+    * with K-MEANS cluster candidate bounding — cluster the L2-normalized
+    * embeddings (MLlib KMeans on a `Normalizer` column, the paper's
+    * setup), generate pairs only WITHIN a cluster, verify with exact
+    * cosine. Complements [[cosinePairs]]' sign-LSH: k-means cells adapt
+    * to the data's density (LSH planes are data-blind), which is why the
+    * paper's web-scale runs use it. Identical vectors always share a
+    * cluster, so exact-dup recall is 1 by construction; near-dup recall
+    * depends on `nClusters` (cluster-boundary splits — the paper accepts
+    * this; raise recall by lowering nClusters at quadratic within-cluster
+    * cost). Scale: within-cluster self-join volume is sum_c |c|^2 — size
+    * `nClusters` ~ n/1000 to bound cells ~1000 docs; a pathologically hot
+    * cell is a data-skew signal (near-identical embeddings), exactly what
+    * the dedup is for. */
+  def semdedupPairs(df: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double, nClusters: Int,
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.Normalizer
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val feat = new Normalizer().setInputCol("__raw").setOutputCol("__fv").setP(2.0)
+      .transform(v.withColumn("__raw", array_to_vector(col("v"))))
+    val km = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__cell").fit(feat)
+    val cells = km.transform(feat).select(col("id"), col("v"), col("__cell"))
+    val cand = cells.as("a").join(cells.as("b"),
+        col("a.__cell") === col("b.__cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    Similarity.cosineForPairs(cand, v, "id", "v")
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding cosine near-dup pairs above `threshold`.
     * `Similarity.cosine` does the arithmetic; candidate generation here is
     * the sign-LSH band join (random-hyperplane sketch) — brute force only

@@ -107,6 +107,18 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    "d11_semdedup" -> ((s, dir) => {
+      // SemDeDup on the d5 planted-dup corpus: k-means centroids aren't
+      // SQL-reproducible -> rows-only; DedupSpec pins exact-dup recall
+      // and equality-of-pairs vs brute force on planted data
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = e.unionByName(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.semdedupPairs(corpus, "embedding", "vec_id", threshold = 0.99,
+        nClusters = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     "d7_decontaminate" -> ((s, dir) => {
       // benchmark = docs 0..29 verbatim (overlap 1.0 -> contaminated) —
       // surviving corpus ids, exact shingle-overlap oracle below

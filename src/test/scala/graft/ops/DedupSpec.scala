@@ -176,6 +176,25 @@ class DedupSpec extends SparkSpec {
     assert(hit)
   }
 
+  test("semdedupPairs: exact dups always found; high recall vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    // plant exact dups of vectors 0..9 under ids +100
+    val corpus = (base ++ (0L until 10L).map(i => (i + 100L, base(i.toInt)._2)))
+      .toDF("vec_id", "embedding")
+    val sem = Dedup.semdedupPairs(corpus, "embedding", "vec_id",
+      threshold = 0.999, nClusters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach(i =>
+      assert(sem.contains((i, i + 100L)), s"exact dup ($i,${i + 100}) missed"))
+    // every reported pair is genuinely above threshold (exact verify):
+    // compare against the brute-force generator
+    val brute = Dedup.cosinePairs(corpus, "embedding", "vec_id", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(brute), s"false positives: ${sem -- brute}")
+  }
+
   test("dupSpans finds repeated spans, merges overlaps, skips short docs") {
     import spark.implicits._
     val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6-token repeated block
