@@ -58,6 +58,34 @@ object Corpus {
     * `sum().over(Window.orderBy)` single-partition window. Exact while
     * total tokens < 2^53 (double mantissa) — 100 TB of text is ~25 T
     * tokens, three orders inside the bound. */
+  /** Split long documents into fixed-token-budget chunks with overlap —
+    * the "fit the context window" step between cleaning and batching.
+    * Chunk k covers tokens [k*stride, k*stride + chunkTokens) where
+    * stride = chunkTokens - overlapTokens; the last chunk may be short
+    * but is never empty, and a doc at or under the budget passes through
+    * as its own single chunk (chunk_id 0). MAP-ONLY: token slicing via
+    * `slice` + `sequence` inside codegen, one posexplode, no shuffle —
+    * chunking 100 TB is a pure scan. Output (id, chunk_id, chunk,
+    * n_tokens) with whitespace-normalized chunk text. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got $overlapTokens / $chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val n = size(col("__toks"))
+    // number of chunks: 1 + ceil(max(0, n - chunkTokens) / stride)
+    val nChunks = lit(1) + ceil(greatest(n - chunkTokens, lit(0)) /
+      lit(stride.toDouble)).cast(IntegerType)
+    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("__toks"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "__k")))
+      .select(col("id"), col("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("__k") * stride + 1,
+          lit(chunkTokens))).as("chunk"),
+        least(size(col("__toks")) - col("__k") * stride, lit(chunkTokens))
+          .as("n_tokens"))
+  }
+
   def packSequences(df: DataFrame, textCol: String, idCol: String,
                     budget: Long): DataFrame = {
     val toks = df.select(col(idCol), Text.tokenCount(col(textCol)).as("n_tokens"))

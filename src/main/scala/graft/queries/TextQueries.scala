@@ -66,6 +66,13 @@ object TextQueries {
       Corpus.packSequences(Tables.documents(s, dir), "text", "doc_id",
         budget = 512)),
 
+    "t16_chunk_docs" -> ((s, dir) =>
+      // context-window chunking: 40-token chunks, 8-token overlap
+      Corpus.chunkDocs(Tables.documents(s, dir), "text", "doc_id",
+        chunkTokens = 40, overlapTokens = 8)
+        .select(col("id").as("doc_id"), col("chunk_id").cast("long"),
+          col("chunk"), col("n_tokens").cast("long"))),
+
     "t9_source_mix" -> ((s, dir) =>
       // deterministic 50/30/20 mixture over three sources, 40-doc target
       Corpus.mixSources(Tables.documents(s, dir), "source", "doc_id",
@@ -210,6 +217,19 @@ object TextQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0)
                / 512.0) AS BIGINT) AS seq_id
       FROM t""",
+
+    // chunk k covers tokens [k*32, k*32+40); 1-based inclusive DuckDB
+    // slice == Spark slice(toks, k*32+1, 40); last chunk truncates
+    "t16_chunk_docs" -> """
+      WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      par AS (SELECT doc_id, t,
+                1 + CAST(ceil(greatest(len(t) - 40, 0) / 32.0) AS INT) AS nc
+              FROM tok),
+      ch AS (SELECT doc_id, unnest(range(nc)) AS chunk_id, t FROM par)
+      SELECT doc_id, chunk_id,
+             array_to_string(t[chunk_id*32 + 1 : chunk_id*32 + 40], ' ') AS chunk,
+             least(len(t) - chunk_id*32, 40) AS n_tokens
+      FROM ch""",
 
     "t9_source_mix" -> """
       SELECT doc_id, source FROM documents

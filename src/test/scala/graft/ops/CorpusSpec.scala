@@ -22,6 +22,29 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == (1.0, 0.0))
   }
 
+  test("chunkDocs: budget chunks with overlap, full coverage, short docs pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 25 tokens
+      (2L, "a b c"),                                   // under budget
+      (3L, ""))                                        // empty -> [""] single token
+      .toDF("doc_id", "text")
+    // chunk=10, overlap=3 -> stride 7 -> doc 1 chunks at 0,7,14,21
+    val out = Corpus.chunkDocs(df, "text", "doc_id", 10, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    assert(out.keys.count(_._1 == 1L) == 4)
+    assert(out((1L, 0))._1 == (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(out((1L, 1))._1 == (8 to 17).map(i => s"t$i").mkString(" ")) // overlap 3
+    assert(out((1L, 3)) == ((22 to 25).map(i => s"t$i").mkString(" "), 4)) // short tail
+    assert(out((2L, 0)) == ("a b c", 3))
+    assert(out.keys.count(_._1 == 2L) == 1)
+    assert(out((3L, 0))._2 == 1) // empty text: one ""-token chunk, consistent with tokens()
+    // zero overlap: exact partition, token multiset preserved
+    val flat = Corpus.chunkDocs(df.filter(col("doc_id") === 1L), "text", "doc_id", 10, 0)
+      .collect().flatMap(_.getString(2).split(" "))
+    assert(flat.toSeq.sorted == (1 to 25).map(i => s"t$i").sorted)
+  }
+
   test("packSequences: docs fill shards in id order, never split, budget respected") {
     import spark.implicits._
     // token counts: 3, 4, 2, 6, 1 — budget 5 with exclusive prefix sums
