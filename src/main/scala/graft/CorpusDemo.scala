@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops._
+
+/** End-to-end demonstration of the TRAINING-CORPUS value loop — the
+  * 100 TB-shaped path the engine adds beyond the reference's tabular ML
+  * loop ([[Demo]]): profile → quality filter → repeated-span audit →
+  * exact dedup → near-dup canonicalize → decontaminate → build LSH
+  * index → incremental batch ingest → leakage-safe split → chunk →
+  * pack. Runs on sf0.001 in ~1 min: `sbt "runMain graft.CorpusDemo"`.
+  */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.core.Sessions.local("graft-corpus-demo", cores = "4",
+      shufflePartitions = "4")
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    println(s"[demo] corpus: ${docs.count()} docs")
+
+    // 1. quality gate + repeated-span audit
+    val scored = docs.withColumn("q", Text.qualityScore(col("text")))
+    val kept0 = scored.filter(col("q") >= 0.3).drop("q")
+    val spanStats = Dedup.dupSpanStats(kept0, "text", "doc_id", minTokens = 10)
+    println(f"[demo] quality kept ${kept0.count()}; mean dup-span frac " +
+      f"${spanStats.agg(avg("dup_frac")).head().getDouble(0)}%.4f")
+
+    // 2. exact + near dedup, canonicalized
+    val exact = Dedup.exactDedup(kept0, "text", "doc_id")
+    val pairs = Dedup.minhashLshPairs(exact, "text", "doc_id", n = 3,
+      bands = 21, rowsPerBand = 3, threshold = 0.7)
+    val canon = Dedup.canonicalize(exact, pairs, "doc_id")
+    println(s"[demo] exact dedup ${exact.count()} -> canonical ${canon.count()}")
+
+    // 3. decontaminate against a small "benchmark" (first 5 docs, verbatim)
+    val bench = canon.limit(5).select((col("doc_id") + 90000).as("doc_id"), col("text"))
+    val clean = Dedup.decontaminate(canon, bench, "text", "doc_id", n = 3,
+      maxOverlap = 0.8)
+    println(s"[demo] decontaminated -> ${clean.count()}")
+
+    // 4. index the clean corpus, then ingest a perturbed batch incrementally
+    val ixDir = s"$out/ix"
+    LshIndex.save(LshIndex.build(clean, "text", "doc_id", 3, 21, 3), ixDir)
+    val batch = clean.limit(10)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+    val keptNew = graft.streaming.IngestDedup.step(batch, ixDir, "text", "doc_id", 0.7)
+    println(s"[demo] batch of ${batch.count()} -> ${keptNew.count()} kept " +
+      "(near-dups of indexed history dropped)")
+
+    // 5. leakage-safe split, chunk, pack
+    val split = Balancing.groupSplit(clean, "doc_id", pairs, testFraction = 0.1)
+    val train = split.filter(col("split") === "train").drop("split")
+    val chunks = Corpus.chunkDocs(train, "text", "doc_id",
+      chunkTokens = 64, overlapTokens = 8)
+    val packed = Corpus.packSequences(
+      chunks.select(concat_ws("#", col("id"), col("chunk_id")).as("doc_id"),
+        col("chunk").as("text")), // unique per-chunk id keeps the pack order total
+      "text", "doc_id", budget = 512)
+    println(s"[demo] train ${train.count()} docs -> ${chunks.count()} chunks -> " +
+      s"${packed.agg(count_distinct(col("seq_id"))).head().getLong(0)} packed sequences")
+    spark.stop()
+  }
+}
