@@ -124,4 +124,37 @@ class PropertySpec extends SparkSpec {
       assert(outside.except(outsideAfter).count() == 0)
     }
   }
+
+  test("chunkDocs: zero-overlap chunks partition the tokens exactly; overlap covers (t16)") {
+    val docGen = Gen.listOfN(6, Gen.zip(Gen.choose(0, 60),
+      Gen.choose(3, 12), Gen.choose(0, 2)))
+    for (specs <- samples(docGen)) {
+      import spark.implicits._
+      val docs = specs.zipWithIndex.map { case ((nTok, _, _), i) =>
+        (i.toLong, (0 until nTok).map(t => s"d${i}t$t").mkString(" "))
+      }.toDF("doc_id", "text")
+      for ((_, chunk, overlap) <- specs.take(1)) { // one (chunk, overlap) per frame
+        val out = Corpus.chunkDocs(docs, "text", "doc_id", chunk, overlap)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        specs.zipWithIndex.foreach { case ((nTok, _, _), i) =>
+          val mine = out.filter(_._1 == i.toLong).sortBy(_._2)
+          val toks = if (nTok == 0) Seq("") else (0 until nTok).map(t => s"d${i}t$t")
+          // coverage: every token appears in >= 1 chunk, in order
+          val stride = chunk - overlap
+          mine.zipWithIndex.foreach { case ((_, k, text), idx) =>
+            assert(k == idx, "chunk ids are dense from 0")
+            assert(text == toks.slice(k * stride, k * stride + chunk).mkString(" "),
+              s"doc $i chunk $k content")
+          }
+          // zero overlap: concatenation reconstructs the doc exactly
+          if (overlap == 0)
+            assert(mine.map(_._3).mkString(" ") == toks.mkString(" "), s"doc $i partition")
+          // last chunk reaches the end
+          assert(mine.nonEmpty && {
+            val (_, k, _) = mine.last; k * stride + chunk >= toks.size
+          }, s"doc $i tail coverage")
+        }
+      }
+    }
+  }
 }
