@@ -107,6 +107,17 @@ object SourceQueries {
         Tables.documents(s, dir), out, "lang", maxRecordsPerFile = 100L)
       graft.io.CorpusSink.readPartitioned(s, out)
         .groupBy("lang").agg(count(lit(1)).as("n"))
+    }),
+
+    "s15_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL write + lenient read-back: clean corpus round-trips
+      // exactly, zero quarantined lines (corrupt-line handling is
+      // IoSpec's planted fixture)
+      val out = Q.tempDir("graft_s15") + "/docs"
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      graft.io.Jsonl.write(docs, out)
+      val (good, bad) = graft.io.Jsonl.read(s, out, docs.schema)
+      good.withColumn("n_quarantined", lit(bad.count()))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -114,6 +125,8 @@ object SourceQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s14_corpus_sink" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "s15_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, CAST(0 AS BIGINT) AS n_quarantined FROM documents",
     "s4_excel_scan" ->
       "SELECT n_nationkey, n_name FROM nation",
     "s2_csv_allstring" ->

@@ -115,4 +115,34 @@ class IoSpec extends SparkSpec {
     val r = df.collect().head
     assert(r.getString(0) == "hello world" && r.getString(1) == "42.5")
   }
+
+  test("Jsonl read quarantines corrupt lines, skips blanks, keeps typed rows") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "hello world"}""",
+        """{"doc_id": 2, "text": "quoted \" brace } inside"}""",
+        "",                                  // blank: skipped entirely
+        """{"doc_id": 3 "text": "missing comma"}""", // corrupt
+        "not json at all",                   // corrupt
+        """{"doc_id": "not a number", "text": "type mismatch"}""" // quarantined too
+      ).mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val (good, bad) = Jsonl.read(spark, dir, schema)
+    val rows = good.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "hello world"), (2L, "quoted \" brace } inside")),
+      s"got $rows")
+    val q = bad.collect().map(_.getString(0)).toSet
+    assert(q == Set("""{"doc_id": 3 "text": "missing comma"}""", "not json at all",
+      """{"doc_id": "not a number", "text": "type mismatch"}"""), s"quarantine $q")
+    // write + read round-trips exactly
+    val out = s"$dir/out"
+    Jsonl.write(good.filter(good("doc_id").isNotNull), out)
+    val (back, none) = Jsonl.read(spark, out, schema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "hello world"), (2L, "quoted \" brace } inside")))
+    assert(none.count() == 0)
+  }
 }
