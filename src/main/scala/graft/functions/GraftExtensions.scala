@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CountIn(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "nfc_normalize takes exactly one argument")
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("quantize_i8"),
       new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -103,6 +103,23 @@ object Text {
   def fingerprint(c: Column): Column =
     call_function("fingerprint64", c.cast(StringType))
 
+  /** Unicode text normalization ("ftfy-lite") — the front door of a
+    * cleaning pipeline: NFC canonical composition (native `nfc_normalize`
+    * expression — decomposed accents from OCR/web sources make
+    * identical-looking strings hash differently, silently defeating exact
+    * dedup), curly quotes / en-em dashes / NBSP unified to ASCII,
+    * control/format characters to spaces, whitespace collapsed, trimmed.
+    * Map-only codegen chain; every step has the same semantics in DuckDB
+    * (`nfc_normalize` + `translate` + RE2 `\p{Cc}\p{Cf}`), so the oracle
+    * is exact. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(call_function("nfc_normalize", c.cast(StringType)),
+          "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"-- "),
+        "[\\p{Cc}\\p{Cf}]", " "),
+      "\\s+", " "))
+
   /** PII scrubbing for training text: regex redaction of emails, IPv4
     * addresses, and phone-shaped numbers — map-only codegen'd
     * `regexp_replace` chain (IP before phone: an IP's dotted groups must

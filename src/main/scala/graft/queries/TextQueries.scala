@@ -14,6 +14,16 @@ object TextQueries {
 
   private val stop = Text.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** t17 fixture suffix: combining accent (NFC-composes), curly quotes,
+    * em dash, NBSP, a control char. Shared verbatim by the Spark query
+    * and the DuckDB oracle (no single quotes — SQL-literal safe). */
+  private val MessySuffix =
+    " café “quoted” — dash endbell"
+
+  /** The translate 'from' set of [[Text.normalizeText]] (explicit escapes
+    * — the last char is NBSP, not a space). */
+  private val NormFrom = "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0"
+
   val queries: Map[String, QueryFn] = Map(
     "t1_token_count" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -65,6 +75,13 @@ object TextQueries {
       // token-budget packing: greedy doc-level shards of ~512 tokens
       Corpus.packSequences(Tables.documents(s, dir), "text", "doc_id",
         budget = 512)),
+
+    "t17_normalize" -> ((s, dir) =>
+      // ftfy-lite normalization over text with appended messy unicode
+      // (combining accent, curly quotes, em dash, NBSP, a control char)
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.ops.Text.normalizeText(concat(col("text"), lit(MessySuffix)))
+          .as("norm"))),
 
     "t16_chunk_docs" -> ((s, dir) =>
       // context-window chunking: 40-token chunks, 8-token overlap
@@ -217,6 +234,17 @@ object TextQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0)
                / 512.0) AS BIGINT) AS seq_id
       FROM t""",
+
+    // same chain as Text.normalizeText: nfc_normalize + translate +
+    // RE2 \p{Cc}\p{Cf} + whitespace collapse; the 'to' literal is
+    // ' ' " " - - space with SQL quote doubling
+    "t17_normalize" -> s"""
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               translate(nfc_normalize(text || '$MessySuffix'),
+                 '$NormFrom', '''''""-- '),
+               '[\\p{Cc}\\p{Cf}]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+      FROM documents""",
 
     // chunk k covers tokens [k*32, k*32+40); 1-based inclusive DuckDB
     // slice == Spark slice(toks, k*32+1, 40); last chunk truncates

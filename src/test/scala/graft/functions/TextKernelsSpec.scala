@@ -42,6 +42,25 @@ class TextKernelsSpec extends SparkSpec {
     assert(r.getDouble(5) > 0.0) // "x y" appears twice among 3 grams
   }
 
+  test("nfc_normalize composes combining marks; normalizeText cleans the kitchen sink") {
+    import spark.implicits._
+    // "cafe" + combining acute (U+0301) NFC-composes to café (U+00E9)
+    val decomposed = "café"
+    val out = Seq(decomposed).toDF("s")
+      .select(call_function("nfc_normalize", col("s"))).collect().head.getString(0)
+    assert(out == "café" && out.length == 4, s"got ${out.codePoints().toArray.toSeq}")
+    // already-NFC input passes through (fast path, same value)
+    val same = spark.sql("SELECT nfc_normalize('café')").collect().head.getString(0)
+    assert(same == "café")
+    val messy = "a\u0301  \u201Cq\u201D \u2013 \u2014 x\u0007y\u00A0 "
+    val norm = Seq(messy).toDF("s")
+      .select(graft.ops.Text.normalizeText(col("s"))).collect().head.getString(0)
+    assert(norm == "á \"q\" - - x y", s"got '$norm'")
+    val codegen = spark.range(5).select(call_function("nfc_normalize",
+      col("id").cast("string"))).queryExecution.executedPlan.toString
+    assert(codegen.contains("*(1) Project [nfc_normalize"), codegen)
+  }
+
   test("both kernels participate in whole-stage codegen") {
     val fp = spark.range(50)
       .select(call_function("fingerprint64", col("id").cast("string")))
