@@ -146,6 +146,21 @@ object MlQueries {
       imps.map { case (f, _) => f }.sorted.toDF("feature")
     }),
 
+    "m19_text_classifier" -> ((s, dir) => {
+      // fastText-style quality classifier: train on a seeded separable
+      // labeling of the corpus (docs containing 'table' -> 1), score the
+      // corpus, report per-label counts at the 0.5 cut. Rows-only: LogReg
+      // coefficients aren't SQL-reproducible; MlSpec pins accuracy.
+      val docs = graft.core.Tables.documents(s, dir).select("doc_id", "text")
+      val labeled = docs.withColumn("y",
+        (col("text").contains("table")).cast("int"))
+      val m = graft.ml.TextClassifier.train(labeled, "text", "y",
+        numFeatures = 1 << 12)
+      graft.ml.TextClassifier.score(m, docs, "text")
+        .groupBy((col("quality_prob") >= 0.5).as("predicted_pos"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "m18_grid_expand" -> ((s, _) => {
       // M18: grid editor -> config expansion — FULL oracle (deterministic
       // cartesian product, literal SQL cross join)

@@ -148,6 +148,32 @@ class MlSpec extends SparkSpec {
     assert(!Metrics.higherIsBetter("mae") && Metrics.higherIsBetter("f1"))
   }
 
+  test("text classifier separates planted vocabularies and round-trips persistence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def doc(vocab: Seq[String]) = (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val good = Seq("clear", "prose", "relevant", "informative", "useful")
+    val bad = Seq("spam", "click", "buy", "winner", "casino")
+    // even ids draw from the good vocab and carry label 1
+    val rows = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) doc(good) else doc(bad), if (i % 2 == 0) 1 else 0))
+    val df = rows.toDF("id", "text", "y")
+    val m = graft.ml.TextClassifier.train(df, "text", "y", numFeatures = 1 << 10)
+    val scored = graft.ml.TextClassifier.score(m, df, "text")
+    val acc = scored.filter(
+      ((col("quality_prob") >= 0.5).cast("int")) === col("y")).count() / 40.0
+    assert(acc >= 0.95, s"train accuracy $acc on separable vocab")
+    // persistence round trip (S8 contract)
+    val dir = java.nio.file.Files.createTempDirectory("txtclf").toString + "/m"
+    m.write.overwrite().save(dir)
+    val back = org.apache.spark.ml.PipelineModel.load(dir)
+    val again = graft.ml.TextClassifier.score(back, df, "text")
+      .select("id", "quality_prob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val orig = scored.select("id", "quality_prob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == orig)
+  }
+
   test("M10 adaptive search appends a resumable trial log") {
     val dir = java.nio.file.Files.createTempDirectory("graft_m10_").toString
     val log = s"$dir/trials.jsonl"
