@@ -144,6 +144,25 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set(2L))
   }
 
+  test("decontaminate plans a broadcast benchmark: corpus shingles never hash-exchange") {
+    import spark.implicits._
+    val corpus = (0L until 50L).map(i =>
+      (i, (0 until 15).map(j => s"w${(i * 3 + j) % 70}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val benchmark = corpus.filter(col("doc_id") < 3)
+    val plan = Dedup.decontaminate(corpus, benchmark, "text", "doc_id", 3, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe in:\n$plan")
+    // exactly 3 hash exchanges, none corpus-sized beyond the one owned
+    // repartition: corpus shingleHashRows repartition(id), benchmark
+    // repartition(id), and the benchmark-sized distinct(__h) feeding the
+    // broadcast. The hits join, the size aggregate, and the anti-join
+    // all reuse the corpus exchange or ride broadcasts.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 3, s"expected <= 3 hash exchanges (1 corpus-sized + " +
+      s"2 benchmark-sized), found $hashEx in:\n$plan")
+  }
+
   test("decontaminateBloom equals decontaminate (bloom is a prune, not a semantic)") {
     import spark.implicits._
     // 40 docs sharing vocab so the tiny bloom (high fp rate at
