@@ -68,14 +68,24 @@ object Lexicon {
     * Scale: (doc, term) counts -> term-keyed join for df_t -> id-keyed
     * join for doc length; the final per-doc top-k window partitions by
     * id (already clustered by the doc-length join — sort only, no new
-    * exchange). N rides a 1-row broadcast. */
-  def tfidfTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    * exchange). N rides a 1-row broadcast.
+    *
+    * `broadcastVocab=true` broadcasts the doc-frequency table instead of
+    * shuffle-joining on term: the (doc, term) frame then keeps its id
+    * clustering end to end — ZERO term-keyed exchange of the corpus-sized
+    * side (the df_t aggregate still shuffles, but it's vocabulary-sized
+    * partials). Right whenever the distinct vocabulary fits a broadcast
+    * (natural-language corpora: millions of terms ~ tens of MB); leave
+    * false for open-ended token spaces (URLs, code identifiers). */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String, k: Int,
+                broadcastVocab: Boolean = false): DataFrame = {
     val dt = docTermCounts(df, textCol, idCol)
     // doc length as a window over the id-clustering dt already has — a
     // sort, not another scan branch + join (docs are bounded-size, so a
     // per-doc window partition is never a hot reducer)
     val dtl = dt.withColumn("__len", sum("c").over(Window.partitionBy("id")))
-    val dfT = dt.groupBy("term").agg(count(lit(1)).as("__df"))
+    val dfT0 = dt.groupBy("term").agg(count(lit(1)).as("__df"))
+    val dfT = if (broadcastVocab) broadcast(dfT0) else dfT0
     val nDocs = dt.agg(count_distinct(col("id")).as("__nd"))
     val scored = dtl
       .join(dfT, "term")

@@ -108,8 +108,11 @@ object TextQueries {
         minCount = 2L, topK = 50)),
 
     "t12_tfidf" -> ((s, dir) =>
-      // per-doc top-3 TF-IDF keywords, rank-stable via pre-rank rounding
-      Lexicon.tfidfTopK(Tables.documents(s, dir), "text", "doc_id", k = 3)),
+      // per-doc top-3 TF-IDF keywords, rank-stable via pre-rank rounding;
+      // vocabulary is corpus-small -> broadcast df_t, no term shuffle of
+      // the (doc, term) side
+      Lexicon.tfidfTopK(Tables.documents(s, dir), "text", "doc_id", k = 3,
+        broadcastVocab = true)),
 
     "t13_lm_score" -> ((s, dir) =>
       // corpus-unigram LM mean log-prob per doc (CCNet-style LM signal)

@@ -85,6 +85,15 @@ class LexiconSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(tfidfPlan.contains("WindowGroupLimit"),
       "per-doc top-k should plan as WindowGroupLimit (rank short-circuit), not a full window sort")
+    // broadcastVocab: identical results, and the (doc, term) side keeps
+    // its id clustering — the term-keyed join becomes a broadcast probe
+    val shufTfidf = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val bcast = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3, broadcastVocab = true)
+    assert(bcast.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet == shufTfidf)
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "broadcastVocab must plan the df_t join as a broadcast probe")
     val langPlan = Lexicon.trigramLangId(docs, "text", "doc_id", "lang")
       .queryExecution.executedPlan.toString
     assert(langPlan.contains("BroadcastHashJoin"),
