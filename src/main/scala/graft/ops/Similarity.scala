@@ -79,7 +79,7 @@ object Similarity {
     * row inflation, no aggregate, no interpreted lambda. Every scoring
     * path below rides on it; norms are computed ONCE per vector row
     * (not once per candidate pair). */
-  private def dp(a: Column, b: Column): Column =
+  private[ops] def dp(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
   /** Salted two-phase per-query top-k: a plain
@@ -88,7 +88,7 @@ object Similarity {
     * ranks within (query, salt-of-corpus_id) — bounded slices; phase 2
     * ranks the <= salts*k survivors per query. Any true top-k row is in
     * its salt group's top-k, so the result is exactly the global rank. */
-  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 16): DataFrame = {
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 16): DataFrame = {
     val order = Seq(desc("cosine"), asc("corpus_id"))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"), pmod(xxhash64(col("corpus_id")), lit(salts)))

@@ -204,6 +204,21 @@ object DedupQueries {
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    "s6_ann_index" -> ((s, dir) => {
+      // persisted IVF index: build + save (cells partitioned BY CELL) +
+      // load + probe — disk reads scale with nprobe/nlist via dynamic
+      // partition pruning. Rows-only (k-means centroids), spec pins
+      // recall, round-trip equality, and the pruned plan.
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val tmp = graft.queries.Q.tempDir("graft_s6ix")
+      graft.ops.AnnIndex.save(
+        graft.ops.AnnIndex.build(e, "embedding", "vec_id", nlist = 8), tmp,
+        mode = "overwrite")
+      graft.ops.AnnIndex.topK(graft.ops.AnnIndex.load(s, tmp),
+        e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10, nprobe = 3)
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
     "s5_ann_quantized" -> ((s, dir) => {
       // int8-quantized top-k: integer dot products are engine-exact, so
       // ranks AND rounded scores are fully oracle-able

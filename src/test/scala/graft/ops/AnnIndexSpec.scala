@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnIndexSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("build/save/load round-trips; loaded topK equals built topK; recall vs brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("annix").toString
+    val ix = AnnIndex.build(corpus, "embedding", "vec_id", nlist = 8)
+    AnnIndex.save(ix, dir)
+    val loaded = AnnIndex.load(spark, dir)
+    assert((loaded.nlist, loaded.seed) == (8, 42L))
+    val queries = corpus.filter(col("vec_id") < 5)
+    def hits(ix2: AnnIndex.Index) =
+      AnnIndex.topK(ix2, queries, "embedding", "vec_id", k = 10, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(hits(loaded) == hits(ix), "loaded index must answer identically")
+    // recall vs exact brute force at nprobe=3 of 8 cells
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = hits(ix).map { case (q, c, _) => (q, c) }
+    val recall = approx.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low for isotropic-random worst case")
+  }
+
+  test("append assigns to existing centroids; appended vectors are findable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annix2").toString
+    val ix = AnnIndex.build(corpus, "embedding", "vec_id", nlist = 8)
+    AnnIndex.save(ix, dir)
+    // duplicate vector 7 under a new id: lands in 7's cell, is its top hit
+    val v7 = corpus.filter(col("vec_id") === 7L)
+      .select(lit(900L).as("vec_id"), col("embedding")).collect().head
+    val newVecs = Seq((900L, v7.getSeq[Double](1))).toDF("vec_id", "embedding")
+    AnnIndex.append(newVecs, ix, dir, "embedding", "vec_id")
+    val grown = AnnIndex.load(spark, dir)
+    assert(grown.cells.count() == 201)
+    val top = AnnIndex.topK(grown, corpus.filter(col("vec_id") === 7L),
+      "embedding", "vec_id", k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top == Set((7L, 900L)), s"got $top")
+    // assign() parity: re-assigning the ORIGINAL corpus reproduces the
+    // fitted model's cells (argmin over the centroid table == transform)
+    val re = AnnIndex.assign(corpus, ix, "embedding", "vec_id")
+      .select("corpus_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val orig = ix.cells.select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == orig)
+  }
+
+  test("topK on a loaded index prunes cell partitions (the layout is the index)") {
+    val dir = java.nio.file.Files.createTempDirectory("annix3").toString
+    val ix = AnnIndex.build(corpus, "embedding", "vec_id", nlist = 8)
+    AnnIndex.save(ix, dir)
+    val loaded = AnnIndex.load(spark, dir)
+    val plan = AnnIndex.topK(loaded, corpus.filter(col("vec_id") < 2),
+      "embedding", "vec_id", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected dynamic partition pruning on the cell directories in:\n$plan")
+  }
+}
