@@ -358,6 +358,31 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-suite contamination REPORT — the attribution a team reads
+    * before choosing thresholds: for each (corpus doc, benchmark suite)
+    * pair with shingle-overlap fraction >= `minOverlap`, one row
+    * (id, suite, overlap). Same broadcast shape as [[decontaminate]] —
+    * all suites union into ONE tagged broadcast, so adding suites adds
+    * broadcast bytes, not corpus passes. Compose with a threshold +
+    * anti-join to act on it, or feed dashboards as-is. */
+  def contaminationReport(corpus: DataFrame, suites: Map[String, DataFrame],
+                          textCol: String, idCol: String, n: Int,
+                          minOverlap: Double = 0.0): DataFrame = {
+    require(suites.nonEmpty, "need at least one benchmark suite")
+    val cs = shingleHashRows(corpus, textCol, idCol, n)
+    val sizes = cs.groupBy("id").agg(count(lit(1)).as("__n_sh"))
+    val bs = suites.map { case (name, b) =>
+      shingleHashRows(b, textCol, idCol, n).select("__h").distinct()
+        .withColumn("suite", lit(name))
+    }.reduce(_ unionByName _)
+    cs.join(broadcast(bs), Seq("__h"))
+      .groupBy("id", "suite").agg(count(lit(1)).as("__hits"))
+      .join(sizes, "id")
+      .withColumn("overlap", col("__hits").cast(DoubleType) / col("__n_sh"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("id").as(idCol), col("suite"), col("overlap"))
+  }
+
   /** [[decontaminate]] for a benchmark whose shingle set exceeds the
     * broadcast budget but whose BLOOM FILTER does not: build a Bloom
     * filter over the benchmark's distinct shingle hashes (one aggregate —

@@ -185,40 +185,10 @@ object Similarity {
   def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                     idCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
                     seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val c = corpus.select(col(idCol).as("corpus_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__fv").setPredictionCol("cell")
-      .fit(c.withColumn("__fv", array_to_vector(col("cv"))))
-    val cells = km.transform(c.withColumn("__fv", array_to_vector(col("cv"))))
-      .select(col("corpus_id"), col("cv"), col("cell"))
-    // nprobe nearest centroids per query: centroids are a tiny broadcast
-    // (cell, array) frame; squared distance = |q|^2 - 2 q.c + |c|^2 via
-    // three native dot_products — per (query, centroid) ROW, no explode
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centArr = km.clusterCenters.zipWithIndex
-      .map { case (v, cid) => (cid, v.toArray.toSeq) }.toSeq.toDF("cell", "__cv")
-    val qCells = q.crossJoin(broadcast(centArr))
-      .select(col("query_id"), col("cell"),
-        (dp(col("qv"), col("qv")) - lit(2.0) * dp(col("qv"), col("__cv")) +
-          dp(col("__cv"), col("__cv"))).as("__d2"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(asc("__d2"), asc("cell"))
-    val probes = qCells.withColumn("__pr", row_number().over(wProbe))
-      .filter(col("__pr") <= nprobe).select("query_id", "cell")
-    val qp = q.join(probes, "query_id")
-      .withColumn("__qn", sqrt(dp(col("qv"), col("qv"))))
-    val scored = cells.withColumn("__cn", sqrt(dp(col("cv"), col("cv"))))
-      .join(broadcast(qp), "cell")
-      .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
-        (dp(col("cv"), col("qv")) / (col("__cn") * col("__qn"))).as("cosine"))
-    topKPerQuery(scored, k)
+    // one-shot (in-memory) form of the persisted index: build the
+    // quantizer and probe it in the same plan — AnnIndex owns the shape
+    val ix = AnnIndex.build(corpus, vecCol, idCol, nlist, seed)
+    AnnIndex.topK(ix, queries, vecCol, idCol, k, nprobe)
   }
 
   /** IVF-style top-k: corpus bucketed by sign-sketch; per query only its

@@ -167,6 +167,19 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "d12_contamination_report" -> ((s, dir) => {
+      // two overlapping suites: per-(doc, suite) overlap fractions at
+      // >= 0.5 — exact oracle below shares the shingle arithmetic
+      val corpus = Tables.documents(s, dir).select("doc_id", "text")
+      val suiteA = corpus.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 70000).as("doc_id"), col("text"))
+      val suiteB = corpus.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+        .select((col("doc_id") + 80000).as("doc_id"), col("text"))
+      Dedup.contaminationReport(corpus, Map("suiteA" -> suiteA, "suiteB" -> suiteB),
+        "text", "doc_id", n = 3, minOverlap = 0.5)
+        .select(col("doc_id"), col("suite"), round(col("overlap"), 6).as("overlap"))
+    }),
+
     "d8_decontaminate_bloom" -> ((s, dir) => {
       // the no-broadcast scale path: bloom prune + exact verify — result
       // must equal d7 bit-for-bit (same oracle)
@@ -342,6 +355,29 @@ object DedupQueries {
            UNION ALL SELECT doc_id + 20000, text || ' extra token'
            FROM documents WHERE doc_id < 50""", 3, 0.7)})
       WHERE id_a >= 20000 OR id_b >= 20000""",
+
+    // per-(doc, suite) overlap fractions; suite shingle sets distinct
+    "d12_contamination_report" -> """
+      WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> list_reduce(list_transform(range(i, i + 3),
+                    j -> (string_split_regex(trim(text), '\s+'))[j + 1]),
+                  (a, b) -> a || ' ' || b)))) AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+           UNION ALL
+           SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) < 3),
+      suites AS (SELECT 'suiteA' AS suite, sh FROM sh WHERE doc_id < 15
+                 UNION
+                 SELECT 'suiteB', sh FROM sh WHERE doc_id >= 10 AND doc_id < 30),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hits AS (SELECT s.doc_id, su.suite, count(*) AS h
+               FROM sh s JOIN suites su USING (sh) GROUP BY 1, 2)
+      SELECT doc_id, suite, round(CAST(h AS DOUBLE) / n_sh, 6) AS overlap
+      FROM hits JOIN sizes USING (doc_id)
+      WHERE CAST(h AS DOUBLE) / n_sh >= 0.5""",
 
     // the bloom path is a pure shuffle prune — exact same semantics as d7
     "d8_decontaminate_bloom" -> """

@@ -163,6 +163,21 @@ class DedupSpec extends SparkSpec {
       s"2 benchmark-sized), found $hashEx in:\n$plan")
   }
 
+  test("contaminationReport attributes overlap per suite") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val a = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val b = Seq((200L, "one two three nine ten eleven twelve")).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, Map("A" -> a, "B" -> b),
+      "text", "doc_id", n = 3, minOverlap = 0.2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rep((1L, "A")) == 1.0)
+    assert(rep((2L, "B")) == 0.2) // 'one two three' = 1 of doc 2's 5 shingles
+    assert(!rep.contains((1L, "B")) && !rep.contains((2L, "A")))
+  }
+
   test("decontaminateBloom equals decontaminate (bloom is a prune, not a semantic)") {
     import spark.implicits._
     // 40 docs sharing vocab so the tiny bloom (high fp rate at
