@@ -39,6 +39,24 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_rows"), count_distinct(col("event_id")).as("n_ids"))
     }),
 
+    "st8_vector_ingest" -> ((s, dir) => {
+      // one VectorIngest.step against a fresh ANN index of the embedding
+      // corpus: 10 verbatim dups (+30000, dropped vs history) + 10
+      // negated vectors (+31000, cosine -1 -> novel, kept). Rows-only
+      // (k-means); VectorIngestSpec drives the real two-file stream.
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val batch = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 30000).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select((col("vec_id") + 31000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      val ixDir = java.nio.file.Files.createTempDirectory("st8ix").toString
+      graft.ops.AnnIndex.save(graft.ops.AnnIndex.build(e, "embedding", "vec_id",
+        nlist = 8), ixDir, mode = "overwrite")
+      graft.streaming.VectorIngest.step(batch, ixDir, "embedding", "vec_id",
+        threshold = 0.99, nprobe = 8).select("vec_id")
+    }),
+
     "st7_ingest_dedup" -> ((s, dir) => {
       // one IngestDedup.step against a fresh index of the corpus: batch =
       // 25 perturbed corpus docs (near-dups of history, dropped) + 25
