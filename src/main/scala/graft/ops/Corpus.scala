@@ -58,6 +58,32 @@ object Corpus {
     * `sum().over(Window.orderBy)` single-partition window. Exact while
     * total tokens < 2^53 (double mantissa) — 100 TB of text is ~25 T
     * tokens, three orders inside the bound. */
+  /** Snapshot diff between two corpus versions: (id, change) rows with
+    * change ∈ {added, removed, changed} — the audit a versioned-corpus
+    * release publishes (what moved between v(N) and v(N+1)). One
+    * full-outer join on the id plus a text comparison; at scale both
+    * sides shuffle once by id (bucket both snapshots by id at write
+    * time — [[graft.io.Bucketing]] — and the join is shuffle-free).
+    * Unchanged docs are omitted (the diff is release-note-sized, not
+    * corpus-sized). */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+                    idCol: String): DataFrame = {
+    // presence flags, not text nullity: a doc whose text IS null must not
+    // read as absent
+    val o = oldDf.select(col(idCol).as("id"), col(textCol).as("__old"),
+      lit(true).as("__ino"))
+    val n = newDf.select(col(idCol).as("id"), col(textCol).as("__new"),
+      lit(true).as("__inn"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("__ino").isNull, "added")
+          .when(col("__inn").isNull, "removed")
+          // null-safe compare: a null-text doc that gains text IS a change
+          .when(!(col("__old") <=> col("__new")), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("id").as(idCol), col("change"))
+  }
+
   /** Split long documents into fixed-token-budget chunks with overlap —
     * the "fit the context window" step between cleaning and batching.
     * Chunk k covers tokens [k*stride, k*stride + chunkTokens) where

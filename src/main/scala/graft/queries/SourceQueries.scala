@@ -109,6 +109,19 @@ object SourceQueries {
         .groupBy("lang").agg(count(lit(1)).as("n"))
     }),
 
+    "s16_snapshot_diff" -> ((s, dir) => {
+      // v(N) = docs 0..; v(N+1) drops ids < 20, adds 90000..90009,
+      // rewrites text of 20 <= id < 40 — exact EXCEPT/INTERSECT oracle
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val oldV = docs
+      val newV = docs.filter(col("doc_id") >= 20)
+        .withColumn("text", when(col("doc_id") < 40,
+          concat(col("text"), lit(" rewritten"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+      graft.ops.Corpus.diffSnapshots(oldV, newV, "text", "doc_id")
+    }),
+
     "s15_jsonl_roundtrip" -> ((s, dir) => {
       // JSONL write + lenient read-back: clean corpus round-trips
       // exactly, zero quarantined lines (corrupt-line handling is
@@ -127,6 +140,12 @@ object SourceQueries {
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "s15_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, CAST(0 AS BIGINT) AS n_quarantined FROM documents",
+    "s16_snapshot_diff" -> """
+      SELECT doc_id, 'removed' AS change FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id, 'changed' FROM documents WHERE doc_id >= 20 AND doc_id < 40
+      UNION ALL
+      SELECT doc_id + 90000, 'added' FROM documents WHERE doc_id < 10""",
     "s4_excel_scan" ->
       "SELECT n_nationkey, n_name FROM nation",
     "s2_csv_allstring" ->

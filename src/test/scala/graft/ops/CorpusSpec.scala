@@ -22,6 +22,18 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == (1.0, 0.0))
   }
 
+  test("diffSnapshots: added/removed/changed, null-text handled, unchanged omitted") {
+    import spark.implicits._
+    val oldV = Seq((1L, "same"), (2L, "before"), (3L, "gone"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newV = Seq((1L, "same"), (2L, "after"), (5L, "fresh"),
+      (4L, "now has text")).toDF("doc_id", "text")
+    val diff = Corpus.diffSnapshots(oldV, newV, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 5L -> "added",
+      4L -> "changed"), s"got $diff")
+  }
+
   test("chunkDocs: budget chunks with overlap, full coverage, short docs pass through") {
     import spark.implicits._
     val df = Seq(
