@@ -129,7 +129,23 @@ object Text {
     regexp_replace(
       regexp_replace(
         regexp_replace(c,
-          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
-      "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
+          EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[ops] val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII AUDIT counts — the measurement twin of [[redactPii]]: per-row
+    * match counts for each pattern (email, IPv4, phone), so a source can
+    * be scored for PII density BEFORE deciding to redact or drop.
+    * Map-only (`regexp_count`, same patterns as the redactor — counts
+    * and redactions can't disagree). Counted on the raw text in the
+    * redactor's cascade order semantics: an IP inside an email would be
+    * seen by both counters, exactly like running each regex alone. */
+  def piiStats(c: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(c, lit(EmailRe)),
+    "n_ip" -> regexp_count(c, lit(IpRe)),
+    "n_phone" -> regexp_count(c, lit(PhoneRe)))
 }

@@ -64,6 +64,15 @@ object TextQueries {
           pmod(col("doc_id"), lit(250)), lit(" tel 555-123-4567")))
           .as("redacted"))),
 
+    "t18_pii_stats" -> ((s, dir) =>
+      // PII density audit over the same planted fixture as t6: the
+      // counts must see exactly what the redactor rewrites
+      Tables.documents(s, dir).select((col("doc_id") +:
+        graft.ops.Text.piiStats(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 10.0.0."),
+          pmod(col("doc_id"), lit(250)), lit(" tel 555-123-4567")))
+          .map { case (n, c) => c.cast("long").as(n) }): _*)),
+
     "t7_repetition" -> ((s, dir) =>
       // Gopher-style repetition stats over word 2-grams
       Corpus.repetitionStats(Tables.documents(s, dir), "text", "doc_id", n = 2)
@@ -210,6 +219,18 @@ object TextQueries {
                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
       FROM documents""",
+
+    // identical patterns to the redactor, counted on the raw fixture
+    "t18_pii_stats" -> """
+      WITH t AS (SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com or 10.0.0.'
+                        || (doc_id % 250) || ' tel 555-123-4567' AS x
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(x, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+             CAST(len(regexp_extract_all(x, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone
+      FROM t""",
 
     // word 2-grams with the same short-doc branch as the dedup shingles:
     // docs with < 2 tokens carry their whole normalized text as one gram

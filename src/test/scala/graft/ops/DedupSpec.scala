@@ -269,6 +269,16 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == "version 1.2 costs 12.50 dollars") // untouched
   }
 
+  test("piiStats counts match what redactPii rewrites") {
+    import spark.implicits._
+    val df = Seq("a@b.co and c@d.org at 10.0.0.1 call 555-123-4567",
+      "no pii here 1.2 costs 12.50").toDF("t")
+    val out = df.select(Text.piiStats(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(out(0) == ((2, 1, 1)), s"got ${out(0)}")
+    assert(out(1) == ((0, 0, 0)))
+  }
+
   test("components: chains resolve transitively to the min id; canonicalize keeps one per cluster") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, NOT all directly linked), pair 10-11,
