@@ -42,8 +42,17 @@ object Bench {
     val names =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.keys.toSeq.sorted
       else headline.filter(all.contains)
-    // one warmup action so JVM/codegen startup isn't billed to the first query
-    all("q1_pricing_summary")(spark, sfDir).count()
+    // Warm every headline plan at the smallest SF before timing: codegen
+    // compiles per generated class (schema-dependent, data-independent),
+    // so a ~500-doc run JITs the exact classes the timed run executes —
+    // the measurement then reflects engine throughput, not javac. Falls
+    // back to the single-query warmup when no sibling sf0.001 exists.
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+    if (warmDir.isDirectory && warmDir.getPath != sfDir)
+      names.foreach { n =>
+        try all(n)(spark, warmDir.getPath).count() catch { case _: Throwable => () }
+      }
+    else all("q1_pricing_summary")(spark, sfDir).count()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
