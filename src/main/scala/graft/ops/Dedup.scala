@@ -253,10 +253,21 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: signatures banded into `bands` groups of
     * `rowsPerBand`; pairs sharing any band key are verified with exact
     * Jaccard and filtered at `threshold`. Shuffle key = one 64-bit band
-    * hash — short and uniform. */
+    * hash — short and uniform.
+    *
+    * `maxDocsPerBand` (0 = unbounded) is the HOT-BUCKET guard: a band
+    * key shared by k docs emits k(k-1)/2 candidate pairs — at 100 TB a
+    * boilerplate page repeated a million times is a 5*10^11-pair bucket.
+    * Above the cap the bucket emits STAR edges to its min id instead
+    * (k-1 pairs): connectivity is preserved, so [[components]]-based
+    * keep-one dedup still collapses the whole cluster, while the
+    * quadratic blowup disappears. Trade-off: non-star pairs of a hot
+    * bucket are not emitted individually, and a star edge that fails
+    * exact verification can split a marginal cluster — use the cap for
+    * canonicalization pipelines, not for exhaustive pair reporting. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
                       bands: Int, rowsPerBand: Int, threshold: Double,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, maxDocsPerBand: Int = 0): DataFrame = {
     // No persist: shingleHashRows leaves the frame hash-partitioned by id,
     // so the signature aggregate, the size aggregate, and the verify scan
     // all hang off ONE window exchange (ReuseExchange) — no cache entry
@@ -264,10 +275,25 @@ object Dedup {
     val ex = shingleHashRows(df, textCol, idCol, n)
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val banded = minhashBandKeys(ex, "id", bands, rowsPerBand, seed)
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand0 =
+      if (maxDocsPerBand <= 0)
+        banded.as("a").join(banded.as("b"),
+            col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+        val sized = banded.withColumn("__bn", count(lit(1)).over(w))
+          .withColumn("__bmin", min("id").over(w))
+        val small = sized.filter(col("__bn") <= maxDocsPerBand)
+        val smallCand = small.as("a").join(small.as("b"),
+            col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val starCand = sized
+          .filter(col("__bn") > maxDocsPerBand && col("id") =!= col("__bmin"))
+          .select(col("__bmin").as("id_a"), col("id").as("id_b"))
+        smallCand.unionByName(starCand)
+      }
+    val cand = cand0.dropDuplicates("id_a", "id_b")
     // exact verify anchored on the candidate PAIRS (a shingle self-join
     // would blow up quadratically on hot shingles): expand each pair with
     // the a-side shingles, then match b-side shingles on (id_b, hash)

@@ -144,6 +144,28 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set(2L))
   }
 
+  test("maxDocsPerBand: hot buckets emit star edges; keep-one dedup still collapses") {
+    import spark.implicits._
+    // 10 identical docs (one hot cluster) + 30 distinct docs
+    val dup = (0L until 10L).map(i => (i, "same text repeated in every copy here ok"))
+    val rest = (100L until 130L).map(i =>
+      (i, (0 until 12).map(j => s"u${i}w$j").mkString(" ")))
+    val corpus = (dup ++ rest).toDF("doc_id", "text")
+    val full = Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 21, 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.count { case (a, b) => a < 10 && b < 10 } == 45, "clique without cap")
+    val star = Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 21, 3, 0.7,
+      maxDocsPerBand = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == (1L until 10L).map(i => (0L, i)).toSet, s"got $star")
+    // connectivity preserved: canonicalize keeps exactly one of the cluster
+    val kept = Dedup.canonicalize(corpus,
+      Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 21, 3, 0.7,
+        maxDocsPerBand = 5), "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L) ++ (100L until 130L).toSet)
+  }
+
   test("decontaminate plans a broadcast benchmark: corpus shingles never hash-exchange") {
     import spark.implicits._
     val corpus = (0L until 50L).map(i =>
