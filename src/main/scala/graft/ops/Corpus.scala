@@ -58,6 +58,18 @@ object Corpus {
     * `sum().over(Window.orderBy)` single-partition window. Exact while
     * total tokens < 2^53 (double mantissa) — 100 TB of text is ~25 T
     * tokens, three orders inside the bound. */
+  /** Deterministic global shuffle — the reproducible training order:
+    * rows sorted by a seeded hash of the id (md5 arithmetic, identical
+    * across engines and retries — `rand()` would fork under stage
+    * replay). A range sort, not a `repartition(shuffle=true)`: the order
+    * is total and stable, so shard N of a re-run is byte-identical.
+    * Emits `shuffle_rank` (0-based) for downstream shard assignment. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
+    Ordinals.withGlobalRank(df,
+        Seq(Hashing.md5Int(concat_ws(":", col(idCol).cast("string"), lit(seed))).asc,
+          col(idCol).asc), "shuffle_rank")
+      .withColumn("shuffle_rank", col("shuffle_rank") - 1)
+
   /** Snapshot diff between two corpus versions: (id, change) rows with
     * change ∈ {added, removed, changed} — the audit a versioned-corpus
     * release publishes (what moved between v(N) and v(N+1)). One

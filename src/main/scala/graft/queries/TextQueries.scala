@@ -85,6 +85,12 @@ object TextQueries {
       Corpus.packSequences(Tables.documents(s, dir), "text", "doc_id",
         budget = 512)),
 
+    "t19_shuffle" -> ((s, dir) =>
+      // reproducible training order: seeded-hash global rank
+      Corpus.deterministicShuffle(Tables.documents(s, dir)
+        .select("doc_id", "text"), "doc_id")
+        .select("doc_id", "shuffle_rank")),
+
     "t17_normalize" -> ((s, dir) =>
       // ftfy-lite normalization over text with appended messy unicode
       // (combining accent, curly quotes, em dash, NBSP, a control char)
@@ -218,6 +224,14 @@ object TextQueries {
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+      FROM documents""",
+
+    // same md5 arithmetic as Hashing.md5Int; rank ties broken by id
+    "t19_shuffle" -> """
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) AS BIGINT),
+               doc_id) - 1 AS BIGINT) AS shuffle_rank
       FROM documents""",
 
     // identical patterns to the redactor, counted on the raw fixture
