@@ -21,8 +21,9 @@ object CorpusDemo {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     println(s"[demo] corpus: ${docs.count()} docs")
 
-    // 1. quality gate + repeated-span audit
-    val scored = docs.withColumn("q", Text.qualityScore(col("text")))
+    // 1. normalize, then quality gate + repeated-span audit
+    val normed = docs.withColumn("text", Text.normalizeText(col("text")))
+    val scored = normed.withColumn("q", Text.qualityScore(col("text")))
     val kept0 = scored.filter(col("q") >= 0.3).drop("q")
     val spanStats = Dedup.dupSpanStats(kept0, "text", "doc_id", minTokens = 10)
     println(f"[demo] quality kept ${kept0.count()}; mean dup-span frac " +
@@ -62,6 +63,13 @@ object CorpusDemo {
       "text", "doc_id", budget = 512)
     println(s"[demo] train ${train.count()} docs -> ${chunks.count()} chunks -> " +
       s"${packed.agg(count_distinct(col("seq_id"))).head().getLong(0)} packed sequences")
+
+    // 6. reproducible training order
+    val shuffled = Corpus.deterministicShuffle(
+      chunks.select(concat_ws("#", col("id"), col("chunk_id")).as("chunk_key"),
+        col("chunk")), "chunk_key")
+    println(s"[demo] shuffled first chunk_key: " +
+      shuffled.orderBy("shuffle_rank").select("chunk_key").head().getString(0))
     spark.stop()
   }
 }
