@@ -125,6 +125,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("normalizeText is idempotent; deterministicShuffle is a stable permutation") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.listOfN(8,
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(5)), Gen.oneOf(
+        "café", "á", "“q”", "–", "—", "xy", " ", "  ", ""))))
+    for (docs <- samples(gen)) {
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val once = df.select(col("doc_id"), Text.normalizeText(col("text")).as("n1"))
+      val twice = once.select(col("doc_id"), Text.normalizeText(col("n1")).as("n2"),
+        col("n1"))
+      assert(twice.filter(col("n1") =!= col("n2")).count() == 0,
+        "normalizeText must be a fixpoint after one application")
+      val r1 = Corpus.deterministicShuffle(df, "doc_id")
+        .select("doc_id", "shuffle_rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val r2 = Corpus.deterministicShuffle(df, "doc_id")
+        .select("doc_id", "shuffle_rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(r1 == r2, "shuffle must be run-stable")
+      assert(r1.values.toSeq.sorted == (0L until docs.size.toLong),
+        "ranks must be a 0-based permutation")
+    }
+  }
+
   test("chunkDocs: zero-overlap chunks partition the tokens exactly; overlap covers (t16)") {
     val docGen = Gen.listOfN(6, Gen.zip(Gen.choose(0, 60),
       Gen.choose(3, 12), Gen.choose(0, 2)))
