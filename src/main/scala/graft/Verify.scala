@@ -16,7 +16,7 @@ object Verify {
     // run queries concurrently (4 driver threads): Spark's scheduler
     // interleaves the jobs, keeping executors busy through the many small
     // queries — roughly halves the gate's wall time
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
