@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CountIn(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("clean_lines"),
+      new ExpressionInfo(classOf[CleanLines].getName, "clean_lines"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "clean_lines takes (text, minWords, requireTerminal)")
+        CleanLines(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

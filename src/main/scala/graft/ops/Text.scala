@@ -112,6 +112,16 @@ object Text {
     * Map-only codegen chain; every step has the same semantics in DuckDB
     * (`nfc_normalize` + `translate` + RE2 `\p{Cc}\p{Cf}`), so the oracle
     * is exact. */
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    * with >= `minWords` words and (optionally) a terminal-punctuation
+    * ending — nav menus and cookie banners die line-by-line, prose
+    * survives. Native `clean_lines` expression: one row-local codegen
+    * loop, map-only. */
+  def cleanLines(c: Column, minWords: Int = 3,
+                 requireTerminal: Boolean = true): Column =
+    call_function("clean_lines", c.cast(StringType), lit(minWords),
+      lit(requireTerminal))
+
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(

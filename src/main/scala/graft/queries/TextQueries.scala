@@ -85,6 +85,17 @@ object TextQueries {
       Corpus.packSequences(Tables.documents(s, dir), "text", "doc_id",
         budget = 512)),
 
+    "t20_clean_lines" -> ((s, dir) =>
+      // C4 line filter over a planted multi-line fixture: doc text made
+      // terminal, a short line, a kept sentence, a no-punct line
+      Tables.documents(s, dir).select(col("doc_id"),
+        Text.cleanLines(concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("tiny li"),
+          lit("A proper sentence with enough words."),
+          lit("no terminal punctuation on this line")))
+          .as("cleaned"))),
+
     "t19_shuffle" -> ((s, dir) =>
       // reproducible training order: seeded-hash global rank
       Corpus.deterministicShuffle(Tables.documents(s, dir)
@@ -225,6 +236,21 @@ object TextQueries {
                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
       FROM documents""",
+
+    // same two rules as the clean_lines kernel: word count on the
+    // trimmed line (empty -> 0) and terminal punctuation
+    "t20_clean_lines" -> """
+      WITH t AS (SELECT doc_id,
+                   text || '.' || chr(10) || 'tiny li' || chr(10)
+                        || 'A proper sentence with enough words.' || chr(10)
+                        || 'no terminal punctuation on this line' AS x
+                 FROM documents)
+      SELECT doc_id,
+             array_to_string(list_filter(string_split(x, chr(10)), l ->
+               (CASE WHEN trim(l) = '' THEN 0
+                     ELSE len(string_split_regex(trim(l), '\s+')) END) >= 3
+               AND regexp_matches(trim(l), '[.!?"]$')), chr(10)) AS cleaned
+      FROM t""",
 
     // same md5 arithmetic as Hashing.md5Int; rank ties broken by id
     "t19_shuffle" -> """

@@ -61,6 +61,35 @@ class TextKernelsSpec extends SparkSpec {
     assert(codegen.contains("*(1) Project [nfc_normalize"), codegen)
   }
 
+  test("clean_lines keeps prose, drops boilerplate lines; codegen; SQL-callable") {
+    import spark.implicits._
+    val doc = Seq(
+      "Welcome to our site!",          // 4 words, terminal -> kept
+      "Home | About | Contact",        // no terminal punct -> dropped
+      "",                              // empty -> dropped
+      "  Accept cookies  ",            // 2 words -> dropped
+      "This sentence is real prose.",  // kept
+      "short.",                        // 1 word -> dropped
+      "Is this a question?"            // kept
+    ).mkString("\n")
+    val out = Seq(doc).toDF("t")
+      .select(graft.ops.Text.cleanLines(col("t"))).collect().head.getString(0)
+    assert(out == Seq("Welcome to our site!", "This sentence is real prose.",
+      "Is this a question?").mkString("\n"), s"got '$out'")
+    // requireTerminal=false keeps the nav line too (word rule only)
+    val loose = Seq(doc).toDF("t")
+      .select(graft.ops.Text.cleanLines(col("t"), requireTerminal = false))
+      .collect().head.getString(0)
+    assert(loose.contains("Home | About | Contact"))
+    val sql = spark.sql("SELECT clean_lines('one two three.', 3, true)")
+      .collect().head.getString(0)
+    assert(sql == "one two three.")
+    val plan = spark.range(5).select(call_function("clean_lines",
+      col("id").cast("string"), lit(3), lit(true)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [clean_lines"), plan)
+  }
+
   test("both kernels participate in whole-stage codegen") {
     val fp = spark.range(50)
       .select(call_function("fingerprint64", col("id").cast("string")))
