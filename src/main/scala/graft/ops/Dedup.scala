@@ -384,6 +384,44 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Paragraph rows (id, para_id, para): structural split on a blank-line
+    * separator — the unit Dolma/RefinedWeb-style PARAGRAPH dedup works
+    * at. Map-only (split + posexplode); blank paragraphs are dropped,
+    * para_id keeps the original position for order-preserving
+    * reassembly. */
+  def splitParagraphs(df: DataFrame, textCol: String, idCol: String,
+                      sepRe: String = "\\n{2,}"): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("para_id", "para")))
+      .filter(trim(col("para")) =!= "")
+
+  /** Paragraph-level dedup (the Dolma recipe): every paragraph whose
+    * text appears elsewhere in the corpus survives only at its FIRST
+    * occurrence (min (doc id, position)); docs are reassembled from
+    * their surviving paragraphs in original order. Boilerplate shared
+    * across pages (headers, disclaimers) disappears from every doc but
+    * the first — finer-grained than document dedup, stricter than line
+    * rules. ONE min-struct aggregate keyed by the paragraph hash (the
+    * exact-dedup shape: map-side combine collapses a million-fold
+    * boilerplate para per input partition BEFORE the shuffle), a
+    * winners semi-join, and a per-doc collect_list reassembly (bounded
+    * by doc size). Returns (id, text) with `sep` between paragraphs. */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val hashed = splitParagraphs(df, textCol, idCol)
+      .withColumn("__h", Hashing.md5Int(col("para")))
+    val winners = hashed.groupBy("__h")
+      .agg(min(struct(col("id"), col("para_id"))).as("__w"))
+    hashed.join(winners,
+        hashed("__h") === winners("__h") &&
+          struct(hashed("id"), hashed("para_id")) === winners("__w"))
+      .groupBy(hashed("id"))
+      .agg(concat_ws(sep,
+        array_sort(collect_list(struct(col("para_id"), col("para"))))
+          .getField("para")).as(textCol))
+      .select(col("id").as(idCol), col(textCol))
+  }
+
   /** Per-suite contamination REPORT — the attribution a team reads
     * before choosing thresholds: for each (corpus doc, benchmark suite)
     * pair with shingle-overlap fraction >= `minOverlap`, one row

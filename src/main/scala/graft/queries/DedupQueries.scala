@@ -167,6 +167,15 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "d13_para_dedup" -> ((s, dir) => {
+      // every doc = its own text + a SHARED boilerplate paragraph: after
+      // paragraph dedup the boilerplate survives only in doc 0
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\n\nshared boilerplate paragraph here"))
+          .as("text"))
+      Dedup.dedupParagraphs(corpus, "text", "doc_id")
+    }),
+
     "d12_contamination_report" -> ((s, dir) => {
       // two overlapping suites: per-(doc, suite) overlap fractions at
       // >= 0.5 — exact oracle below shares the shingle arithmetic
@@ -355,6 +364,22 @@ object DedupQueries {
            UNION ALL SELECT doc_id + 20000, text || ' extra token'
            FROM documents WHERE doc_id < 50""", 3, 0.7)})
       WHERE id_a >= 20000 OR id_b >= 20000""",
+
+    // keep-first per paragraph text, order-preserving reassembly
+    "d13_para_dedup" -> """
+      WITH corpus AS (SELECT doc_id,
+             text || chr(10) || chr(10) || 'shared boilerplate paragraph here' AS x
+           FROM documents),
+      par AS (SELECT doc_id, u.pid AS para_id, u.para AS para FROM (
+                SELECT doc_id, unnest(list_transform(range(len(ps)),
+                  i -> {'pid': i, 'para': ps[i+1]})) AS u
+                FROM (SELECT doc_id, string_split_regex(x, '\n{2,}') AS ps
+                      FROM corpus)) t
+              WHERE trim(u.para) <> ''),
+      win AS (SELECT doc_id, para_id, para FROM par
+              QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, para_id) = 1)
+      SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY para_id) AS text
+      FROM win GROUP BY doc_id""",
 
     // per-(doc, suite) overlap fractions; suite shingle sets distinct
     "d12_contamination_report" -> """

@@ -185,6 +185,22 @@ class DedupSpec extends SparkSpec {
       s"2 benchmark-sized), found $hashEx in:\n$plan")
   }
 
+  test("dedupParagraphs keeps first occurrence, preserves order, drops blank paras") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\n\nSHARED FOOTER\n\nunique two"),
+      (2L, "other text\n\nSHARED FOOTER"),           // footer deduped away
+      (3L, "SHARED FOOTER"),                          // nothing left -> doc vanishes
+      (4L, "solo\n\n\n\nafter blanks"))               // blank paras dropped, order kept
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one\n\nSHARED FOOTER\n\nunique two")
+    assert(out(2L) == "other text")
+    assert(!out.contains(3L), "a doc of only deduped paragraphs disappears")
+    assert(out(4L) == "solo\n\nafter blanks")
+  }
+
   test("contaminationReport attributes overlap per suite") {
     import spark.implicits._
     val corpus = Seq(
