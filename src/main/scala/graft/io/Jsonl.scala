@@ -26,6 +26,8 @@ object Jsonl {
   /** (good rows, quarantined raw lines). */
   def read(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
     val corrupt = "__corrupt"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema may not contain the reserved column name $corrupt")
     val pschema = schema.add(corrupt, "string")
     val lines = spark.read.text(path).filter(trim(col("value")) =!= "")
     val parsed = lines.select(col("value"), from_json(col("value"), pschema,
