@@ -56,10 +56,22 @@ object AnnIndex {
 
   def load(spark: SparkSession, path: String): Index = {
     val p = spark.read.parquet(s"$path/params").head()
-    Index(spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/cells"),
+    // tombstone-filtered view, as in LshIndex.load: deletes on an
+    // append-only index are broadcast anti-joined ids; rebuild to reclaim
+    val cells0 = spark.read.parquet(s"$path/cells")
+    val cells =
+      if (new java.io.File(s"$path/tombstones").isDirectory)
+        cells0.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+          Seq("corpus_id"), "left_anti")
+      else cells0
+    Index(spark.read.parquet(s"$path/centroids"), cells,
       p.getAs[Int]("nlist"), p.getAs[Long]("seed"))
   }
+
+  /** Delete vectors without rewriting cells: tombstone ids filtered out
+    * by [[load]]. */
+  def remove(ids: DataFrame, path: String): Unit =
+    ids.toDF("corpus_id").write.mode("append").parquet(s"$path/tombstones")
 
   /** Nearest-centroid assignment from the centroid TABLE (no model
     * object needed — works on a loaded index): argmin squared distance

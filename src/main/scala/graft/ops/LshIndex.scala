@@ -66,13 +66,29 @@ object LshIndex {
 
   def load(spark: SparkSession, path: String): Index = {
     val p = spark.read.parquet(s"$path/params").head()
+    // tombstone-filtered view: deletes on an append-only parquet index
+    // are id tombstones anti-joined at load (broadcast — a tombstone set
+    // is curation-sized); rebuild to physically reclaim
+    val dead: Option[DataFrame] =
+      if (new java.io.File(s"$path/tombstones").isDirectory)
+        Some(broadcast(spark.read.parquet(s"$path/tombstones")))
+      else None
+    def alive(df: DataFrame): DataFrame =
+      dead.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
     Index(
-      bandKeys = spark.read.parquet(s"$path/bandkeys"),
-      shingles = spark.read.parquet(s"$path/shingles"),
-      sizes = spark.read.parquet(s"$path/sizes"),
+      bandKeys = alive(spark.read.parquet(s"$path/bandkeys")),
+      shingles = alive(spark.read.parquet(s"$path/shingles")),
+      sizes = alive(spark.read.parquet(s"$path/sizes")),
       n = p.getAs[Int]("n"), bands = p.getAs[Int]("bands"),
       rowsPerBand = p.getAs[Int]("rowsPerBand"), seed = p.getAs[Long]("seed"))
   }
+
+  /** Delete docs from the index WITHOUT rewriting it: append their ids
+    * as tombstones — [[load]] filters them out of every table. The
+    * standard append-only-index delete; rebuild when the tombstone set
+    * grows past curation size. */
+  def remove(ids: DataFrame, path: String): Unit =
+    ids.toDF("id").write.mode("append").parquet(s"$path/tombstones")
 
   /** Near-dup pairs between `newDocs` and the index, PLUS pairs inside
     * `newDocs` itself (a batch can carry its own duplicates) — exactly

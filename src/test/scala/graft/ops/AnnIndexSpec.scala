@@ -56,6 +56,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(re == orig)
   }
 
+  test("tombstoned vectors disappear from loaded answers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annix_rm").toString
+    AnnIndex.save(AnnIndex.build(corpus, "embedding", "vec_id", nlist = 8), dir)
+    val q = corpus.filter(col("vec_id") === 7L)
+    // a query vector always tops ITSELF unless filtered; before removal
+    // the identical vector 7 is absent from results (query==corpus id),
+    // so check via a duplicate: append 900 = copy of 7, then remove it
+    val v7 = corpus.filter(col("vec_id") === 7L).collect().head.getSeq[Double](1)
+    AnnIndex.append(Seq((900L, v7)).toDF("vec_id", "embedding"),
+      AnnIndex.load(spark, dir), dir, "embedding", "vec_id")
+    val before = AnnIndex.topK(AnnIndex.load(spark, dir), q, "embedding", "vec_id",
+      k = 1, nprobe = 8).collect().map(_.getLong(1)).toSet
+    assert(before == Set(900L))
+    AnnIndex.remove(Seq(900L).toDF("corpus_id"), dir)
+    val after = AnnIndex.topK(AnnIndex.load(spark, dir), q, "embedding", "vec_id",
+      k = 1, nprobe = 8).collect().map(_.getLong(1)).toSet
+    assert(!after.contains(900L), s"ghost vector: $after")
+  }
+
   test("topK on a loaded index prunes cell partitions (the layout is the index)") {
     val dir = java.nio.file.Files.createTempDirectory("annix3").toString
     val ix = AnnIndex.build(corpus, "embedding", "vec_id", nlist = 8)

@@ -64,6 +64,24 @@ class LshIndexSpec extends SparkSpec {
     assert(inc2 == Set((3000L, 4000L)), s"got $inc2")
   }
 
+  test("tombstoned docs stop matching; the rest of the index is untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshix_rm").toString
+    LshIndex.save(LshIndex.build(corpus, "text", "doc_id", 3, 21, 3), dir)
+    // batch near-dups docs 0 and 1; after removing doc 0, only the
+    // (1, 1001) pair remains
+    val inc0 = LshIndex.incrementalPairs(batch, LshIndex.load(spark, dir),
+      "text", "doc_id", 0.7).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc0.contains((0L, 1000L)) && inc0.contains((1L, 1001L)))
+    LshIndex.remove(Seq(0L).toDF("id"), dir)
+    val loaded = LshIndex.load(spark, dir)
+    assert(loaded.sizes.filter(col("id") === 0L).count() == 0)
+    val inc1 = LshIndex.incrementalPairs(batch, loaded, "text", "doc_id", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!inc1.exists { case (a, b) => a == 0L || b == 0L }, s"ghost match: $inc1")
+    assert(inc1.contains((1L, 1001L)))
+  }
+
   test("the index probe never shuffles the index side (broadcast batch keys)") {
     val ix = LshIndex.build(corpus, "text", "doc_id", n = 3, bands = 21, rowsPerBand = 3)
     val plan = LshIndex.incrementalPairs(batch, ix, "text", "doc_id", 0.7)
