@@ -145,6 +145,30 @@ object Dedup {
       .select("id", "span_start", "span_end")
   }
 
+  /** Rewrite documents with token spans REMOVED — the cut step after
+    * [[dupSpans]] (aggressive mode: every listed span goes; pass a
+    * keep-first-filtered span list for Lee-et-al keep-one semantics).
+    * Tokens survive unless covered by one of their doc's (span_start,
+    * span_end) intervals; survivors rejoin in original order. The span
+    * join is id-equi with a range residual (per-doc interval lists are
+    * bounded); reassembly is a per-doc bounded collect_list. Docs whose
+    * every token is cut vanish (same contract as [[dedupParagraphs]]).
+    * Returns (id, text). */
+  def cutSpans(df: DataFrame, spans: DataFrame, textCol: String,
+               idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+      toks("id") === spans("id") &&
+        toks("pos") >= spans("span_start") && toks("pos") <= spans("span_end"),
+      "left_anti")
+    kept.groupBy("id")
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok")).as(textCol))
+      .select(col("id").as(idCol), col(textCol))
+  }
+
   /** Per-doc duplicated-token budget from [[dupSpans]]: (id, n_tokens,
     * dup_tokens, dup_frac) for every doc — the RefinedWeb-style "drop or
     * trim docs that are mostly duplicated text" filter signal. Docs with

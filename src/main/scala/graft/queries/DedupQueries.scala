@@ -167,6 +167,14 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "d14_cut_spans" -> ((s, dir) => {
+      // aggressive span cut: every >= 10-token duplicated span removed
+      // from every doc (keep-one filtering is a caller-side choice)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Dedup.cutSpans(docs, Dedup.dupSpans(docs, "text", "doc_id", 10),
+        "text", "doc_id")
+    }),
+
     "d13_para_dedup" -> ((s, dir) => {
       // every doc = its own text + a SHARED boilerplate paragraph: after
       // paragraph dedup the boilerplate survives only in doc 0
@@ -364,6 +372,35 @@ object DedupQueries {
            UNION ALL SELECT doc_id + 20000, text || ' extra token'
            FROM documents WHERE doc_id < 50""", 3, 0.7)})
       WHERE id_a >= 20000 OR id_b >= 20000""",
+
+    // d10's islands, then tokens outside every island rejoin in order
+    "d14_cut_spans" -> """
+      WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_transform(range(len(t) - 9), i ->
+               {'pos': i, 'sh': list_reduce(list_transform(range(i, i + 10), j -> t[j + 1]),
+                                            (a, b) -> a || ' ' || b)})) AS u
+             FROM tok WHERE len(t) >= 10),
+      pos AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM sh),
+      dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (sh)),
+      isl AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                     THEN 1 ELSE 0 END AS brk
+              FROM hits),
+      grp AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM isl),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+                FROM grp GROUP BY doc_id, g),
+      tp AS (SELECT doc_id, u.p AS p, u.w AS w FROM (
+               SELECT doc_id, unnest(list_transform(range(len(t)),
+                 i -> {'p': i, 'w': t[i + 1]})) AS u
+               FROM tok) z),
+      keep AS (SELECT doc_id, p, w FROM tp
+               WHERE NOT EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.s AND s.e))
+      SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
+      FROM keep GROUP BY doc_id""",
 
     // keep-first per paragraph text, order-preserving reassembly
     "d13_para_dedup" -> """

@@ -267,6 +267,27 @@ class DedupSpec extends SparkSpec {
     assert(sem.subsetOf(brute), s"false positives: ${sem -- brute}")
   }
 
+  test("cutSpans removes exactly the listed spans; span-free docs pass through") {
+    import spark.implicits._
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared b1 b2 b3"),
+      (2L, s"$shared c1 c2 c3 c4 c5 c6"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "text", "doc_id", minTokens = 6)
+    val cut = Dedup.cutSpans(docs, spans, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == "a1 a2 a3 b1 b2 b3")
+    assert(cut(2L) == "c1 c2 c3 c4 c5 c6")
+    assert(cut(3L) == "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10") // untouched
+    // a doc that is ALL duplicated text vanishes
+    val twins = Seq((7L, shared), (8L, shared)).toDF("doc_id", "text")
+    val gone = Dedup.cutSpans(twins,
+      Dedup.dupSpans(twins, "text", "doc_id", 6), "text", "doc_id").count()
+    assert(gone == 0)
+  }
+
   test("dupSpans finds repeated spans, merges overlaps, skips short docs") {
     import spark.implicits._
     val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6-token repeated block
