@@ -19,10 +19,18 @@ object MiscQueries {
       // parquet tables, ANSI SQL with a graft extension function in the
       // projection — proves the SQL entry point plans identically to the
       // DataFrame API (same Catalyst plan underneath)
+      // revenue is summed in DECIMAL, not DOUBLE: a float sum's low bits
+      // depend on partition order, and rounding one to 2 decimals is not
+      // a stable cross-engine contract when the true sum sits within an
+      // ulp of a half-cent. The per-row cast double->DECIMAL is
+      // deterministic (same parquet double on both sides), the decimal
+      // sum is order-exact, and the final CAST AS DOUBLE of the rounded
+      // decimal is correctly rounded — bit-identical to the oracle.
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
       s.sql("""
         SELECT l_returnflag,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
                count(*) AS n,
                sum(unicode_sum(l_returnflag)) AS flag_codepoints
         FROM lineitem_v
@@ -74,9 +82,10 @@ object MiscQueries {
     // unicode_sum('A') = 65, 'N' = 78, 'R' = 82 — one ASCII char per flag
     "q9_sql_surface" -> """
       SELECT l_returnflag,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
              count(*) AS n,
-             sum(unicode(l_returnflag)) AS flag_codepoints
+             CAST(sum(unicode(l_returnflag)) AS BIGINT) AS flag_codepoints
       FROM lineitem
       WHERE l_quantity >= 10
       GROUP BY l_returnflag""",

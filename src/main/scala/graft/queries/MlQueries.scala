@@ -172,16 +172,54 @@ object MlQueries {
     }),
 
     "m11_learning_curve" -> ((s, dir) => {
-      // M11: linear-regression curve over train fractions — FULL oracle:
-      // deterministic prefix subsets under the total order (o_custkey,
-      // o_totalprice), OLS closed form per fraction in DuckDB
+      // M11: linear-regression curve over train fractions — FULL oracle.
+      // The COMPARED r2 values are recomputed from order-exact DECIMAL
+      // sums (a float sum's low bits depend on partition order; rounding
+      // one is not a stable cross-engine contract) with the same scalar
+      // double formula the DuckDB oracle uses — bit-identical on both
+      // sides. learningCurve stays under test via engine_ok: its MLlib
+      // scores must match the closed form within 1e-6 on every point.
       val pts = Validation.learningCurve(olsTrain(s, dir), olsTest(s, dir),
         "o_totalprice", "linear", Models.Regression,
         fractions = Seq(0.2, 0.5, 1.0), metric = "r2",
         orderCols = Seq("o_custkey", "o_totalprice"))
+      val tr = olsTrain(s, dir)
+      val ranked = graft.ops.Ordinals.withGlobalRank(tr,
+        Seq(col("o_custkey").asc, col("o_totalprice").asc), "__rk")
+      // six decimal sums: n, Sx, Sy, Sxx, Syy, Sxy — exact, so the
+      // double conversions below are the same bits DuckDB produces
+      def sums(df: org.apache.spark.sql.DataFrame): Array[Double] = {
+        val row = df.select(
+            col("o_custkey").cast("decimal(18,4)").as("x"),
+            col("o_totalprice").cast("decimal(18,4)").as("y"))
+          .agg(count(lit(1)), sum(col("x")), sum(col("y")),
+            sum(col("x") * col("x")), sum(col("y") * col("y")),
+            sum(col("x") * col("y"))).head()
+        Array(row.getLong(0).toDouble,
+          row.getDecimal(1).doubleValue, row.getDecimal(2).doubleValue,
+          row.getDecimal(3).doubleValue, row.getDecimal(4).doubleValue,
+          row.getDecimal(5).doubleValue)
+      }
+      val n = tr.count()
+      val teS = sums(olsTest(s, dir))
       import s.implicits._
-      pts.map(p => (p.fraction, r(p.trainScore, 3), r(p.valScore, 3)))
-        .toDF("fraction", "train_r2", "val_r2")
+      Seq(0.2, 0.5, 1.0).zip(pts).map { case (f, p) =>
+        val sub = if (f >= 1.0) ranked
+          else ranked.filter(col("__rk") <= math.ceil(f * n).toLong)
+        val Array(ns, sx, sy, sxx, syy, sxy) = sums(sub)
+        val m = (ns * sxy - sx * sy) / (ns * sxx - sx * sx)
+        val b = (sy - m * sx) / ns
+        def r2(t: Array[Double]): Double = {
+          val Array(tn, tx, ty, txx, tyy, txy) = t
+          1.0 - (tyy - 2.0 * m * txy - 2.0 * b * ty + m * m * txx +
+            2.0 * m * b * tx + tn * b * b) / (tyy - ty * ty / tn)
+        }
+        val trainR2 = r2(Array(ns, sx, sy, sxx, syy, sxy))
+        val valR2 = r2(teS)
+        val ok = math.abs(p.trainScore - trainR2) < 1e-6 &&
+          math.abs(p.valScore - valR2) < 1e-6
+        (f, r(trainR2, 6), r(valR2, 6), ok)
+      }.toDF("fraction", "train_r2", "val_r2", "engine_ok")
     }),
 
     "m12_final_train" -> ((s, dir) => {
@@ -351,29 +389,44 @@ object MlQueries {
 
     // deterministic prefix subsets (rank under the unique total order
     // (x, y)) + per-fraction OLS closed form; r2 = 1 - SSE/(var_pop*n)
+    // DECIMAL(19,4) here (not 18): DuckDB keeps the operand width on
+    // decimal multiply, so width-19 operands give the width-38 products
+    // the sums need; the decimal VALUES are identical to the engine's
+    // DECIMAL(18,4) casts. The scalar formula text mirrors the Scala
+    // expression tree exactly — identical IEEE ops on identical sums.
     "m11_learning_curve" -> """
-      WITH tr AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 <> 0),
-      te AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 = 0),
+      WITH tr AS (SELECT CAST(o_custkey AS DECIMAL(19,4)) AS x, CAST(o_totalprice AS DECIMAL(19,4)) AS y
+                  FROM orders WHERE o_orderkey % 4 <> 0),
+      te AS (SELECT CAST(o_custkey AS DECIMAL(19,4)) AS x, CAST(o_totalprice AS DECIMAL(19,4)) AS y
+             FROM orders WHERE o_orderkey % 4 = 0),
       ranked AS (SELECT x, y, row_number() OVER (ORDER BY x, y) AS rn,
                         count(*) OVER () AS n FROM tr),
       fr AS (SELECT unnest([0.2, 0.5, 1.0]) AS fraction),
       sub AS (SELECT fraction, x, y FROM fr JOIN ranked
               ON rn <= CAST(ceil(fraction * n) AS BIGINT)),
-      fit AS (SELECT fraction, regr_slope(y, x) AS m, regr_intercept(y, x) AS b
-              FROM sub GROUP BY 1),
-      trs AS (SELECT fraction,
-                     1.0 - sum((y - yh) * (y - yh)) / (var_pop(y) * count(*)) AS train_r2
-              FROM (SELECT s.fraction, s.y, f.m * s.x + f.b AS yh
-                    FROM sub s JOIN fit f USING (fraction))
-              GROUP BY 1),
-      tes AS (SELECT fraction,
-                     1.0 - sum((y - yh) * (y - yh)) / (var_pop(y) * count(*)) AS val_r2
-              FROM (SELECT f.fraction, te.y, f.m * te.x + f.b AS yh
-                    FROM te CROSS JOIN fit f)
-              GROUP BY 1)
+      ss AS (SELECT fraction, CAST(count(*) AS DOUBLE) AS ns,
+                    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+                    CAST(sum(x*y) AS DOUBLE) AS sxy
+             FROM sub GROUP BY 1),
+      ts AS (SELECT CAST(count(*) AS DOUBLE) AS tn,
+                    CAST(sum(x) AS DOUBLE) AS tx, CAST(sum(y) AS DOUBLE) AS ty,
+                    CAST(sum(x*x) AS DOUBLE) AS txx, CAST(sum(y*y) AS DOUBLE) AS tyy,
+                    CAST(sum(x*y) AS DOUBLE) AS txy
+             FROM te),
+      fit AS (SELECT fraction, ns, sx, sy, sxx, syy, sxy,
+                     (ns * sxy - sx * sy) / (ns * sxx - sx * sx) AS m FROM ss),
+      fit2 AS (SELECT *, (sy - m * sx) / ns AS b FROM fit),
+      res AS (SELECT fraction,
+                     1.0 - (syy - 2.0 * m * sxy - 2.0 * b * sy + m * m * sxx + 2.0 * m * b * sx + ns * b * b)
+                           / (syy - sy * sy / ns) AS train_r2,
+                     1.0 - (tyy - 2.0 * m * txy - 2.0 * b * ty + m * m * txx + 2.0 * m * b * tx + tn * b * b)
+                           / (tyy - ty * ty / tn) AS val_r2
+              FROM fit2 CROSS JOIN ts)
       SELECT CAST(fraction AS DOUBLE) AS fraction,
-             round(train_r2, 3) AS train_r2, round(val_r2, 3) AS val_r2
-      FROM trs JOIN tes USING (fraction)""",
+             round(train_r2, 6) AS train_r2, round(val_r2, 6) AS val_r2,
+             true AS engine_ok
+      FROM res""",
 
     "m12_final_train" -> """
       WITH tr AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 <> 0),
