@@ -95,15 +95,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bloom_agg takes (value[, estimatedItems[, numBits]]), got $n args")
         }
       }))
+    // probe side is OUR expression, not Spark's BloomFilterMightContain:
+    // the built-in's codegen assumes a scalar-subquery filter child and
+    // falls back to the interpreter on a binary literal — see
+    // [[BloomContains]] for the hot-path rationale.
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_might_contain"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "bloom_might_contain takes (filter, value)")
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children.head, children(1))
+        BloomContains(children.head, children(1))
       }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)

@@ -32,8 +32,14 @@ object Jsonl {
     val lines = spark.read.text(path).filter(trim(col("value")) =!= "")
     val parsed = lines.select(col("value"), from_json(col("value"), pschema,
       Map("columnNameOfCorruptRecord" -> corrupt).asJava).as("__j"))
-    (parsed.filter(col(s"__j.$corrupt").isNull).select(col("__j.*")).drop(corrupt),
-     parsed.filter(col(s"__j.$corrupt").isNotNull).select(col("value").as("raw")))
+    // a line holding the JSON literal `null` parses to a NULL STRUCT
+    // (corrupt column included) — without the isNotNull guard it would
+    // land in the GOOD output as an all-null row; it belongs in the
+    // quarantine, matching spark.read.json PERMISSIVE
+    (parsed.filter(col("__j").isNotNull && col(s"__j.$corrupt").isNull)
+       .select(col("__j.*")).drop(corrupt),
+     parsed.filter(col("__j").isNull || col(s"__j.$corrupt").isNotNull)
+       .select(col("value").as("raw")))
   }
 
   def write(df: DataFrame, path: String, mode: String = "error"): Unit =

@@ -60,7 +60,7 @@ object AnnIndex {
     // append-only index are broadcast anti-joined ids; rebuild to reclaim
     val cells0 = spark.read.parquet(s"$path/cells")
     val cells =
-      if (new java.io.File(s"$path/tombstones").isDirectory)
+      if (LshIndex.hadoopExists(spark, s"$path/tombstones"))
         cells0.join(broadcast(spark.read.parquet(s"$path/tombstones")),
           Seq("corpus_id"), "left_anti")
       else cells0

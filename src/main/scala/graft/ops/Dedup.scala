@@ -400,10 +400,14 @@ object Dedup {
     // the shingle hash). Pass broadcastBenchmark=false for a
     // pathologically large benchmark suite.
     val bs = if (broadcastBenchmark) broadcast(bs0) else bs0
+    // __hits > 0 guards the maxOverlap == 0 boundary: a doc with ZERO
+    // benchmark overlap satisfies `0 >= n * 0`, and without the guard a
+    // zero threshold would silently drop the entire corpus — a doc that
+    // shares nothing with the benchmark is never contaminated
     val contaminated = cs.join(bs, Seq("__h"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("__n_sh"), count(col("__hit")).as("__hits"))
-      .filter(col("__hits") >= col("__n_sh") * maxOverlap)
+      .filter(col("__hits") > 0 && col("__hits") >= col("__n_sh") * maxOverlap)
       .select(col("id").as(idCol))
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
@@ -494,8 +498,11 @@ object Dedup {
     val candidate = cs.filter(call_function("bloom_might_contain", lit(bloom), col("__h")))
     val hits = candidate.join(bs, "__h").groupBy("id").agg(count(lit(1)).as("__hits"))
     val sizes = cs.groupBy("id").agg(count(lit(1)).as("__n_sh"))
+    // same __hits > 0 guard as [[decontaminate]] (the inner join above
+    // already excludes zero-hit docs — the guard keeps the two variants
+    // textually equal at the maxOverlap == 0 boundary)
     val contaminated = sizes.join(hits, "id")
-      .filter(col("__hits") >= col("__n_sh") * maxOverlap)
+      .filter(col("__hits") > 0 && col("__hits") >= col("__n_sh") * maxOverlap)
       .select(col("id").as(idCol))
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }

@@ -30,6 +30,15 @@ import org.apache.spark.sql.types.DoubleType
   */
 object LshIndex {
 
+  /** Path existence through Hadoop's FileSystem — works for file://,
+    * hdfs://, s3a://, anything the session's conf can resolve. */
+  private[ops] def hadoopExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    org.apache.hadoop.fs.FileSystem
+      .get(p.toUri, spark.sessionState.newHadoopConf())
+      .exists(p)
+  }
+
   /** The three index tables. Band parameters are the caller's contract:
     * query-time `(n, bands, rowsPerBand, seed)` must match build-time
     * values (persisted alongside the tables by [[save]]). */
@@ -52,11 +61,19 @@ object LshIndex {
   /** Persist the index as three parquet tables plus a one-row params
     * table (so [[load]] can refuse a mismatched query config). `mode` is
     * "error" by default; pass "append" to add a verified batch's entries
-    * — the index grows by exactly the kept docs, nothing is rewritten. */
+    * — the index grows by exactly the kept docs, nothing is rewritten.
+    *
+    * Crash window: the three writes are not atomic. Band keys go LAST,
+    * so a crash mid-save leaves shingle/size rows whose docs have no
+    * band keys — those docs are simply unreachable as candidates, i.e.
+    * the batch reads as ABSENT and must be replayed, which matches the
+    * documented at-least-once contract (replays can only over-drop).
+    * The reverse order would be the dangerous one: band keys without
+    * shingles verify candidates at common=0 and KEEP true near-dups. */
   def save(ix: Index, path: String, mode: String = "error"): Unit = {
-    ix.bandKeys.write.mode(mode).parquet(s"$path/bandkeys")
     ix.shingles.write.mode(mode).parquet(s"$path/shingles")
     ix.sizes.write.mode(mode).parquet(s"$path/sizes")
+    ix.bandKeys.write.mode(mode).parquet(s"$path/bandkeys")
     val spark = ix.bandKeys.sparkSession
     import spark.implicits._
     Seq((ix.n, ix.bands, ix.rowsPerBand, ix.seed))
@@ -69,8 +86,11 @@ object LshIndex {
     // tombstone-filtered view: deletes on an append-only parquet index
     // are id tombstones anti-joined at load (broadcast — a tombstone set
     // is curation-sized); rebuild to physically reclaim
+    // existence check goes through the Hadoop FS layer like every other
+    // index read/write — java.io.File would never see tombstones on
+    // hdfs:// or s3a:// paths and deleted ids would silently resurrect
     val dead: Option[DataFrame] =
-      if (new java.io.File(s"$path/tombstones").isDirectory)
+      if (hadoopExists(spark, s"$path/tombstones"))
         Some(broadcast(spark.read.parquet(s"$path/tombstones")))
       else None
     def alive(df: DataFrame): DataFrame =

@@ -126,7 +126,9 @@ class IoSpec extends SparkSpec {
         "",                                  // blank: skipped entirely
         """{"doc_id": 3 "text": "missing comma"}""", // corrupt
         "not json at all",                   // corrupt
-        """{"doc_id": "not a number", "text": "type mismatch"}""" // quarantined too
+        """{"doc_id": "not a number", "text": "type mismatch"}""", // quarantined too
+        "null"                               // JSON literal null: NULL STRUCT from
+                                             // from_json -> quarantine, not an all-null good row
       ).mkString("\n").getBytes("UTF-8"))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -136,7 +138,8 @@ class IoSpec extends SparkSpec {
       s"got $rows")
     val q = bad.collect().map(_.getString(0)).toSet
     assert(q == Set("""{"doc_id": 3 "text": "missing comma"}""", "not json at all",
-      """{"doc_id": "not a number", "text": "type mismatch"}"""), s"quarantine $q")
+      """{"doc_id": "not a number", "text": "type mismatch"}""", "null"),
+      s"quarantine $q")
     // write + read round-trips exactly
     val out = s"$dir/out"
     Jsonl.write(good.filter(good("doc_id").isNotNull), out)

@@ -144,6 +144,24 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set(2L))
   }
 
+  test("decontaminate at maxOverlap == 0: zero-overlap docs survive, both variants agree") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim in benchmark
+      (2L, "one two three four five six seven"))   // fully disjoint
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // threshold 0 means "any overlap at all contaminates" — it must NOT
+    // read as "every doc contaminates" (0 >= n*0 holds vacuously)
+    val kept = Dedup.decontaminate(corpus, benchmark, "text", "doc_id",
+      n = 3, maxOverlap = 0.0).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"zero-overlap doc must survive, kept=$kept")
+    val keptBloom = Dedup.decontaminateBloom(corpus, benchmark, "text", "doc_id",
+      n = 3, maxOverlap = 0.0).collect().map(_.getLong(0)).toSet
+    assert(keptBloom == kept)
+  }
+
   test("maxDocsPerBand: hot buckets emit star edges; keep-one dedup still collapses") {
     import spark.implicits._
     // 10 identical docs (one hot cluster) + 30 distinct docs
@@ -240,12 +258,34 @@ class DedupSpec extends SparkSpec {
   }
 
   test("bloom_agg / bloom_might_contain are SQL-callable and codegen the probe") {
-    val hit = spark.sql(
-      """SELECT bloom_might_contain(
-           (SELECT bloom_agg(h, 100L, 1000L)
-            FROM (SELECT xxhash64(col) AS h FROM VALUES ('a'),('b') AS t(col))),
-           xxhash64('a')) AS hit""").collect().head.getBoolean(0)
-    assert(hit)
+    // build the filter with bloom_agg, probe with the literal form the
+    // decontaminateBloom hot path uses (the probe expression requires a
+    // constant filter by contract)
+    val bytes = spark.sql(
+      """SELECT bloom_agg(h, 100L, 1000L) AS bf
+         FROM (SELECT xxhash64(col) AS h FROM VALUES ('a'),('b') AS t(col))""")
+      .head().getAs[Array[Byte]](0)
+    val probed = spark.sql("SELECT xxhash64('a') AS h UNION ALL SELECT xxhash64('zzz')")
+      .select(call_function("bloom_might_contain", lit(bytes), col("h")).as("hit"))
+    assert(probed.collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
+  }
+
+  test("bloom_might_contain probe runs INSIDE whole-stage codegen (no fallback)") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    (0L until 50L).foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = spark.range(100).select(col("id"),
+      call_function("bloom_might_contain", lit(bos.toByteArray), col("id")).as("hit"))
+    // the starred prefix marks operators compiled into a WholeStageCodegen
+    // stage — Spark's own BloomFilterMightContain fails janino compilation
+    // on a literal filter and silently drops to the interpreter here
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val rows = probe.collect()
+    (0 until 50).foreach(i => assert(rows(i).getBoolean(1), s"inserted key $i missed"))
+    // no false negatives by construction; most non-members must miss
+    assert(rows.drop(50).count(!_.getBoolean(1)) > 30)
   }
 
   test("semdedupPairs: exact dups always found; high recall vs brute force") {
