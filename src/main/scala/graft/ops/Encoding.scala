@@ -27,12 +27,16 @@ object Encoding {
   def sanitize(v: String): String = v.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Dictionary: distinct values of c with alphabetical 0-based codes.
-    * Shuffles only the distinct set. */
-  def labelDictionary(df: DataFrame, c: String): DataFrame = {
-    val w = Window.orderBy(col(c).asc)
-    df.filter(col(c).isNotNull).select(col(c)).distinct()
-      .withColumn("__code", (dense_rank().over(w) - 1).cast(LongType))
-  }
+    * Shuffles only the distinct set; the code assignment rides
+    * [[Ordinals.withGlobalRank]] (row_number == dense_rank on a distinct
+    * set) instead of a keyless window, so even a pathologically wide
+    * dictionary never funnels through one reducer. */
+  def labelDictionary(df: DataFrame, c: String): DataFrame =
+    Ordinals.withGlobalRank(
+        df.filter(col(c).isNotNull).select(col(c)).distinct(),
+        Seq(col(c).asc), "__rank")
+      .withColumn("__code", col("__rank") - 1L)
+      .drop("__rank")
 
   /** E1 — one-hot to FLAT 0/1 columns (reference `pd.get_dummies`,
     * `dataset_processing_fix_non_numeric_ui.py:227-238`). Values may be

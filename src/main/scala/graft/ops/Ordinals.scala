@@ -18,63 +18,53 @@ object Ordinals {
   /** Append `out` = 1-based global rank of the row under `sortCols`
     * (must be a total order for a deterministic result).
     *
-    * Stays entirely in DataFrame/Tungsten land (no `.rdd` round trip —
-    * the old zipWithIndex shape deserialized EVERY row to a GenericRow
-    * and back, and the rebuilt frame was a codegen/pruning barrier):
-    * after the range sort, `monotonically_increasing_id` is contiguous
-    * within each partition in row order, so global rank = local id -
-    * partition's first id + the preceding partitions' cumulative count.
-    * The per-partition (count, first-id) frame is O(#partitions) —
-    * dictionary-sized — so its cumulative sum may run through the one
-    * deliberate keyless window (SCALING.md's accepted class), and the
-    * broadcast join back happens IN THE SAME ACTION as the output: the
-    * range-sort exchange appears twice in the static plan and AQE stage
-    * reuse materializes it ONCE (no separate collect job, no second
-    * sort pass, nothing persisted). */
+    * A global rank IS the inclusive running total of 1 under the total
+    * order, so this delegates straight to the engine's
+    * [[graft.plans.RunningTotal]] physical operator: ONE range exchange
+    * (the sort a total order needs anyway), an O(#partitions) offset
+    * collect, and a narrow map — no window (keyless windows funnel the
+    * frame through one reducer AND drown the log in WindowExec
+    * warnings), no self-join, and critically no layout-dependent
+    * columns. The previous shape derived offsets from
+    * `spark_partition_id`/`monotonically_increasing_id` computed in TWO
+    * plan branches and relied on exchange reuse to keep both branches
+    * on the SAME physical layout — whenever reuse broke (e.g. under
+    * `.persist()`, whose cached-plan compilation reused nothing), range
+    * boundaries diverged between the branches and rows silently
+    * vanished from the pid join. Rank VALUES are order-deterministic
+    * regardless of where range boundaries fall, so this shape has no
+    * such failure mode. Exact for frames up to 2^53 rows (the running
+    * total accumulates in double). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column], out: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sorted = df.orderBy(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("__pid").rowsBetween(Long.MinValue, -1)
-    val offsets = sorted.groupBy("__pid")
-      .agg(count(lit(1)).as("__c"), min("__mid").as("__m0"))
-      .withColumn("__off", coalesce(sum("__c").over(w), lit(0L)) - col("__m0") + 1L)
-      .select("__pid", "__off")
-    sorted.join(broadcast(offsets), "__pid")
-      .withColumn(out, col("__mid") + col("__off"))
-      .drop("__pid", "__mid", "__off")
+    graft.plans.RunningTotal(df.withColumn("__rt_one", lit(1.0)),
+        sortCols, "__rt_one", "__rt_rank")
+      .withColumn(out, col("__rt_rank").cast(LongType))
+      .drop("__rt_one", "__rt_rank")
   }
 
   /** Rows at chosen 1-based GLOBAL ranks under `sortCols` (a total
-    * order), without materializing a rank column: range-sort once,
-    * locate each wanted rank's (partition, local offset) on the driver
-    * from the per-partition counts — 2 jobs, no join, O(#partitions)
-    * driver data, bounded executor memory at any scale. `ranksOf`
+    * order): one count job to size `ranksOf`, then a rank + `isin`
+    * filter over [[withGlobalRank]]'s single sorted lineage. `ranksOf`
     * receives the total row count and returns the wanted ranks;
     * out-of-range ranks are ignored. Backs [[graft.ops.Relational.exactMedian]]
-    * (order statistics without buffering a column in an agg). */
+    * (order statistics without buffering a column in an agg).
+    *
+    * The previous shape located each rank's (partition, local offset)
+    * on the driver from one action and filtered on
+    * `spark_partition_id`/`monotonically_increasing_id` in a SECOND
+    * action — but range boundaries are sampled per execution, so the
+    * second sort could lay partitions out differently and the filter
+    * would select the wrong physical rows. Rank values are
+    * order-deterministic; physical layout is not. */
   def rowsAtRanks(df: DataFrame, sortCols: Seq[Column],
                   ranksOf: Long => Seq[Long]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sorted = df.orderBy(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
-    val parts = sorted.groupBy("__pid")
-      .agg(count(lit(1)).as("__c"), min("__mid").as("__m0"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val n = parts.map(_._2).sum
-    val targets = ranksOf(n).distinct.filter(r => r >= 1 && r <= n).map { r =>
-      var rem = r; var i = 0
-      while (rem > parts(i)._2) { rem -= parts(i)._2; i += 1 }
-      (parts(i)._1, parts(i)._3 + rem - 1)
-    }
-    if (targets.isEmpty) sorted.filter(lit(false)).drop("__pid", "__mid")
-    else sorted.filter(targets.map { case (p, m) =>
-        col("__pid") === p && col("__mid") === m
-      }.reduce(_ || _)).drop("__pid", "__mid")
+    val n = df.count()
+    val targets = ranksOf(n).distinct.filter(r => r >= 1 && r <= n)
+    if (targets.isEmpty) df.filter(lit(false))
+    else withGlobalRank(df, sortCols, "__rt_at")
+      .filter(col("__rt_at").isin(targets: _*)).drop("__rt_at")
   }
 
   /** Per-key 1-based rank under `sortCols` WITHOUT a per-key window

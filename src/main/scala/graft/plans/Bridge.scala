@@ -18,4 +18,7 @@ object GraftBridge {
 
   def expr(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -102,24 +102,56 @@ object RunningTotalStrategy extends SparkStrategy {
 object RunningTotal {
   /** Append `out` = inclusive running total of `valueCol` (cast to
     * double) under the total order `sortCols`. The public seam
-    * [[graft.ops.Ordinals.withRunningTotal]] delegates here. */
+    * [[graft.ops.Ordinals.withRunningTotal]] delegates here.
+    *
+    * NONDETERMINISTIC sort expressions (a `rand(seed)` shuffle/tie-break
+    * key — the Balancing trims use one) are materialized as projected
+    * columns before the custom node: CheckAnalysis permits
+    * nondeterminism in Project/Filter/Sort but rejects it in custom
+    * operators (INVALID_NON_DETERMINISTIC_EXPRESSIONS). Materializing
+    * also pins the value — the sort key is evaluated once per row, not
+    * once per consumer. */
   def apply(df: org.apache.spark.sql.DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
             valueCol: String, out: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
-    val prepped = df.withColumn("__rt_v",
+    var prepped = df.withColumn("__rt_v",
       org.apache.spark.sql.functions.col(valueCol).cast(DoubleType))
+    // (materialized-column-name, original sort expression) per sort key:
+    // every sort key that is not a plain column reference is projected —
+    // determinism can't be judged pre-analysis (functions arrive as
+    // UnresolvedFunction, which reports deterministic), and a
+    // materialized key costs nothing the range sort wouldn't evaluate
+    val pieces = sortCols.map(GraftBridge.expr).zipWithIndex.map { case (e, i) =>
+      val child = e match { case so: SortOrder => so.child; case x => x }
+      child match {
+        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute |
+             _: org.apache.spark.sql.catalyst.expressions.Attribute => (None, e)
+        case _ =>
+          val nm = s"__rt_s$i"
+          prepped = prepped.withColumn(nm, GraftBridge.column(child))
+          (Some(nm), e)
+      }
+    }
     val analyzed = prepped.queryExecution.analyzed
     val valAttr = analyzed.output.find(_.name == "__rt_v").get
-    val order = sortCols.map { c =>
-      GraftBridge.expr(c) match {
+    val order = pieces.map {
+      case (Some(nm), e) =>
+        val attr = analyzed.output.find(_.name == nm).get
+        e match {
+          case so: SortOrder => so.copy(child = attr)
+          case _ => SortOrder(attr, Ascending)
+        }
+      case (None, e) => e match {
         case so: SortOrder =>
           so.withNewChildren(so.children.map(resolve(analyzed, _))).asInstanceOf[SortOrder]
-        case e => SortOrder(resolve(analyzed, e), Ascending)
+        case x => SortOrder(resolve(analyzed, x), Ascending)
       }
     }
     val outAttr = AttributeReference(out, DoubleType, nullable = false)()
-    GraftBridge.ofRows(spark, RunningTotalPlan(analyzed, order, valAttr, outAttr))
-      .drop("__rt_v")
+    val matCols = pieces.collect { case (Some(nm), _) => nm }
+    matCols.foldLeft(
+        GraftBridge.ofRows(spark, RunningTotalPlan(analyzed, order, valAttr, outAttr))
+          .drop("__rt_v"))((d, nm) => d.drop(nm))
   }
 
   private def resolve(plan: LogicalPlan,

@@ -35,4 +35,23 @@ class PlanLintSpec extends SparkSpec {
     }
     assert(issues.isEmpty, issues.mkString("\n"))
   }
+
+  test("no headline query plans a KEYLESS window (single-partition funnel)") {
+    // Ordinals used to push its dictionary-sized offsets cumsum through
+    // one deliberate keyless window; the thousands of benign WindowExec
+    // warnings it emitted drowned the signal. Now that the cumsum rides
+    // RunningTotal, ANY keyless window in a headline plan is a
+    // regression — this pin keeps the count at zero.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val all = SparkEntry.queries
+    val offenders = Bench.headline.filter(all.contains).flatMap { name =>
+      val keyless =
+        try all(name)(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.size
+        catch { case _: Throwable => 0 }
+      if (keyless > 0) Some(s"$name: $keyless keyless window(s)") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

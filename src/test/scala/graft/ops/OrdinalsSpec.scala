@@ -1,14 +1,14 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.SparkSpec
 
 /** The scalable ordinal primitives must be EXACTLY the window semantics
-  * they replace — proven on random frames against the single-partition
-  * window forms (which are fine at test scale).
+  * they replace — proven on random frames against driver-computed
+  * rank/cumsum oracles (identical to the single-partition window forms
+  * for a total order).
   */
 class OrdinalsSpec extends SparkSpec {
 
@@ -18,13 +18,19 @@ class OrdinalsSpec extends SparkSpec {
   private val frameGen = Gen.listOfN(80,
     Gen.zip(Gen.choose(0L, 10000L), Gen.oneOf("a", "b", "c", "d"), Gen.choose(0, 50)))
 
+  // oracles are computed DRIVER-SIDE in plain Scala (sort the collected
+  // rows, rank/accumulate in order) — for a total order over distinct
+  // ids that is exactly row_number/cumulative-sum semantics, and unlike
+  // the keyless-window reference forms it keeps the test log free of
+  // WindowExec warnings (the log is the regression signal for REAL
+  // single-partition windows — see PlanLintSpec)
+
   test("withGlobalRank equals row_number over the global window") {
     import spark.implicits._
     for (rows <- samples(frameGen, 3)) {
       val df = rows.toDF("id", "k", "v").dropDuplicates("id")
-      val expected = df.withColumn("r",
-          row_number().over(Window.orderBy(col("id"))).cast("long"))
-        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val expected = df.select("id").collect().map(_.getLong(0)).sorted
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
       val got = Ordinals.withGlobalRank(df, Seq(col("id")), "r")
         .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
       assert(got == expected)
@@ -35,9 +41,11 @@ class OrdinalsSpec extends SparkSpec {
     import spark.implicits._
     for (rows <- samples(frameGen, 3)) {
       val df = rows.toDF("id", "k", "v").dropDuplicates("id")
-      val expected = df.withColumn("r",
-          row_number().over(Window.partitionBy("k").orderBy(col("id"))).cast("long"))
-        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val expected = df.select("id", "k").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2).flatMap {
+          case (_, grp) => grp.map(_._1).sorted.zipWithIndex
+            .map { case (id, i) => id -> (i + 1L) }
+        }.toMap
       val got = Ordinals.withPerKeyRank(df, "k", Seq(col("id").asc), "r")
         .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
       assert(got == expected)
@@ -49,10 +57,10 @@ class OrdinalsSpec extends SparkSpec {
     for (rows <- samples(frameGen, 3)) {
       val df = rows.toDF("id", "k", "v").dropDuplicates("id")
         .withColumn("v", col("v").cast("double"))
-      val w = Window.orderBy(col("id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val expected = df.withColumn("ct", sum("v").over(w))
-        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val expected = scala.collection.mutable.Map.empty[Long, Double]
+      var acc = 0.0
+      df.select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1).foreach { case (id, v) => acc += v; expected(id) = acc }
       val got = Ordinals.withRunningTotal(df, Seq(col("id")), "v", "ct")
         .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
       assert(got.keySet == expected.keySet)
