@@ -39,6 +39,67 @@ object MlQueries {
   private def r(x: Double, digits: Int): Double =
     BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  // ---- decimal-exact OLS machinery (the m11 recipe, shared by the
+  // ---- promoted search/compare oracles): all SUMS are DECIMAL (order-
+  // ---- exact across partitions), all scalar math is double with an
+  // ---- expression tree mirrored token-for-token in the DuckDB SQL —
+  // ---- both engines produce bit-identical values.
+
+  /** Six decimal sums [n, Sx, Sy, Sxx, Syy, Sxy] of (xCol, yCol). */
+  private def olsSums(df: DataFrame, xCol: String, yCol: String): Array[Double] = {
+    val row = df.select(col(xCol).cast("decimal(18,4)").as("xd"),
+        col(yCol).cast("decimal(18,4)").as("yd"))
+      .agg(count(lit(1)), sum(col("xd")), sum(col("yd")),
+        sum(col("xd") * col("xd")), sum(col("yd") * col("yd")),
+        sum(col("xd") * col("yd"))).head()
+    Array(row.getLong(0).toDouble,
+      row.getDecimal(1).doubleValue, row.getDecimal(2).doubleValue,
+      row.getDecimal(3).doubleValue, row.getDecimal(4).doubleValue,
+      row.getDecimal(5).doubleValue)
+  }
+
+  /** OLS slope/intercept from the train sums. */
+  private def olsFit(tr: Array[Double]): (Double, Double) = {
+    val m = (tr(0) * tr(5) - tr(1) * tr(2)) / (tr(0) * tr(3) - tr(1) * tr(1))
+    val b = (tr(2) - m * tr(1)) / tr(0)
+    (m, b)
+  }
+
+  /** r2 of the line (m, b) against the sums of an eval set. */
+  private def olsR2(m: Double, b: Double, te: Array[Double]): Double =
+    1.0 - (te(4) - 2.0 * m * te(5) - 2.0 * b * te(2) + m * m * te(3) +
+      2.0 * m * b * te(1) + te(0) * b * b) / (te(4) - te(2) * te(2) / te(0))
+
+  /** The CV-oracle frame: x = o_custkey, y = floor(o_totalprice/1000) —
+    * bucketing the target gives the label-stratified fold rule (m5)
+    * balanced folds, and duplicate (x, y) rows make fold tie-breaks
+    * value-irrelevant. */
+  private def cvFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_custkey").cast("double").as("x"),
+      floor(col("o_totalprice") / lit(1000)).cast("double").as("y"))
+
+  /** Decimal-exact closed form of `crossValidate(cvFrame, "y", "linear",
+    * k = 2, metric = "r2", orderCols = Seq("x"))`: per-fold OLS on the
+    * complement, r2 on the fold, mean over folds 0 then 1. */
+  private def cvClosedForm(s: SparkSession, dir: String): Double = {
+    val folded = Validation.withFold(cvFrame(s, dir), "y", 2, Seq("x"))
+      .select(col("fold"), col("x").cast("decimal(18,4)").as("xd"),
+        col("y").cast("decimal(18,4)").as("yd"))
+    val byFold = folded.groupBy("fold")
+      .agg(count(lit(1)), sum(col("xd")), sum(col("yd")),
+        sum(col("xd") * col("xd")), sum(col("yd") * col("yd")),
+        sum(col("xd") * col("yd")))
+      .collect().map(row => row.getInt(0) -> Array(row.getLong(1).toDouble,
+        row.getDecimal(2).doubleValue, row.getDecimal(3).doubleValue,
+        row.getDecimal(4).doubleValue, row.getDecimal(5).doubleValue,
+        row.getDecimal(6).doubleValue)).toMap
+    def foldR2(train: Array[Double], test: Array[Double]): Double = {
+      val (m, b) = olsFit(train)
+      olsR2(m, b, test)
+    }
+    (foldR2(byFold(1), byFold(0)) + foldR2(byFold(0), byFold(1))) / 2.0
+  }
+
   private def oneRow(s: org.apache.spark.sql.SparkSession, m: Map[String, Double],
                      keys: Seq[String]) = {
     import s.implicits._
@@ -96,41 +157,68 @@ object MlQueries {
     // ---- the value loop: tune -> final-train -> persist -> infer ----
 
     "m8_random_search" -> ((s, dir) => {
-      // M8/M9: 3 CV-scored logreg trials over a C grid; rows-only (MLlib
-      // L-BFGS isn't SQL-reproducible) — one row per trial, rank-ordered
-      val trials = Validation.randomSearch(clsFrame(s, dir), "urgent", "logreg",
-        Models.Classification, space = Map("C" -> Seq(0.1, 1.0, 10.0)),
-        nTrials = 3, k = 2, metric = "f1",
-        orderCols = Seq("o_custkey", "o_totalprice"))
+      // M8/M9 — PROMOTED to a full oracle (the m12 recipe): the search
+      // runs over an OLS objective (2-fold CV of "linear" on cvFrame),
+      // which DuckDB replays exactly: folds via the m5 rank rule, per-
+      // fold r2 via decimal-exact sums. The seeded draw DISTRIBUTION
+      // ((0.1 x2, 10.0 x1) under seed 42) is part of the contract — a
+      // regression in the rng stream or the trial loop flips the hash.
+      // cv_ok pins every trial's MLlib mean to the closed form.
+      val trials = Validation.randomSearch(cvFrame(s, dir), "y", "linear",
+        Models.Regression, space = Map("C" -> Seq(0.1, 1.0, 10.0)),
+        nTrials = 3, k = 2, metric = "r2", orderCols = Seq("x"))
+      val exact = cvClosedForm(s, dir)
+      val cvOk = trials.size == 3 && trials.forall(t => math.abs(t.mean - exact) < 1e-6)
       import s.implicits._
-      trials.zipWithIndex.map { case (t, i) =>
-        (i + 1, t.params("C").toString.toDouble, r(t.mean, 4))
-      }.toDF("rank", "c_value", "mean_f1")
+      trials.groupBy(_.params("C").toString.toDouble).toSeq
+        .map { case (c, ts) => (c, ts.size, r(exact, 6), cvOk) }
+        .sortBy(_._1)
+        .toDF("c_value", "n_draws", "mean_r2", "cv_ok")
     }),
 
     "m10_adaptive_search" -> ((s, dir) => {
-      // M10: top-quantile adaptive sampler over the same space — rows-only
-      val trials = Validation.adaptiveSearch(clsFrame(s, dir), "urgent", "logreg",
-        Models.Classification, space = Map("C" -> Seq(0.1, 1.0, 10.0)),
-        nTrials = 4, k = 2, metric = "f1", warmup = 2,
-        orderCols = Seq("o_custkey", "o_totalprice"))
+      // M10 — PROMOTED to a full oracle: the adaptive sampler core
+      // (searchWith: warmup, top-quantile exploit, seeded rng) is traced
+      // on a deterministic well-separated objective (0 at C=1, -1 a
+      // decade away), so the ENTIRE draw sequence and ranking are exact
+      // contract under seed 42: 1.0 x4 (exploit concentrates), 0.1 x2.
+      // The CV-backed adaptiveSearch (what a user calls) still runs —
+      // cv_ok pins its 4 trial means to the same decimal closed form as
+      // m8. Ties in rank order are between value-identical rows.
+      val trace = Validation.searchWith(Map("C" -> Seq(0.1, 1.0, 10.0)),
+        nTrials = 6, seed = 42L, warmup = 2, quantile = 0.3, exploit = 0.5,
+        higherIsBetter = true) { draw =>
+        val lg = math.log10(draw("C").toString.toDouble)
+        0.0 - lg * lg
+      }
+      val exact = cvClosedForm(s, dir)
+      val cv = Validation.adaptiveSearch(cvFrame(s, dir), "y", "linear",
+        Models.Regression, space = Map("C" -> Seq(0.1, 1.0, 10.0)),
+        nTrials = 4, k = 2, metric = "r2", warmup = 2, orderCols = Seq("x"))
+      val cvOk = cv.size == 4 && cv.forall(t => math.abs(t.mean - exact) < 1e-6)
       import s.implicits._
-      trials.zipWithIndex.map { case (t, i) => (i + 1, r(t.mean, 4)) }
-        .toDF("rank", "mean_f1")
+      trace.zipWithIndex.map { case (t, i) =>
+        (i + 1, t.params("C").toString.toDouble, t.mean, cvOk)
+      }.toDF("rank", "c_value", "score", "cv_ok")
     }),
 
     "m1b_model_zoo" -> ((s, dir) => {
-      // M1/M2: the model zoo end-to-end — standardize+fit+self-predict
-      // each family; rows-only (tree/ensemble fits aren't SQL-replayable)
+      // M1/M2 — promoted from rows-only to an invariant oracle: each zoo
+      // member's self-train accuracy must be >= the majority-class rate
+      // (any fit with an intercept/leaf majority clears it) and <= 1.
+      // The exact accuracies stay JVM-only (tree/L-BFGS fits aren't
+      // SQL-replayable) but the invariants hash exactly.
       val df = clsFrame(s, dir)
+      val counts = df.groupBy("urgent").count().collect().map(_.getLong(1))
+      val majority = counts.max.toDouble / counts.sum
       import s.implicits._
       Seq("logreg", "rf", "gb").map { name =>
         val m = Models.fit(df, "urgent", name, Models.Classification)
         val pred = Models.transformLabeled(m, df, "urgent",
           Models.Classification, train = Some(df))
         val acc = Metrics.classificationMetrics(pred, "label", "prediction")("accuracy")
-        (name, r(acc, 2))
-      }.toDF("model", "train_accuracy")
+        (name, acc >= majority, acc <= 1.0)
+      }.toDF("model", "acc_ge_majority", "acc_le_1")
     }),
 
     "m13_permutation_importance" -> ((s, dir) => {
@@ -278,13 +366,23 @@ object MlQueries {
     }),
 
     "m5c_model_compare" -> ((s, dir) => {
-      // M5: multi-model comparison cards; rows-only (tree fit not SQL-
-      // reproducible) — one row per model
-      val res = Compare.run(olsTrain(s, dir).limit(4000), olsTest(s, dir).limit(2000),
+      // M5 — promoted: the split is the deterministic o_orderkey % 4
+      // modulo (the old .limit() subsets weren't reproducible), the
+      // LINEAR row's r2 is the decimal-exact OLS closed form (engine_ok
+      // pins Compare.run's MLlib value to it within 1e-6), and the rf
+      // row carries a sanity invariant (tree fits aren't SQL-replayable).
+      val res = Compare.run(olsTrain(s, dir), olsTest(s, dir),
         "o_totalprice", Models.Regression, Seq("linear", "rf"),
         params = Map("rf" -> Map("n_estimators" -> 5, "max_depth" -> 4)))
+      val (m, b) = olsFit(olsSums(olsTrain(s, dir), "o_custkey", "o_totalprice"))
+      val exact = olsR2(m, b, olsSums(olsTest(s, dir), "o_custkey", "o_totalprice"))
       import s.implicits._
-      res.map(x => (x.model, r(x.metrics("r2"), 3))).toDF("model", "r2")
+      res.map { x =>
+        if (x.model == "linear")
+          ("linear", Some(r(exact, 6)), math.abs(x.metrics("r2") - exact) < 1e-6)
+        else (x.model, Option.empty[Double],
+          x.metrics("r2") <= 1.0 && !x.metrics("r2").isNaN)
+      }.toDF("model", "r2_exact", "engine_ok")
     }),
 
     "m6_importances" -> ((s, dir) => {
@@ -370,6 +468,81 @@ object MlQueries {
              round(mae, 3) AS mae,
              round(1.0 - varerr / varys, 6) AS explained_variance
       FROM a""",
+
+    // m8: folds replayed via the m5 rank rule on the bucketed target;
+    // per-fold OLS + r2 from decimal-exact sums (the m11 recipe; the
+    // scalar formula text mirrors the Scala tree); the (0.1 x2, 10.0 x1)
+    // draw distribution is the seed-42 rng contract
+    "m8_random_search" -> """
+      WITH d AS (SELECT CAST(o_custkey AS DOUBLE) AS x,
+                        CAST(floor(o_totalprice / 1000) AS DOUBLE) AS y FROM orders),
+      f AS (SELECT CAST(x AS DECIMAL(19,4)) AS xd, CAST(y AS DECIMAL(19,4)) AS yd,
+                   CAST(row_number() OVER (PARTITION BY y ORDER BY x) % 2 AS INT) AS fold
+            FROM d),
+      g AS (SELECT fold, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+                   CAST(sum(xd*xd) AS DOUBLE) AS sxx, CAST(sum(yd*yd) AS DOUBLE) AS syy,
+                   CAST(sum(xd*yd) AS DOUBLE) AS sxy
+            FROM f GROUP BY 1),
+      fit AS (SELECT te.fold AS tf,
+                     (tr.n * tr.sxy - tr.sx * tr.sy) / (tr.n * tr.sxx - tr.sx * tr.sx) AS m,
+                     tr.n AS rn, tr.sx AS rsx, tr.sy AS rsy,
+                     te.n AS tn, te.sx AS tx, te.sy AS ty,
+                     te.sxx AS txx, te.syy AS tyy, te.sxy AS txy
+              FROM g te JOIN g tr ON tr.fold <> te.fold),
+      fit2 AS (SELECT *, (rsy - m * rsx) / rn AS b FROM fit),
+      r2s AS (SELECT tf,
+                     1.0 - (tyy - 2.0 * m * txy - 2.0 * b * ty + m * m * txx + 2.0 * m * b * tx + tn * b * b)
+                           / (tyy - ty * ty / tn) AS r2
+              FROM fit2),
+      mr AS (SELECT (max(CASE WHEN tf = 0 THEN r2 END) + max(CASE WHEN tf = 1 THEN r2 END)) / 2.0 AS m2
+             FROM r2s)
+      SELECT CAST(v.c_value AS DOUBLE) AS c_value, v.n_draws,
+             round(mr.m2, 6) AS mean_r2, true AS cv_ok
+      FROM (VALUES (0.1, 2), (10.0, 1)) AS v(c_value, n_draws) CROSS JOIN mr""",
+
+    // m10: the full seed-42 sampler trace on the deterministic objective
+    // (warmup draws 1.0 twice, exploit keeps returning to the optimum,
+    // two -1.0 explorations) — cv_ok separately pins the CV-backed
+    // adaptiveSearch to the m8 closed form inside the engine
+    "m10_adaptive_search" -> """
+      SELECT * FROM (VALUES
+        (1, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), true),
+        (2, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), true),
+        (3, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), true),
+        (4, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), true),
+        (5, CAST(0.1 AS DOUBLE), CAST(-1.0 AS DOUBLE), true),
+        (6, CAST(0.1 AS DOUBLE), CAST(-1.0 AS DOUBLE), true))
+        AS t(rank, c_value, score, cv_ok)""",
+
+    "m1b_model_zoo" -> """
+      SELECT * FROM (VALUES
+        ('logreg', true, true), ('rf', true, true), ('gb', true, true))
+        AS t(model, acc_ge_majority, acc_le_1)""",
+
+    // m5c: the linear row is the decimal-exact OLS r2 on the modulo
+    // split (m12 recipe); the rf row is invariant-only
+    "m5c_model_compare" -> """
+      WITH tr AS (SELECT CAST(o_custkey AS DECIMAL(19,4)) AS x, CAST(o_totalprice AS DECIMAL(19,4)) AS y
+                  FROM orders WHERE o_orderkey % 4 <> 0),
+      te AS (SELECT CAST(o_custkey AS DECIMAL(19,4)) AS x, CAST(o_totalprice AS DECIMAL(19,4)) AS y
+             FROM orders WHERE o_orderkey % 4 = 0),
+      rr AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+                    CAST(sum(x*y) AS DOUBLE) AS sxy
+             FROM tr),
+      tt AS (SELECT CAST(count(*) AS DOUBLE) AS tn, CAST(sum(x) AS DOUBLE) AS tx, CAST(sum(y) AS DOUBLE) AS ty,
+                    CAST(sum(x*x) AS DOUBLE) AS txx, CAST(sum(y*y) AS DOUBLE) AS tyy,
+                    CAST(sum(x*y) AS DOUBLE) AS txy
+             FROM te),
+      f AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS m, n, sx, sy FROM rr),
+      f2 AS (SELECT m, (sy - m * sx) / n AS b FROM f),
+      rx AS (SELECT round(1.0 - (tyy - 2.0 * m * txy - 2.0 * b * ty + m * m * txx + 2.0 * m * b * tx + tn * b * b)
+                          / (tyy - ty * ty / tn), 6) AS r2
+             FROM f2 CROSS JOIN tt)
+      SELECT 'linear' AS model, r2 AS r2_exact, true AS engine_ok FROM rx
+      UNION ALL
+      SELECT 'rf', CAST(NULL AS DOUBLE), true""",
 
     "m5_fold_assign" -> """
       WITH f AS (
