@@ -70,22 +70,28 @@ object Lexicon {
     * id (already clustered by the doc-length join — sort only, no new
     * exchange). N rides a 1-row broadcast.
     *
-    * `broadcastVocab=true` broadcasts the doc-frequency table instead of
-    * shuffle-joining on term: the (doc, term) frame then keeps its id
-    * clustering end to end — ZERO term-keyed exchange of the corpus-sized
-    * side (the df_t aggregate still shuffles, but it's vocabulary-sized
-    * partials). Right whenever the distinct vocabulary fits a broadcast
-    * (natural-language corpora: millions of terms ~ tens of MB); leave
-    * false for open-ended token spaces (URLs, code identifiers). */
+    * `broadcastVocab=Some(true)` broadcasts the doc-frequency table
+    * instead of shuffle-joining on term: the (doc, term) frame then
+    * keeps its id clustering end to end — ZERO term-keyed exchange of
+    * the corpus-sized side (the df_t aggregate still shuffles, but it's
+    * vocabulary-sized partials). Right whenever the distinct vocabulary
+    * fits a broadcast (natural-language corpora: millions of terms ~
+    * tens of MB); `Some(false)` for open-ended token spaces (URLs, code
+    * identifiers). The DEFAULT (`None`) decides adaptively: one
+    * `approx_count_distinct` pass over the token rows against the
+    * session broadcast threshold — a cheap scan next to the term
+    * shuffle it avoids when the vocabulary is small, and the guard that
+    * stops a 10M-term vocabulary from being forced into a broadcast. */
   def tfidfTopK(df: DataFrame, textCol: String, idCol: String, k: Int,
-                broadcastVocab: Boolean = false): DataFrame = {
+                broadcastVocab: Option[Boolean] = None): DataFrame = {
+    val bv = broadcastVocab.getOrElse(vocabFitsBroadcast(df, textCol, idCol))
     val dt = docTermCounts(df, textCol, idCol)
     // doc length as a window over the id-clustering dt already has — a
     // sort, not another scan branch + join (docs are bounded-size, so a
     // per-doc window partition is never a hot reducer)
     val dtl = dt.withColumn("__len", sum("c").over(Window.partitionBy("id")))
     val dfT0 = dt.groupBy("term").agg(count(lit(1)).as("__df"))
-    val dfT = if (broadcastVocab) broadcast(dfT0) else dfT0
+    val dfT = if (bv) broadcast(dfT0) else dfT0
     val nDocs = dt.agg(count_distinct(col("id")).as("__nd"))
     val scored = dtl
       .join(dfT, "term")
@@ -98,6 +104,20 @@ object Lexicon {
         Window.partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)))
       .filter(col("__rn") <= k)
       .select(col("id").as(idCol), col("term"), col("tfidf"))
+  }
+
+  /** The tfidfTopK AUTO broadcast decision: estimated vocabulary bytes
+    * (approx distinct terms x ~64 B/row of term string + count +
+    * overhead) against the session's broadcast threshold. A disabled
+    * threshold (-1) means never auto-broadcast. */
+  private def vocabFitsBroadcast(df: DataFrame, textCol: String,
+                                 idCol: String): Boolean = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 && {
+      val approx = tokenRows(df, textCol, idCol)
+        .agg(approx_count_distinct(col("term")).as("v")).head().getLong(0)
+      approx * 64L <= threshold
+    }
   }
 
   /** Character-trigram rows (id, tri [, carried cols]) over

@@ -135,10 +135,9 @@ object TextQueries {
 
     "t12_tfidf" -> ((s, dir) =>
       // per-doc top-3 TF-IDF keywords, rank-stable via pre-rank rounding;
-      // vocabulary is corpus-small -> broadcast df_t, no term shuffle of
-      // the (doc, term) side
-      Lexicon.tfidfTopK(Tables.documents(s, dir), "text", "doc_id", k = 3,
-        broadcastVocab = true)),
+      // vocab mode is ADAPTIVE: the small corpus vocabulary auto-selects
+      // broadcast df_t (no term shuffle of the (doc, term) side)
+      Lexicon.tfidfTopK(Tables.documents(s, dir), "text", "doc_id", k = 3)),
 
     "t13_lm_score" -> ((s, dir) =>
       // corpus-unigram LM mean log-prob per doc (CCNet-style LM signal)

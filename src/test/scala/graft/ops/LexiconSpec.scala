@@ -87,13 +87,33 @@ class LexiconSpec extends SparkSpec {
       "per-doc top-k should plan as WindowGroupLimit (rank short-circuit), not a full window sort")
     // broadcastVocab: identical results, and the (doc, term) side keeps
     // its id clustering — the term-keyed join becomes a broadcast probe
-    val shufTfidf = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3)
+    val shufTfidf = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3,
+        broadcastVocab = Some(false))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
-    val bcast = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3, broadcastVocab = true)
+    val bcast = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3,
+      broadcastVocab = Some(true))
     assert(bcast.collect().map(r =>
       (r.getLong(0), r.getString(1), r.getDouble(2))).toSet == shufTfidf)
     assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "broadcastVocab must plan the df_t join as a broadcast probe")
+    // ADAPTIVE mode: under the default threshold this corpus's small
+    // vocabulary picks the broadcast plan; with the threshold disabled
+    // (stand-in for a 10M-term vocabulary exceeding it) it must fall
+    // back to the term-shuffle join instead of forcing an OOM-risk
+    // broadcast — results identical either way
+    val autoB = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3)
+    assert(autoB.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small vocab must auto-select the broadcast probe")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val autoS = Lexicon.tfidfTopK(docs, "text", "doc_id", k = 3)
+      assert(!autoS.queryExecution.executedPlan.toString.contains("BroadcastHashJoin [term"),
+        "oversized vocab must not be forced into a broadcast")
+      assert(autoS.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSet == shufTfidf)
+    } finally spark.conf.set(thresholdKey, saved)
     val langPlan = Lexicon.trigramLangId(docs, "text", "doc_id", "lang")
       .queryExecution.executedPlan.toString
     assert(langPlan.contains("BroadcastHashJoin"),
