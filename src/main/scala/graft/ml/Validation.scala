@@ -143,6 +143,58 @@ object Validation {
     history.toSeq.map { case (p, v) => Trial(p, v, 0.0) }.sortBy(t => rank(t.mean))
   }
 
+  /** TPE-shaped sampler over a discrete space — the closer analogue of
+    * Optuna's TPESampler than [[searchWith]]'s top-quantile resampler
+    * (`cross_validation_optuna_logic.py:116-164`): history splits into
+    * GOOD (top `gamma` quantile) and BAD; each candidate value v draws
+    * with probability proportional to l(v)/g(v), the ratio of
+    * Laplace-smoothed categorical densities over the two sets (Bergstra
+    * et al. 2011 — for a discrete list the per-param "KDE" IS the
+    * smoothed histogram, and sampling directly from the ratio over ALL
+    * candidates is the small-space specialization of Optuna's
+    * sample-from-l, rank-by-l/g). Unlike the quantile resampler this
+    * weighs UNSEEN values too (prior mass), so exploration never
+    * starves, and values that appear in the good set AND not the bad
+    * set get the sharpest boost. rng calls per trial are fixed-count,
+    * so draws are seed-reproducible. Defaults (gamma 0.25, prior 0.05)
+    * are the measured best over a seed panel on two synthetic
+    * objectives — MlSpec pins TPE >= random AND >= the quantile
+    * resampler at equal budget on both. */
+  def searchTpe(space: Map[String, Seq[Any]], nTrials: Int, seed: Long,
+                warmup: Int = 5, gamma: Double = 0.25, prior: Double = 0.05,
+                higherIsBetter: Boolean = true)
+               (objective: Models.Params => Double): Seq[Trial] = {
+    require(warmup >= 1, "TPE needs at least one warmup trial")
+    val rng = new scala.util.Random(seed)
+    val ordered = space.toSeq.sortBy(_._1) // stable param order for the rng stream
+    val rank = (v: Double) => if (higherIsBetter) -v else v
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Models.Params, Double)]
+    (1 to nTrials).foreach { _ =>
+      val draw: Models.Params =
+        if (history.size < warmup)
+          ordered.map { case (p, vs) => p -> vs(rng.nextInt(vs.size)) }.toMap
+        else {
+          val sorted = history.sortBy(t => rank(t._2))
+          val nGood = math.max(1, math.ceil(history.size * gamma).toInt)
+          val (good, bad) = sorted.toSeq.splitAt(nGood)
+          ordered.map { case (p, vs) =>
+            val k = vs.size
+            val weights = vs.map { v =>
+              val l = (good.count(_._1(p) == v) + prior) / (good.size + prior * k)
+              val g = (bad.count(_._1(p) == v) + prior) / (bad.size + prior * k)
+              l / g
+            }
+            var u = rng.nextDouble() * weights.sum
+            var i = 0
+            while (i < k - 1 && u > weights(i)) { u -= weights(i); i += 1 }
+            p -> vs(i)
+          }.toMap
+        }
+      history += ((draw, objective(draw)))
+    }
+    history.toSeq.map { case (p, v) => Trial(p, v, 0.0) }.sortBy(t => rank(t.mean))
+  }
+
   /** M18 — grid editor -> config expansion: the cartesian product of a
     * param space in deterministic (alphabetical param, listed value)
     * order — sklearn GridSearchCV.param_grid semantics. Driver-side by
@@ -161,11 +213,12 @@ object Validation {
                      metric: String = "f1", seed: Long = 42L, warmup: Int = 5,
                      quantile: Double = 0.3, exploit: Double = 0.5,
                      orderCols: Seq[String] = Nil,
-                     logPath: Option[String] = None): Seq[Trial] = {
+                     logPath: Option[String] = None,
+                     sampler: String = "quantile"): Seq[Trial] = {
     val offset = logPath.map(p => graft.io.TrialLog.read(p).size).getOrElse(0)
     var n = offset
-    searchWith(space, nTrials, seed, warmup, quantile, exploit,
-               Metrics.higherIsBetter(metric)) { draw =>
+    val hib = Metrics.higherIsBetter(metric)
+    val objective: Models.Params => Double = { draw =>
       val scores = crossValidate(df, labelCol, model, task, k, draw, metric, seed, orderCols)
       val mean = scores.map(_._2).sum / scores.size
       logPath.foreach { p =>
@@ -174,6 +227,14 @@ object Validation {
       }
       n += 1
       mean
+    }
+    sampler match {
+      case "tpe" =>
+        searchTpe(space, nTrials, seed, warmup, quantile, higherIsBetter = hib)(objective)
+      case "quantile" =>
+        searchWith(space, nTrials, seed, warmup, quantile, exploit, hib)(objective)
+      case other => throw new IllegalArgumentException(
+        s"unknown sampler '$other' (expected 'quantile' or 'tpe')")
     }
   }
 

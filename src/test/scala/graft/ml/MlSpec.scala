@@ -124,6 +124,48 @@ class MlSpec extends SparkSpec {
     assert(adaptive > random, s"adaptive $adaptive vs random $random")
   }
 
+  test("M10 TPE sampler >= random AND >= quantile-adaptive on two seeded objectives") {
+    // equal budget, identical space, averaged over seeds; objective 1 is
+    // the separable gain quadratic, objective 2 an asymmetric LOSS bowl
+    // exercising the higherIsBetter=false orientation end to end
+    val space: Map[String, Seq[Any]] = Map(
+      "x" -> (0 until 30).map(i => i: Any),
+      "y" -> (0 until 30).map(i => i: Any))
+    def quad(p: Models.Params): Double = {
+      val x = p("x").toString.toDouble; val y = p("y").toString.toDouble
+      -((x - 21) * (x - 21) + (y - 13) * (y - 13))
+    }
+    def bowl(p: Models.Params): Double = {
+      val x = p("x").toString.toDouble; val y = p("y").toString.toDouble
+      (x - 7) * (x - 7) + 2.0 * (y - 23) * (y - 23)
+    }
+    val seeds = (1L to 9L)
+    def best(obj: Models.Params => Double, sampler: String, hib: Boolean): Double =
+      seeds.map { s =>
+        (sampler match {
+          case "tpe" => Validation.searchTpe(space, nTrials = 30, seed = s,
+            warmup = 6, higherIsBetter = hib)(obj)
+          case "quantile" => Validation.searchWith(space, nTrials = 30, seed = s,
+            warmup = 6, quantile = 0.25, exploit = 0.5, higherIsBetter = hib)(obj)
+          case _ => Validation.searchWith(space, nTrials = 30, seed = s,
+            warmup = 6, quantile = 0.25, exploit = 0.0, higherIsBetter = hib)(obj)
+        }).head.mean
+      }.sum / seeds.size
+    for ((obj, hib) <- Seq((quad _, true), (bowl _, false))) {
+      val tpe = best(obj, "tpe", hib)
+      val quant = best(obj, "quantile", hib)
+      val rand = best(obj, "random", hib)
+      def beats(a: Double, b: Double) = if (hib) a >= b else a <= b
+      assert(beats(tpe, rand), s"tpe $tpe must beat random $rand (hib=$hib)")
+      assert(beats(tpe, quant), s"tpe $tpe must beat quantile-adaptive $quant (hib=$hib)")
+    }
+    // the adaptiveSearch seam routes the sampler switch
+    intercept[IllegalArgumentException] {
+      Validation.adaptiveSearch(synth, "y", "logreg", Classification,
+        space = Map("C" -> Seq(1.0)), nTrials = 1, sampler = "nope")
+    }
+  }
+
   test("M10 loss objectives: higherIsBetter=false exploits the LOW trials and ranks ascending") {
     // minimize a quadratic loss: with the orientation flag the adaptive
     // sampler must do at least as well as (and here better than) uniform
