@@ -53,15 +53,31 @@ object Bench {
         try all(n)(spark, warmDir.getPath).count() catch { case _: Throwable => () }
       }
     else all("q1_pricing_summary")(spark, sfDir).count()
+    // Per-query variance between single runs is +-2x (scheduler and GC
+    // noise dominate sub-second queries), so round-over-round claims need
+    // a median: SPARK_GRAFT_REPEAT=N (or --repeat N, default 3) times
+    // each query N times and reports the per-query MEDIAN. Repeats run
+    // back to back per query so plan/codegen state is identical.
+    val repeat = math.max(1,
+      args.sliding(2).collectFirst { case Array("--repeat", n) => n.toInt }
+        .orElse(sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt))
+        .getOrElse(3))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat}""")
     spark.stop()
   }
 }
