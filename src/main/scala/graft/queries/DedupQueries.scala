@@ -249,6 +249,18 @@ object DedupQueries {
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    "s17_ann_graph" -> ((s, dir) => {
+      // graph-expanded IVF probing (centroid k-NN adjacency + cell-radius
+      // surface ranking for the reserved expansion slot) at the same
+      // probe budget as s3/s6. Rows-only (k-means centroids); the
+      // AnnIndexSpec panel pins budget equality and recall >= plain IVF.
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val ix = graft.ops.AnnIndex.build(e, "embedding", "vec_id", nlist = 8)
+      graft.ops.AnnIndex.graphTopK(ix, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, nprobe = 3)
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
     "s5_ann_quantized" -> ((s, dir) => {
       // int8-quantized top-k: integer dot products are engine-exact, so
       // ranks AND rounded scores are fully oracle-able

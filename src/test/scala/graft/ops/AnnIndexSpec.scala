@@ -76,6 +76,63 @@ class AnnIndexSpec extends SparkSpec {
     assert(!after.contains(900L), s"ghost vector: $after")
   }
 
+  test("graphTopK: probe budget equals IVF's; panel recall >= IVF at equal nprobe") {
+    import spark.implicits._
+    // anisotropic panel — the regime centroid ranking gets wrong:
+    // stretched clusters along dim 1, queries past the stretch tip, so
+    // true neighbors live in ADJACENT sub-cells whose centroids are not
+    // among the globally nearest. Recall is compared as a PANEL AVERAGE
+    // (k-means cell shapes wobble with session parallelism; the policy's
+    // tie-or-win behavior is the stable property, per-fixture ranks are
+    // not), at the same cells-read budget.
+    def fixture(stretch: Double, sep: Double, nlist: Int) = {
+      val rnd = new scala.util.Random(7)
+      val pts = (0 until 8).flatMap { c =>
+        (0 until 40).map { j =>
+          val base = Array.fill(8)(rnd.nextGaussian() * 0.15)
+          base(0) += c * sep
+          base(1) += rnd.nextGaussian() * stretch
+          ((c * 40 + j).toLong, base.toSeq)
+        }
+      }
+      val corpus2 = pts.toDF("vec_id", "embedding")
+      val queries = (0 until 8).map { c =>
+        ((1000 + c).toLong,
+          Seq(c * sep, stretch * 1.2, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+      }.toDF("vec_id", "embedding")
+      (corpus2, queries, AnnIndex.build(corpus2, "embedding", "vec_id", nlist = nlist))
+    }
+    val panel = for (stretch <- Seq(3.0, 5.0); sep <- Seq(2.0, 3.0); nlist <- Seq(16, 24)) yield {
+      val (corpus2, queries, ix) = fixture(stretch, sep, nlist)
+      val exact = Similarity.bruteForceTopK(corpus2, queries, "embedding", "vec_id", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(df: org.apache.spark.sql.DataFrame): Double =
+        df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .count(exact.contains).toDouble / exact.size
+      (recall(AnnIndex.topK(ix, queries, "embedding", "vec_id", k = 10, nprobe = 4)),
+       recall(AnnIndex.graphTopK(ix, queries, "embedding", "vec_id",
+         k = 10, nprobe = 4, degree = 4)))
+    }
+    val (ivfAvg, graphAvg) = (panel.map(_._1).sum / panel.size,
+      panel.map(_._2).sum / panel.size)
+    assert(graphAvg >= ivfAvg,
+      s"panel graph recall $graphAvg must be >= IVF $ivfAvg (${panel.mkString(";")})")
+    // equal budget: never more than nprobe cells per query
+    val (_, queries, ix) = fixture(5.0, 2.0, 24)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val perQuery = AnnIndex.graphProbes(ix, q, nprobe = 4, degree = 4)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.forall(_ <= 4), s"budget blown: ${perQuery.mkString(",")}")
+    // below the expansion threshold (nprobe < 3) there is no expansion
+    // phase: identical to IVF
+    val a = AnnIndex.graphTopK(ix, queries, "embedding", "vec_id", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = AnnIndex.topK(ix, queries, "embedding", "vec_id", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("topK on a loaded index prunes cell partitions (the layout is the index)") {
     val dir = java.nio.file.Files.createTempDirectory("annix3").toString
     val ix = AnnIndex.build(corpus, "embedding", "vec_id", nlist = 8)
