@@ -311,42 +311,64 @@ object MlQueries {
     }),
 
     "m12_final_train" -> ((s, dir) => {
-      // M12: final train (linear OLS) + test-set metrics — FULL oracle via
-      // DuckDB regr_slope/regr_intercept on the same split
+      // M12: final train (linear OLS) + test-set metrics — FULL oracle,
+      // decimal-hardened: the compared r2/mae derive from order-exact
+      // decimal aggregates (m11's float-boundary class, fixed by
+      // construction); per-row |y - (m*x + b)| is bit-identical on both
+      // sides because m and b are the SAME decimal-derived doubles, and
+      // the mae SUM is decimalized so partition order can't perturb it.
+      // finalTrain's MLlib metrics are pinned via engine_ok.
       val out = java.nio.file.Files.createTempDirectory("graft_m12_").toString
       val res = Inference.finalTrain(olsTrain(s, dir), olsTest(s, dir),
         "o_totalprice", "linear", Models.Regression, Map.empty,
         primaryMetric = "r2", outDir = out, datasetName = "orders")
+      val (m, b) = olsFit(olsSums(olsTrain(s, dir), "o_custkey", "o_totalprice"))
+      val r2e = olsR2(m, b, olsSums(olsTest(s, dir), "o_custkey", "o_totalprice"))
+      val maeRow = olsTest(s, dir).select(
+          abs(col("o_totalprice") - (lit(m) * col("o_custkey") + lit(b)))
+            .cast("decimal(18,6)").as("d"))
+        .agg(sum(col("d")), count(lit(1))).head()
+      val maeE = maeRow.getDecimal(0).doubleValue / maeRow.getLong(1).toDouble
+      val ok = math.abs(res.metrics("r2") - r2e) < 1e-6 &&
+        math.abs(res.metrics("mae") - maeE) < 1e-3
       import s.implicits._
-      Seq((r(res.metrics("r2"), 6), r(res.metrics("mae"), 2)))
-        .toDF("r2", "mae")
+      Seq((r(r2e, 6), r(maeE, 2), ok)).toDF("r2", "mae", "engine_ok")
     }),
 
     "m16_inference" -> ((s, dir) => {
-      // M16: one-row questionnaire inference — FULL oracle (prediction is
-      // the OLS line at x = 1000)
-      val m = Models.fit(olsTrain(s, dir), "o_totalprice", "linear",
+      // M16: one-row questionnaire inference — FULL oracle: the compared
+      // prediction is the decimal-derived OLS line at x = 1000;
+      // engine_ok pins the MLlib pipeline prediction to it
+      val model = Models.fit(olsTrain(s, dir), "o_totalprice", "linear",
         Models.Regression)
-      val pred = Inference.inferOne(s, m, Map("o_custkey" -> 1000.0),
+      val pred = Inference.inferOne(s, model, Map("o_custkey" -> 1000.0),
         features = Seq("o_custkey"))
+      val (m, b) = olsFit(olsSums(olsTrain(s, dir), "o_custkey", "o_totalprice"))
+      val exact = m * 1000.0 + b
       import s.implicits._
-      Seq(r(pred, 4)).toDF("prediction")
+      Seq((r(exact, 2), math.abs(pred - exact) < 1e-3))
+        .toDF("prediction", "engine_ok")
     }),
 
     "s8_model_roundtrip" -> ((s, dir) => {
       // S8: persist via finalTrain's metric-stamped path, reload, predict —
-      // FULL oracle on the prediction; reloaded_match proves the roundtrip
+      // FULL oracle: the compared prediction is the decimal-derived OLS
+      // line at x = 1000 (boundary-safe, like m16); reloaded_match proves
+      // the roundtrip and engine_ok pins the reloaded MLlib prediction
       val out = java.nio.file.Files.createTempDirectory("graft_s8_").toString
       val res = Inference.finalTrain(olsTrain(s, dir), olsTest(s, dir),
         "o_totalprice", "linear", Models.Regression, Map.empty,
         primaryMetric = "r2", outDir = out, datasetName = "orders")
       val reloaded = Inference.load(res.modelPath)
-      val m = Models.fit(olsTrain(s, dir), "o_totalprice", "linear",
+      val model = Models.fit(olsTrain(s, dir), "o_totalprice", "linear",
         Models.Regression)
-      val p1 = Inference.inferOne(s, m, Map("o_custkey" -> 1000.0), Seq("o_custkey"))
+      val p1 = Inference.inferOne(s, model, Map("o_custkey" -> 1000.0), Seq("o_custkey"))
       val p2 = Inference.inferOne(s, reloaded, Map("o_custkey" -> 1000.0), Seq("o_custkey"))
+      val (m, b) = olsFit(olsSums(olsTrain(s, dir), "o_custkey", "o_totalprice"))
+      val exact = m * 1000.0 + b
       import s.implicits._
-      Seq((r(p2, 4), p1 == p2)).toDF("prediction", "reloaded_match")
+      Seq((r(exact, 2), p1 == p2, math.abs(p2 - exact) < 1e-3))
+        .toDF("prediction", "reloaded_match", "engine_ok")
     }),
 
     "b16_pair_save" -> ((s, dir) => {
@@ -601,26 +623,54 @@ object MlQueries {
              true AS engine_ok
       FROM res""",
 
+    // m12/m16/s8: same decimal-hardening as m5c — slope/intercept from
+    // order-exact decimal sums, scalar formulas mirroring the Scala
+    // trees token-for-token; mae's per-row residuals are bit-identical
+    // (same m, b doubles) and their sum is decimalized
     "m12_final_train" -> """
-      WITH tr AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 <> 0),
-      te AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 = 0),
-      f AS (SELECT regr_slope(y, x) AS m, regr_intercept(y, x) AS b FROM tr),
-      p AS (SELECT y, f.m * x + f.b AS yh FROM te, f),
-      a AS (SELECT sum((y - yh) * (y - yh)) AS sse, avg(abs(y - yh)) AS mae,
-                   var_pop(y) AS vp, count(*) AS n FROM p)
-      SELECT round(1.0 - sse / (vp * n), 6) AS r2, round(mae, 2) AS mae FROM a""",
+      WITH tr AS (SELECT CAST(o_custkey AS DECIMAL(19,4)) AS x, CAST(o_totalprice AS DECIMAL(19,4)) AS y
+                  FROM orders WHERE o_orderkey % 4 <> 0),
+      ted AS (SELECT CAST(o_custkey AS DECIMAL(19,4)) AS x, CAST(o_totalprice AS DECIMAL(19,4)) AS y
+              FROM orders WHERE o_orderkey % 4 = 0),
+      te_raw AS (SELECT o_custkey AS x, o_totalprice AS y FROM orders WHERE o_orderkey % 4 = 0),
+      rr AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+                    CAST(sum(x*y) AS DOUBLE) AS sxy
+             FROM tr),
+      tt AS (SELECT CAST(count(*) AS DOUBLE) AS tn, CAST(sum(x) AS DOUBLE) AS tx, CAST(sum(y) AS DOUBLE) AS ty,
+                    CAST(sum(x*x) AS DOUBLE) AS txx, CAST(sum(y*y) AS DOUBLE) AS tyy,
+                    CAST(sum(x*y) AS DOUBLE) AS txy
+             FROM ted),
+      f AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS m, n, sx, sy FROM rr),
+      f2 AS (SELECT m, (sy - m * sx) / n AS b FROM f),
+      rx AS (SELECT round(1.0 - (tyy - 2.0 * m * txy - 2.0 * b * ty + m * m * txx + 2.0 * m * b * tx + tn * b * b)
+                          / (tyy - ty * ty / tn), 6) AS r2
+             FROM f2 CROSS JOIN tt),
+      mx AS (SELECT round(CAST(sum(CAST(abs(y - (f2.m * x + f2.b)) AS DECIMAL(18,6))) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 2) AS mae
+             FROM te_raw CROSS JOIN f2)
+      SELECT rx.r2, mx.mae, true AS engine_ok FROM rx CROSS JOIN mx""",
 
     "m16_inference" -> """
-      WITH f AS (SELECT regr_slope(o_totalprice, o_custkey) AS m,
-                        regr_intercept(o_totalprice, o_custkey) AS b
-                 FROM orders WHERE o_orderkey % 4 <> 0)
-      SELECT round(m * 1000.0 + b, 4) AS prediction FROM f""",
+      WITH tr AS (SELECT CAST(o_custkey AS DECIMAL(19,4)) AS x, CAST(o_totalprice AS DECIMAL(19,4)) AS y
+                  FROM orders WHERE o_orderkey % 4 <> 0),
+      rr AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+             FROM tr),
+      f AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS m, n, sx, sy FROM rr),
+      f2 AS (SELECT m, (sy - m * sx) / n AS b FROM f)
+      SELECT round(m * 1000.0 + b, 2) AS prediction, true AS engine_ok FROM f2""",
 
     "s8_model_roundtrip" -> """
-      WITH f AS (SELECT regr_slope(o_totalprice, o_custkey) AS m,
-                        regr_intercept(o_totalprice, o_custkey) AS b
-                 FROM orders WHERE o_orderkey % 4 <> 0)
-      SELECT round(m * 1000.0 + b, 4) AS prediction, TRUE AS reloaded_match FROM f""",
+      WITH tr AS (SELECT CAST(o_custkey AS DECIMAL(19,4)) AS x, CAST(o_totalprice AS DECIMAL(19,4)) AS y
+                  FROM orders WHERE o_orderkey % 4 <> 0),
+      rr AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+             FROM tr),
+      f AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS m, n, sx, sy FROM rr),
+      f2 AS (SELECT m, (sy - m * sx) / n AS b FROM f)
+      SELECT round(m * 1000.0 + b, 2) AS prediction, TRUE AS reloaded_match,
+             true AS engine_ok FROM f2""",
 
     "b16_pair_save" -> """
       SELECT 'train' AS part, count(*) AS n, 1 AS version FROM customer WHERE c_custkey % 5 <> 0
