@@ -95,6 +95,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bloom_agg takes (value[, estimatedItems[, numBits]]), got $n args")
         }
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "bpe_token_count takes (text, merges)")
+        BpeTokenCount(children.head, children(1))
+      }))
     // probe side is OUR expression, not Spark's BloomFilterMightContain:
     // the built-in's codegen assumes a scalar-subquery filter child and
     // falls back to the interpreter on a binary literal — see

@@ -1,0 +1,171 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.regex.Pattern
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained-tokenizer BPE: a merges table (the standard one-merge-per-
+  * line "left right" text format tokenizer toolkits ship) trained,
+  * saved, loaded, and APPLIED as a map-only native expression
+  * (`bpe_token_count` — [[graft.functions.BpeTokenCount]]).
+  *
+  * Scale contract: TRAINING is driver-side over a bounded corpus
+  * sample — the standard production shape (a tokenizer is trained once,
+  * offline, on a sample; nobody BPE-trains on 100 TB), and the sample
+  * collect is explicitly capped. APPLYING is the distributed hot path:
+  * the merges table broadcasts as a literal into whole-stage codegen,
+  * one pass, no shuffle, no UDF. Char-level pairs (a documented
+  * simplification of byte-level GPT-2 BPE; no reference analogue —
+  * extension surface for [[Corpus.packSequences]] token budgets).
+  */
+object Bpe {
+
+  /** Same pre-tokenizer as [[Text.bpeTokenCount]]'s approximation:
+    * letter/digit runs and single punctuation marks. */
+  private val WordPattern = Pattern.compile(Text.BpeTokenPattern)
+
+  // ---- merges table I/O (driver-side artifact) ----
+
+  def saveMerges(path: String, merges: Seq[(String, String)]): Unit =
+    Files.write(Paths.get(path),
+      merges.map { case (a, b) => s"$a $b" }.asJava, StandardCharsets.UTF_8)
+
+  /** Lines "left right"; `#`-prefixed header lines (the usual
+    * `#version:` stamp) and blanks are skipped. */
+  def loadMerges(path: String): Seq[(String, String)] =
+    Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && i < l.length - 1, s"malformed merge line: '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }
+
+  /** Serialize merges for the `bpe_token_count` literal argument. */
+  def mergesToString(merges: Seq[(String, String)]): String =
+    merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+
+  /** Rank map "a b" -> merge priority (line order). */
+  def parseRanks(merges: String): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var rank = 0
+    merges.split("\n").foreach { l =>
+      val line = l.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        m.put(line, rank)
+        rank += 1
+      }
+    }
+    m
+  }
+
+  // ---- apply (the distributed path) ----
+
+  /** Token count of one text under the rank map: pre-tokenize, then
+    * per word repeatedly merge the lowest-rank adjacent pair. Called
+    * from the expression's codegen — one tight JVM loop per row. */
+  def countTokens(text: String, ranks: java.util.HashMap[String, Integer]): Long = {
+    var total = 0L
+    val m = WordPattern.matcher(text)
+    while (m.find()) total += countWord(m.group(), ranks)
+    total
+  }
+
+  private def countWord(word: String, ranks: java.util.HashMap[String, Integer]): Int = {
+    if (word.length <= 1) return word.length
+    var parts = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) { parts.add(String.valueOf(word.charAt(i))); i += 1 }
+    var done = false
+    while (!done && parts.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < parts.size - 1) {
+        val r = ranks.get(parts.get(j) + " " + parts.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        // merge EVERY occurrence of the winning pair left to right
+        val a = parts.get(bestIdx)
+        val b = parts.get(bestIdx + 1)
+        val next = new java.util.ArrayList[String](parts.size)
+        var k = 0
+        while (k < parts.size) {
+          if (k < parts.size - 1 && parts.get(k) == a && parts.get(k + 1) == b) {
+            next.add(a + b); k += 2
+          } else { next.add(parts.get(k)); k += 1 }
+        }
+        parts = next
+      }
+    }
+    parts.size
+  }
+
+  /** Column form: token count of `textCol` under a trained merges
+    * table (constant — ships inside the codegen plan). */
+  def tokenCount(textCol: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_token_count", textCol, lit(mergesToString(merges)))
+
+  // ---- training (driver-side, sample-bounded) ----
+
+  /** Classic BPE training over a word-frequency dictionary from a
+    * corpus SAMPLE: `sampleRows` docs (deterministic — first rows under
+    * the id order), `numMerges` greedy most-frequent-pair merges.
+    * Returns the merges in training order (= rank order). */
+  def train(df: DataFrame, textCol: String, idCol: String,
+            numMerges: Int, sampleRows: Int = 10000): Seq[(String, String)] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleRows)
+      .select(col(textCol)).collect().map(_.getString(0)).filter(_ != null)
+    // word frequency dict, each word as its char sequence
+    val freq = new java.util.HashMap[List[String], Long]()
+    sample.foreach { text =>
+      val m = WordPattern.matcher(text)
+      while (m.find()) {
+        val w = m.group().map(String.valueOf(_)).toList
+        freq.merge(w, 1L, (x, y) => x + y)
+      }
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var dict = freq.asScala.toMap
+    var step = 0
+    while (step < numMerges) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]()
+      dict.foreach { case (w, n) =>
+        w.sliding(2).foreach {
+          case List(a, b) => pairCounts.merge((a, b), n, (x, y) => x + y)
+          case _ => ()
+        }
+      }
+      if (pairCounts.isEmpty) step = numMerges
+      else {
+        // deterministic: max count, ties by pair text
+        val best = pairCounts.asScala.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+        merges += best
+        dict = dict.map { case (w, n) => (mergeWord(w, best), n) }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def mergeWord(w: List[String], pair: (String, String)): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    val v = w.toVector
+    while (i < v.length) {
+      if (i < v.length - 1 && v(i) == pair._1 && v(i + 1) == pair._2) {
+        out += (pair._1 + pair._2); i += 2
+      } else { out += v(i); i += 1 }
+    }
+    out.toList
+  }
+}

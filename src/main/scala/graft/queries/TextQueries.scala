@@ -85,6 +85,25 @@ object TextQueries {
       Corpus.packSequences(Tables.documents(s, dir), "text", "doc_id",
         budget = 512)),
 
+    "t21_bpe_count" -> ((s, dir) => {
+      // trained-tokenizer BPE counts (merges table trained on a
+      // deterministic corpus sample, applied via the map-only
+      // bpe_token_count codegen expression). The count itself isn't
+      // SQL-expressible; the hashed row carries exact invariants: doc
+      // count, tokens strictly below non-whitespace chars (merges
+      // fired), tokens at least the word count (merges stay in-word).
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = graft.ops.Bpe.train(docs, "text", "doc_id",
+        numMerges = 200, sampleRows = 200)
+      docs.select(
+          graft.ops.Bpe.tokenCount(col("text"), merges).as("n_bpe"),
+          Text.bpeTokenCount(col("text")).as("n_words"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_chars"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum("n_bpe") < sum("n_chars")).as("compresses_chars"),
+          (sum("n_bpe") >= sum("n_words")).as("at_least_word_count"))
+    }),
+
     "t20_clean_lines" -> ((s, dir) =>
       // C4 line filter over a planted multi-line fixture: doc text made
       // terminal, a short line, a kept sentence, a no-punct line
@@ -178,6 +197,11 @@ object TextQueries {
        + CAST($mwlSql BETWEEN 2.0 AND 12.0 AS INT)) / 4.0"""
 
   val oracles: Map[String, String] = Map(
+    "t21_bpe_count" -> """
+      SELECT count(*) AS n_docs, true AS compresses_chars,
+             true AS at_least_word_count
+      FROM documents""",
+
     "t1_token_count" -> s"""
       SELECT doc_id,
              CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens,

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  test("countTokens applies merges lowest-rank-first, all occurrences") {
+    val ranks = Bpe.parseRanks("a b\nab c\nx y")
+    // "abc" -> [a,b,c] -> [ab,c] -> [abc] = 1 token
+    assert(Bpe.countTokens("abc", ranks) == 1L)
+    // "abab" -> [ab, ab]: both occurrences of the winning pair merge
+    assert(Bpe.countTokens("abab", ranks) == 2L)
+    // unknown chars stay single: "abq" -> [ab, q]
+    assert(Bpe.countTokens("abq", ranks) == 2L)
+    // pre-tokenizer splits words and punctuation: "xy, abc!" ->
+    // word "xy" -> [xy] (1), "," (1), "abc" -> [abc] (1), "!" (1)
+    assert(Bpe.countTokens("xy, abc!", ranks) == 4L)
+    // empty merges: every char of every word is a token
+    assert(Bpe.countTokens("ab cd", Bpe.parseRanks("")) == 4L)
+  }
+
+  test("merges round-trip through save/load; header lines skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    val merges = Seq(("a", "b"), ("ab", "c"), ("t", "h"))
+    Bpe.saveMerges(s"$dir/merges.txt", merges)
+    assert(Bpe.loadMerges(s"$dir/merges.txt") == merges)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/hdr.txt"),
+      "#version: 0.2\na b\nab c\n")
+    assert(Bpe.loadMerges(s"$dir/hdr.txt") == Seq(("a", "b"), ("ab", "c")))
+  }
+
+  test("train learns the frequent pairs; trained counts compress vs chars") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, "the cat the hat the mat and the bat " * 3))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", "doc_id", numMerges = 20)
+    assert(merges.nonEmpty && merges.size <= 20)
+    // 'th'/'he' class merges must be learned from this corpus
+    assert(merges.contains(("t", "h")) || merges.contains(("h", "e")),
+      s"expected th/he among $merges")
+    val ranks = Bpe.parseRanks(Bpe.mergesToString(merges))
+    val trained = Bpe.countTokens("the cat sat", ranks)
+    val untrained = Bpe.countTokens("the cat sat", Bpe.parseRanks(""))
+    assert(trained < untrained, s"merges must compress: $trained vs $untrained")
+  }
+
+  test("bpe_token_count is SQL-callable and runs inside whole-stage codegen") {
+    import spark.implicits._
+    val merges = Bpe.mergesToString(Seq(("a", "b"), ("ab", "c")))
+    val df = Seq("abc abc!", "zz", null.asInstanceOf[String]).toDF("text")
+      .select(Bpe.tokenCount(col("text"), Seq(("a", "b"), ("ab", "c"))).as("n"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == 3L) // [abc] [abc] [!]
+    assert(rows(1).getLong(0) == 2L) // [z] [z]
+    assert(rows(2).isNullAt(0))
+    val plan = spark.range(5).select(
+        call_function("bpe_token_count", concat(lit("ab"), col("id")), lit(merges)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
