@@ -95,10 +95,13 @@ object Encoding {
   case class FrequencyEncode(c: String) extends TableOp {
     def describe = s"frequency encode $c"
     def apply(df: DataFrame): DataFrame = {
+      // total via 1-row broadcast cross join (not a keyless window —
+      // same dictionary-sized cost, no WindowExec warning noise)
       val counts = df.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
-      val dict = counts.withColumn(s"${c}_freq_encoded",
-        col("__cnt") / sum("__cnt").over(Window.partitionBy()))
-        .drop("__cnt")
+      val dict = counts
+        .crossJoin(broadcast(counts.agg(sum("__cnt").as("__tot"))))
+        .withColumn(s"${c}_freq_encoded", col("__cnt") / col("__tot"))
+        .drop("__cnt", "__tot")
       df.join(broadcast(dict), Seq(c), "left")
     }
   }

@@ -117,9 +117,11 @@ object Relational {
     * `dataset_processing_fix_non_numeric_ui.py:263-271`). One scan: count
     * per group + window-sum for the total (no driver round-trip). */
   def freqTable(df: DataFrame, c: String): DataFrame = {
+    // total rides a 1-row broadcast cross join, not a keyless window —
+    // same dictionary-sized cost, zero WindowExec warning noise
     val counts = df.groupBy(col(c)).agg(count(lit(1)).as("count"))
-    counts.withColumn("freq",
-      col("count") / sum("count").over(Window.partitionBy()))
+    counts.crossJoin(broadcast(counts.agg(sum("count").as("__tot"))))
+      .withColumn("freq", col("count") / col("__tot")).drop("__tot")
   }
 
   /** A4 — per-category mean of a target column (target encoding source,
