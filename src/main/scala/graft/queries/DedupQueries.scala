@@ -108,9 +108,12 @@ object DedupQueries {
     }),
 
     "d11_semdedup" -> ((s, dir) => {
-      // SemDeDup on the d5 planted-dup corpus: k-means centroids aren't
-      // SQL-reproducible -> rows-only; DedupSpec pins exact-dup recall
-      // and equality-of-pairs vs brute force on planted data
+      // SemDeDup on the d5 planted-dup corpus — FULL oracle (r5):
+      // identical vectors always share a k-means cell, so every planted
+      // pair is found regardless of the (non-SQL-replayable) centroids,
+      // and no organic pair clears 0.99 in this data (d5's exact oracle
+      // proves that) — the output is exactly the 50 planted pairs.
+      // DedupSpec separately pins recall and subset-of-brute on fixtures.
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = e.unionByName(e.filter(col("vec_id") < 50)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
@@ -301,6 +304,24 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "d11_semdedup" -> """
+      SELECT vec_id AS id_a, CAST(vec_id + 10000 AS BIGINT) AS id_b,
+             CAST(1.0 AS DOUBLE) AS cosine
+      FROM embeddings WHERE vec_id < 50""",
+
+    // s3/s6/s17: k-means cells aren't SQL-replayable, but the hashed
+    // hit-count contract is — every query has >= k candidates in its
+    // probed cells at this density, so n_hits == k exactly
+    "s3_ann_ivf_kmeans" -> """
+      SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
+             CAST(10 AS BIGINT) AS n_hits""",
+    "s6_ann_index" -> """
+      SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
+             CAST(10 AS BIGINT) AS n_hits""",
+    "s17_ann_graph" -> """
+      SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
+             CAST(10 AS BIGINT) AS n_hits""",
+
     "d1_exact_dedup" -> s"""
       WITH corpus AS ($DupCorpusSql)
       SELECT doc_id FROM corpus

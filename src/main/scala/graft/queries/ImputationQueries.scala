@@ -70,6 +70,11 @@ object ImputationQueries {
           round(col("l_discount"), 6).as("l_discount"))))
 
   val oracles: Map[String, String] = Map(
+    // i7: the fill VALUES are seeded-random (spec-checked); the hashed
+    // contract is total preservation and zero remaining nulls
+    "i7_em_impute" -> """
+      SELECT count(*) AS n_rows, count(*) AS n_notnull FROM lineitem""",
+
     "i1_mean_fill" -> s"""
       SELECT l_orderkey, l_linenumber,
              round(COALESCE($QSql, (SELECT avg($QSql) FROM lineitem)), 4) AS l_quantity

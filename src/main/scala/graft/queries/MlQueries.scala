@@ -223,8 +223,9 @@ object MlQueries {
 
     "m13_permutation_importance" -> ((s, dir) => {
       // M13/M14: SHAP stand-in — permutation importance of both features
-      // under the logistic model; rows-only (the permutation order is
-      // partition-layout dependent by design)
+      // under the logistic model; the importance VALUES are permutation-
+      // order dependent by design, so the hashed contract is the exact
+      // feature inventory (full oracle, r5)
       val df = clsFrame(s, dir)
       val m = Models.fit(df, "urgent", "logreg", Models.Classification)
       val imps = Importance.permutation(m, df, "urgent",
@@ -237,16 +238,18 @@ object MlQueries {
     "m19_text_classifier" -> ((s, dir) => {
       // fastText-style quality classifier: train on a seeded separable
       // labeling of the corpus (docs containing 'table' -> 1), score the
-      // corpus, report per-label counts at the 0.5 cut. Rows-only: LogReg
-      // coefficients aren't SQL-reproducible; MlSpec pins accuracy.
+      // corpus. LogReg coefficients aren't SQL-reproducible, so the
+      // hashed contract (full oracle, r5) is the exact invariants: every
+      // doc scored, and train accuracy >= 0.9 on the separable labels.
       val docs = graft.core.Tables.documents(s, dir).select("doc_id", "text")
       val labeled = docs.withColumn("y",
         (col("text").contains("table")).cast("int"))
       val m = graft.ml.TextClassifier.train(labeled, "text", "y",
         numFeatures = 1 << 12)
-      graft.ml.TextClassifier.score(m, docs, "text")
-        .groupBy((col("quality_prob") >= 0.5).as("predicted_pos"))
-        .agg(count(lit(1)).as("n"))
+      graft.ml.TextClassifier.score(m, labeled, "text")
+        .agg(count(lit(1)).as("n_docs"),
+          (avg(((col("quality_prob") >= 0.5) === (col("y") === 1)).cast("int"))
+            >= 0.9).as("accuracy_ge_09"))
     }),
 
     "m18_grid_expand" -> ((s, _) => {
@@ -541,6 +544,12 @@ object MlQueries {
       SELECT * FROM (VALUES
         ('logreg', true, true), ('rf', true, true), ('gb', true, true))
         AS t(model, acc_ge_majority, acc_le_1)""",
+
+    "m13_permutation_importance" -> """
+      SELECT * FROM (VALUES ('o_custkey'), ('o_totalprice')) AS t(feature)""",
+
+    "m19_text_classifier" -> """
+      SELECT count(*) AS n_docs, true AS accuracy_ge_09 FROM documents""",
 
     // m5c: the linear row is the decimal-exact OLS r2 on the modulo
     // split (m12 recipe); the rf row is invariant-only

@@ -78,6 +78,13 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // st8: with nprobe = nlist the dup check is EXACT (all cells
+    // probed), so the kept set is deterministic: the 10 negated
+    // (novel) vectors survive, the 10 verbatim dups drop
+    "st8_vector_ingest" -> """
+      SELECT CAST(vec_id + 31000 AS BIGINT) AS vec_id
+      FROM embeddings WHERE vec_id >= 10 AND vec_id < 20""",
+
     // kept = batch docs with NO >= 0.7 Jaccard pair into the corpus AND
     // min of their within-batch near-dup component (the step() drop rule)
     "st7_ingest_dedup" -> """
