@@ -58,13 +58,29 @@ object SmoteQueries {
       Smote.BorderlineSmoteOp("o_orderstatus", k = 5, width = ow(s, dir))(ordersNumeric(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
-    "b9_smote_tomek" -> ((s, dir) =>
+    "b9_smote_tomek" -> ((s, dir) => {
+      // SMOTE-to-parity then Tomek-link cleaning: exact counts depend on
+      // the kNN cleaning pass, so the hashed contract (full oracle, r5)
+      // is what the construction GUARANTEES: every class survives, and
+      // no class exceeds the majority size (SMOTE targets parity,
+      // cleaning only removes). SmoteSpec pins the cleaning semantics.
+      val maj = ordersNumeric(s, dir).groupBy("o_orderstatus").count()
+        .agg(max("count")).head().getLong(0)
       Smote.SmoteTomekOp("o_orderstatus", k = 5, width = ow(s, dir))(ordersNumeric(s, dir))
-        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), (col("n") > 0).as("nonempty"),
+          (col("n") <= maj).as("le_majority"))
+    }),
 
-    "b10_smote_enn" -> ((s, dir) =>
+    "b10_smote_enn" -> ((s, dir) => {
+      // same invariant contract as b9 for the ENN cleaning variant
+      val maj = ordersNumeric(s, dir).groupBy("o_orderstatus").count()
+        .agg(max("count")).head().getLong(0)
       Smote.SmoteEnnOp("o_orderstatus", k = 5, width = ow(s, dir))(ordersNumeric(s, dir))
-        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), (col("n") > 0).as("nonempty"),
+          (col("n") <= maj).as("le_majority"))
+    }),
 
     "b11_bagging_passthrough" -> ((s, dir) =>
       Smote.BaggingPassthroughOp("o_orderstatus")(ordersNumeric(s, dir))),
@@ -103,6 +119,14 @@ object SmoteQueries {
     dn AS (SELECT * FROM sc WHERE tgt IS NOT NULL)"""
 
   val oracles: Map[String, String] = Map(
+    "b9_smote_tomek" -> """
+      SELECT * FROM (VALUES ('F', true, true), ('O', true, true), ('P', true, true))
+        AS t(o_orderstatus, nonempty, le_majority)""",
+
+    "b10_smote_enn" -> """
+      SELECT * FROM (VALUES ('F', true, true), ('O', true, true), ('P', true, true))
+        AS t(o_orderstatus, nonempty, le_majority)""",
+
     "b2_smote" -> """
       WITH c AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
       SELECT o_orderstatus, (SELECT max(n) FROM c) AS n FROM c""",
