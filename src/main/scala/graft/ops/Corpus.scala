@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -124,9 +124,13 @@ object Corpus {
           .as("n_tokens"))
   }
 
+  /** `tokenCount` is pluggable so packing budgets can use TRAINED
+    * tokenizer counts (`Bpe.tokenCount(_, merges)` — map-only codegen,
+    * same plan shape) instead of the default whitespace count. */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-                    budget: Long): DataFrame = {
-    val toks = df.select(col(idCol), Text.tokenCount(col(textCol)).as("n_tokens"))
+                    budget: Long,
+                    tokenCount: Column => Column = Text.tokenCount): DataFrame = {
+    val toks = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
     Ordinals.withRunningTotal(toks, Seq(col(idCol).asc), "n_tokens", "__cum")
       .select(col(idCol), col("n_tokens"),
         floor((col("__cum") - col("n_tokens")) / budget).cast(LongType).as("seq_id"))

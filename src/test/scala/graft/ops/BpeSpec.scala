@@ -46,6 +46,30 @@ class BpeSpec extends SparkSpec {
     assert(trained < untrained, s"merges must compress: $trained vs $untrained")
   }
 
+  test("packSequences accepts trained-BPE counts: budgets respected, counts differ") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, "the cat the hat the mat and the bat"))
+      .toDF("doc_id", "text")
+    // few merges: words stay PARTIALLY merged, so counts sit strictly
+    // between word count and char count (full training on this tiny
+    // vocabulary would collapse every word to one token = word count)
+    val merges = Bpe.train(docs, "text", "doc_id", numMerges = 3)
+    val packed = Corpus.packSequences(docs, "text", "doc_id", budget = 64,
+      tokenCount = Bpe.tokenCount(_, merges))
+    // packing contract: a doc joins the sequence where its cumulative
+    // count STARTS, so a sequence overflows by at most one doc
+    val maxDoc = packed.agg(max("n_tokens")).head().getLong(0)
+    val perSeq = packed.groupBy("seq_id").agg(sum("n_tokens").as("t"))
+      .collect().map(_.getLong(1))
+    assert(perSeq.nonEmpty && perSeq.forall(_ < 64 + maxDoc), perSeq.mkString(","))
+    // and the trained counts genuinely differ from the whitespace counts
+    val bpeTotal = packed.agg(sum("n_tokens")).head().getLong(0)
+    val wsTotal = Corpus.packSequences(docs, "text", "doc_id", budget = 64)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(bpeTotal > wsTotal, s"bpe $bpeTotal vs whitespace $wsTotal")
+  }
+
   test("bpe_token_count is SQL-callable and runs inside whole-stage codegen") {
     import spark.implicits._
     val merges = Bpe.mergesToString(Seq(("a", "b"), ("ab", "c")))
