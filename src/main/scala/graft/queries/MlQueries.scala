@@ -203,22 +203,29 @@ object MlQueries {
     }),
 
     "m1b_model_zoo" -> ((s, dir) => {
-      // M1/M2 — promoted from rows-only to an invariant oracle: each zoo
-      // member's self-train accuracy must be >= the majority-class rate
-      // (any fit with an intercept/leaf majority clears it) and <= 1.
-      // The exact accuracies stay JVM-only (tree/L-BFGS fits aren't
-      // SQL-replayable) but the invariants hash exactly.
-      val df = clsFrame(s, dir)
-      val counts = df.groupBy("urgent").count().collect().map(_.getLong(1))
-      val majority = counts.max.toDouble / counts.sum
+      // M1/M2 — invariant oracle with REAL signal: the label is a
+      // threshold on a feature (expensive = totalprice > 150k), so a
+      // working fit of EVERY zoo member must clear 0.9 self-train
+      // accuracy — a broken pipeline (bad scaling, label dictionary,
+      // prediction wiring) fails the hash. Exact accuracies stay
+      // JVM-only (tree/L-BFGS fits aren't SQL-replayable).
+      val df = Tables.orders(s, dir).select(
+        col("o_custkey").cast("double").as("o_custkey"),
+        col("o_totalprice"),
+        (col("o_totalprice") > 150000).cast("int").as("expensive"))
       import s.implicits._
+      // logreg gets C=100 (regParam 0.01): the zoo default C=1 L2-shrinks
+      // the separable fit below the bar — and the override exercises the
+      // params plumbing the searches rely on
+      val params: Map[String, Models.Params] =
+        Map("logreg" -> Map("C" -> 100.0)).withDefaultValue(Map.empty)
       Seq("logreg", "rf", "gb").map { name =>
-        val m = Models.fit(df, "urgent", name, Models.Classification)
-        val pred = Models.transformLabeled(m, df, "urgent",
+        val m = Models.fit(df, "expensive", name, Models.Classification, params(name))
+        val pred = Models.transformLabeled(m, df, "expensive",
           Models.Classification, train = Some(df))
         val acc = Metrics.classificationMetrics(pred, "label", "prediction")("accuracy")
-        (name, acc >= majority, acc <= 1.0)
-      }.toDF("model", "acc_ge_majority", "acc_le_1")
+        (name, acc >= 0.9, acc <= 1.0)
+      }.toDF("model", "acc_ge_09", "acc_le_1")
     }),
 
     "m13_permutation_importance" -> ((s, dir) => {
@@ -543,7 +550,7 @@ object MlQueries {
     "m1b_model_zoo" -> """
       SELECT * FROM (VALUES
         ('logreg', true, true), ('rf', true, true), ('gb', true, true))
-        AS t(model, acc_ge_majority, acc_le_1)""",
+        AS t(model, acc_ge_09, acc_le_1)""",
 
     "m13_permutation_importance" -> """
       SELECT * FROM (VALUES ('o_custkey'), ('o_totalprice')) AS t(feature)""",
