@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Direct unit coverage for the encoder internals the driver oracles
+  * exercise only end-to-end — in particular the dictionary paths where
+  * a plan-shape regression can silently change RESULTS (the r5
+  * labelDictionary-under-persist incident: the old two-branch global
+  * rank lost rows when cached-plan compilation broke exchange reuse,
+  * and only the e5 oracle caught it).
+  */
+class EncodingSpec extends SparkSpec {
+
+  private def frame = {
+    import spark.implicits._
+    Seq((1L, "cherry"), (2L, "apple"), (3L, "banana"), (4L, "apple"),
+      (5L, "elder"), (6L, "date"), (7L, "banana"), (8L, "apple"))
+      .toDF("id", "fruit")
+  }
+
+  test("labelDictionary: alphabetical 0-based codes, STABLE under persist()") {
+    val dict = Encoding.labelDictionary(frame, "fruit")
+    val plain = dict.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == Map("apple" -> 0L, "banana" -> 1L, "cherry" -> 2L,
+      "date" -> 3L, "elder" -> 4L))
+    // the regression pin: caching compiles the plan WITHOUT exchange
+    // reuse — the dictionary must not lose rows or shift codes
+    val cached = Encoding.labelDictionary(frame, "fruit").persist()
+    try {
+      val underCache = cached.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(underCache == plain, s"persist() changed the dictionary: $underCache")
+    } finally cached.unpersist()
+  }
+
+  test("BinaryEncode: ceil(log2(nCats)) bit columns decode back to the label code") {
+    val out = Encoding.BinaryEncode("fruit")(frame)
+    // 5 categories -> 3 bits, bin_0 most significant
+    assert(out.columns.count(_.startsWith("fruit_bin_")) == 3)
+    val decoded = out.select(col("fruit"),
+        (col("fruit_bin_0") * 4 + col("fruit_bin_1") * 2 + col("fruit_bin_2"))
+          .cast("long").as("code"))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(decoded == Map("apple" -> 0L, "banana" -> 1L, "cherry" -> 2L,
+      "date" -> 3L, "elder" -> 4L))
+  }
+
+  test("FrequencyEncode: per-category frequency = count/total; fact rows preserved") {
+    val out = Encoding.FrequencyEncode("fruit")(frame)
+    assert(out.count() == 8)
+    val freqs = out.select("fruit", "fruit_freq_encoded").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(freqs == Map("apple" -> 0.375, "banana" -> 0.25, "cherry" -> 0.125,
+      "date" -> 0.125, "elder" -> 0.125))
+  }
+}
