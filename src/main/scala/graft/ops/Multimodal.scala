@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * columns + typed metadata struct, with decode / feature-extract /
   * frame-sample stages.
   *
-  * The REAL parts (what this module delivers): the schema contract, the
-  * batch-shaped partition-level processing seam, partitioning that keeps
-  * one media blob per row without skewing partitions, and fully tested
-  * byte-level feature extraction. The DECODER is a deterministic stub —
-  * `fakeDecode` below — because no image/audio codec library ships in
-  * this environment; a real codec drops into the same
-  * `mapPartitions` seam without touching any schema.
+  * IMAGE and AUDIO decode are REAL (r5): the JDK ships its own codecs —
+  * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP) and
+  * `javax.sound.sampled.AudioSystem` (WAV/AIFF PCM) — so
+  * [[decodeImage]] / [[resizeImageBytes]] / [[decodeWav]] run actual
+  * pixel/sample decoding inside the partition-level seam, headless, no
+  * external library. [[fakeDecode]] remains only as the fallback for
+  * bytes no JDK codec reads (video containers), and the byte-histogram
+  * `extractFeatures` stays as the codec-free fast path. Schema
+  * contract, batch-shaped `mapPartitions` processing, and blob-aware
+  * partitioning are unchanged.
   */
 object Multimodal {
 
@@ -177,6 +180,130 @@ object Multimodal {
         expr("substring(content, CAST(frame_idx * (octet_length(content) / frames) AS INT) + 1, " +
           "CAST(octet_length(content) / frames AS INT))"))
       .select("media_id", "frame_idx", "frame_bytes")
+
+  // ---- REAL codecs (JDK-only: ImageIO + AudioSystem, headless-safe) ----
+
+  /** Real image decode: (width, height, meanR, meanG, meanB, 16-bin
+    * luminance histogram). None for bytes no JDK reader accepts. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Array[Long])] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val hist = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+            sr += r; sg += g; sb += b
+            hist(((r * 299 + g * 587 + b * 114) / 1000) / 16) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, hist))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Real image resize: decode, Graphics2D-scale, re-encode as PNG.
+    * None when the input isn't a decodable image. */
+  def resizeImageBytes(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.drawImage(img, 0, 0, w, h, null)
+        g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Real WAV/AIFF PCM decode: (channels, sampleRate, nFrames, mean
+    * absolute amplitude of 16-bit samples). None for non-audio bytes. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Float, Long, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val data = ais.readAllBytes()
+      ais.close()
+      var sum = 0.0
+      var n = 0
+      if (fmt.getSampleSizeInBits == 16) {
+        var i = 0
+        while (i + 1 < data.length) {
+          val lo = data(i) & 0xFF
+          val hi = data(i + 1).toInt
+          val s = if (fmt.isBigEndian) ((data(i).toInt << 8) | (data(i + 1) & 0xFF)).toShort
+                  else ((hi << 8) | lo).toShort
+          sum += math.abs(s.toInt)
+          n += 1
+          i += 2
+        }
+      }
+      Some((fmt.getChannels, fmt.getSampleRate, ais.getFrameLength,
+        if (n == 0) 0.0 else sum / n))
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic PNG: a solid (id*7, id*13, id*29) % 256
+    * color — PNG is lossless, so a decode round trip recovers the exact
+    * channel values (the mm5 oracle's contract). Executor-side
+    * generation: one image per row inside mapPartitions. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id * 7) % 256).toInt << 16) |
+      (((id * 13) % 256).toInt << 8) | ((id * 29) % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode through the partition seam: (media_id, content) ->
+    * (media_id, format, width, height, mean_r, mean_g, mean_b). Format
+    * comes from [[sniffHeader]]; dimensions and channel means come from
+    * the ACTUAL pixel decode (null means for non-image bytes). */
+  def decodeMedia(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val (fmt, _, _) = sniffHeader(bytes)
+        decodeImage(bytes) match {
+          case Some((w, h, mr, mg, mb, _)) => Row(id, fmt, w, h, mr, mg, mb)
+          case None => Row(id, fmt, 0, 0, null, null, null)
+        }
+      }
+    }(encoder)
+  }
 
   /** Repartition helper for media tables: blobs are large and row sizes
     * skewed — range-partition by id so each task carries a bounded byte

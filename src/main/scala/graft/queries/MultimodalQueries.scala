@@ -6,9 +6,10 @@ import graft.core.Tables
 import graft.ops.Multimodal
 import Q.QueryFn
 
-/** Driver-checked queries for the multimodal plumbing. The fake decoder is
-  * deterministic byte arithmetic, so even the "decode" stage has an exact
-  * oracle (documents are ASCII: UTF-8 bytes == codepoints).
+/** Driver-checked queries for the multimodal plumbing. mm1-mm4 run the
+  * codec-free byte paths (deterministic arithmetic, exact oracles over
+  * ASCII bytes); mm5 exercises the REAL JDK-codec decode (ImageIO) over
+  * synthesized PNGs with a value-level oracle — lossless round trip.
   */
 object MultimodalQueries {
 
@@ -34,6 +35,19 @@ object MultimodalQueries {
         .select(col("media_id"), col("frame_idx"),
           length(col("frame_bytes")).as("frame_len"))),
 
+    "mm5_real_decode" -> ((s, dir) => {
+      // REAL JDK-codec decode end to end (r5): executors synthesize one
+      // solid-color PNG per row, ImageIO decodes actual pixels, and
+      // because PNG is lossless the channel means recover the exact
+      // (id*7, id*13, id*29) % 256 colors — a full value-level oracle
+      // over a genuine encode -> decode round trip.
+      import s.implicits._
+      val media = s.range(50).as[Long].mapPartitions { it =>
+        it.map(id => (id, Multimodal.syntheticPng(id, 8, 6)))
+      }.toDF("media_id", "content")
+      Multimodal.decodeMedia(media)
+    }),
+
     "mm4_resize" -> ((s, dir) =>
       // resize in the decode seam: new pixel budget caps the byte length,
       // meta rewritten to the target dimensions
@@ -49,6 +63,14 @@ object MultimodalQueries {
     .mkString("array_to_string([", ", ", "], ',')")
 
   val oracles: Map[String, String] = Map(
+    "mm5_real_decode" -> """
+      SELECT CAST(i AS BIGINT) AS media_id, 'png' AS format,
+             CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+             CAST(i * 7 % 256 AS DOUBLE) AS mean_r,
+             CAST(i * 13 % 256 AS DOUBLE) AS mean_g,
+             CAST(i * 29 % 256 AS DOUBLE) AS mean_b
+      FROM range(50) t(i)""",
+
     "mm1_media_schema" -> """
       SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
              'image' AS modality,

@@ -89,4 +89,55 @@ class MultimodalSpec extends SparkSpec {
     assert(got(5L) == ("wav", 2, 44100))
     assert(got(6L) == ("unknown", 0, 0))
   }
+
+  test("REAL image decode: PNG round trip recovers exact pixels; JPEG decodes; resize rescales") {
+    // solid-color PNG: lossless, so channel means are exact
+    val png = Multimodal.syntheticPng(3L, 8, 6) // color (21, 39, 87)
+    val Some((w, h, mr, mg, mb, hist)) = Multimodal.decodeImage(png)
+    assert((w, h) == (8, 6))
+    assert((mr, mg, mb) == (21.0, 39.0, 87.0))
+    assert(hist.sum == 48L) // every pixel lands in exactly one luma bin
+    // JPEG: lossy, but dimensions and approximate color must survive
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val Some((jw, jh, jr, _, _, _)) = Multimodal.decodeImage(jbos.toByteArray)
+    assert((jw, jh) == (8, 6) && math.abs(jr - 21.0) < 16.0)
+    // real resize: new dimensions, solid color preserved exactly
+    val Some(small) = Multimodal.resizeImageBytes(png, 4, 3)
+    val Some((rw, rh, rr, rg, rb, _)) = Multimodal.decodeImage(small)
+    assert((rw, rh) == (4, 3) && (rr, rg, rb) == (21.0, 39.0, 87.0))
+    // non-image bytes decode to None, never throw
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+
+  test("REAL audio decode: synthesized 16-bit PCM WAV round-trips format and amplitude") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 100 frames of a constant +1000 sample, mono 8kHz 16-bit LE PCM
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](200)
+    var i = 0
+    while (i < 200) { pcm(i) = (1000 & 0xFF).toByte; pcm(i + 1) = (1000 >> 8).toByte; i += 2 }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100), AudioFileFormat.Type.WAVE, bos)
+    val Some((ch, rate, frames, meanAbs)) = Multimodal.decodeWav(bos.toByteArray)
+    assert(ch == 1 && rate == 8000f && frames == 100L && meanAbs == 1000.0)
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+  }
+
+  test("decodeMedia runs the real decode through the partition seam") {
+    import spark.implicits._
+    val media = spark.range(5).as[Long].mapPartitions { it =>
+      it.map(id => (id, Multimodal.syntheticPng(id, 8, 6)))
+    }.toDF("media_id", "content")
+    val got = Multimodal.decodeMedia(media).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    (0L until 5L).foreach { id =>
+      assert(got(id) == ("png", 8, 6, (id * 7 % 256).toDouble,
+        (id * 13 % 256).toDouble, (id * 29 % 256).toDouble), s"id $id: ${got(id)}")
+    }
+  }
 }
