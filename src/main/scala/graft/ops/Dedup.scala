@@ -184,37 +184,71 @@ object Dedup {
   }
 
   /** Candidate pairs sharing >=1 shingle, with exact Jaccard similarity.
-    * Inverted index: explode shingles -> self-join on shingle -> count
-    * common per pair -> Jaccard from per-doc shingle counts.
     * `maxDocsPerShingle` prunes stop-shingles (a shingle shared by half
-    * the corpus generates quadratic pairs but never decides near-dup). */
+    * the corpus generates quadratic pairs but never decides near-dup).
+    *
+    * AllPairs/PPJoin-style PREFIX FILTERING (Chaudhuri et al. 2006,
+    * Bayardo et al. 2007 — public method): per-doc shingle sets are
+    * sorted by the global (docFreq asc, hash asc) order and only the
+    * first `n_sh - ceil(t*n_sh) + 1` shingles are indexed. Any pair with
+    * Jaccard >= t has common >= ceil(t*n_d) for BOTH docs (c >= t(n+c)-tc
+    * algebra), and by the prefix-filtering lemma two sets meeting that
+    * overlap share an element inside both prefixes — so joining prefixes
+    * only is EXACT, while candidate volume drops quadratically with the
+    * prefix fraction (rare shingles lead the order, so prefix postings
+    * are short). Survivors are verified with `array_intersect` over the
+    * full per-doc hash arrays — no per-occurrence pair expansion, no
+    * giant groupBy(pair) shuffle of every co-occurrence row. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
                         threshold: Double, maxDocsPerShingle: Int = 1000): DataFrame = {
     // join key = 60-bit md5 of the shingle: an 8-byte shuffle key instead
     // of the n-word string (collision odds ~ |shingles|^2 / 2^60 — nil).
-    // No persist: the stop-shingle window partitions by sh, so BOTH
-    // self-join sides and the join itself run shuffle-free off one
-    // exchange (ReuseExchange) — nothing to cache, nothing to leak.
     val sh = shingleHashRows(df, textCol, idCol, n)
       .withColumnRenamed("__h", "sh")
+    // stop-shingle prune over the FULL universe: Jaccard is then
+    // consistent with the pair-common counts (stop-shingles are removed
+    // from the feature set, not just from the join)
     val pruned = sh.withColumn("__df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("__df") <= maxDocsPerShingle).drop("__df")
-    // sizes over the PRUNED universe: Jaccard is then consistent with the
-    // pair-common counts (stop-shingles are removed from the feature set,
-    // not just from the join)
-    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("n_sh")) // shingles are distinct already
-    val common = pruned.as("a").join(pruned.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .filter(col("__df") <= maxDocsPerShingle)
+    // one aggregate serves prefix extraction AND exact verification:
+    // sort_array over (df, sh) structs = the global rarest-first order
+    val docs = pruned.groupBy("id").agg(
+      sort_array(collect_list(struct(col("__df"), col("sh")))).as("__ordered"),
+      count(lit(1)).as("n_sh"))
+    // ceil(t*n) - 1e-9: FP error may only LENGTHEN the prefix (safe)
+    val prefLen = (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    val prefix = docs.select(col("id"), col("n_sh"),
+      explode(slice(col("__ordered.sh"), lit(1), prefLen)).as("sh"))
+    // size-ratio filter (J>=t forces t*max<=min); 1e-9 slack only
+    // over-keeps — a wrong drop would lose a true pair
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          greatest(col("a.n_sh"), col("b.n_sh")) * lit(threshold) <=
+            least(col("a.n_sh"), col("b.n_sh")) + lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyPairsJaccard(cand, docs.select(col("id"),
+      col("__ordered.sh").as("__set"), col("n_sh")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * per-doc shingle-hash arrays `sets` = (id, __set: array<long>, n_sh).
+    * `array_intersect` runs inside codegen per pair row — the candidate
+    * frame is joined twice on its ids and never expanded per shingle
+    * occurrence (the old shape shuffled |pairs| x |shingles| rows into a
+    * groupBy(pair); this shuffles |pairs| rows carrying two arrays). */
+  private def verifyPairsJaccard(cand: DataFrame, sets: DataFrame,
+                                 threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("id_a"), col("__set").as("__sa"),
+        col("n_sh").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("__set").as("__sb"),
+        col("n_sh").as("nb")), "id_b")
+      .withColumn("common", size(array_intersect(col("__sa"), col("__sb"))).cast(LongType))
       .withColumn("jaccard", col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** MinHash signature: k permutations h_i(x) = (a_i * md5Int(x) + b_i) mod p,
     * signature element i = min over shingles. Deterministic params from a
@@ -297,7 +331,6 @@ object Dedup {
     // all hang off ONE window exchange (ReuseExchange) — no cache entry
     // to own, nothing to leak across corpus runs (r2 VERDICT item 7).
     val ex = shingleHashRows(df, textCol, idCol, n)
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val banded = minhashBandKeys(ex, "id", bands, rowsPerBand, seed)
     val cand0 =
       if (maxDocsPerBand <= 0)
@@ -319,20 +352,12 @@ object Dedup {
       }
     val cand = cand0.dropDuplicates("id_a", "id_b")
     // exact verify anchored on the candidate PAIRS (a shingle self-join
-    // would blow up quadratically on hot shingles): expand each pair with
-    // the a-side shingles, then match b-side shingles on (id_b, hash)
-    val withA = cand.join(ex.withColumnRenamed("id", "id_a"), "id_a")
-    val common = withA.join(ex.withColumnRenamed("id", "id_b"),
-        Seq("id_b", "__h"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-      .withColumn("jaccard", col("common").cast(DoubleType) /
-        (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // would blow up quadratically on hot shingles): join each pair with
+    // both docs' full hash ARRAYS and intersect in codegen — no
+    // per-occurrence expansion, no groupBy(pair) over occurrence rows
+    val sets = ex.groupBy("id").agg(collect_list(col("__h")).as("__set"),
+      count(lit(1)).as("n_sh"))
+    verifyPairsJaccard(cand, sets, threshold)
   }
 
   /** SimHash: `bits`-wide signature; bit j set iff more than half the
