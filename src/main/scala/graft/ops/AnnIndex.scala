@@ -112,7 +112,7 @@ object AnnIndex {
     val scored = index.cells.withColumn("__cn", sqrt(dp(col("cv"), col("cv"))))
       .join(broadcast(qp), "cell")
       .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
+      .select(col("query_id"), col("corpus_id"), col("cell").as("__cell"),
         (dp(col("cv"), col("qv")) / (col("__cn") * col("__qn"))).as("cosine"))
     topKPerQuery(scored, k)
   }
@@ -131,7 +131,7 @@ object AnnIndex {
     val probes = queryCellDistances(index, q)
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nprobe).select("query_id", "cell")
-    scoreProbes(index, q, probes, k)
+    scoreProbes(index, q, probes, k).drop("__cell")
   }
 
   /** Centroid k-NN adjacency (cell, nbr): each cell's `degree` nearest
@@ -225,6 +225,74 @@ object AnnIndex {
                 k: Int, nprobe: Int = 4, degree: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    scoreProbes(index, q, graphProbes(index, q, nprobe, degree), k)
+    scoreProbes(index, q, graphProbes(index, q, nprobe, degree), k).drop("__cell")
+  }
+
+  /** Phase-2 probe set for [[twoPhaseTopK]] — exposed for the budget
+    * spec. Expansion candidates are graph neighbors of the cells that
+    * actually PRODUCED phase-1 top-k candidates (the feedback signal
+    * [[graphProbes]] lacks: static expansion spends its slot on the
+    * seed set's neighborhood even when one seed cell supplied every
+    * candidate), minus already-probed seeds, ranked by surface
+    * distance. At most `expand` cells per query — phase 1 reads
+    * `nprobe - expand`, so the total cells-read budget stays `nprobe`. */
+  private[ops] def feedbackProbes(index: Index, qCells: DataFrame,
+                                  phase1: DataFrame, seeds: DataFrame,
+                                  degree: Int, expand: Int): DataFrame = {
+    val wSurf = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(asc("__surf"), asc("cell"))
+    phase1.select(col("query_id"), col("__cell").as("cell")).distinct()
+      .join(broadcast(centroidGraph(index, degree)), "cell")
+      .select(col("query_id"), col("nbr").as("cell")).distinct()
+      .join(seeds, Seq("query_id", "cell"), "left_anti")
+      .join(qCells, Seq("query_id", "cell"))
+      .join(broadcast(cellRadii(index)), "cell")
+      .withColumn("__surf", greatest(lit(0.0), sqrt(col("__d2")) - col("__radius")))
+      .withColumn("__pr", row_number().over(wSurf))
+      .filter(col("__pr") <= expand)
+      .select("query_id", "cell")
+  }
+
+  /** Candidate-feedback two-phase probing at the SAME total budget as
+    * [[topK]]/[[graphTopK]]: phase 1 scores the `nprobe - expandSlots`
+    * nearest cells; the expansion slots then go to graph neighbors of
+    * the cells the phase-1 top-k actually CAME FROM (surface-distance
+    * ranked, seeds excluded), and both phases' candidates re-rank into
+    * one top-k. Where [[graphTopK]] expands the geometric seed
+    * neighborhood blindly, this is the beam-search step of graph ANN:
+    * expansion follows observed candidate quality, which matters
+    * exactly when one boundary cell supplies the candidates and its far
+    * side holds the rest. Cells partition the corpus and phase 2
+    * anti-joins the seed set, so no candidate is scored twice; scale
+    * shape is [[topK]]'s (broadcast centroids/graph/radii, DPP-pruned
+    * cell reads, codegen scoring) run twice. */
+  def twoPhaseTopK(index: Index, queries: DataFrame, vecCol: String, idCol: String,
+                   k: Int, nprobe: Int = 4, degree: Int = 4,
+                   expandSlots: Int = 1): DataFrame =
+    twoPhaseTopKCells(index, queries, vecCol, idCol, k, nprobe, degree,
+      expandSlots).drop("__cell")
+
+  /** [[twoPhaseTopK]] keeping each candidate's source cell (`__cell`) —
+    * the spec asserts the distinct-source-cells budget on it. */
+  private[ops] def twoPhaseTopKCells(index: Index, queries: DataFrame,
+                                     vecCol: String, idCol: String, k: Int,
+                                     nprobe: Int, degree: Int,
+                                     expandSlots: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val expand = math.min(math.max(expandSlots, 0), nprobe - 1)
+    val p1 = nprobe - expand
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(asc("__d2"), asc("cell"))
+    val qCells = queryCellDistances(index, q)
+    val seeds = qCells.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= p1).select("query_id", "cell")
+    val phase1 = scoreProbes(index, q, seeds, k)
+    if (expand == 0) phase1
+    else {
+      val nbrs = feedbackProbes(index, qCells, phase1, seeds, degree, expand)
+      val phase2 = scoreProbes(index, q, nbrs, k)
+      topKPerQuery(phase1.drop("rank").unionByName(phase2.drop("rank")), k)
+    }
   }
 }

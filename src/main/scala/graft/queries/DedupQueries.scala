@@ -264,6 +264,18 @@ object DedupQueries {
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    "s18_ann_two_phase" -> ((s, dir) => {
+      // candidate-feedback two-phase probing: expansion slots follow the
+      // cells phase-1 top-k actually came from (beam step), same total
+      // budget as s3/s6/s17. Hit-count contract oracled like s17; the
+      // AnnIndexSpec panel pins budget and recall >= plain IVF.
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val ix = graft.ops.AnnIndex.build(e, "embedding", "vec_id", nlist = 8)
+      graft.ops.AnnIndex.twoPhaseTopK(ix, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, nprobe = 3)
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
     "s5_ann_quantized" -> ((s, dir) => {
       // int8-quantized top-k: integer dot products are engine-exact, so
       // ranks AND rounded scores are fully oracle-able
@@ -319,6 +331,9 @@ object DedupQueries {
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
     "s17_ann_graph" -> """
+      SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
+             CAST(10 AS BIGINT) AS n_hits""",
+    "s18_ann_two_phase" -> """
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
 

@@ -133,6 +133,60 @@ class AnnIndexSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("twoPhaseTopK: candidate-feedback expansion holds budget; panel recall >= IVF; expand=0 == IVF") {
+    import spark.implicits._
+    // same anisotropic panel as graphTopK's (panel-average comparison —
+    // per-fixture ranks wobble with session-dependent k-means)
+    def fixture(stretch: Double, sep: Double, nlist: Int) = {
+      val rnd = new scala.util.Random(7)
+      val pts = (0 until 8).flatMap { c =>
+        (0 until 40).map { j =>
+          val base = Array.fill(8)(rnd.nextGaussian() * 0.15)
+          base(0) += c * sep
+          base(1) += rnd.nextGaussian() * stretch
+          ((c * 40 + j).toLong, base.toSeq)
+        }
+      }
+      val corpus2 = pts.toDF("vec_id", "embedding")
+      val queries = (0 until 8).map { c =>
+        ((1000 + c).toLong,
+          Seq(c * sep, stretch * 1.2, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+      }.toDF("vec_id", "embedding")
+      (corpus2, queries, AnnIndex.build(corpus2, "embedding", "vec_id", nlist = nlist))
+    }
+    val panel = for (stretch <- Seq(3.0, 5.0); sep <- Seq(2.0, 3.0); nlist <- Seq(16, 24)) yield {
+      val (corpus2, queries, ix) = fixture(stretch, sep, nlist)
+      val exact = Similarity.bruteForceTopK(corpus2, queries, "embedding", "vec_id", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(df: org.apache.spark.sql.DataFrame): Double =
+        df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .count(exact.contains).toDouble / exact.size
+      (recall(AnnIndex.topK(ix, queries, "embedding", "vec_id", k = 10, nprobe = 4)),
+       recall(AnnIndex.twoPhaseTopK(ix, queries, "embedding", "vec_id",
+         k = 10, nprobe = 4, degree = 4)))
+    }
+    val (ivfAvg, twoAvg) = (panel.map(_._1).sum / panel.size,
+      panel.map(_._2).sum / panel.size)
+    assert(twoAvg >= ivfAvg,
+      s"panel two-phase recall $twoAvg must be >= IVF $ivfAvg (${panel.mkString(";")})")
+    // budget: every returned candidate's source cell is one of <= nprobe
+    // distinct probed cells per query
+    val (_, queries, ix) = fixture(5.0, 2.0, 24)
+    val perQueryCells = AnnIndex.twoPhaseTopKCells(ix, queries, "embedding",
+        "vec_id", k = 10, nprobe = 4, degree = 4, expandSlots = 1)
+      .groupBy("query_id").agg(countDistinct(col("__cell")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perQueryCells.nonEmpty && perQueryCells.forall(_ <= 4),
+      s"budget blown: ${perQueryCells.mkString(",")}")
+    // expandSlots=0 degenerates to plain IVF bit-for-bit
+    val a = AnnIndex.twoPhaseTopK(ix, queries, "embedding", "vec_id",
+      k = 5, nprobe = 3, expandSlots = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = AnnIndex.topK(ix, queries, "embedding", "vec_id", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("topK on a loaded index prunes cell partitions (the layout is the index)") {
     val dir = java.nio.file.Files.createTempDirectory("annix3").toString
     val ix = AnnIndex.build(corpus, "embedding", "vec_id", nlist = 8)
