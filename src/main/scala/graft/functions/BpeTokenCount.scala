@@ -18,9 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Tokenization: pre-split with the same word/number/punct pattern the
   * regex approximation uses, then classic lowest-rank-first pair
-  * merging per word (char-level — a simplification of byte-level
-  * GPT-2 BPE, documented; with an empty merges table every character
-  * is a token). Null text yields null.
+  * merging per word. Char-level by default; a `#byte_level` header in
+  * the merges constant switches to GPT-2-style byte-level merging over
+  * UTF-8 byte symbols (the header is plan-constant, so codegen picks
+  * the method at compile time). With an empty merges table every
+  * char/byte is a token. Null text yields null.
   */
 case class BpeTokenCount(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -38,19 +40,31 @@ case class BpeTokenCount(left: Expression, right: Expression) extends BinaryExpr
   override def nullable: Boolean = true
   override def prettyName: String = "bpe_token_count"
 
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+  @transient private lazy val mergesText: String = {
     val m = right.eval(null)
-    graft.ops.Bpe.parseRanks(if (m == null) "" else m.toString)
+    if (m == null) "" else m.toString
   }
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] =
+    graft.ops.Bpe.parseRanks(mergesText)
+
+  /** Byte-level mode rides a `#byte_level` header line in the merges
+    * constant (see [[graft.ops.Bpe.ByteLevelHeader]]) — plan-constant,
+    * so codegen below picks the counting method at COMPILE time. */
+  @transient private lazy val byteLevel: Boolean =
+    graft.ops.Bpe.isByteLevel(mergesText)
 
   override def eval(input: InternalRow): Any = {
     val t = left.eval(input)
     if (t == null) null
+    else if (byteLevel)
+      graft.ops.Bpe.countTokensByte(t.asInstanceOf[UTF8String].toString, ranks)
     else graft.ops.Bpe.countTokens(t.asInstanceOf[UTF8String].toString, ranks)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val rk = ctx.addReferenceObj("bpeRanks", ranks, classOf[java.util.HashMap[_, _]].getName)
+    val method = if (byteLevel) "countTokensByte" else "countTokens"
     val textGen = left.genCode(ctx)
     ev.copy(code =
       code"""
@@ -58,7 +72,7 @@ case class BpeTokenCount(left: Expression, right: Expression) extends BinaryExpr
         boolean ${ev.isNull} = ${textGen.isNull};
         long ${ev.value} = 0L;
         if (!${ev.isNull}) {
-          ${ev.value} = graft.ops.Bpe.countTokens(${textGen.value}.toString(), $rk);
+          ${ev.value} = graft.ops.Bpe.$method(${textGen.value}.toString(), $rk);
         }""")
   }
 

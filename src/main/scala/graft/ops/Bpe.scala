@@ -29,11 +29,52 @@ object Bpe {
     * letter/digit runs and single punctuation marks. */
   private val WordPattern = Pattern.compile(Text.BpeTokenPattern)
 
+  // ---- byte-level alphabet (GPT-2 encoder.py scheme, public) ----
+
+  /** Byte -> printable-unicode symbol: printable ASCII/Latin-1 bytes map
+    * to themselves, the rest shift to 256+n — every possible byte gets a
+    * distinct, visible, whitespace-free char, so merges tables stay
+    * plain text and ANY input (any script, emoji, broken UTF-8) is
+    * covered by the 256 base symbols with no unknown-token case. */
+  private[ops] val ByteToChar: Array[Char] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (printable(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+    }
+    arr
+  }
+
+  /** UTF-8 bytes of a pre-token piece as the byte-symbol string BPE
+    * merges operate on in byte-level mode. */
+  private[ops] def toByteSymbols(word: String): String = {
+    val bytes = word.getBytes(StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append(ByteToChar(b & 0xFF)))
+    sb.toString
+  }
+
+  /** Header line that marks a merges table as byte-level; rides the
+    * standard `#`-comment lane so char-level loaders skip it. */
+  val ByteLevelHeader = "#byte_level"
+
+  def isByteLevel(merges: String): Boolean =
+    merges.split("\n").exists(_.trim == ByteLevelHeader)
+
   // ---- merges table I/O (driver-side artifact) ----
 
-  def saveMerges(path: String, merges: Seq[(String, String)]): Unit =
+  def saveMerges(path: String, merges: Seq[(String, String)],
+                 byteLevel: Boolean = false): Unit =
     Files.write(Paths.get(path),
-      merges.map { case (a, b) => s"$a $b" }.asJava, StandardCharsets.UTF_8)
+      ((if (byteLevel) Seq(ByteLevelHeader) else Seq.empty) ++
+        merges.map { case (a, b) => s"$a $b" }).asJava, StandardCharsets.UTF_8)
+
+  /** Whether a saved merges table was trained byte-level. */
+  def loadIsByteLevel(path: String): Boolean =
+    Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala
+      .exists(_.trim == ByteLevelHeader)
 
   /** Lines "left right"; `#`-prefixed header lines (the usual
     * `#version:` stamp) and blanks are skipped. */
@@ -46,9 +87,13 @@ object Bpe {
         (l.substring(0, i), l.substring(i + 1))
       }
 
-  /** Serialize merges for the `bpe_token_count` literal argument. */
-  def mergesToString(merges: Seq[(String, String)]): String =
-    merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+  /** Serialize merges for the `bpe_token_count` literal argument; the
+    * byte-level flag travels as the [[ByteLevelHeader]] comment line so
+    * the expression needs no extra argument. */
+  def mergesToString(merges: Seq[(String, String)],
+                     byteLevel: Boolean = false): String =
+    ((if (byteLevel) Seq(ByteLevelHeader) else Seq.empty) ++
+      merges.map { case (a, b) => s"$a $b" }).mkString("\n")
 
   /** Rank map "a b" -> merge priority (line order). */
   def parseRanks(merges: String): java.util.HashMap[String, Integer] = {
@@ -73,6 +118,17 @@ object Bpe {
     var total = 0L
     val m = WordPattern.matcher(text)
     while (m.find()) total += countWord(m.group(), ranks)
+    total
+  }
+
+  /** Byte-level twin of [[countTokens]]: pre-tokenize on TEXT (the GPT-2
+    * order — the word pattern sees chars, not bytes), then merge over
+    * each piece's byte symbols. Also called from the expression's
+    * codegen. */
+  def countTokensByte(text: String, ranks: java.util.HashMap[String, Integer]): Long = {
+    var total = 0L
+    val m = WordPattern.matcher(text)
+    while (m.find()) total += countWord(toByteSymbols(m.group()), ranks)
     total
   }
 
@@ -111,25 +167,62 @@ object Bpe {
 
   /** Column form: token count of `textCol` under a trained merges
     * table (constant — ships inside the codegen plan). */
-  def tokenCount(textCol: Column, merges: Seq[(String, String)]): Column =
-    call_function("bpe_token_count", textCol, lit(mergesToString(merges)))
+  def tokenCount(textCol: Column, merges: Seq[(String, String)],
+                 byteLevel: Boolean = false): Column =
+    call_function("bpe_token_count", textCol, lit(mergesToString(merges, byteLevel)))
+
+  // ---- vocabulary emission ----
+
+  /** The (token, id) vocabulary a merges table implies, GPT-2
+    * convention: base alphabet first, then one token per merge in rank
+    * order. Byte-level: base = the 256 byte symbols in byte order —
+    * complete coverage of any input is guaranteed. Char-level: base =
+    * the sorted distinct single chars appearing in the merge parts (the
+    * table carries no other alphabet record). A merge result that
+    * collides with an existing token (t+he == th+e == 'the') keeps the
+    * FIRST id — ids stay contiguous, size can undershoot
+    * 256 + numMerges. */
+  def vocab(merges: Seq[(String, String)], byteLevel: Boolean): Seq[(String, Long)] = {
+    val base: Seq[String] =
+      if (byteLevel) ByteToChar.map(String.valueOf(_)).toSeq
+      else merges.flatMap { case (a, b) => (a + b).map(String.valueOf(_)) }
+        .distinct.sorted
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    base.foreach(t => if (!out.contains(t)) out.put(t, out.size.toLong))
+    merges.foreach { case (a, b) =>
+      val t = a + b
+      if (!out.contains(t)) out.put(t, out.size.toLong)
+    }
+    out.toSeq
+  }
+
+  /** [[vocab]] as a DataFrame (token, id) — the persistable artifact. */
+  def vocabDf(spark: org.apache.spark.sql.SparkSession,
+              merges: Seq[(String, String)], byteLevel: Boolean): DataFrame = {
+    import spark.implicits._
+    vocab(merges, byteLevel).toDF("token", "id")
+  }
 
   // ---- training (driver-side, sample-bounded) ----
 
   /** Classic BPE training over a word-frequency dictionary from a
     * corpus SAMPLE: `sampleRows` docs (deterministic — first rows under
     * the id order), `numMerges` greedy most-frequent-pair merges.
-    * Returns the merges in training order (= rank order). */
+    * Returns the merges in training order (= rank order). `byteLevel`
+    * trains over UTF-8 byte symbols ([[toByteSymbols]]) instead of
+    * chars — the GPT-2 shape: 256 base symbols cover any input. */
   def train(df: DataFrame, textCol: String, idCol: String,
-            numMerges: Int, sampleRows: Int = 10000): Seq[(String, String)] = {
+            numMerges: Int, sampleRows: Int = 10000,
+            byteLevel: Boolean = false): Seq[(String, String)] = {
     val sample = df.orderBy(col(idCol)).limit(sampleRows)
       .select(col(textCol)).collect().map(_.getString(0)).filter(_ != null)
-    // word frequency dict, each word as its char sequence
+    // word frequency dict, each word as its char/byte-symbol sequence
     val freq = new java.util.HashMap[List[String], Long]()
     sample.foreach { text =>
       val m = WordPattern.matcher(text)
       while (m.find()) {
-        val w = m.group().map(String.valueOf(_)).toList
+        val piece = if (byteLevel) toByteSymbols(m.group()) else m.group()
+        val w = piece.map(String.valueOf(_)).toList
         freq.merge(w, 1L, (x, y) => x + y)
       }
     }

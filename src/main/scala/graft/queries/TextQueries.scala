@@ -104,6 +104,42 @@ object TextQueries {
           (sum("n_bpe") >= sum("n_words")).as("at_least_word_count"))
     }),
 
+    "t22_bpe_byte" -> ((s, dir) => {
+      // byte-level BPE (GPT-2 shape: merges over UTF-8 byte symbols, 256
+      // base symbols cover any input). Invariants hashed: doc count;
+      // tokens never exceed the piece byte count (a token is >= 1 byte,
+      // merging only shrinks); tokens at least the piece count (merges
+      // stay in-piece); trained merges strictly compress vs merge-free.
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = graft.ops.Bpe.train(docs, "text", "doc_id",
+        numMerges = 200, sampleRows = 200, byteLevel = true)
+      docs.select(
+          graft.ops.Bpe.tokenCount(col("text"), merges, byteLevel = true).as("n_bpe"),
+          graft.ops.Bpe.tokenCount(col("text"), Seq.empty, byteLevel = true).as("n_bytes"),
+          Text.bpeTokenCount(col("text")).as("n_words"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum("n_bpe") < sum("n_bytes")).as("compresses_bytes"),
+          (sum("n_bpe") >= sum("n_words")).as("at_least_word_count"))
+    }),
+
+    "t23_bpe_vocab" -> ((s, dir) => {
+      // vocabulary emission (GPT-2 convention: 256 byte symbols, then
+      // one token per merge in rank order, first-id-wins on collisions).
+      // Construction invariants hashed: exactly 256 base ids, contiguous
+      // ids 0..n-1, distinct tokens, and at least one merge learned.
+      // (No merge-count floor: on a small sample training legitimately
+      // exhausts when every sampled word is fully merged.)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = graft.ops.Bpe.train(docs, "text", "doc_id",
+        numMerges = 200, sampleRows = 200, byteLevel = true)
+      graft.ops.Bpe.vocabDf(s, merges, byteLevel = true)
+        .agg(sum(when(col("id") < 256, 1L).otherwise(0L)).as("n_base"),
+          (max(col("id")) === count(lit(1)) - 1 &&
+            count_distinct(col("id")) === count(lit(1))).as("ids_contiguous"),
+          (count_distinct(col("token")) === count(lit(1))).as("tokens_distinct"),
+          (count(lit(1)) > lit(256)).as("has_merges"))
+    }),
+
     "t20_clean_lines" -> ((s, dir) =>
       // C4 line filter over a planted multi-line fixture: doc text made
       // terminal, a short line, a kept sentence, a no-punct line
@@ -201,6 +237,15 @@ object TextQueries {
       SELECT count(*) AS n_docs, true AS compresses_chars,
              true AS at_least_word_count
       FROM documents""",
+
+    "t22_bpe_byte" -> """
+      SELECT count(*) AS n_docs, true AS compresses_bytes,
+             true AS at_least_word_count
+      FROM documents""",
+
+    "t23_bpe_vocab" -> """
+      SELECT CAST(256 AS BIGINT) AS n_base, true AS ids_contiguous,
+             true AS tokens_distinct, true AS has_merges""",
 
     "t1_token_count" -> s"""
       SELECT doc_id,

@@ -70,6 +70,52 @@ class BpeSpec extends SparkSpec {
     assert(bpeTotal > wsTotal, s"bpe $bpeTotal vs whitespace $wsTotal")
   }
 
+  test("byte-level: any unicode covered by 256 symbols; header switches the expression") {
+    import spark.implicits._
+    // multibyte text: char-level sees 1 char per accent, byte-level 2
+    val empty = Bpe.parseRanks("")
+    assert(Bpe.countTokens("é", empty) == 1L)
+    assert(Bpe.countTokensByte("é", empty) == 2L)
+    // the byte-symbol map is a bijection over all 256 byte values
+    assert(Bpe.ByteToChar.distinct.length == 256)
+    // byte-level merges learned over UTF-8 symbols compress multibyte text
+    val docs = (0L until 30L).map(i => (i, "héllo héllo wörld wörld " * 2))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", "doc_id", numMerges = 10, byteLevel = true)
+    val ranks = Bpe.parseRanks(Bpe.mergesToString(merges, byteLevel = true))
+    val trained = Bpe.countTokensByte("héllo wörld", ranks)
+    val untrained = Bpe.countTokensByte("héllo wörld", empty)
+    assert(trained < untrained, s"$trained vs $untrained")
+    // the #byte_level header routes the NATIVE expression to byte mode:
+    // with no merges, "é" counts 2 (bytes) under the header, 1 without
+    val n = Seq("é").toDF("text")
+      .select(Bpe.tokenCount(col("text"), Seq.empty, byteLevel = true).as("n"),
+        Bpe.tokenCount(col("text"), Seq.empty).as("m")).head()
+    assert((n.getLong(0), n.getLong(1)) == (2L, 1L))
+    // save/load round-trips the header
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpeb_").toString
+    Bpe.saveMerges(s"$dir/m.txt", merges, byteLevel = true)
+    assert(Bpe.loadIsByteLevel(s"$dir/m.txt"))
+    assert(Bpe.loadMerges(s"$dir/m.txt") == merges)
+    assert(!Bpe.isByteLevel(Bpe.mergesToString(merges)))
+  }
+
+  test("vocab: GPT-2 convention — 256 base ids, merges in rank order, collisions keep first id") {
+    // byte-level: base ids 0..255 are the byte symbols in byte order
+    val merges = Seq(("t", "h"), ("th", "e"), ("h", "e"))
+    val v = Bpe.vocab(merges, byteLevel = true)
+    assert(v.size == 256 + 3)
+    assert(v.take(256).map(_._1) == Bpe.ByteToChar.map(String.valueOf(_)).toSeq)
+    assert(v.map(_._2) == v.indices.map(_.toLong)) // contiguous ids
+    assert(v(256) == ("th", 256L) && v(257) == ("the", 257L) && v(258) == ("he", 258L))
+    // collision: t+he == "the" already exists -> first id wins, no gap
+    val v2 = Bpe.vocab(merges :+ ("t", "he"), byteLevel = true)
+    assert(v2.size == v.size && v2.map(_._2) == v2.indices.map(_.toLong))
+    // char-level base: distinct chars of the merge parts, sorted
+    val v3 = Bpe.vocab(Seq(("a", "b")), byteLevel = false)
+    assert(v3 == Seq(("a", 0L), ("b", 1L), ("ab", 2L)))
+  }
+
   test("bpe_token_count is SQL-callable and runs inside whole-stage codegen") {
     import spark.implicits._
     val merges = Bpe.mergesToString(Seq(("a", "b"), ("ab", "c")))
