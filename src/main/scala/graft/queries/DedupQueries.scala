@@ -276,6 +276,44 @@ object DedupQueries {
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    "s19_pca_whiten" -> ((s, dir) => {
+      // PCA -> whiten (SemDeDup's reduce/decorrelate preamble). MLlib
+      // eigenvectors aren't SQL-replayable; the hashed row carries the
+      // linear-algebra invariants the transform GUARANTEES: row count
+      // preserved, k dims, whitened dims unit-variance/zero-mean, and
+      // pairwise decorrelation (PCA diagonalizes the covariance).
+      val k = 8
+      val w = graft.ops.Embeddings.whiten(
+        graft.ops.Embeddings.pcaProject(Tables.embeddings(s, dir),
+          "embedding", "vec_id", k), "proj")
+      val dim = (i: Int) => element_at(col("white"), i + 1)
+      val unitVar = (0 until k).map(i =>
+        abs(variance(dim(i)) - 1.0) < 1e-6).reduce(_ && _)
+      val zeroMean = (0 until k).map(i =>
+        abs(avg(dim(i))) < 1e-9).reduce(_ && _)
+      val decorr = (for (i <- 0 until k; j <- i + 1 until k)
+        yield abs(corr(dim(i), dim(j))) < 1e-6).reduce(_ && _)
+      w.agg(count(lit(1)).as("n_rows"),
+        (min(size(col("white"))) === k && max(size(col("white"))) === k).as("dims_ok"),
+        unitVar.as("unit_variance"), zeroMean.as("zero_mean"),
+        decorr.as("decorrelated"))
+    }),
+
+    "s20_diversity_sample" -> ((s, dir) => {
+      // cluster-coverage downsampling: k-means cells, <= perCell rows
+      // kept per cell by seeded-hash rank. Construction invariants
+      // hashed: per-cell cap respected, every represented cell
+      // non-empty, never larger than the corpus.
+      val e = Tables.embeddings(s, dir)
+      val total = e.count()
+      graft.ops.Embeddings.diversitySample(e, "embedding", "vec_id",
+          nlist = 8, perCell = 20)
+        .groupBy("cell").agg(count(lit(1)).as("__n"))
+        .agg((max("__n") <= 20).as("per_cell_capped"),
+          (min("__n") >= 1).as("cells_nonempty"),
+          (sum("__n") <= total).as("within_corpus"))
+    }),
+
     "s5_ann_quantized" -> ((s, dir) => {
       // int8-quantized top-k: integer dot products are engine-exact, so
       // ranks AND rounded scores are fully oracle-able
@@ -336,6 +374,13 @@ object DedupQueries {
     "s18_ann_two_phase" -> """
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
+    "s19_pca_whiten" -> """
+      SELECT count(*) AS n_rows, true AS dims_ok, true AS unit_variance,
+             true AS zero_mean, true AS decorrelated
+      FROM embeddings""",
+    "s20_diversity_sample" -> """
+      SELECT true AS per_cell_capped, true AS cells_nonempty,
+             true AS within_corpus""",
 
     "d1_exact_dedup" -> s"""
       WITH corpus AS ($DupCorpusSql)
