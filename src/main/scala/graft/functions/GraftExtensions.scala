@@ -113,6 +113,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "bloom_might_contain takes (filter, value)")
         BloomContains(children.head, children(1))
       }))
+    // row-local shingle hashing + array bloom probe: together they make
+    // decontamination a fully MAP-ONLY (and therefore streaming-safe)
+    // pipeline — no explode, no groupBy, no shuffle.
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "shingle_hashes takes (text, n)")
+        ShingleHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_count_in"),
+      new ExpressionInfo(classOf[BloomCountIn].getName, "bloom_count_in"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "bloom_count_in takes (filter, values)")
+        BloomCountIn(children.head, children(1))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

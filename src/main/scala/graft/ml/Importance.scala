@@ -61,6 +61,33 @@ object Importance {
     left.join(right, "__rid").drop("__rid")
   }
 
+  /** EXACT SHAP for linear models (Lundberg & Lee 2017's Linear SHAP:
+    * with an independent-features background, phi_i(x) = w_i (x_i -
+    * mu_i) with mu_i the background mean) — closes M13's SHAP gap
+    * exactly for the linear family: no sampling, no permutation
+    * stand-in, and completeness sum_i phi_i(x) = f(x) - f(mu) holds by
+    * construction. Background means come from ONE aggregate pass with
+    * DECIMAL(19,4)-exact sums — order-exact across partitions, so the
+    * attribution is replayable bit-for-bit by any engine (the scale-4
+    * quantization of background values perturbs mu by <= 5e-5;
+    * attribution itself uses the raw feature values). The per-row
+    * attribution is a map-only plan-time-generated projection: phi
+    * columns (`phi_<feature>`) appended to `df`. */
+  def linearShap(df: DataFrame, features: Seq[String], weights: Seq[Double],
+                 background: Option[DataFrame] = None): DataFrame = {
+    require(features.length == weights.length,
+      s"one weight per feature: ${features.length} vs ${weights.length}")
+    val bg = background.getOrElse(df)
+    val sums = bg.select(
+      features.map(f => sum(col(f).cast("decimal(19,4)")).cast("double")
+        .as(s"__s_$f")) :+ count(lit(1)).cast("double").as("__n"): _*).head()
+    val n = sums.getDouble(features.length)
+    val phis = features.zipWithIndex.map { case (f, i) =>
+      (lit(weights(i)) * (col(f) - lit(sums.getDouble(i) / n))).as(s"phi_$f")
+    }
+    df.select(df.columns.map(col) ++ phis: _*)
+  }
+
   /** Permutation importance: metric drop when each feature is shuffled.
     * `nRepeats` seeds averaged (sklearn permutation_importance semantics). */
   def permutation(model: PipelineModel, test: DataFrame, labelCol: String,

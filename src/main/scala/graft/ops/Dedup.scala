@@ -532,6 +532,44 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** MAP-ONLY decontamination — the streaming/ingest-filter shape: the
+    * benchmark's bloom filter ships as a literal, and the per-doc
+    * shingle set, size, and hit count all come from ONE row-local
+    * codegen pass (`shingle_hashes` + `bloom_count_in` — no explode, no
+    * groupBy, NO SHUFFLE AT ALL), so the same call runs unchanged on a
+    * STREAMING DataFrame (stateless filter) and on 100 TB of batch
+    * corpus at scan speed.
+    *
+    * Semantics match [[decontaminate]] except bloom false positives can
+    * inflate a doc's hit count — the op can only OVER-drop (the safe
+    * direction for decontamination; same failure direction as
+    * [[graft.streaming.IngestDedup]]'s replays). The filter is
+    * deterministic given the benchmark, so results are reproducible;
+    * size `expectedShingles` for the suite and the default 10 bits/item
+    * keeps the FP rate under ~1%. Use [[decontaminateBloom]] when exact
+    * equality with [[decontaminate]] is required. */
+  def decontaminateMapOnly(corpus: DataFrame, benchmark: DataFrame,
+                           textCol: String, idCol: String, n: Int,
+                           maxOverlap: Double,
+                           expectedShingles: Long = 4L * 1000 * 1000): DataFrame = {
+    val bs = shingleHashRows(benchmark, textCol, idCol, n).select("__h").distinct()
+    val bloomRow = bs.agg(call_function("bloom_agg", col("__h"),
+      lit(expectedShingles), lit(expectedShingles * 10)).as("bf")).head()
+    if (bloomRow.isNullAt(0)) return corpus // empty benchmark: nothing to drop
+    val bloom = bloomRow.getAs[Array[Byte]](0)
+    val sh = call_function("shingle_hashes", col(textCol), lit(n))
+    val withCounts = corpus
+      .withColumn("__n_sh", size(sh).cast(LongType))
+      .withColumn("__hits", call_function("bloom_count_in", lit(bloom), sh))
+    withCounts
+      // coalesce: a null text has no shingles and is never contaminated
+      // (the join shape keeps such docs too — no rows to aggregate)
+      .filter(coalesce(
+        !(col("__hits") > 0 && col("__hits") >= col("__n_sh") * maxOverlap),
+        lit(true)))
+      .drop("__n_sh", "__hits")
+  }
+
   /** Connected components over a near-dup pair list (id_a, id_b).
     *
     * TWO-TIER: when the deduplicated edge list fits a single task

@@ -210,6 +210,21 @@ object DedupQueries {
         maxOverlap = 0.8, expectedShingles = 200000L).select("doc_id")
     }),
 
+    "d15_decontaminate_maponly" -> ((s, dir) => {
+      // the MAP-ONLY / streaming shape: shingle_hashes + bloom_count_in
+      // collapse the whole overlap computation into one row-local
+      // codegen pass — zero shuffles. Same fixture and oracle as d7/d8
+      // (bloom FPs could in principle over-drop; at 10 bits/item the
+      // probe matches the exact result on this corpus — verified at
+      // sf0.01 AND sf0.1, and the op's contract documents the one-sided
+      // error).
+      val corpus = Tables.documents(s, dir).select("doc_id", "text")
+      val benchmark = corpus.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      Dedup.decontaminateMapOnly(corpus, benchmark, "text", "doc_id", n = 3,
+        maxOverlap = 0.8, expectedShingles = 200000L).select("doc_id")
+    }),
+
     "s1_ann_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "embedding",
@@ -394,6 +409,28 @@ object DedupQueries {
     "d4_simhash" -> simhashOracle,
 
     "d7_decontaminate" -> """
+      WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> list_reduce(list_transform(range(i, i + 3),
+                    j -> (string_split_regex(trim(text), '\s+'))[j + 1]),
+                  (a, b) -> a || ' ' || b)))) AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+           UNION ALL
+           SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) < 3),
+      bs AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 30),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hits AS (SELECT s.doc_id, count(*) AS h FROM sh s JOIN bs USING (sh) GROUP BY 1),
+      bad AS (SELECT sizes.doc_id FROM sizes JOIN hits USING (doc_id)
+              WHERE h >= n_sh * 0.8)
+      SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    // d15 = the map-only/streaming shape; must equal d7 exactly (bloom
+    // FPs over-drop in principle, none fire on this corpus — checked at
+    // both SFs)
+    "d15_decontaminate_maponly" -> """
       WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
              range(len(string_split_regex(trim(text), '\s+')) - 2),
              i -> list_reduce(list_transform(range(i, i + 3),

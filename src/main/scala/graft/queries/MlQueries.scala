@@ -242,6 +242,36 @@ object MlQueries {
       imps.map { case (f, _) => f }.sorted.toDF("feature")
     }),
 
+    "m20_linear_shap" -> ((s, dir) => {
+      // EXACT linear SHAP (Lundberg & Lee 2017), per-row, FULL value
+      // oracle — the M13 family's first non-stand-in member: phi =
+      // m * (x - mu) with the OLS slope m and background mean mu both
+      // decimal-derived doubles, so every scalar is bit-identical in
+      // DuckDB (the m12 recipe). Completeness (sum phi = sum yhat -
+      // n * f(mu)) is pinned engine-side as a boolean.
+      val (m, b) = olsFit(olsSums(olsTrain(s, dir), "o_custkey", "o_totalprice"))
+      val test = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val shap = Importance.linearShap(test, Seq("o_custkey"), Seq(m))
+      val comp = shap.select(
+          sum(col("phi_o_custkey")).as("sp"),
+          sum(lit(m) * col("o_custkey") + lit(b)).as("sy"),
+          count(lit(1)).as("n"))
+        .head()
+      val mu = test.select(
+        sum(col("o_custkey").cast("decimal(19,4)")).cast("double") /
+          count(lit(1)).cast("double")).head().getDouble(0)
+      // completeness: sum phi = sum f(x) - n * f(mu); both sides are
+      // big-sum doubles, so the pin is relative
+      val expect = comp.getDouble(1) - comp.getLong(2) * (m * mu + b)
+      val ok = math.abs(comp.getDouble(0) - expect) <=
+        1e-9 * (math.abs(comp.getDouble(1)) + 1.0)
+      shap.filter(col("o_orderkey") % 400 === 0)
+        .select(col("o_orderkey"),
+          round(col("phi_o_custkey"), 4).as("phi"),
+          lit(ok).as("complete"))
+    }),
+
     "m19_text_classifier" -> ((s, dir) => {
       // fastText-style quality classifier: train on a seeded separable
       // labeling of the corpus (docs containing 'table' -> 1), score the
@@ -554,6 +584,23 @@ object MlQueries {
 
     "m13_permutation_importance" -> """
       SELECT * FROM (VALUES ('o_custkey'), ('o_totalprice')) AS t(feature)""",
+
+    // m20: phi = m * (x - mu) with m and mu decimal-derived doubles —
+    // every scalar expression mirrors the engine token-for-token
+    "m20_linear_shap" -> """
+      WITH tr AS (SELECT CAST(o_custkey AS DECIMAL(19,4)) AS x, CAST(o_totalprice AS DECIMAL(19,4)) AS y
+                  FROM orders WHERE o_orderkey % 4 <> 0),
+      rr AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+             FROM tr),
+      f AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS m FROM rr),
+      bg AS (SELECT CAST(sum(CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE) /
+                    CAST(count(*) AS DOUBLE) AS mu
+             FROM orders WHERE o_orderkey % 4 = 0)
+      SELECT o_orderkey, round(f.m * (o_custkey - bg.mu), 4) AS phi,
+             true AS complete
+      FROM orders CROSS JOIN f CROSS JOIN bg
+      WHERE o_orderkey % 400 = 0""",
 
     "m19_text_classifier" -> """
       SELECT count(*) AS n_docs, true AS accuracy_ge_09 FROM documents""",

@@ -103,6 +103,34 @@ class MlSpec extends SparkSpec {
     assert(imps("x1") > imps("noise"))
   }
 
+  test("M13 linear SHAP is exact: phi_i = w_i (x_i - mu_i), completeness holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 2.0, 10.0), (2L, 4.0, 20.0), (3L, 6.0, 60.0))
+      .toDF("id", "a", "b")
+    val w = Seq(3.0, -0.5)
+    val shap = Importance.linearShap(df, Seq("a", "b"), w).orderBy("id")
+      .select("phi_a", "phi_b").collect()
+    // means: a = 4, b = 30 -> exact hand values
+    assert(shap.map(_.getDouble(0)).toSeq == Seq(3.0 * -2.0, 0.0, 3.0 * 2.0))
+    assert(shap.map(_.getDouble(1)).toSeq == Seq(-0.5 * -20.0, -0.5 * -10.0, -0.5 * 30.0))
+    // completeness: sum_i phi_i(x) = f(x) - f(mu) for every row
+    val b0 = 7.0
+    val full = Importance.linearShap(df, Seq("a", "b"), w)
+      .withColumn("fx", lit(3.0) * col("a") + lit(-0.5) * col("b") + lit(b0))
+      .collect()
+    val fmu = 3.0 * 4.0 - 0.5 * 30.0 + b0
+    full.foreach { r =>
+      val s = r.getAs[Double]("phi_a") + r.getAs[Double]("phi_b")
+      assert(math.abs(s - (r.getAs[Double]("fx") - fmu)) < 1e-9)
+    }
+    // explicit background frame overrides the scored frame's means
+    val bg = Seq((9L, 0.0, 0.0)).toDF("id", "a", "b")
+    val z = Importance.linearShap(df, Seq("a"), Seq(2.0), background = Some(bg))
+      .orderBy("id").select("phi_a").collect().map(_.getDouble(0)).toSeq
+    assert(z == Seq(4.0, 8.0, 12.0))
+  }
+
   test("M10 adaptive search beats pure random at equal trial budget") {
     // seeded quadratic objective with a unique optimum at (21, 13): the
     // top-quantile resampler must find better configs than uniform draws

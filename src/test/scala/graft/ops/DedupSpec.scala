@@ -162,6 +162,78 @@ class DedupSpec extends SparkSpec {
     assert(keptBloom == kept)
   }
 
+  test("decontaminateMapOnly: equals the join shape (null text kept), zero exchanges, codegen") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim in benchmark
+      (2L, "one two three four five six seven"),   // disjoint
+      (3L, "alpha beta gamma delta nine ten"),     // partial overlap
+      (4L, null.asInstanceOf[String]),             // null text: never contaminated
+      (5L, ""))                                    // empty text
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.8, 0.5, 0.0)) {
+      val exact = Dedup.decontaminate(corpus, benchmark, "text", "doc_id",
+        n = 3, maxOverlap = t).collect().map(_.getLong(0)).toSet
+      val mapOnly = Dedup.decontaminateMapOnly(corpus, benchmark, "text",
+        "doc_id", n = 3, maxOverlap = t).collect().map(_.getLong(0)).toSet
+      assert(mapOnly == exact, s"t=$t: $mapOnly vs $exact")
+      assert(mapOnly.contains(4L), "null text must survive")
+    }
+    // the corpus side is MAP-ONLY: no exchange anywhere, codegen stage.
+    // (parquet-backed — a LocalRelation corpus constant-folds the whole
+    // filter at plan time and proves nothing)
+    val dir = java.nio.file.Files.createTempDirectory("graft_d15p").toString
+    corpus.write.parquet(s"$dir/c")
+    val plan = Dedup.decontaminateMapOnly(spark.read.parquet(s"$dir/c"),
+        benchmark, "text", "doc_id", n = 3, maxOverlap = 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+    assert(plan.contains("*("), plan.take(400))
+  }
+
+  test("shingle_hashes matches shingleHashRows' distinct hash sets per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x y"), (3L, ""), (4L, "  "),
+      (5L, "a b c a b c a b c"))
+      .toDF("doc_id", "text")
+    val viaRows = Dedup.shingleHashRows(docs, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val viaExpr = docs.select(col("doc_id"),
+        call_function("shingle_hashes", col("text"), lit(3)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(viaExpr == viaRows, s"$viaExpr vs $viaRows")
+    // first-occurrence order is deterministic and duplicates collapse
+    val rep = docs.filter(col("doc_id") === 5L).select(
+      call_function("shingle_hashes", col("text"), lit(3))).head().getSeq[Long](0)
+    assert(rep.length == 3, s"9 tokens, 7 raw shingles, 3 distinct: $rep")
+  }
+
+  test("decontaminateMapOnly runs unchanged on a STREAMING DataFrame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_dec").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta nine ten"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$dir/in")
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val stream = spark.readStream.schema(corpus.schema).parquet(s"$dir/in")
+    val q = Dedup.decontaminateMapOnly(stream, benchmark, "text", "doc_id",
+        n = 3, maxOverlap = 0.8)
+      .writeStream.format("memory").queryName("st_decon")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id FROM st_decon")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), got.toString)
+  }
+
   test("maxDocsPerBand: hot buckets emit star edges; keep-one dedup still collapses") {
     import spark.implicits._
     // 10 identical docs (one hot cluster) + 30 distinct docs
