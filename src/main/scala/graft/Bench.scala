@@ -22,7 +22,8 @@ object Bench {
     "i8_regression_impute", "b12_trim_equal", "b13_trim_proportional",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
     "d5_cosine_dup", "d6_dup_components", "d7_decontaminate",
-    "d9_incremental_lsh", "d10_dup_spans", "d13_para_dedup", "b17_group_split",
+    "d9_incremental_lsh", "d10_dup_spans", "d13_para_dedup",
+    "d15_decontaminate_maponly", "b17_group_split",
     "s1_ann_topk", "t1_token_count", "t2_quality_score",
     "t4_fingerprint", "t7_repetition", "t8_pack_sequences",
     "t9_source_mix", "t12_tfidf", "t13_lm_score", "t16_chunk_docs",

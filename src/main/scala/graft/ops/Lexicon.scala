@@ -188,6 +188,64 @@ object Lexicon {
     * keyed by term; the corpus total is a 1-row broadcast; the per-doc
     * mean reuses the (doc, term) clustering. No collect — the term
     * distribution never leaves the cluster. */
+  /** Per-doc bigram occurrence counts (id, v, w, c) over lowercased
+    * whitespace tokens: exchange-free pair construction (arrays_zip of
+    * two shifted slices — the shingle recipe; no lead() window, no
+    * sort), then one repartition-by-id count. Docs with < 2 tokens
+    * contribute nothing (an empty doc's token array is [""], size 1,
+    * so empty tokens never appear in a pair). */
+  def docBigramCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      Text.tokens(lower(col(textCol))).as("__t"))
+    val sz = size(col("__t"))
+    val pairs = arrays_zip(
+      slice(col("__t"), lit(1), sz - 1).as("0"),
+      slice(col("__t"), lit(2), sz - 1).as("1"))
+    base.filter(sz >= 2)
+      .select(col("id"), explode(pairs).as("__p"))
+      .select(col("id"), col("__p.0").as("v"), col("__p.1").as("w"))
+      .repartition(col("id"))
+      .groupBy("id", "v", "w").agg(count(lit(1)).as("c"))
+  }
+
+  /** Interpolated BIGRAM LM score — one order up from
+    * [[unigramLogProb]] (the CCNet-style signal most pipelines actually
+    * run): per doc, the mean over token transitions of
+    * `log(lambda * c(vw)/c(v.) + (1-lambda) * c(w)/N)` — Jelinek-Mercer
+    * interpolation with the unigram model, where `c(v.)` counts v as a
+    * LEFT CONTEXT (sum of its outgoing bigrams), so the bigram term is
+    * a true conditional and the unigram floor keeps unseen transitions
+    * finite. Docs with < 2 tokens are absent (no transitions to
+    * average). Returns (id, n_bigrams, mean_logprob).
+    *
+    * Scale: the corpus bigram/context/unigram tables partial-aggregate
+    * on short keys before any join; the context and unigram tables are
+    * vocabulary-sized and BROADCAST when they fit the session threshold
+    * (the [[tfidfTopK]] adaptive rule — a hot context like "the" then
+    * never skews a shuffle), degrading to shuffle joins above it. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    lambda: Double = 0.75,
+                    broadcastStats: Option[Boolean] = None): DataFrame = {
+    val bv = broadcastStats.getOrElse(vocabFitsBroadcast(df, textCol, idCol))
+    def maybeBroadcast(t: DataFrame): DataFrame = if (bv) broadcast(t) else t
+    val db = docBigramCounts(df, textCol, idCol)
+    val cb = db.groupBy("v", "w").agg(sum("c").as("__cvw"))
+    val cv = maybeBroadcast(cb.groupBy("v").agg(sum("__cvw").as("__cv")))
+    val un = docTermCounts(df, textCol, idCol)
+    val cw = maybeBroadcast(un.groupBy("term").agg(sum("c").as("__cw"))
+      .withColumnRenamed("term", "w"))
+    val total = un.agg(sum("c").as("__tot"))
+    db.join(cb, Seq("v", "w")).join(cv, "v").join(cw, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum("c").as("n_bigrams"),
+        round(sum(col("c") * log(
+          lit(lambda) * (col("__cvw").cast(DoubleType) / col("__cv").cast(DoubleType)) +
+            lit(1.0 - lambda) * (col("__cw").cast(DoubleType) / col("__tot").cast(DoubleType)))) /
+          sum("c"), 6).as("mean_logprob"))
+      .withColumnRenamed("id", idCol)
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val dt = docTermCounts(df, textCol, idCol)
     val ct = dt.groupBy("term").agg(sum("c").as("__ct"))

@@ -198,6 +198,12 @@ object TextQueries {
       // corpus-unigram LM mean log-prob per doc (CCNet-style LM signal)
       Lexicon.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")),
 
+    "t24_bigram_lm" -> ((s, dir) =>
+      // interpolated bigram LM (Jelinek-Mercer vs the unigram floor) —
+      // exact-oracle: all counts replay in SQL, the scalar math is
+      // identical double expression trees, round(_, 6) as t13
+      Lexicon.bigramLogProb(Tables.documents(s, dir), "text", "doc_id")),
+
     "t14_trigram_langid" -> ((s, dir) =>
       // char-trigram language-ID trained on the corpus's own labels
       Lexicon.trigramLangId(Tables.documents(s, dir), "text", "doc_id",
@@ -435,6 +441,27 @@ object TextQueries {
       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
              round(sum(c * ln(CAST(ct AS DOUBLE) / tot)) / sum(c), 6) AS mean_logprob
       FROM dt JOIN ct USING (term) CROSS JOIN tot
+      GROUP BY doc_id""",
+
+    "t24_bigram_lm" -> s"""
+      WITH tok AS (SELECT doc_id, $lowToksSql AS t FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                     i -> [t[i + 1], t[i + 2]])) AS p
+             FROM tok WHERE len(t) >= 2),
+      db AS (SELECT doc_id, p[1] AS v, p[2] AS w, count(*) AS c
+             FROM bg GROUP BY 1, 2, 3),
+      cb AS (SELECT v, w, sum(c) AS cvw FROM db GROUP BY 1, 2),
+      cv AS (SELECT v, sum(cvw) AS cv FROM cb GROUP BY 1),
+      un AS (SELECT doc_id, unnest(t) AS w FROM tok),
+      unf AS (SELECT w FROM un WHERE w <> ''),
+      cw AS (SELECT w, count(*) AS cw FROM unf GROUP BY 1),
+      tot AS (SELECT count(*) AS tot FROM unf)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             round(sum(c * ln(0.75 * (CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE)) +
+                              0.25 * (CAST(cw AS DOUBLE) / CAST(tot AS DOUBLE)))) /
+                   sum(c), 6) AS mean_logprob
+      FROM db JOIN cb USING (v, w) JOIN cv USING (v) JOIN cw USING (w)
+           CROSS JOIN tot
       GROUP BY doc_id""",
 
     "t14_trigram_langid" -> """

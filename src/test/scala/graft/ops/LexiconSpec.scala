@@ -40,6 +40,31 @@ class LexiconSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, -0.693147), (2L, 1L, -0.693147)))
   }
 
+  test("bigramLogProb: hand-checked Jelinek-Mercer values; short docs absent") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"), (5L, ""))
+      .toDF("doc_id", "text")
+    // bigrams: (a,b) x2, (a,c) x1 -> c(a.) = 3. unigrams: a=3, b=2,
+    // c=1, x=1, N=7. P(b|a) = .75*(2/3) + .25*(2/7); P(c|a) =
+    // .75*(1/3) + .25*(1/7)
+    val out = Lexicon.bigramLogProb(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pb = 0.75 * (2.0 / 3.0) + 0.25 * (2.0 / 7.0)
+    val pc = 0.75 * (1.0 / 3.0) + 0.25 * (1.0 / 7.0)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), "1-token and empty docs absent")
+    assert(out.map(_._2).toSeq == Seq(1L, 1L, 1L))
+    assert(out(0)._3 == r6(math.log(pb)) && out(1)._3 == r6(math.log(pb)))
+    assert(out(2)._3 == r6(math.log(pc)))
+    // the interpolation floor keeps every score finite and <= 0
+    assert(out.forall(o => o._3 <= 0.0 && !o._3.isNegInfinity))
+    // explicit broadcast off gives identical values (shuffle-join path)
+    val noBc = Lexicon.bigramLogProb(df, "text", "doc_id",
+        broadcastStats = Some(false))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(noBc.map(_._2).toSeq == out.map(_._3).toSeq)
+  }
+
   test("trigramLangId: recovers labels on distinct languages; tiny docs predict und") {
     import spark.implicits._
     val en = Seq("the cat sat on the mat with the dog",
