@@ -113,6 +113,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "bloom_might_contain takes (filter, value)")
         BloomContains(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "bpe_encode takes (text, merges)")
+        BpeEncode(children.head, children(1))
+      }))
     // row-local shingle hashing + array bloom probe: together they make
     // decontamination a fully MAP-ONLY (and therefore streaming-safe)
     // pipeline — no explode, no groupBy, no shuffle.

@@ -132,11 +132,18 @@ object Bpe {
     total
   }
 
-  private def countWord(word: String, ranks: java.util.HashMap[String, Integer]): Int = {
-    if (word.length <= 1) return word.length
+  private def countWord(word: String, ranks: java.util.HashMap[String, Integer]): Int =
+    partsOf(word, ranks).size
+
+  /** The merged symbol sequence of one pre-token piece — the shared
+    * kernel of counting ([[countTokens]]) and encoding
+    * ([[encodeTokens]]). */
+  private[ops] def partsOf(word: String,
+                           ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
     var parts = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) { parts.add(String.valueOf(word.charAt(i))); i += 1 }
+    if (word.length <= 1) return parts
     var done = false
     while (!done && parts.size > 1) {
       var bestRank = Int.MaxValue
@@ -162,8 +169,59 @@ object Bpe {
         parts = next
       }
     }
-    parts.size
+    parts
   }
+
+  /** Parse a merges-table string (the `mergesToString` format) back to
+    * pairs — `#` header lines and blanks skipped. */
+  def parseMerges(merges: String): Seq[(String, String)] =
+    merges.split("\n").toSeq.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && i < l.length - 1, s"malformed merge line: '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }
+
+  /** Token-id sequence of one text under a rank map + vocab id map —
+    * the encode twin of [[countTokens]]/[[countTokensByte]], called
+    * from the `bpe_encode` expression's codegen. A symbol absent from
+    * the vocab encodes as -1 (possible only in char-level mode on
+    * chars outside the merge alphabet; the byte-level base covers
+    * every input). */
+  def encodeTokens(text: String, ranks: java.util.HashMap[String, Integer],
+                   vocab: java.util.HashMap[String, java.lang.Long],
+                   byteLevel: Boolean): Array[Long] = {
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val m = WordPattern.matcher(text)
+    while (m.find()) {
+      val piece = if (byteLevel) toByteSymbols(m.group()) else m.group()
+      val parts = partsOf(piece, ranks)
+      var i = 0
+      while (i < parts.size) {
+        val id = vocab.get(parts.get(i))
+        out.add(if (id == null) -1L else id.longValue())
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    arr
+  }
+
+  /** [[vocab]] as the fast JVM lookup the encode kernel needs. */
+  def vocabMap(merges: Seq[(String, String)],
+               byteLevel: Boolean): java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    vocab(merges, byteLevel).foreach { case (t, id) => m.put(t, id) }
+    m
+  }
+
+  /** Column form: token-id array of `textCol` (native `bpe_encode`). */
+  def encode(textCol: Column, merges: Seq[(String, String)],
+             byteLevel: Boolean = false): Column =
+    call_function("bpe_encode", textCol, lit(mergesToString(merges, byteLevel)))
 
   /** Column form: token count of `textCol` under a trained merges
     * table (constant — ships inside the codegen plan). */

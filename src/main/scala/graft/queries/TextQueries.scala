@@ -198,6 +198,29 @@ object TextQueries {
       // corpus-unigram LM mean log-prob per doc (CCNet-style LM signal)
       Lexicon.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")),
 
+    "t25_bpe_encode" -> ((s, dir) => {
+      // token-ID encoding under the trained byte-level vocab.
+      // Construction invariants hashed: id-sequence length equals the
+      // bpe_token_count everywhere (shared merge kernel), every id is
+      // within the vocab (byte-level never emits -1), and total ids
+      // equal total tokens corpus-wide.
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = graft.ops.Bpe.train(docs, "text", "doc_id",
+        numMerges = 200, sampleRows = 200, byteLevel = true)
+      val vocabSize = graft.ops.Bpe.vocab(merges, byteLevel = true).size
+      docs.select(
+          graft.ops.Bpe.encode(col("text"), merges, byteLevel = true).as("ids"),
+          graft.ops.Bpe.tokenCount(col("text"), merges, byteLevel = true).as("n_bpe"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(size(col("ids")) === col("n_bpe"), 0L).otherwise(1L)) === 0L)
+            .as("lengths_match"),
+          (sum(when(size(col("ids")) === 0 ||
+              (array_min(col("ids")) >= 0 && array_max(col("ids")) < vocabSize),
+              0L).otherwise(1L)) === 0L)
+            .as("ids_in_vocab"),
+          (sum(size(col("ids")).cast("long")) === sum(col("n_bpe"))).as("mass_match"))
+    }),
+
     "t24_bigram_lm" -> ((s, dir) =>
       // interpolated bigram LM (Jelinek-Mercer vs the unigram floor) —
       // exact-oracle: all counts replay in SQL, the scalar math is
@@ -442,6 +465,11 @@ object TextQueries {
              round(sum(c * ln(CAST(ct AS DOUBLE) / tot)) / sum(c), 6) AS mean_logprob
       FROM dt JOIN ct USING (term) CROSS JOIN tot
       GROUP BY doc_id""",
+
+    "t25_bpe_encode" -> """
+      SELECT count(*) AS n_docs, true AS lengths_match,
+             true AS ids_in_vocab, true AS mass_match
+      FROM documents""",
 
     "t24_bigram_lm" -> s"""
       WITH tok AS (SELECT doc_id, $lowToksSql AS t FROM documents),

@@ -116,6 +116,45 @@ class BpeSpec extends SparkSpec {
     assert(v3 == Seq(("a", 0L), ("b", 1L), ("ab", 2L)))
   }
 
+  test("bpe_encode: ids round-trip through the vocab; length == bpe_token_count") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, "the cat the hat wörld " * 2))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", "doc_id", numMerges = 15, byteLevel = true)
+    val idToToken = Bpe.vocab(merges, byteLevel = true)
+      .map { case (t, id) => id -> t }.toMap
+    val rows = Seq("the cat", "wörld!", "").toDF("text")
+      .select(Bpe.encode(col("text"), merges, byteLevel = true).as("ids"),
+        Bpe.tokenCount(col("text"), merges, byteLevel = true).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](0)
+      assert(ids.length == r.getLong(1), s"size(ids) must equal count: $r")
+      assert(ids.forall(idToToken.contains), s"all ids in vocab: $ids")
+    }
+    // decode round trip: concatenated tokens == byte symbols of the
+    // pre-token pieces, in order (construction-guaranteed)
+    val decoded = rows(0).getSeq[Long](0).map(idToToken).mkString
+    val expected = {
+      val m = java.util.regex.Pattern.compile(Text.BpeTokenPattern).matcher("the cat")
+      val sb = new StringBuilder
+      while (m.find()) sb.append(Bpe.toByteSymbols(m.group()))
+      sb.toString
+    }
+    assert(decoded == expected, s"'$decoded' vs '$expected'")
+    // empty text encodes to the empty sequence; null to null
+    assert(rows(2).getSeq[Long](0).isEmpty)
+    val n = Seq(null.asInstanceOf[String]).toDF("text")
+      .select(Bpe.encode(col("text"), merges, byteLevel = true)).head()
+    assert(n.isNullAt(0))
+    // codegen: the projection stays whole-stage
+    val plan = spark.range(3).select(
+        call_function("bpe_encode", concat(lit("ab"), col("id")),
+          lit(Bpe.mergesToString(merges, byteLevel = true))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("bpe_token_count is SQL-callable and runs inside whole-stage codegen") {
     import spark.implicits._
     val merges = Bpe.mergesToString(Seq(("a", "b"), ("ab", "c")))
