@@ -246,6 +246,43 @@ object Lexicon {
       .withColumnRenamed("id", idCol)
   }
 
+  /** KNESER-NEY smoothed bigram LM score (absolute discount `d`,
+    * continuation-count backoff — Kneser & Ney 1995, the smoothing
+    * KenLM/CCNet-class models actually use):
+    * `P(w|v) = (c(vw)-d)/c(v.) + d*N1+(v.)/c(v.) * N1+(.w)/|types|`
+    * where `N1+(v.)` counts distinct continuations of v, `N1+(.w)`
+    * distinct left contexts of w, `|types|` distinct bigram types —
+    * the insight being that the backoff weight of w is how many
+    * contexts it FOLLOWS, not how often it occurs ("francisco" is
+    * frequent but only ever follows "san"). Every quantity is an
+    * integer aggregate, so the score replays exactly in SQL. Scored
+    * bigrams occur in the corpus by construction (the corpus includes
+    * the doc), so `c(vw) >= 1 > d` and no max() clamp is needed.
+    * Same scale shape as [[bigramLogProb]]; returns
+    * (id, n_bigrams, mean_logprob). */
+  def bigramLogProbKN(df: DataFrame, textCol: String, idCol: String,
+                      discount: Double = 0.75,
+                      broadcastStats: Option[Boolean] = None): DataFrame = {
+    val bv = broadcastStats.getOrElse(vocabFitsBroadcast(df, textCol, idCol))
+    def maybeBroadcast(t: DataFrame): DataFrame = if (bv) broadcast(t) else t
+    val db = docBigramCounts(df, textCol, idCol)
+    val cb = db.groupBy("v", "w").agg(sum("c").as("__cvw"))
+    val cv = maybeBroadcast(cb.groupBy("v")
+      .agg(sum("__cvw").as("__cv"), count(lit(1)).as("__n1v")))
+    val contW = maybeBroadcast(cb.groupBy("w").agg(count(lit(1)).as("__ncw")))
+    val types = cb.agg(count(lit(1)).as("__types"))
+    db.join(cb, Seq("v", "w")).join(cv, "v").join(contW, "w")
+      .crossJoin(broadcast(types))
+      .groupBy("id")
+      .agg(sum("c").as("n_bigrams"),
+        round(sum(col("c") * log(
+          (col("__cvw").cast(DoubleType) - lit(discount)) / col("__cv").cast(DoubleType) +
+            lit(discount) * (col("__n1v").cast(DoubleType) / col("__cv").cast(DoubleType)) *
+              (col("__ncw").cast(DoubleType) / col("__types").cast(DoubleType)))) /
+          sum("c"), 6).as("mean_logprob"))
+      .withColumnRenamed("id", idCol)
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val dt = docTermCounts(df, textCol, idCol)
     val ct = dt.groupBy("term").agg(sum("c").as("__ct"))

@@ -227,6 +227,12 @@ object TextQueries {
       // identical double expression trees, round(_, 6) as t13
       Lexicon.bigramLogProb(Tables.documents(s, dir), "text", "doc_id")),
 
+    "t26_bigram_kn" -> ((s, dir) =>
+      // Kneser-Ney smoothing (absolute discount + continuation-count
+      // backoff — the KenLM-class formula); every term is an integer
+      // aggregate, so the score replays exactly in SQL
+      Lexicon.bigramLogProbKN(Tables.documents(s, dir), "text", "doc_id")),
+
     "t14_trigram_langid" -> ((s, dir) =>
       // char-trigram language-ID trained on the corpus's own labels
       Lexicon.trigramLangId(Tables.documents(s, dir), "text", "doc_id",
@@ -470,6 +476,26 @@ object TextQueries {
       SELECT count(*) AS n_docs, true AS lengths_match,
              true AS ids_in_vocab, true AS mass_match
       FROM documents""",
+
+    "t26_bigram_kn" -> s"""
+      WITH tok AS (SELECT doc_id, $lowToksSql AS t FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                     i -> [t[i + 1], t[i + 2]])) AS p
+             FROM tok WHERE len(t) >= 2),
+      db AS (SELECT doc_id, p[1] AS v, p[2] AS w, count(*) AS c
+             FROM bg GROUP BY 1, 2, 3),
+      cb AS (SELECT v, w, sum(c) AS cvw FROM db GROUP BY 1, 2),
+      cv AS (SELECT v, sum(cvw) AS cv, count(*) AS n1v FROM cb GROUP BY 1),
+      cont AS (SELECT w, count(*) AS ncw FROM cb GROUP BY 1),
+      ty AS (SELECT count(*) AS types FROM cb)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             round(sum(c * ln((CAST(cvw AS DOUBLE) - 0.75) / CAST(cv AS DOUBLE) +
+                              0.75 * (CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) *
+                                     (CAST(ncw AS DOUBLE) / CAST(types AS DOUBLE)))) /
+                   sum(c), 6) AS mean_logprob
+      FROM db JOIN cb USING (v, w) JOIN cv USING (v) JOIN cont USING (w)
+           CROSS JOIN ty
+      GROUP BY doc_id""",
 
     "t24_bigram_lm" -> s"""
       WITH tok AS (SELECT doc_id, $lowToksSql AS t FROM documents),

@@ -65,6 +65,26 @@ class LexiconSpec extends SparkSpec {
     assert(noBc.map(_._2).toSeq == out.map(_._3).toSeq)
   }
 
+  test("bigramLogProbKN: hand-checked Kneser-Ney values; continuation counts drive backoff") {
+    import spark.implicits._
+    // bigrams: (a,b) x2, (a,c) x1, (b,a) x1 (doc 2 is "a b a").
+    // cb types: (a,b),(a,c),(b,a) -> types=3. c(a.)=3, N1+(a.)=2;
+    // c(b.)=1, N1+(b.)=1. N1+(.b)=1, N1+(.c)=1, N1+(.a)=1.
+    val df = Seq((1L, "a b"), (2L, "a b a"), (3L, "a c")).toDF("doc_id", "text")
+    val out = Lexicon.bigramLogProbKN(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = (2.0 - 0.75) / 3.0 + 0.75 * (2.0 / 3.0) * (1.0 / 3.0)
+    val pBA = (1.0 - 0.75) / 1.0 + 0.75 * (1.0 / 1.0) * (1.0 / 3.0)
+    val pAC = (1.0 - 0.75) / 3.0 + 0.75 * (2.0 / 3.0) * (1.0 / 3.0)
+    assert(out(0) == ((1L, 1L, r6(math.log(pAB)))))
+    assert(out(1)._2 == 2L)
+    assert(out(1)._3 == r6((math.log(pAB) + math.log(pBA)) / 2.0))
+    assert(out(2) == ((3L, 1L, r6(math.log(pAC)))))
+    // probabilities are well-formed: discount < every scored count
+    assert(out.forall(_._3 < 0.0))
+  }
+
   test("trigramLangId: recovers labels on distinct languages; tiny docs predict und") {
     import spark.implicits._
     val en = Seq("the cat sat on the mat with the dog",
