@@ -190,4 +190,35 @@ object Corpus {
       .filter(col("__rk") <= quotaCol)
       .drop("__rk")
   }
+
+  /** Temperature-scaled mixture weights from the OBSERVED source sizes
+    * (the multilingual-sampling recipe, mC4/XLM-R style: p_s prop. to
+    * n_s^(1/T); T > 1 upsamples the tail, T = 1 is proportional) —
+    * feed the result to [[mixSources]]. One driver-sized aggregate
+    * (source is low-cardinality by definition).
+    *
+    * Determinism contract: at T = 2 the scaling uses `sqrt` (IEEE
+    * requires it correctly rounded, so any engine reproduces the exact
+    * doubles; `pow` is only 1-ulp), and the normalizer folds in SOURCE
+    * ORDER — an external replayer (the t27 oracle) following the same
+    * two rules is bit-identical, quotas included. */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+                         temperature: Double): Map[String, Double] = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val invT = 1.0 / temperature
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    def scaled(n: Long): Double =
+      if (invT == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, invT)
+    val norm = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + scaled(n) }
+    counts.map { case (s, n) => s -> scaled(n) / norm }.toMap
+  }
+
+  /** [[mixSources]] with [[temperatureWeights]] computed from the data
+    * — one call for the standard "flatten the source distribution at
+    * temperature T" step. */
+  def mixSourcesTemperature(df: DataFrame, sourceCol: String, idCol: String,
+                            temperature: Double, totalRows: Long): DataFrame =
+    mixSources(df, sourceCol, idCol,
+      temperatureWeights(df, sourceCol, temperature), totalRows)
 }

@@ -178,6 +178,14 @@ object TextQueries {
         totalRows = 40)
         .select("doc_id", "source")),
 
+    "t27_temperature_mix" -> ((s, dir) =>
+      // temperature-2 source flattening: weights prop. to sqrt(n_s),
+      // quotas floor(w*total) — sqrt + source-ordered normalizer fold
+      // make every double bit-replayable in SQL (full exact oracle)
+      Corpus.mixSourcesTemperature(Tables.documents(s, dir), "source",
+        "doc_id", temperature = 2.0, totalRows = 40)
+        .select("doc_id", "source")),
+
     "t10_quality_gate" -> ((s, dir) =>
       // per-source exact-median quality gate (rank selection, no value
       // buffering) — the self-calibrating form of C4-style filtering
@@ -476,6 +484,22 @@ object TextQueries {
       SELECT count(*) AS n_docs, true AS lengths_match,
              true AS ids_in_vocab, true AS mass_match
       FROM documents""",
+
+    // t27: sqrt is IEEE-correctly-rounded and the normalizer folds in
+    // source order on BOTH sides -> bit-identical weights and quotas
+    "t27_temperature_mix" -> """
+      WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      norm AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+                  (a, b) -> a + b) AS z
+               FROM c),
+      q AS (SELECT source,
+              CAST(floor(sqrt(CAST(n AS DOUBLE)) / z * 40) AS BIGINT) AS q
+            FROM c CROSS JOIN norm),
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+            FROM documents)
+      SELECT doc_id, source FROM r JOIN q USING (source) WHERE rk <= q""",
 
     "t26_bigram_kn" -> s"""
       WITH tok AS (SELECT doc_id, $lowToksSql AS t FROM documents),

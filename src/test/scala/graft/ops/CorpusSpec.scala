@@ -84,4 +84,25 @@ class CorpusSpec extends SparkSpec {
     assert(bySource("b") == (10L until 14L))      // quota 4, all 4 available
     assert(!bySource.contains("c"))               // unweighted source dropped
   }
+
+  test("temperatureWeights: T=1 proportional, T=2 flattens toward the tail, T->inf uniform") {
+    import spark.implicits._
+    // 90/10 split: proportional keeps the skew, temperature flattens it
+    val df = ((0L until 90L).map(i => (i, "big")) ++
+      (100L until 110L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val t1 = Corpus.temperatureWeights(df, "source", temperature = 1.0)
+    assert(math.abs(t1("big") - 0.9) < 1e-12 && math.abs(t1("small") - 0.1) < 1e-12)
+    val t2 = Corpus.temperatureWeights(df, "source", temperature = 2.0)
+    // sqrt(90)/(sqrt(90)+sqrt(10)) = 3/4 exactly (sqrt(9)=3 ratio)
+    assert(math.abs(t2("big") - 0.75) < 1e-12 && math.abs(t2("small") - 0.25) < 1e-12)
+    val t100 = Corpus.temperatureWeights(df, "source", temperature = 100.0)
+    assert(math.abs(t100("big") - t100("small")) < 0.02, "high T -> near uniform")
+    // weights always normalize
+    Seq(t1, t2, t100).foreach(w => assert(math.abs(w.values.sum - 1.0) < 1e-12))
+    // end-to-end: T=2 mixture takes 30/10 of a 40-doc target
+    val mixed = Corpus.mixSourcesTemperature(df, "source", "doc_id",
+        temperature = 2.0, totalRows = 40)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed == Map("big" -> 30L, "small" -> 10L), mixed.toString)
+  }
 }
