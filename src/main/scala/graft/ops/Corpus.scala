@@ -221,4 +221,48 @@ object Corpus {
                             temperature: Double, totalRows: Long): DataFrame =
     mixSources(df, sourceCol, idCol,
       temperatureWeights(df, sourceCol, temperature), totalRows)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3): split
+    * each source into `head` / `middle` / `tail` thirds by LM score —
+    * best-scoring third is `head`, and downstream mixes sample the
+    * buckets at different rates (or drop `tail` outright). Relative
+    * bucketing self-calibrates per source exactly like [[qualityGate]]'s
+    * per-source median: an absolute perplexity cut would gut sources
+    * whose baseline register differs (legal text scores "worse" than
+    * news under any web-trained LM without being lower quality).
+    *
+    * `scorer` returns (idCol, ..., mean_logprob) — default is the
+    * corpus-unigram LM ([[Lexicon.unigramLogProb]]); pass
+    * `Lexicon.bigramLogProb(_, _, _)` or `bigramLogProbKN` for the
+    * higher-order signal (CCNet itself uses a 5-gram KenLM). Higher
+    * mean log-prob = lower perplexity = earlier bucket.
+    *
+    * Determinism: ranks order on the scorer's ROUNDED score (all
+    * scorers round to 6 before emitting, the t12 pre-rank-rounding
+    * rule) with the id as tiebreak, and the bucket boundary is integer
+    * arithmetic (`3*rk <= n`, `3*rk <= 2n`) — no ntile() engine
+    * ambiguity, so an external replayer lands every boundary doc in the
+    * same bucket. Returns (idCol, sourceCol, mean_logprob, bucket).
+    *
+    * Scale: the scorer is aggregate-shaped (no windows), the per-source
+    * rank is [[Ordinals.withPerKeyRank]] (range sort + broadcast
+    * first-index dictionary — a dominant source spreads across
+    * partitions instead of one window reducer), and the per-source
+    * count dictionary is broadcast-sized by construction. */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                        sourceCol: String,
+                        scorer: (DataFrame, String, String) => DataFrame =
+                          Lexicon.unigramLogProb): DataFrame = {
+    val lm = scorer(df, textCol, idCol).select(col(idCol), col("mean_logprob"))
+    val scored = df.select(col(idCol), col(sourceCol)).join(lm, idCol)
+    val ranked = Ordinals.withPerKeyRank(scored, sourceCol,
+      Seq(col("mean_logprob").desc, col(idCol).asc), "__rk")
+    val counts = scored.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), sourceCol)
+      .withColumn("bucket",
+        when(col("__rk") * 3 <= col("__n"), "head")
+          .when(col("__rk") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(sourceCol), col("mean_logprob"), col("bucket"))
+  }
 }

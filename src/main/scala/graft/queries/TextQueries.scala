@@ -191,6 +191,12 @@ object TextQueries {
       // buffering) — the self-calibrating form of C4-style filtering
       Corpus.qualityGate(Tables.documents(s, dir), "text", "doc_id", "source")),
 
+    "t28_perplexity_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail thirds per source by unigram-LM score;
+      // pre-rank rounding + integer boundary arithmetic -> exact oracle
+      Corpus.perplexityBuckets(Tables.documents(s, dir), "text", "doc_id",
+        "source")),
+
     "t11_vocab" -> ((s, dir) =>
       // vocabulary building: top-50 terms with >= 2 occurrences
       Lexicon.vocabulary(Tables.documents(s, dir), "text", "doc_id",
@@ -484,6 +490,27 @@ object TextQueries {
       SELECT count(*) AS n_docs, true AS lengths_match,
              true AS ids_in_vocab, true AS mass_match
       FROM documents""",
+
+    // t28: rank on the ROUNDED score (t12 rule) + integer third
+    // boundaries (3*rk <= n) — no ntile() ambiguity across engines
+    "t28_perplexity_buckets" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> '' GROUP BY 1, 2),
+      ct AS (SELECT term, sum(c) AS ct FROM dt GROUP BY 1),
+      tot AS (SELECT sum(ct) AS tot FROM ct),
+      lm AS (SELECT doc_id,
+               round(sum(c * ln(CAST(ct AS DOUBLE) / tot)) / sum(c), 6) AS mean_logprob
+             FROM dt JOIN ct USING (term) CROSS JOIN tot GROUP BY doc_id),
+      r AS (SELECT d.doc_id, d.source, lm.mean_logprob,
+              row_number() OVER (PARTITION BY d.source
+                ORDER BY lm.mean_logprob DESC, d.doc_id) AS rk,
+              count(*) OVER (PARTITION BY d.source) AS n
+            FROM documents d JOIN lm USING (doc_id))
+      SELECT doc_id, source, mean_logprob,
+             CASE WHEN 3 * rk <= n THEN 'head'
+                  WHEN 3 * rk <= 2 * n THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM r""",
 
     // t27: sqrt is IEEE-correctly-rounded and the normalizer folds in
     // source order on BOTH sides -> bit-identical weights and quotas

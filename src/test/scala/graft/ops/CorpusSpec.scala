@@ -105,4 +105,26 @@ class CorpusSpec extends SparkSpec {
       .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(mixed == Map("big" -> 30L, "small" -> 10L), mixed.toString)
   }
+
+  test("perplexityBuckets: thirds per source, best LM scores land in head") {
+    import spark.implicits._
+    // source a: 6 docs — 2 made of common words, 2 mixed, 2 of rare words;
+    // source b: 2 docs (n=2 -> rk=1 is middle under 3*rk<=2n, rk=2 tail)
+    val common = "the cat sat on the mat"
+    val docs = Seq(
+      (1L, "a", common), (2L, "a", common),
+      (3L, "a", "the cat zyx qwv"), (4L, "a", "on the mat plk jjw"),
+      (5L, "a", "zzq xxv rrt"), (6L, "a", "mmb nnc vvd"),
+      (7L, "b", common), (8L, "b", "qqa wwb eec")).toDF("doc_id", "source", "text")
+    val out = Corpus.perplexityBuckets(docs, "text", "doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // common-word docs have the highest mean logprob -> head of source a
+    assert(out(1L) == "head" && out(2L) == "head", out.toString)
+    assert(out(5L) == "tail" || out(6L) == "tail", out.toString)
+    // a source of 2: no head (3*1 > 2), one middle, one tail
+    assert(out(7L) == "middle" && out(8L) == "tail", out.toString)
+    // every source third is ceil/floor-balanced: source a = 2/2/2
+    val aBuckets = out.filterKeys(_ <= 6L).values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(aBuckets == Map("head" -> 2, "middle" -> 2, "tail" -> 2), aBuckets.toString)
+  }
 }
