@@ -329,6 +329,29 @@ object DedupQueries {
           (sum("__n") <= total).as("within_corpus"))
     }),
 
+    "s21_outlier_score" -> ((s, dir) => {
+      // frozen-scaler Mahalanobis outlier score: fit -> save -> load ->
+      // map-only apply (the fit-on-corpus / score-anywhere seam the
+      // streaming spec drives with a real readStream). Invariants
+      // hashed: scores nonnegative, and the mass identity
+      // avg(score^2) = k(n-1)/n (exact for a stddev_samp fit) holds to
+      // FP tolerance — which can only be true if save/load restored
+      // the scaler faithfully.
+      val k = 8
+      val proj = graft.ops.Embeddings.pcaProject(Tables.embeddings(s, dir),
+        "embedding", "vec_id", k)
+      val tmp = graft.queries.Q.tempDir("graft_s21w")
+      graft.ops.Embeddings.saveWhitenStats(s,
+        graft.ops.Embeddings.whitenStats(proj, "proj"), tmp)
+      val stats = graft.ops.Embeddings.loadWhitenStats(s, tmp)
+      graft.ops.Embeddings.outlierScore(proj, "proj", stats)
+        .agg(count(lit(1)).as("__n"), min("outlier_score").as("__mn"),
+          avg(col("outlier_score") * col("outlier_score")).as("__ms"))
+        .select(col("__n").as("n_rows"), (col("__mn") >= 0.0).as("nonneg"),
+          (abs(col("__ms") * col("__n") / (col("__n") - lit(1)) - k) < 1e-6)
+            .as("mass_match"))
+    }),
+
     "s5_ann_quantized" -> ((s, dir) => {
       // int8-quantized top-k: integer dot products are engine-exact, so
       // ranks AND rounded scores are fully oracle-able
@@ -396,6 +419,9 @@ object DedupQueries {
     "s20_diversity_sample" -> """
       SELECT true AS per_cell_capped, true AS cells_nonempty,
              true AS within_corpus""",
+    "s21_outlier_score" -> """
+      SELECT count(*) AS n_rows, true AS nonneg, true AS mass_match
+      FROM embeddings""",
 
     "d1_exact_dedup" -> s"""
       WITH corpus AS ($DupCorpusSql)

@@ -55,6 +55,42 @@ class EmbeddingsSpec extends SparkSpec {
     assert(math.abs(w.map(v => v(1) * v(1)).sum / 2 - 1.0) < 1e-9)
   }
 
+  test("frozen scaler round-trips through save/load; whiten + outlier score run on a REAL stream, equal to batch") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("whitenstream").toString
+    val proj = Embeddings.pcaProject(corpus, "embedding", "vec_id", k = 3)
+    val fit = Embeddings.whitenStats(proj, "proj")
+    Embeddings.saveWhitenStats(spark, fit, s"$root/scaler")
+    val stats = Embeddings.loadWhitenStats(spark, s"$root/scaler")
+    assert(stats.toSeq == fit.toSeq, "save/load must restore every bit")
+
+    // the stream source: the projection split over two parquet files
+    proj.filter(col("id") < 150).coalesce(1).write.parquet(s"$root/src")
+    proj.filter(col("id") >= 150).coalesce(1).write.mode("append").parquet(s"$root/src")
+
+    // batch truth over the SAME files + plan check: frozen-scaler apply
+    // and score are map-only (no Exchange anywhere)
+    val disk = spark.read.parquet(s"$root/src")
+    val batchScored = Embeddings.outlierScore(
+      Embeddings.applyWhiten(disk, "proj", stats), "proj", stats)
+    assert(!batchScored.queryExecution.executedPlan.toString.contains("Exchange"),
+      "frozen-scaler scoring must not shuffle")
+    val expect = batchScored.select("id", "outlier_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val sdf = spark.readStream.schema(disk.schema).parquet(s"$root/src")
+    val scored = Embeddings.outlierScore(
+      Embeddings.applyWhiten(sdf, "proj", stats), "proj", stats)
+    assert(scored.isStreaming, "must be a streaming frame end to end")
+    val q = scored.select("id", "outlier_score").writeStream
+      .format("memory").queryName("wstream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wstream")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect, "stream scores must equal batch bit-for-bit")
+    assert(got.size == 300 && got.values.forall(v => v >= 0.0 && !v.isNaN))
+  }
+
   test("diversitySample: caps per cell, covers every non-empty cell, deterministic") {
     val s1 = Embeddings.diversitySample(corpus, "embedding", "vec_id",
       nlist = 6, perCell = 10)
