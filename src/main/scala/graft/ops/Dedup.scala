@@ -207,10 +207,20 @@ object Dedup {
       .withColumnRenamed("__h", "sh")
     // stop-shingle prune over the FULL universe: Jaccard is then
     // consistent with the pair-common counts (stop-shingles are removed
-    // from the feature set, not just from the join)
-    val pruned = sh.withColumn("__df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    // from the feature set, not just from the join). Doc frequencies
+    // come from an AGGREGATE + JOIN, not a Window.partitionBy(sh): the
+    // map-side-combined counts table is tiny next to the occurrence
+    // rows, so AQE converts this join to BROADCAST and the big side
+    // goes scan -> broadcast-join -> groupBy(id) with ZERO sh-keyed
+    // shuffle (the window shape shuffled AND sorted every occurrence row
+    // by sh first). The shingle scan runs twice (once per side) — at
+    // scale a rescan is cheaper than a corpus-sized shuffle+sort; on a
+    // genuinely broadcast-proof shingle universe AQE falls back to a
+    // shuffled join, which is still sort-for-sort no worse than the
+    // window was.
+    val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocsPerShingle)
+    val pruned = sh.join(dfCounts, "sh")
     // one aggregate serves prefix extraction AND exact verification:
     // sort_array over (df, sh) structs = the global rarest-first order
     val docs = pruned.groupBy("id").agg(
