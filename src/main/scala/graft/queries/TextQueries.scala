@@ -197,6 +197,17 @@ object TextQueries {
       Corpus.perplexityBuckets(Tables.documents(s, dir), "text", "doc_id",
         "source")),
 
+    "t29_dsir_select" -> ((s, dir) => {
+      // DSIR importance resampling: src0 docs are the target domain
+      // sample, everything else the raw pool; top-50 raw docs by hashed
+      // n-gram log importance weight (512 cells, t12/t13 rounding rules)
+      val docs = Tables.documents(s, dir)
+      graft.ops.Dsir.selectTopK(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", k = 50, buckets = 512)
+    }),
+
     "t11_vocab" -> ((s, dir) =>
       // vocabulary building: top-50 terms with >= 2 occurrences
       Lexicon.vocabulary(Tables.documents(s, dir), "text", "doc_id",
@@ -511,6 +522,36 @@ object TextQueries {
                   WHEN 3 * rk <= 2 * n THEN 'middle'
                   ELSE 'tail' END AS bucket
       FROM r""",
+
+    // t29: the cell log-ratio is the same IEEE expression tree on both
+    // sides (int adds -> cast -> divide -> ln -> subtract); per-doc sums
+    // round to 6 before the rank (t12/t13 rule), ties on doc_id
+    "t29_dsir_select" -> s"""
+      WITH tokt AS (SELECT doc_id, $lowToksSql AS t FROM documents),
+      uni AS (SELECT doc_id, unnest(t) AS f FROM tokt),
+      bi AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+               i -> t[i + 1] || ' ' || t[i + 2])) AS f
+             FROM tokt WHERE len(t) >= 2),
+      feats AS (SELECT doc_id, f FROM uni WHERE f <> ''
+                UNION ALL SELECT doc_id, f FROM bi),
+      fb AS (SELECT fe.doc_id, d.source,
+               CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 512 AS bucket
+             FROM feats fe JOIN documents d USING (doc_id)),
+      rc AS (SELECT bucket, count(*) AS rc FROM fb WHERE source <> 'src0' GROUP BY 1),
+      tc AS (SELECT bucket, count(*) AS tc FROM fb WHERE source = 'src0' GROUP BY 1),
+      cells AS (SELECT bucket, coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc
+                FROM rc FULL OUTER JOIN tc USING (bucket)),
+      tot AS (SELECT sum(rc) AS r, sum(tc) AS t FROM cells),
+      lr AS (SELECT bucket,
+               ln(CAST(tc + 1 AS DOUBLE) / CAST(t + 512 AS DOUBLE)) -
+               ln(CAST(rc + 1 AS DOUBLE) / CAST(r + 512 AS DOUBLE)) AS lr
+             FROM cells CROSS JOIN tot),
+      dc AS (SELECT doc_id, bucket, count(*) AS c
+             FROM fb WHERE source <> 'src0' GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+             round(sum(CAST(c AS DOUBLE) * lr), 6) AS logw
+      FROM dc JOIN lr USING (bucket) GROUP BY doc_id
+      QUALIFY row_number() OVER (ORDER BY logw DESC, doc_id) <= 50""",
 
     // t27: sqrt is IEEE-correctly-rounded and the normalizer folds in
     // source order on BOTH sides -> bit-identical weights and quotas
