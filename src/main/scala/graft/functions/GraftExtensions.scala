@@ -137,6 +137,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "bloom_count_in takes (filter, values)")
         BloomCountIn(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "pq_adc takes (codes, lut)")
+        PqAdc(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "pq_encode takes (vec, cents, m)")
+        PqEncode(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "pq_lut"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "pq_lut takes (vec, cents, m)")
+        PqLut(children.head, children(1), children(2))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

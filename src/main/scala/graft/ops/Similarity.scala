@@ -88,8 +88,8 @@ object Similarity {
     * ranks within (query, salt-of-corpus_id) — bounded slices; phase 2
     * ranks the <= salts*k survivors per query. Any true top-k row is in
     * its salt group's top-k, so the result is exactly the global rank. */
-  private[ops] def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 16): DataFrame = {
-    val order = Seq(desc("cosine"), asc("corpus_id"))
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 16,
+      order: Seq[Column] = Seq(desc("cosine"), asc("corpus_id"))): DataFrame = {
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"), pmod(xxhash64(col("corpus_id")), lit(salts)))
       .orderBy(order: _*)

@@ -291,6 +291,20 @@ object DedupQueries {
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    "s22_pq_adc" -> ((s, dir) => {
+      // product quantization ANN (Jégou et al. 2011): map-only
+      // pq_encode codes, per-query pq_lut broadcast, ADC shortlist +
+      // exact re-rank. Hit-count contract oracled exactly (s17 style);
+      // PqSpec pins recall vs the exact scan, the shuffle-free encode
+      // plan, and the ADC arithmetic against driver-side math.
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cb = graft.ops.Pq.train(e, "embedding", "vec_id", m = 16,
+        k = 16, sampleRows = 1000)
+      graft.ops.Pq.adcRerankTopK(e, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 10, cb, shortlist = 60)
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
     "s19_pca_whiten" -> ((s, dir) => {
       // PCA -> whiten (SemDeDup's reduce/decorrelate preamble). MLlib
       // eigenvectors aren't SQL-replayable; the hashed row carries the
@@ -410,6 +424,9 @@ object DedupQueries {
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
     "s18_ann_two_phase" -> """
+      SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
+             CAST(10 AS BIGINT) AS n_hits""",
+    "s22_pq_adc" -> """
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
     "s19_pca_whiten" -> """

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val cb = Pq.train(emb, "embedding", "vec_id", m = 16, k = 16,
+    sampleRows = 1000)
+
+  test("train: codebook dimensions and determinism across fits") {
+    assert(cb.dim == 64 && cb.m == 16 && cb.k == 16)
+    assert(cb.cents.length == 16 * 16 * 4)
+    val cb2 = Pq.train(emb, "embedding", "vec_id", m = 16, k = 16,
+      sampleRows = 1000)
+    assert(cb.cents.sameElements(cb2.cents))
+  }
+
+  test("encode: map-only plan (no exchange), codes in range") {
+    val enc = Pq.encode(emb, "embedding", "vec_id", cb)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+    val stats = enc.agg(
+      min(size(col("codes"))).as("mn"), max(size(col("codes"))).as("mx"),
+      min(array_min(col("codes"))).as("lo"),
+      max(array_max(col("codes"))).as("hi")).head()
+    assert(stats.getInt(0) == 16 && stats.getInt(1) == 16)
+    assert(stats.getInt(2) >= 0 && stats.getInt(3) < 16)
+  }
+
+  test("adc distance equals the code-reconstruction distance by hand") {
+    // for one vector/query pair, pq_adc must equal the sum over
+    // subspaces of ||q_s - cent(code_s)||^2 computed on the driver
+    val rows = emb.limit(2).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")).collect()
+    val (x, q) = (rows(0).getSeq[Double](1).toArray, rows(1).getSeq[Double](1).toArray)
+    val dsub = cb.dim / cb.m
+    val codes = (0 until cb.m).map { s =>
+      (0 until cb.k).minBy { c =>
+        (0 until dsub).map { j =>
+          val d = x(s * dsub + j) - cb.cents((s * cb.k + c) * dsub + j)
+          d * d
+        }.sum
+      }
+    }
+    val expected = (0 until cb.m).map { s =>
+      val c = codes(s)
+      (0 until dsub).map { j =>
+        val d = q(s * dsub + j) - cb.cents((s * cb.k + c) * dsub + j)
+        d * d
+      }.sum
+    }.sum
+    val got = Pq.adcTopK(emb.filter(col("vec_id") === rows(0).getLong(0)),
+        emb.filter(col("vec_id") === rows(1).getLong(0)),
+        "embedding", "vec_id", k = 1, cb)
+      .select("adc_d2").head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-9)
+  }
+
+  test("adcTopK / adcRerankTopK: recall@10 vs exact; rerank dominates") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Pq.exactL2TopK(emb, queries, "embedding", "vec_id", k = 10)
+      .select("query_id", "corpus_id")
+    val nExact = exact.count().toDouble
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "corpus_id")
+        .join(exact, Seq("query_id", "corpus_id")).count() / nExact
+    val plain = recall(
+      Pq.adcTopK(emb, queries, "embedding", "vec_id", k = 10, cb))
+    val rerank = recall(Pq.adcRerankTopK(emb, queries, "embedding",
+      "vec_id", k = 10, cb, shortlist = 60))
+    assert(plain >= 0.2, s"ADC recall@10 $plain below floor")
+    assert(rerank >= 0.7, s"rerank recall@10 $rerank below floor")
+    assert(rerank >= plain, "exact re-rank of a superset cannot lose recall")
+  }
+}
