@@ -158,6 +158,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 3, "pq_lut takes (vec, cents, m)")
         PqLut(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "winnow_fps takes (text, k, w)")
+        WinnowFps(children.head, children(1), children(2))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

@@ -106,6 +106,37 @@ object Lexicon {
       .select(col("id").as(idCol), col("term"), col("tfidf"))
   }
 
+  /** Per-doc top-k BM25 keywords (Robertson/Okapi, the Lucene idf
+    * variant `ln((N - df + 0.5)/(df + 0.5) + 1)`) — the retrieval
+    * scoring most curation stacks use where TF-IDF is too
+    * length-biased; tf saturates at k1 and the b term normalizes by
+    * doc length against the corpus mean. Same plan shape, broadcast
+    * adaptivity, and rank-stability contract (round 6 BEFORE the rank,
+    * ties on term) as [[tfidfTopK]]. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               broadcastVocab: Option[Boolean] = None): DataFrame = {
+    val bv = broadcastVocab.getOrElse(vocabFitsBroadcast(df, textCol, idCol))
+    val dt = docTermCounts(df, textCol, idCol)
+    val dtl = dt.withColumn("__len", sum("c").over(Window.partitionBy("id")))
+    val dfT0 = dt.groupBy("term").agg(count(lit(1)).as("__df"))
+    val dfT = if (bv) broadcast(dfT0) else dfT0
+    val g = dt.agg(count_distinct(col("id")).as("__nd"), sum("c").as("__tot"))
+    val avgLen = col("__tot").cast(DoubleType) / col("__nd").cast(DoubleType)
+    val idf = log(((col("__nd") - col("__df")).cast(DoubleType) + 0.5) /
+      (col("__df").cast(DoubleType) + 0.5) + 1.0)
+    val tf = (col("c").cast(DoubleType) * lit(k1 + 1.0)) /
+      (col("c").cast(DoubleType) +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("__len").cast(DoubleType) / avgLen)))
+    dtl.join(dfT, "term")
+      .crossJoin(broadcast(g))
+      .withColumn("bm25", round(idf * tf, 6))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("bm25").desc, col("term").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("id").as(idCol), col("term"), col("bm25"))
+  }
+
   /** The tfidfTopK AUTO broadcast decision: estimated vocabulary bytes
     * (approx distinct terms x ~64 B/row of term string + count +
     * overhead) against the session's broadcast threshold. A disabled

@@ -48,6 +48,15 @@ object TextQueries {
       Tables.documents(s, dir).select(col("doc_id"),
         Text.fingerprint(col("text")).as("fp"))),
 
+    "t30_winnow" -> ((s, dir) =>
+      // winnowing fingerprints (MOSS): rightmost-min of every 4-window
+      // of char-8-gram md5 hashes, one map-only codegen pass; any
+      // shared substring of >= 11 chars guarantees a shared fingerprint
+      Tables.documents(s, dir).select(col("doc_id"),
+        posexplode(call_function("winnow_fps", col("text"), lit(8), lit(4))))
+        .select(col("doc_id"), col("pos").cast("long").as("idx"),
+          col("col").as("fp"))),
+
     "t5_quality_filter" -> ((s, dir) =>
       // End-to-end filter: keep docs with quality >= 0.75, report per-lang
       // survivor counts — the composite op a C4-style cleaning run uses.
@@ -223,6 +232,12 @@ object TextQueries {
       // corpus-unigram LM mean log-prob per doc (CCNet-style LM signal)
       Lexicon.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")),
 
+    "t31_bm25" -> ((s, dir) =>
+      // per-doc top-3 BM25 keywords (Okapi with the Lucene idf): length
+      // saturation the t12 tfidf lacks; identical IEEE expression trees
+      // on both sides + the t12 pre-rank rounding rule -> exact oracle
+      Lexicon.bm25TopK(Tables.documents(s, dir), "text", "doc_id", k = 3)),
+
     "t25_bpe_encode" -> ((s, dir) => {
       // token-ID encoding under the trained byte-level vocab.
       // Construction invariants hashed: id-sequence length equals the
@@ -338,6 +353,28 @@ object TextQueries {
              $caseExpr AS lang_pred
       FROM b"""
     },
+
+    // t30: the same md5 k-gram hashes, window minima via list ops; the
+    // rightmost-tie position comes from list_position over the REVERSED
+    // window; DISTINCT (pos, fp) = the engine's consecutive-window dedupe
+    "t30_winnow" -> """
+      WITH h AS (SELECT doc_id,
+          list_transform(range(len(text) - 8 + 1),
+            i -> CAST(('0x' || substring(md5(substring(text, i + 1, 8)), 1, 15)) AS BIGINT)) AS hs
+        FROM documents WHERE len(text) >= 8),
+      wins AS (SELECT doc_id, hs, unnest(range(greatest(len(hs) - 4 + 1, 1))) AS j
+               FROM h),
+      wm AS (SELECT doc_id, j,
+               list_slice(hs, j + 1, least(j + 4, len(hs))) AS win,
+               list_min(list_slice(hs, j + 1, least(j + 4, len(hs)))) AS m
+             FROM wins),
+      sel AS (SELECT DISTINCT doc_id,
+               j + len(win) - list_position(list_reverse(win), m) + 1 AS pos,
+               m AS fp
+              FROM wm)
+      SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS idx,
+             fp
+      FROM sel""",
 
     "t4_fingerprint" -> s"""
       SELECT doc_id,
@@ -486,6 +523,25 @@ object TextQueries {
                round((CAST(c AS DOUBLE) / len) * ln(CAST(nd AS DOUBLE) / dfc), 6) AS tfidf
         FROM dt JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd)
       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3""",
+
+    // t31: same shape as t12 — the scalar bm25 is one identical double
+    // expression tree on both sides, rounded to 6 BEFORE the rank
+    "t31_bm25" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(c) AS len FROM dt GROUP BY 1),
+      dfreq AS (SELECT term, count(*) AS dfc FROM dt GROUP BY 1),
+      g AS (SELECT count(DISTINCT doc_id) AS nd, sum(c) AS tot FROM dt)
+      SELECT doc_id, term, bm25 FROM (
+        SELECT dt.doc_id, dt.term,
+               round(ln((CAST(nd - dfc AS DOUBLE) + 0.5) /
+                        (CAST(dfc AS DOUBLE) + 0.5) + 1) *
+                     ((CAST(c AS DOUBLE) * (1.2 + 1)) /
+                      (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        (CAST(len AS DOUBLE) /
+                         (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)))))), 6) AS bm25
+        FROM dt JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN g)
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) <= 3""",
 
     "t13_lm_score" -> s"""
       WITH tok AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),

@@ -31,6 +31,26 @@ class LexiconSpec extends SparkSpec {
       (2L, "z", 0.346574), (2L, "y", 0.0)))
   }
 
+  test("bm25TopK: hand-checked Okapi score with the Lucene idf") {
+    import spark.implicits._
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = Lexicon.bm25TopK(df, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    // N=2, avg len 2.5; driver-side replay of the exact formula
+    def score(c: Long, len: Long, dfc: Long): Double = {
+      val idf = math.log((2L - dfc + 0.5) / (dfc + 0.5) + 1.0)
+      val tf = (c * (1.2 + 1.0)) /
+        (c + 1.2 * (0.25 + 0.75 * (len / (5.0 / 2.0))))
+      BigDecimal(idf * tf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out == Seq(
+      (1L, "x", score(2, 3, 1)), (1L, "y", score(1, 3, 2)),
+      (2L, "z", score(1, 2, 1)), (2L, "y", score(1, 2, 2))))
+    // saturation: the doubled term scores less than 2x the single one
+    assert(out.head._3 < 2 * score(1, 3, 1))
+  }
+
   test("unigramLogProb: mean ln p over occurrences; empty docs absent") {
     import spark.implicits._
     val df = Seq((1L, "a a b"), (2L, "b"), (3L, " ")).toDF("doc_id", "text")
