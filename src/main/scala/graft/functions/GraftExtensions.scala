@@ -165,6 +165,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 3, "winnow_fps takes (text, k, w)")
         WinnowFps(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_decode"),
+      new ExpressionInfo(classOf[BpeDecode].getName, "bpe_decode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "bpe_decode takes (ids, merges)")
+        BpeDecode(children.head, children(1))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

@@ -229,6 +229,56 @@ object Bpe {
                  byteLevel: Boolean = false): Column =
     call_function("bpe_token_count", textCol, lit(mergesToString(merges, byteLevel)))
 
+  /** Column form: decode a token-id array back to text (native
+    * `bpe_decode`) — the inverse of [[encode]] up to the pre-tokenizer:
+    * `decode(encode(t))` equals the CONCATENATION of t's pre-token
+    * pieces (whitespace between pieces is not encoded, so it cannot
+    * come back). */
+  def decode(idsCol: Column, merges: Seq[(String, String)],
+             byteLevel: Boolean = false): Column =
+    call_function("bpe_decode", idsCol, lit(mergesToString(merges, byteLevel)))
+
+  /** Reverse vocabulary: token string per id, id order. */
+  def idTokens(merges: Seq[(String, String)], byteLevel: Boolean): Array[String] =
+    vocab(merges, byteLevel).map(_._1).toArray
+
+  /** Symbol char -> original byte (inverse of [[ByteToChar]]); -1 for
+    * chars outside the byte alphabet. */
+  private[ops] val CharToByte: Array[Int] = {
+    val arr = Array.fill(256 + 70)(-1)
+    (0 until 256).foreach(b => arr(ByteToChar(b).toInt) = b)
+    arr
+  }
+
+  /** Decode kernel: ids -> token strings -> (byte-level) UTF-8 bytes.
+    * Out-of-range ids (the char-level -1 unknown) decode to nothing. */
+  def decodeTokens(ids: Array[Long], toks: Array[String],
+                   byteLevel: Boolean): String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      if (id >= 0 && id < toks.length) sb.append(toks(id.toInt))
+      i += 1
+    }
+    if (!byteLevel) sb.toString
+    else {
+      val s = sb.toString
+      val bytes = new Array[Byte](s.length)
+      var j = 0
+      while (j < s.length) {
+        val b = if (s.charAt(j) < CharToByte.length) CharToByte(s.charAt(j).toInt) else -1
+        bytes(j) = (if (b < 0) '?'.toInt else b).toByte
+        j += 1
+      }
+      new String(bytes, StandardCharsets.UTF_8)
+    }
+  }
+
+  /** [[idTokens]] boxed for codegen reference objects. */
+  def idTokensArray(mergesText: String): Array[String] =
+    idTokens(parseMerges(mergesText), isByteLevel(mergesText))
+
   // ---- vocabulary emission ----
 
   /** The (token, id) vocabulary a merges table implies, GPT-2

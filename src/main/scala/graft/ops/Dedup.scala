@@ -763,4 +763,27 @@ object Dedup {
         .filter(col("cosine") >= threshold)
     }
   }
+
+  /** Quality-aware keep-one: collapse every near-dup cluster in `pairs`
+    * to its best-`score` member (max score, ties to the LOWEST id) and
+    * keep all documents no pair touches — the representative-selection
+    * step real pipelines run instead of blind min-id keep-one (keep the
+    * longest/cleanest copy, drop the truncated mirror).
+    *
+    * Scale: the component table only covers ids appearing in `pairs` —
+    * pair-list-sized, orders below the corpus after candidate pruning —
+    * so both the membership join and the winner semi-join broadcast
+    * under AQE; the corpus itself crosses no exchange. The winner pick
+    * is one max-struct aggregate keyed by component (no window). */
+  def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+               score: Column): DataFrame = {
+    val comp = components(pairs).withColumnRenamed("id", idCol)
+    val withComp = df.join(comp, Seq(idCol), "left")
+    val winners = withComp.filter(col("comp").isNotNull)
+      .groupBy("comp")
+      .agg(max(struct(score.as("__s"), (-col(idCol)).as("__negId"))).as("__w"))
+      .select((-col("__w.__negId")).as(idCol))
+    withComp.filter(col("comp").isNull).select(df.columns.map(col): _*)
+      .unionByName(df.join(winners, Seq(idCol), "left_semi"))
+  }
 }

@@ -191,6 +191,45 @@ object Similarity {
     AnnIndex.topK(ix, queries, vecCol, idCol, k, nprobe)
   }
 
+  /** Contrastive triplet mining (the training-pair assembly step for
+    * embedding-model fine-tuning): for every anchor, its nearest
+    * SAME-label vector (positive) and nearest DIFFERENT-label vector
+    * (hard negative) by squared L2. Returns
+    * (anchor_id, pos_id, pos_d2, neg_id, neg_d2); anchors with no
+    * same-label or no different-label candidate are absent.
+    *
+    * Rank stability: distances round to 6 decimals BEFORE the argmin
+    * (the t12 rule), ties to the lowest candidate id — the selection
+    * replays exactly in SQL. Both picks are min-struct AGGREGATES
+    * (map-side combined), not windows.
+    *
+    * Scale: anchors broadcast against the corpus — the brute-force
+    * shape, correct when the anchor batch is bounded (the common case:
+    * mining per training round). For corpus-scale anchor sets,
+    * pre-shortlist candidates with [[ivfTopK]] / [[Pq.adcRerankTopK]]
+    * and feed the pair list through [[cosineForPairs]]-style scoring
+    * instead. */
+  def mineTriplets(corpus: DataFrame, anchors: DataFrame, vecCol: String,
+                   idCol: String, labelCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(labelCol).as("__cl"), col(vecCol).cast("array<double>").as("cv"))
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("__al"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("__al"), col("cand_id"), col("__cl"),
+        round(dp(col("cv"), col("cv")) - lit(2.0) * dp(col("cv"), col("qv")) +
+          dp(col("qv"), col("qv")), 6).as("__d2"))
+    def nearest(side: DataFrame, outId: String, outD: String): DataFrame =
+      side.groupBy("anchor_id")
+        .agg(min(struct(col("__d2"), col("cand_id"))).as("__b"))
+        .select(col("anchor_id"), col("__b.cand_id").as(outId),
+          col("__b.__d2").as(outD))
+    nearest(scored.filter(col("__cl") === col("__al")), "pos_id", "pos_d2")
+      .join(nearest(scored.filter(col("__cl") =!= col("__al")),
+        "neg_id", "neg_d2"), "anchor_id")
+  }
+
   /** IVF-style top-k: corpus bucketed by sign-sketch; per query only its
     * own bucket (plus optional Hamming-1 probes) is re-ranked exactly.
     * Trades recall for a corpus-partition-pruned scan — the 100 TB path.

@@ -140,6 +140,18 @@ object DedupQueries {
           threshold = 0.7))
         .select(col("id").as("doc_id"), col("comp").as("component"))),
 
+    "d16_keep_best" -> ((s, dir) => {
+      // quality-aware keep-one: each d2 near-dup cluster keeps its
+      // LONGEST member (ties to lowest id) instead of blind min-id;
+      // untouched docs all survive
+      val corpus = nearCorpus(s, dir)
+      Dedup.keepBest(corpus,
+          Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3,
+            threshold = 0.7),
+          "doc_id", length(col("text")))
+        .select("doc_id")
+    }),
+
     "d10_dup_spans" -> ((s, dir) =>
       // Lee-et-al-style exact repeated spans (>= 10 tokens, merged
       // maximal intervals, 0-based inclusive offsets)
@@ -291,6 +303,14 @@ object DedupQueries {
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    "s23_mine_triplets" -> ((s, dir) =>
+      // contrastive training pairs: nearest same-label positive +
+      // nearest different-label hard negative per anchor; pre-argmin
+      // rounding + id ties -> the full selection replays in SQL
+      Similarity.mineTriplets(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 50),
+        "embedding", "vec_id", "label")),
+
     "s22_pq_adc" -> ((s, dir) => {
       // product quantization ANN (Jégou et al. 2011): map-only
       // pq_encode codes, per-query pq_lut broadcast, ADC shortlist +
@@ -384,6 +404,15 @@ object DedupQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** Squared L2 as the engine computes it: c.c - 2*c.q + q.q with each
+    * dot an in-order left fold — bit-identical to the DotProduct loop. */
+  private def l2Sql(c: String, q: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65), i -> $x[i] * $y[i])), (acc, v) -> acc + v)"""
+    s"${dot(c, c)} - 2.0 * ${dot(c, q)} + ${dot(q, q)}"
+  }
+
   private val simhashOracle: String = {
     val bits = 16
     val bitSums = (0 until bits).map(j =>
@@ -429,6 +458,23 @@ object DedupQueries {
     "s22_pq_adc" -> """
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
+    "s23_mine_triplets" -> s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      a AS (SELECT * FROM e WHERE vec_id < 50),
+      sc AS (SELECT a.vec_id AS anchor_id, a.label AS al, c.vec_id AS cand_id,
+               c.label AS cl, round(${l2Sql("c.v", "a.v")}, 6) AS d2
+             FROM e c JOIN a ON c.vec_id <> a.vec_id),
+      pos AS (SELECT anchor_id, cand_id AS pos_id, d2 AS pos_d2
+              FROM sc WHERE cl = al
+              QUALIFY row_number() OVER (PARTITION BY anchor_id
+                ORDER BY d2, cand_id) = 1),
+      neg AS (SELECT anchor_id, cand_id AS neg_id, d2 AS neg_d2
+              FROM sc WHERE cl <> al
+              QUALIFY row_number() OVER (PARTITION BY anchor_id
+                ORDER BY d2, cand_id) = 1)
+      SELECT anchor_id, pos_id, pos_d2, neg_id, neg_d2
+      FROM pos JOIN neg USING (anchor_id)""",
     "s19_pca_whiten" -> """
       SELECT count(*) AS n_rows, true AS dims_ok, true AS unit_variance,
              true AS zero_mean, true AS decorrelated
@@ -649,6 +695,31 @@ object DedupQueries {
       SELECT n.id AS doc_id,
              least(n.id, (SELECT min(r) FROM reach WHERE reach.id = n.id)) AS component
       FROM nodes n""",
+
+    // d16: d6's recursive components + argmax-by-(len, -id) winner per
+    // cluster; pair-free docs pass through untouched
+    "d16_keep_best" -> s"""
+      WITH RECURSIVE pairs AS (${jaccardOracle(NearCorpusSql, 3, 0.7)}),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      comp AS (SELECT n.id AS doc_id,
+                 least(n.id, (SELECT min(r) FROM reach WHERE reach.id = n.id))
+                   AS component
+               FROM nodes n),
+      corpus2 AS ($NearCorpusSql)
+      SELECT doc_id FROM corpus2
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+      UNION ALL
+      SELECT doc_id FROM (
+        SELECT c.doc_id, comp.component, len(c.text) AS l
+        FROM corpus2 c JOIN comp USING (doc_id)
+        QUALIFY row_number() OVER (PARTITION BY component
+          ORDER BY l DESC, c.doc_id) = 1)""",
 
     "d5_cosine_dup" -> s"""
       WITH corpus AS (

@@ -261,6 +261,24 @@ object TextQueries {
           (sum(size(col("ids")).cast("long")) === sum(col("n_bpe"))).as("mass_match"))
     }),
 
+    "t32_bpe_roundtrip" -> ((s, dir) => {
+      // decode inverts encode up to the pre-tokenizer: for EVERY doc,
+      // bpe_decode(bpe_encode(text)) must equal the concatenation of
+      // the pre-token pieces (whitespace between pieces is not encoded)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val merges = graft.ops.Bpe.train(docs, "text", "doc_id",
+        numMerges = 200, sampleRows = 200, byteLevel = true)
+      val pre = array_join(
+        regexp_extract_all(col("text"), lit(Text.BpeTokenPattern), lit(0)), "")
+      docs.select(
+          graft.ops.Bpe.decode(graft.ops.Bpe.encode(col("text"), merges,
+            byteLevel = true), merges, byteLevel = true).as("rt"),
+          pre.as("pre"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(col("rt") === col("pre"), 0L).otherwise(1L)) === 0L)
+            .as("roundtrip_exact"))
+    }),
+
     "t24_bigram_lm" -> ((s, dir) =>
       // interpolated bigram LM (Jelinek-Mercer vs the unigram floor) —
       // exact-oracle: all counts replay in SQL, the scalar math is
@@ -556,6 +574,10 @@ object TextQueries {
     "t25_bpe_encode" -> """
       SELECT count(*) AS n_docs, true AS lengths_match,
              true AS ids_in_vocab, true AS mass_match
+      FROM documents""",
+
+    "t32_bpe_roundtrip" -> """
+      SELECT count(*) AS n_docs, true AS roundtrip_exact
       FROM documents""",
 
     // t28: rank on the ROUNDED score (t12 rule) + integer third

@@ -169,4 +169,32 @@ class BpeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("bpe_decode inverts bpe_encode: unicode byte-level, char-level, unknowns") {
+    import spark.implicits._
+    // byte-level handles any script/emoji through the UTF-8 byte alphabet
+    val texts = Seq("hello world", "héllo wörld", "汉字 text", "mixed 😀 emoji!")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", "doc_id", numMerges = 30,
+      sampleRows = 10, byteLevel = true)
+    val pre = java.util.regex.Pattern.compile(Text.BpeTokenPattern)
+    def pieces(t: String): String = {
+      val m = pre.matcher(t); val sb = new StringBuilder
+      while (m.find()) sb.append(m.group()); sb.toString
+    }
+    val rt = docs.select(col("doc_id"),
+        Bpe.decode(Bpe.encode(col("text"), merges, byteLevel = true),
+          merges, byteLevel = true).as("rt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rt(i.toLong) == pieces(t), s"byte-level roundtrip broke on '$t'")
+    }
+    // char-level: unknown symbols encode as -1 and decode to nothing
+    val charMerges = Seq(("a", "b"))
+    val out = Seq((1L, "ab zz")).toDF("doc_id", "text")
+      .select(Bpe.decode(Bpe.encode(col("text"), charMerges), charMerges))
+      .head().getString(0)
+    assert(out == "ab") // 'z' is outside the {a, b} merge alphabet
+  }
 }

@@ -512,4 +512,16 @@ class DedupSpec extends SparkSpec {
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.isEmpty, s"pair generators leaked ${added.size} persistent RDDs")
   }
+
+  test("keepBest: max-score wins per cluster, ties to lowest id, untouched pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "short", 5L), (2L, "the longest copy", 16L), (3L, "midlen doc", 10L),
+      (4L, "tied", 4L), (5L, "tied", 4L), // equal scores -> lowest id
+      (9L, "untouched", 9L)).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBest(df, pairs, "doc_id", col("score"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L, 9L))
+  }
 }

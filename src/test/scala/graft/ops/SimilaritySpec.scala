@@ -83,4 +83,32 @@ class SimilaritySpec extends SparkSpec {
     val cosines = top.map(_.getAs[Double]("cosine"))
     assert(cosines.sameElements(cosines.sortBy(-_)), "ranks not cosine-descending")
   }
+
+  test("mineTriplets: hand-checked picks; label constraints hold") {
+    import spark.implicits._
+    // anchor 1 (label A) at origin; same-label 2 nearer than 3;
+    // diff-label 4 nearer than 5; anchor never its own candidate
+    val df = Seq(
+      (1L, "A", Seq(0.0, 0.0)), (2L, "A", Seq(1.0, 0.0)),
+      (3L, "A", Seq(3.0, 0.0)), (4L, "B", Seq(0.0, 2.0)),
+      (5L, "B", Seq(0.0, 4.0))).toDF("vec_id", "label", "embedding")
+    val t = Similarity.mineTriplets(df, df.filter($"vec_id" === 1L),
+      "embedding", "vec_id", "label").collect()
+    assert(t.length == 1)
+    val r = t.head
+    assert(r.getAs[Long]("pos_id") == 2L && r.getAs[Double]("pos_d2") == 1.0)
+    assert(r.getAs[Long]("neg_id") == 4L && r.getAs[Double]("neg_d2") == 4.0)
+    // corpus-wide: every mined positive shares the anchor label, every
+    // negative differs
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val mined = Similarity.mineTriplets(e, e.filter($"vec_id" < 10),
+      "embedding", "vec_id", "label")
+    val lab = e.select($"vec_id", $"label")
+    val bad = mined
+      .join(lab.select($"vec_id".as("anchor_id"), $"label".as("la")), "anchor_id")
+      .join(lab.select($"vec_id".as("pos_id"), $"label".as("lp")), "pos_id")
+      .join(lab.select($"vec_id".as("neg_id"), $"label".as("ln")), "neg_id")
+      .filter($"la" =!= $"lp" || $"la" === $"ln")
+    assert(bad.count() == 0)
+  }
 }
