@@ -27,7 +27,7 @@ object Bench {
     "s1_ann_topk", "t1_token_count", "t2_quality_score",
     "t4_fingerprint", "t7_repetition", "t8_pack_sequences",
     "t9_source_mix", "t12_tfidf", "t13_lm_score", "t16_chunk_docs",
-    "t17_normalize",
+    "t17_normalize", "t29_dsir_select", "t30_winnow", "t31_bm25",
     "st1_tumbling_window", "st3_session_window",
     "mm2_feature_extract")
 

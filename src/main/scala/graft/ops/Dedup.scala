@@ -203,21 +203,23 @@ object Dedup {
                         threshold: Double, maxDocsPerShingle: Int = 1000): DataFrame = {
     // join key = 60-bit md5 of the shingle: an 8-byte shuffle key instead
     // of the n-word string (collision odds ~ |shingles|^2 / 2^60 — nil).
+    // ONE explicit by-id exchange that every consumer hangs off:
+    // ReuseExchange materializes the scan+shingle explode once, the
+    // downstream groupBy(id) aggregates see their clustering satisfied,
+    // and the doc-frequency branch below reads the SAME exchange output
+    // instead of re-scanning the corpus.
     val sh = shingleHashRows(df, textCol, idCol, n)
       .withColumnRenamed("__h", "sh")
+      .repartition(col("id"))
     // stop-shingle prune over the FULL universe: Jaccard is then
     // consistent with the pair-common counts (stop-shingles are removed
     // from the feature set, not just from the join). Doc frequencies
     // come from an AGGREGATE + JOIN, not a Window.partitionBy(sh): the
-    // map-side-combined counts table is tiny next to the occurrence
-    // rows, so AQE converts this join to BROADCAST and the big side
-    // goes scan -> broadcast-join -> groupBy(id) with ZERO sh-keyed
-    // shuffle (the window shape shuffled AND sorted every occurrence row
-    // by sh first). The shingle scan runs twice (once per side) — at
-    // scale a rescan is cheaper than a corpus-sized shuffle+sort; on a
-    // genuinely broadcast-proof shingle universe AQE falls back to a
-    // shuffled join, which is still sort-for-sort no worse than the
-    // window was.
+    // counts table is vocabulary-sized after map-side combine, so only
+    // ~|distinct shingles| rows cross the wire and AQE turns the join
+    // back into a BROADCAST onto the exchange output — the occurrence
+    // stream itself is never shuffled (let alone sorted) by shingle,
+    // which the window shape forced on the whole corpus.
     val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocsPerShingle)
     val pruned = sh.join(dfCounts, "sh")
