@@ -172,6 +172,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "bpe_decode takes (ids, merges)")
         BpeDecode(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dsir_score"),
+      new ExpressionInfo(classOf[DsirScore].getName, "dsir_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "dsir_score takes (text, lut)")
+        DsirScore(children.head, children(1))
+      }))
     // whole-operator nodes (custom LogicalPlan -> SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.RunningTotalStrategy)
   }

@@ -104,4 +104,36 @@ object Dsir {
     importanceWeights(raw, target, textCol, idCol, buckets)
       .orderBy(col("logw").desc, col(idCol).asc)
       .limit(k)
+
+  /** The trained log-ratio table as `buckets` driver doubles (cells
+    * unseen in either corpus get the fully-smoothed default) — the
+    * artifact [[scoreMapOnly]] ships as a plan literal. One O(buckets)
+    * collect by construction. */
+  def logRatioTable(raw: DataFrame, target: DataFrame, textCol: String,
+                    idCol: String, buckets: Int = 512): Array[Double] = {
+    val lr = logRatio(raw, target, textCol, idCol, buckets)
+    val tot = featureRows(raw, textCol, idCol, buckets)
+      .agg(count(lit(1)).as("r")).crossJoin(
+        featureRows(target, textCol, idCol, buckets).agg(count(lit(1)).as("t")))
+      .head()
+    // absent-cell default: both counts smooth to 1
+    val default = math.log(1.0 / (tot.getLong(1).toDouble + buckets)) -
+      math.log(1.0 / (tot.getLong(0).toDouble + buckets))
+    val out = Array.fill(buckets)(default)
+    lr.collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
+    out
+  }
+
+  /** MAP-ONLY scoring under a trained table (native `dsir_score`): the
+    * fit-once / score-anywhere seam — zero shuffles, zero state, so the
+    * same call scores a 100 TB batch at scan speed or an unbounded
+    * STREAMING DataFrame (the d15 decontamination design applied to
+    * domain selection). Emits the raw unrounded weight; agreement with
+    * [[importanceWeights]] is FP-associativity-tolerant (the aggregate
+    * path sums per cell, this one per occurrence). */
+  def scoreMapOnly(df: DataFrame, textCol: String, idCol: String,
+                   table: Array[Double]): DataFrame =
+    df.select(col(idCol),
+      call_function("dsir_score", col(textCol),
+        typedLit(table.toSeq)).as("logw_raw"))
 }

@@ -206,6 +206,23 @@ object TextQueries {
       Corpus.perplexityBuckets(Tables.documents(s, dir), "text", "doc_id",
         "source")),
 
+    "t33_dsir_score_maponly" -> ((s, dir) => {
+      // fit-once/score-anywhere DSIR: the broadcast-join aggregate path
+      // and the map-only native dsir_score (lr table as a plan literal)
+      // must agree per doc to FP-associativity tolerance; the map-only
+      // path is stateless, so it scores streaming DataFrames unchanged
+      // (spec drives a real readStream)
+      val docs = Tables.documents(s, dir)
+      val raw = docs.filter(col("source") =!= "src0")
+      val tgt = docs.filter(col("source") === "src0")
+      val table = graft.ops.Dsir.logRatioTable(raw, tgt, "text", "doc_id")
+      graft.ops.Dsir.scoreMapOnly(raw, "text", "doc_id", table)
+        .join(graft.ops.Dsir.importanceWeights(raw, tgt, "text", "doc_id")
+          .select(col("doc_id"), col("logw")), "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          (max(abs(col("logw_raw") - col("logw"))) < 1e-6).as("paths_agree"))
+    }),
+
     "t29_dsir_select" -> ((s, dir) => {
       // DSIR importance resampling: src0 docs are the target domain
       // sample, everything else the raw pool; top-50 raw docs by hashed
@@ -579,6 +596,10 @@ object TextQueries {
     "t32_bpe_roundtrip" -> """
       SELECT count(*) AS n_docs, true AS roundtrip_exact
       FROM documents""",
+
+    "t33_dsir_score_maponly" -> """
+      SELECT count(*) AS n_docs, true AS paths_agree
+      FROM documents WHERE source <> 'src0' AND len(trim(text)) > 0""",
 
     // t28: rank on the ROUNDED score (t12 rule) + integer third
     // boundaries (3*rk <= n) — no ntile() ambiguity across engines

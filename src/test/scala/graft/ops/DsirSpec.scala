@@ -35,6 +35,36 @@ class DsirSpec extends SparkSpec {
     assert(w(2L) < 0.0)
   }
 
+  test("scoreMapOnly: zero-exchange plan; agrees with the aggregate path; real stream") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val raw = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val tgt = docs.filter(col("source") === "src0").select("doc_id", "text")
+    val table = Dsir.logRatioTable(raw, tgt, "text", "doc_id")
+    assert(table.length == 512)
+    val mapOnly = Dsir.scoreMapOnly(raw, "text", "doc_id", table)
+    assert(!mapOnly.queryExecution.executedPlan.toString.contains("Exchange"),
+      "map-only scoring must not shuffle")
+    val agg = Dsir.importanceWeights(raw, tgt, "text", "doc_id")
+      .select(col("doc_id"), col("logw"))
+    val joined = mapOnly.join(agg, "doc_id")
+      .select(abs(col("logw_raw") - col("logw")).as("d")).agg(max("d")).head()
+    assert(joined.getDouble(0) < 1e-6, s"paths disagree by ${joined.getDouble(0)}")
+    // the same expression scores an unbounded stream — stateless
+    val dir = java.nio.file.Files.createTempDirectory("dsir_stream").toString
+    raw.limit(20).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(raw.schema).parquet(s"$dir/in")
+    val q = Dsir.scoreMapOnly(stream, "text", "doc_id", table)
+      .writeStream.format("memory").queryName("st_dsir")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT doc_id, logw_raw FROM st_dsir")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Dsir.scoreMapOnly(raw.limit(20), "text", "doc_id", table)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch, "stream and batch scores must be bit-identical")
+  }
+
   test("selectTopK: deterministic k rows, descending rounded weights") {
     import spark.implicits._
     val target = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
