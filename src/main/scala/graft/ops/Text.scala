@@ -64,6 +64,49 @@ object Text {
     (lenOk + punctOk + stopOk + wordOk) / 4.0
   }
 
+  /** The full Gopher document-quality rule set (Rae et al. 2021 §A1.1)
+    * as one MAP-ONLY pass — per doc, every rule's statistic plus the
+    * conjunction verdict. All statistics are builtin codegen column
+    * arithmetic (counts via length deltas and multiline regex counts —
+    * no higher-order lambdas), so the filter runs at scan speed on
+    * 100 TB and replays exactly in SQL:
+    *
+    *  - `word_count` in [50, 100k]
+    *  - `mean_word_len` in [3, 10]
+    *  - `symbol_ratio` (# and ... occurrences per word) < 0.1
+    *  - `bullet_frac` (lines starting with -, *) < 0.9
+    *  - `ellipsis_frac` (lines ending with ...) < 0.3
+    *  - `alpha_frac` (words containing a letter) > 0.8
+    *  - `stop_hits` (occurrences of core stopwords) >= 2
+    */
+  def gopherRules(c: Column): Column = {
+    val wc = tokenCount(c)
+    val wcD = wc.cast(DoubleType)
+    val mwl = round(when(wc === 0, 0.0).otherwise(
+      length(regexp_replace(trim(c), "\\s+", "")).cast(DoubleType) / wcD), 6)
+    val hashCnt = (length(c) - length(regexp_replace(c, "#", ""))).cast(DoubleType)
+    val ellCnt = (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))).cast(DoubleType) / 3.0
+    val symbolRatio = round(when(wc === 0, 0.0)
+      .otherwise((hashCnt + ellCnt) / wcD), 6)
+    val nLines = size(split(c, "\n")).cast(DoubleType)
+    val bulletFrac = round(
+      size(regexp_extract_all(c, lit("(?m)^\\s*[-*]"), lit(0))).cast(DoubleType) / nLines, 6)
+    val ellipsisFrac = round(
+      size(regexp_extract_all(c, lit("(?m)\\.\\.\\.$"), lit(0))).cast(DoubleType) / nLines, 6)
+    val alphaWords = size(regexp_extract_all(c,
+      lit("(?:^|\\s)[^\\s]*[A-Za-z][^\\s]*"), lit(0))).cast(DoubleType)
+    val alphaFrac = round(when(wc === 0, 0.0).otherwise(alphaWords / wcD), 6)
+    val stopHits = call_function("count_in", tokens(lower(c)),
+      typedlit(Seq("the", "be", "to", "of", "and", "that", "have", "with")))
+    val passes = wc.between(50L, 100000L) && mwl.between(3.0, 10.0) &&
+      symbolRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+      alphaFrac > 0.8 && stopHits >= 2L
+    struct(wc.as("word_count"), mwl.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"), passes.as("passes"))
+  }
+
   /** Language-ID by function-word voting: count token hits against each
     * language's closed-class word list, pick the max (ties alphabetical).
     * An n-gram-free heuristic that is exactly reproducible in SQL; for

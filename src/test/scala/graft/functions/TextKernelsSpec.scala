@@ -101,4 +101,28 @@ class TextKernelsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(ci.contains("*(1) Project [count_in"), ci)
   }
+
+  test("gopherRules: hand-checked stats on adversarial text; map-only plan") {
+    import spark.implicits._
+    val spam = (Seq("- bullet one ...", "- bullet two ...", "* bullet # three") ++
+      Seq("tail line without markers")).mkString("\n")
+    val prose = ("the quick brown fox jumps over " * 12).trim // 72 words, no symbols
+    val df = Seq((1L, spam), (2L, prose)).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), graft.ops.Text.gopherRules(col("text")).as("g"))
+      .select("doc_id", "g.*").collect().map(r => r.getLong(0) -> r).toMap
+    val s = out(1L)
+    assert(s.getAs[Long]("word_count") == 16L)
+    assert(s.getAs[Double]("bullet_frac") == 0.75)   // 3 of 4 lines
+    assert(s.getAs[Double]("ellipsis_frac") == 0.5)  // 2 of 4 lines
+    assert(s.getAs[Long]("stop_hits") == 0L)
+    assert(!s.getAs[Boolean]("passes"))
+    val p = out(2L)
+    assert(p.getAs[Long]("word_count") == 72L)
+    assert(p.getAs[Double]("alpha_frac") == 1.0)
+    assert(p.getAs[Double]("bullet_frac") == 0.0)
+    assert(p.getAs[Boolean]("passes")) // 72 words, stopword 'the' x12, clean
+    val plan = df.select(graft.ops.Text.gopherRules(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "gopherRules must be map-only")
+  }
 }
