@@ -137,6 +137,34 @@ object Lexicon {
       .select(col("id").as(idCol), col("term"), col("bm25"))
   }
 
+  /** BM25 QUERY search: each document's summed [[bm25TopK]]-formula
+    * score over a literal bag of query terms (docs hitting no term are
+    * absent) — the lexical half of hybrid retrieval. Statistics (doc
+    * length, per-term df, corpus totals) come from the FULL corpus;
+    * only the scoring join restricts to the query terms, whose df table
+    * is |terms| rows and always broadcasts. Score rounds to 6 after the
+    * per-doc sum (<= |terms| addends). */
+  def bm25Search(df: DataFrame, textCol: String, idCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val dt = docTermCounts(df, textCol, idCol)
+    val dtl = dt.withColumn("__len", sum("c").over(Window.partitionBy("id")))
+      .filter(col("term").isin(terms: _*))
+    val dfT = broadcast(dt.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("__df")))
+    val g = dt.agg(count_distinct(col("id")).as("__nd"), sum("c").as("__tot"))
+    val avgLen = col("__tot").cast(DoubleType) / col("__nd").cast(DoubleType)
+    val idf = log(((col("__nd") - col("__df")).cast(DoubleType) + 0.5) /
+      (col("__df").cast(DoubleType) + 0.5) + 1.0)
+    val tf = (col("c").cast(DoubleType) * lit(k1 + 1.0)) /
+      (col("c").cast(DoubleType) +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("__len").cast(DoubleType) / avgLen)))
+    dtl.join(dfT, "term")
+      .crossJoin(broadcast(g))
+      .groupBy("id").agg(round(sum(idf * tf), 6).as("score"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** The tfidfTopK AUTO broadcast decision: estimated vocabulary bytes
     * (approx distinct terms x ~64 B/row of term string + count +
     * overhead) against the session's broadcast threshold. A disabled

@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, LshIndex, Similarity}
+import graft.ops.{Dedup, Lexicon, LshIndex, Retrieval, Similarity}
 import Q.QueryFn
 
 /** Driver-checked queries for deduplication and similarity search.
@@ -303,6 +303,28 @@ object DedupQueries {
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    "t35_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical ranking + embedding-cosine
+      // ranking (anchor = vec 0), fused by reciprocal rank fusion;
+      // pre-rank rounding everywhere -> the whole cascade replays in SQL
+      val dp = (a: Column, b: Column) => call_function("dot_product", a, b)
+      val bm = Retrieval.rankBy(
+        Lexicon.bm25Search(Tables.documents(s, dir), "text", "doc_id",
+          Seq("vector", "join", "filter")), "doc_id", "score", k = 50)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val cos = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(dp(col("v"), col("qv")) /
+            (sqrt(dp(col("v"), col("v"))) * sqrt(dp(col("qv"), col("qv")))),
+            6).as("score"))
+      Retrieval.rrfFuse(bm.select("doc_id", "rank"),
+        Retrieval.rankBy(cos, "doc_id", "score", k = 50)
+          .select("doc_id", "rank"),
+        "doc_id", k = 20)
+    }),
+
     "s23_mine_triplets" -> ((s, dir) =>
       // contrastive training pairs: nearest same-label positive +
       // nearest different-label hard negative per anchor; pre-argmin
@@ -458,6 +480,48 @@ object DedupQueries {
     "s22_pq_adc" -> """
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
+    // t35: the bm25 arithmetic is t31's restricted to the literal query
+    // terms; cosine ranks round to 6 pre-rank; RRF adds two coalesced
+    // reciprocal terms in a fixed order
+    "t35_hybrid_rrf" -> s"""
+      WITH dtok AS (SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS c FROM dtok
+             WHERE term <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(c) AS len FROM dt GROUP BY 1),
+      dfreq AS (SELECT term, count(*) AS dfc FROM dt
+                WHERE term IN ('vector', 'join', 'filter') GROUP BY 1),
+      g AS (SELECT count(DISTINCT doc_id) AS nd, sum(c) AS tot FROM dt),
+      bm AS (SELECT doc_id, round(sum(
+               ln((CAST(nd - dfc AS DOUBLE) + 0.5) /
+                  (CAST(dfc AS DOUBLE) + 0.5) + 1) *
+               ((CAST(c AS DOUBLE) * (1.2 + 1)) /
+                (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                  (CAST(len AS DOUBLE) /
+                   (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE))))))), 6) AS score
+             FROM dt JOIN dl USING (doc_id) JOIN dfreq USING (term)
+                  CROSS JOIN g
+             GROUP BY doc_id),
+      bmr AS (SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                FROM bm) WHERE rank <= 50),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+      cos AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.v", "q")}, 6) AS score
+              FROM e CROSS JOIN qv WHERE e.vec_id <> 0),
+      cr AS (SELECT doc_id, rank FROM (
+               SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+               FROM cos) WHERE rank <= 50)
+      SELECT doc_id,
+             round(coalesce(1.0 / (60.0 + CAST(bmr.rank AS DOUBLE)), 0.0) +
+                   coalesce(1.0 / (60.0 + CAST(cr.rank AS DOUBLE)), 0.0), 6)
+               AS rrf
+      FROM bmr FULL OUTER JOIN cr USING (doc_id)
+      QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 20""",
+
     "s23_mine_triplets" -> s"""
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),
