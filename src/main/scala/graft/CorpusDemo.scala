@@ -7,10 +7,12 @@ import graft.ops._
 
 /** End-to-end demonstration of the TRAINING-CORPUS value loop — the
   * 100 TB-shaped path the engine adds beyond the reference's tabular ML
-  * loop ([[Demo]]): profile → quality filter → repeated-span audit →
-  * exact dedup → near-dup canonicalize → decontaminate → build LSH
-  * index → incremental batch ingest → leakage-safe split → chunk →
-  * pack. Runs on sf0.001 in ~1 min: `sbt "runMain graft.CorpusDemo"`.
+  * loop ([[Demo]]): profile → Gopher rules + quality filter →
+  * repeated-span audit → exact dedup → quality-aware near-dup keep-one →
+  * decontaminate → DSIR domain selection → build LSH index →
+  * incremental batch ingest → leakage-safe split → chunk → pack →
+  * hybrid-retrieval sanity probe.
+  * Runs on sf0.001 in ~1 min: `sbt "runMain graft.CorpusDemo"`.
   */
 object CorpusDemo {
   def main(args: Array[String]): Unit = {
@@ -21,19 +23,24 @@ object CorpusDemo {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     println(s"[demo] corpus: ${docs.count()} docs")
 
-    // 1. normalize, then quality gate + repeated-span audit
+    // 1. normalize, then Gopher rule audit + quality gate +
+    //    repeated-span audit (all map-only passes)
     val normed = docs.withColumn("text", Text.normalizeText(col("text")))
+    val gopher = normed.withColumn("g", Text.gopherRules(col("text")))
+    println(s"[demo] gopher rule panel passes: " +
+      s"${gopher.filter(col("g.passes")).count()} of ${gopher.count()}")
     val scored = normed.withColumn("q", Text.qualityScore(col("text")))
     val kept0 = scored.filter(col("q") >= 0.3).drop("q")
     val spanStats = Dedup.dupSpanStats(kept0, "text", "doc_id", minTokens = 10)
     println(f"[demo] quality kept ${kept0.count()}; mean dup-span frac " +
       f"${spanStats.agg(avg("dup_frac")).head().getDouble(0)}%.4f")
 
-    // 2. exact + near dedup, canonicalized
+    // 2. exact + near dedup — each cluster keeps its LONGEST member
+    //    (quality-aware keep-one, not blind min-id)
     val exact = Dedup.exactDedup(kept0, "text", "doc_id")
     val pairs = Dedup.minhashLshPairs(exact, "text", "doc_id", n = 3,
       bands = 21, rowsPerBand = 3, threshold = 0.7)
-    val canon = Dedup.canonicalize(exact, pairs, "doc_id")
+    val canon = Dedup.keepBest(exact, pairs, "doc_id", length(col("text")))
     println(s"[demo] exact dedup ${exact.count()} -> canonical ${canon.count()}")
 
     // 3. decontaminate against a small "benchmark" (first 5 docs, verbatim)
@@ -41,6 +48,14 @@ object CorpusDemo {
     val clean = Dedup.decontaminate(canon, bench, "text", "doc_id", n = 3,
       maxOverlap = 0.8)
     println(s"[demo] decontaminated -> ${clean.count()}")
+
+    // 3b. DSIR domain selection: treat the 30 longest docs as the
+    //     "target domain" sample, pick the 50 most target-like others
+    val tgt = clean.orderBy(length(col("text")).desc, col("doc_id")).limit(30)
+    val raw = clean.join(tgt.select("doc_id"), Seq("doc_id"), "left_anti")
+    val selected = Dsir.selectTopK(raw, tgt, "text", "doc_id", k = 50)
+    println(s"[demo] DSIR selected ${selected.count()} target-like docs " +
+      "(hashed n-gram importance weights)")
 
     // 4. index the clean corpus, then ingest a perturbed batch incrementally
     val ixDir = s"$out/ix"
@@ -70,6 +85,18 @@ object CorpusDemo {
         col("chunk")), "chunk_key")
     println(s"[demo] shuffled first chunk_key: " +
       shuffled.orderBy("shuffle_rank").select("chunk_key").head().getString(0))
+
+    // 7. hybrid-retrieval sanity probe over the cleaned corpus:
+    //    BM25 rank list fused with a token-count proxy ranking via RRF
+    val bm = Retrieval.rankBy(Lexicon.bm25Search(clean, "text", "doc_id",
+      Seq("data", "join", "filter")), "doc_id", "score", k = 20)
+    val byLen = Retrieval.rankBy(clean.select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("double").as("score")),
+      "doc_id", "score", k = 20)
+    val fused = Retrieval.rrfFuse(bm.select("doc_id", "rank"),
+      byLen.select("doc_id", "rank"), "doc_id", k = 5)
+    println(s"[demo] hybrid top-5 doc ids: " +
+      fused.collect().map(_.getLong(0)).mkString(", "))
     spark.stop()
   }
 }

@@ -112,6 +112,83 @@ object Pq {
       order = Seq(asc("d2"), asc("corpus_id")))
   }
 
+  /** Persisted PQ index: codes + full vectors + the flat codebook.
+    * Codes are the SCAN side (m ints/vector — the table the ADC pass
+    * reads); vectors exist only for the re-rank fetch, stored as their
+    * own column-pruned table. The codebook and params are driver-sized.
+    * Same durability contract as [[AnnIndex]]/[[LshIndex]]: appends
+    * assign under the FROZEN codebook (no refit, no rewrite), deletes
+    * are tombstoned ids filtered at load (Hadoop-FS probe, works on
+    * hdfs/s3a), rebuild to reclaim. */
+  case class PqIndex(cb: Codebooks, codes: DataFrame, vectors: DataFrame)
+
+  def saveIndex(df: DataFrame, vecCol: String, idCol: String, cb: Codebooks,
+                path: String, mode: String = "error"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    encode(df, vecCol, idCol, cb).write.mode(mode).parquet(s"$path/codes")
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .write.mode(mode).parquet(s"$path/vectors")
+    Seq((cb.m, cb.k, cb.dim, cb.cents.toSeq)).toDF("m", "k", "dim", "cents")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): PqIndex = {
+    val cbRow = spark.read.parquet(s"$path/codebook").head()
+    val cb = Codebooks(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("k"),
+      cbRow.getAs[Int]("dim"), cbRow.getSeq[Double](3).toArray)
+    def tombFiltered(t: DataFrame, id: String): DataFrame =
+      if (LshIndex.hadoopExists(spark, s"$path/tombstones"))
+        t.join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .toDF(id)), Seq(id), "left_anti")
+      else t
+    val id = spark.read.parquet(s"$path/codes").columns.head
+    PqIndex(cb, tombFiltered(spark.read.parquet(s"$path/codes"), id),
+      tombFiltered(spark.read.parquet(s"$path/vectors"), id))
+  }
+
+  /** Append new vectors under the frozen codebook. */
+  def appendIndex(newVecs: DataFrame, vecCol: String, idCol: String,
+                  cb: Codebooks, path: String): Unit = {
+    encode(newVecs, vecCol, idCol, cb).write.mode("append").parquet(s"$path/codes")
+    newVecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** Tombstone ids out of the index (filtered by [[loadIndex]]). */
+  def removeFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol)).write.mode("append").parquet(s"$path/tombstones")
+
+  /** ADC shortlist + exact re-rank against a LOADED index: the scan
+    * reads codes only; true vectors join in for just the shortlist. */
+  def indexTopK(ix: PqIndex, queries: DataFrame, vecCol: String,
+                idCol: String, k: Int, shortlist: Int = 0): DataFrame = {
+    val r = if (shortlist > 0) shortlist else 4 * k
+    val idName = ix.codes.columns.head
+    val q = queries.select(col(idCol).as("query_id"),
+      call_function("pq_lut", col(vecCol).cast("array<double>"),
+        ix.cb.centsCol, lit(ix.cb.m)).as("__lut"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = ix.codes.withColumnRenamed(idName, "corpus_id")
+      .crossJoin(broadcast(q.select("query_id", "__lut")))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        call_function("pq_adc", col("codes"), col("__lut")).as("adc_d2"))
+    val cand = Similarity.topKPerQuery(scored, r,
+      order = Seq(asc("adc_d2"), asc("corpus_id"))).select("query_id", "corpus_id")
+    val dp = (a: Column, b: Column) => call_function("dot_product", a, b)
+    val cv = ix.vectors.withColumnRenamed(idName, "corpus_id")
+      .withColumnRenamed("v", "cv")
+    val rescored = cand.join(cv, "corpus_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dp(col("cv"), col("cv")) - lit(2.0) * dp(col("cv"), col("qv")) +
+          dp(col("qv"), col("qv"))).as("d2"))
+    Similarity.topKPerQuery(rescored, k,
+      order = Seq(asc("d2"), asc("corpus_id")))
+  }
+
   /** Exact squared-L2 top-k (the recall reference for [[adcTopK]]):
     * same broadcast cross-join shape, native dot products. */
   def exactL2TopK(corpus: DataFrame, queries: DataFrame, vecCol: String,

@@ -333,6 +333,22 @@ object DedupQueries {
         Tables.embeddings(s, dir).filter(col("vec_id") < 50),
         "embedding", "vec_id", "label")),
 
+    "s24_pq_index" -> ((s, dir) => {
+      // persisted PQ index: train + save (codes/vectors/codebook) +
+      // load + ADC-shortlist probe with exact re-rank — the PqSpec
+      // pins loaded==in-memory bit-for-bit, append, and tombstones
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cb = graft.ops.Pq.train(e, "embedding", "vec_id", m = 16,
+        k = 16, sampleRows = 1000)
+      val tmp = graft.queries.Q.tempDir("graft_s24ix")
+      graft.ops.Pq.saveIndex(e, "embedding", "vec_id", cb, tmp,
+        mode = "overwrite")
+      graft.ops.Pq.indexTopK(graft.ops.Pq.loadIndex(s, tmp),
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10,
+          shortlist = 60)
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
     "s22_pq_adc" -> ((s, dir) => {
       // product quantization ANN (Jégou et al. 2011): map-only
       // pq_encode codes, per-query pq_lut broadcast, ADC shortlist +
@@ -478,6 +494,9 @@ object DedupQueries {
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
     "s22_pq_adc" -> """
+      SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
+             CAST(10 AS BIGINT) AS n_hits""",
+    "s24_pq_index" -> """
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
     // t35: the bm25 arithmetic is t31's restricted to the literal query

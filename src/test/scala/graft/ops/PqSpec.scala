@@ -58,6 +58,37 @@ class PqSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-9)
   }
 
+  test("persisted index: round trip == in-memory; append found; tombstone gone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_ix").toString
+    Pq.saveIndex(emb, "embedding", "vec_id", cb, dir, mode = "overwrite")
+    val ix = Pq.loadIndex(spark, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val loaded = key(Pq.indexTopK(ix, queries, "embedding", "vec_id",
+      k = 10, shortlist = 60))
+    val mem = key(Pq.adcRerankTopK(emb, queries, "embedding", "vec_id",
+      k = 10, cb, shortlist = 60))
+    assert(loaded == mem, "loaded-index probe must equal the in-memory path")
+    // append a vector identical to vec 1 (plus id offset): it must become
+    // vec 1's nearest neighbour through the loaded index
+    val clone = emb.filter(col("vec_id") === 1L)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
+    Pq.appendIndex(clone, "embedding", "vec_id", cb, dir)
+    val afterAppend = Pq.indexTopK(Pq.loadIndex(spark, dir),
+        emb.filter(col("vec_id") === 1L), "embedding", "vec_id", k = 1)
+      .select("corpus_id").head().getLong(0)
+    assert(afterAppend == 90001L, s"appended clone not found: $afterAppend")
+    // tombstone it: gone from the next load
+    Pq.removeFromIndex(Seq(90001L).toDF("vec_id"), "vec_id", dir)
+    val afterRemove = Pq.indexTopK(Pq.loadIndex(spark, dir),
+        emb.filter(col("vec_id") === 1L), "embedding", "vec_id", k = 10)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(!afterRemove.contains(90001L), "tombstoned id resurrected")
+  }
+
   test("adcTopK / adcRerankTopK: recall@10 vs exact; rerank dominates") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = Pq.exactL2TopK(emb, queries, "embedding", "vec_id", k = 10)
