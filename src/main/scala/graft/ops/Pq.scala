@@ -189,6 +189,84 @@ object Pq {
       order = Seq(asc("d2"), asc("corpus_id")))
   }
 
+  /** IVFADC (Jégou et al. 2011 §V: coarse quantizer + PQ codes): the
+    * k-means cell assignment becomes the parquet PARTITION layout of
+    * the code table, so a probe reads only its nprobe cells' code
+    * directories (dynamic partition pruning) AND scans them as codes,
+    * not vectors — the two pruning axes of billion-scale ANN composed.
+    * Vectors are partitioned the same way; the re-rank fetch is both
+    * cell-pruned and shortlist-sized. This variant quantizes RAW
+    * vectors (not residuals) — one codebook serves every cell, trading
+    * some quantization error for a driver-trivial artifact. */
+  case class IvfAdc(cb: Codebooks, nlist: Int, centroids: DataFrame,
+                    codes: DataFrame, vectors: DataFrame)
+
+  def saveIvfAdc(df: DataFrame, vecCol: String, idCol: String, cb: Codebooks,
+                 nlist: Int, path: String, seed: Long = 42L,
+                 mode: String = "error"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ix = AnnIndex.build(df, vecCol, idCol, nlist, seed)
+    ix.cells.select(col("corpus_id"), col("cell"),
+        call_function("pq_encode", col("cv"), cb.centsCol, lit(cb.m)).as("codes"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
+    ix.cells.select("corpus_id", "cell", "cv")
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/vectors")
+    ix.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((cb.m, cb.k, cb.dim, cb.cents.toSeq, nlist))
+      .toDF("m", "k", "dim", "cents", "nlist")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def loadIvfAdc(spark: org.apache.spark.sql.SparkSession,
+                 path: String): IvfAdc = {
+    val r = spark.read.parquet(s"$path/codebook").head()
+    IvfAdc(Codebooks(r.getAs[Int]("m"), r.getAs[Int]("k"),
+        r.getAs[Int]("dim"), r.getSeq[Double](3).toArray),
+      r.getAs[Int]("nlist"),
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/vectors"))
+  }
+
+  /** Probe a loaded IVFADC index: nprobe nearest cells per query
+    * (broadcast centroids), ADC over just those cells' CODE partitions,
+    * exact re-rank over the shortlist's cell-pruned vectors. */
+  def ivfAdcTopK(ix: IvfAdc, queries: DataFrame, vecCol: String,
+                 idCol: String, k: Int, nprobe: Int = 2,
+                 shortlist: Int = 0): DataFrame = {
+    val r = if (shortlist > 0) shortlist else 4 * k
+    val dp = (a: Column, b: Column) => call_function("dot_product", a, b)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      call_function("pq_lut", col(vecCol).cast("array<double>"),
+        ix.cb.centsCol, lit(ix.cb.m)).as("__lut"))
+    val qc = q.crossJoin(broadcast(ix.centroids))
+      .select(col("query_id"), col("cell").as("corpus_id"),
+        (dp(col("qv"), col("qv")) - lit(2.0) * dp(col("qv"), col("__cv")) +
+          dp(col("__cv"), col("__cv"))).as("__d2"))
+    val probes = Similarity.topKPerQuery(
+        qc.select(col("query_id"), col("corpus_id"),
+          col("__d2").as("adc_d2")), nprobe,
+        order = Seq(asc("adc_d2"), asc("corpus_id")))
+      .select(col("query_id"), col("corpus_id").as("cell"))
+    val qp = q.select("query_id", "__lut").join(probes, "query_id")
+    val scored = ix.codes.join(broadcast(qp), "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("cell"),
+        call_function("pq_adc", col("codes"), col("__lut")).as("adc_d2"))
+    val cand = Similarity.topKPerQuery(scored, r,
+        order = Seq(asc("adc_d2"), asc("corpus_id")))
+      .select("query_id", "corpus_id", "cell")
+    val rescored = cand.join(ix.vectors, Seq("cell", "corpus_id"))
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dp(col("cv"), col("cv")) - lit(2.0) * dp(col("cv"), col("qv")) +
+          dp(col("qv"), col("qv"))).as("d2"))
+    Similarity.topKPerQuery(rescored, k,
+      order = Seq(asc("d2"), asc("corpus_id")))
+  }
+
   /** Exact squared-L2 top-k (the recall reference for [[adcTopK]]):
     * same broadcast cross-join shape, native dot products. */
   def exactL2TopK(corpus: DataFrame, queries: DataFrame, vecCol: String,

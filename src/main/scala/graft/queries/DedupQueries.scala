@@ -333,6 +333,23 @@ object DedupQueries {
         Tables.embeddings(s, dir).filter(col("vec_id") < 50),
         "embedding", "vec_id", "label")),
 
+    "s25_ivfadc" -> ((s, dir) => {
+      // IVFADC: k-means cells AS parquet partitions of the CODE table —
+      // probes DPP-prune the directories AND scan codes, not vectors;
+      // exact re-rank over the cell-pruned shortlist. PqSpec pins the
+      // dynamicpruning plan, recall, and nprobe==nlist == flat-PQ.
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cb = graft.ops.Pq.train(e, "embedding", "vec_id", m = 16,
+        k = 16, sampleRows = 1000)
+      val tmp = graft.queries.Q.tempDir("graft_s25ix")
+      graft.ops.Pq.saveIvfAdc(e, "embedding", "vec_id", cb, nlist = 8, tmp,
+        mode = "overwrite")
+      graft.ops.Pq.ivfAdcTopK(graft.ops.Pq.loadIvfAdc(s, tmp),
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10,
+          nprobe = 3, shortlist = 60)
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
     "s24_pq_index" -> ((s, dir) => {
       // persisted PQ index: train + save (codes/vectors/codebook) +
       // load + ADC-shortlist probe with exact re-rank — the PqSpec
@@ -497,6 +514,9 @@ object DedupQueries {
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
     "s24_pq_index" -> """
+      SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
+             CAST(10 AS BIGINT) AS n_hits""",
+    "s25_ivfadc" -> """
       SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS query_id,
              CAST(10 AS BIGINT) AS n_hits""",
     // t35: the bm25 arithmetic is t31's restricted to the literal query

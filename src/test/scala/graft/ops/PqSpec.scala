@@ -89,6 +89,35 @@ class PqSpec extends SparkSpec {
     assert(!afterRemove.contains(90001L), "tombstoned id resurrected")
   }
 
+  test("ivfAdcTopK: DPP-pruned probe, recall floor, full-probe == flat rerank") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_ivfadc").toString
+    Pq.saveIvfAdc(emb, "embedding", "vec_id", cb, nlist = 8, dir,
+      mode = "overwrite")
+    val ix = Pq.loadIvfAdc(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val probed = Pq.ivfAdcTopK(ix, queries, "embedding", "vec_id", k = 10,
+      nprobe = 3, shortlist = 60)
+    assert(probed.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"), "code scan must be partition-pruned")
+    val exact = Pq.exactL2TopK(emb, queries, "embedding", "vec_id", k = 10)
+      .select("query_id", "corpus_id")
+    val rec = probed.select("query_id", "corpus_id")
+      .join(exact, Seq("query_id", "corpus_id")).count().toDouble / exact.count()
+    assert(rec >= 0.5, s"IVFADC recall@10 $rec below floor")
+    // probing EVERY cell removes the coarse-quantizer loss: equals the
+    // flat code scan + rerank bit-for-bit
+    val full = Pq.ivfAdcTopK(ix, queries, "embedding", "vec_id", k = 10,
+        nprobe = 8, shortlist = 60)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val flat = Pq.adcRerankTopK(emb, queries, "embedding", "vec_id", k = 10,
+        cb, shortlist = 60)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == flat, "nprobe == nlist must equal the flat PQ path")
+  }
+
   test("adcTopK / adcRerankTopK: recall@10 vs exact; rerank dominates") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = Pq.exactL2TopK(emb, queries, "embedding", "vec_id", k = 10)
