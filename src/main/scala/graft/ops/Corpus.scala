@@ -265,4 +265,29 @@ object Corpus {
           .otherwise("tail"))
       .select(col(idCol), col(sourceCol), col("mean_logprob"), col("bucket"))
   }
+
+  /** Curriculum training order: documents proceed easy-to-hard by
+    * [[perplexityBuckets]] stage (head -> middle -> tail) and are
+    * seeded-hash shuffled WITHIN each stage — curriculum learning's
+    * coarse ordering with stochasticity inside stages, fully
+    * deterministic (re-runs and the SQL oracle reproduce the exact
+    * order; no rand()). Returns (id, bucket, curriculum_rank 0-based).
+    *
+    * Scale: one global range sort via [[Ordinals.withGlobalRank]] (the
+    * RunningTotal operator — no keyless window) over (stage, md5,
+    * id); the LM scoring upstream is [[perplexityBuckets]]'s shape. */
+  def curriculumOrder(df: DataFrame, textCol: String, idCol: String,
+                      sourceCol: String, seed: Long = 42L): DataFrame = {
+    val b = perplexityBuckets(df, textCol, idCol, sourceCol)
+      .withColumn("__stage",
+        when(col("bucket") === "head", 0)
+          .when(col("bucket") === "middle", 1).otherwise(2))
+    Ordinals.withGlobalRank(b,
+        Seq(col("__stage").asc,
+          Hashing.md5Int(concat_ws(":", col(idCol).cast("string"),
+            lit(seed))).asc,
+          col(idCol).asc), "curriculum_rank")
+      .withColumn("curriculum_rank", col("curriculum_rank") - 1)
+      .select(col(idCol), col("bucket"), col("curriculum_rank"))
+  }
 }

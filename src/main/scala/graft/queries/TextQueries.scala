@@ -206,6 +206,12 @@ object TextQueries {
       Corpus.perplexityBuckets(Tables.documents(s, dir), "text", "doc_id",
         "source")),
 
+    "t36_curriculum" -> ((s, dir) =>
+      // curriculum order: easy->hard by per-source LM thirds, seeded
+      // md5 shuffle within each stage — the whole order replays in SQL
+      Corpus.curriculumOrder(Tables.documents(s, dir), "text", "doc_id",
+        "source")),
+
     "t34_gopher_rules" -> ((s, dir) =>
       // the complete Gopher §A1.1 rule panel per doc, map-only; every
       // statistic is plain builtin arithmetic -> exact oracle
@@ -698,6 +704,34 @@ object TextQueries {
              round(sum(CAST(c AS DOUBLE) * lr), 6) AS logw
       FROM dc JOIN lr USING (bucket) GROUP BY doc_id
       QUALIFY row_number() OVER (ORDER BY logw DESC, doc_id) <= 50""",
+
+    // t36: t28's buckets + the t19 seeded-md5 order within each stage
+    "t36_curriculum" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> '' GROUP BY 1, 2),
+      ct AS (SELECT term, sum(c) AS ct FROM dt GROUP BY 1),
+      tot AS (SELECT sum(ct) AS tot FROM ct),
+      lm AS (SELECT doc_id,
+               round(sum(c * ln(CAST(ct AS DOUBLE) / tot)) / sum(c), 6) AS mean_logprob
+             FROM dt JOIN ct USING (term) CROSS JOIN tot GROUP BY doc_id),
+      r AS (SELECT d.doc_id, d.source,
+              row_number() OVER (PARTITION BY d.source
+                ORDER BY lm.mean_logprob DESC, d.doc_id) AS rk,
+              count(*) OVER (PARTITION BY d.source) AS n
+            FROM documents d JOIN lm USING (doc_id)),
+      bk AS (SELECT doc_id,
+               CASE WHEN 3 * rk <= n THEN 'head'
+                    WHEN 3 * rk <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CASE WHEN 3 * rk <= n THEN 0
+                    WHEN 3 * rk <= 2 * n THEN 1
+                    ELSE 2 END AS stage
+             FROM r)
+      SELECT doc_id, bucket,
+             row_number() OVER (ORDER BY stage,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) AS BIGINT),
+               doc_id) - 1 AS curriculum_rank
+      FROM bk""",
 
     // t27: sqrt is IEEE-correctly-rounded and the normalizer folds in
     // source order on BOTH sides -> bit-identical weights and quotas

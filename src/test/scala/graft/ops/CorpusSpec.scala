@@ -127,4 +127,17 @@ class CorpusSpec extends SparkSpec {
     val aBuckets = out.filterKeys(_ <= 6L).values.groupBy(identity).view.mapValues(_.size).toMap
     assert(aBuckets == Map("head" -> 2, "middle" -> 2, "tail" -> 2), aBuckets.toString)
   }
+
+  test("curriculumOrder: stages strictly ordered, deterministic, contiguous ranks") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val o = Corpus.curriculumOrder(docs, "text", "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(o.map(_._3).sorted.toSeq == (0L until o.length.toLong).toSeq)
+    val stageOf = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val byRank = o.sortBy(_._3).map(t => stageOf(t._2))
+    assert(byRank.sameElements(byRank.sorted), "stages must not interleave")
+    val again = Corpus.curriculumOrder(docs, "text", "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(o.map(t => t._1 -> t._3).toMap == again, "order must be deterministic")
+  }
 }
