@@ -266,6 +266,26 @@ object Corpus {
       .select(col(idCol), col(sourceCol), col("mean_logprob"), col("bucket"))
   }
 
+  /** Corpus report card: the release-note statistics table in ONE scan
+    * — doc/token/char totals, language spread, quality and Gopher-pass
+    * rates, dup-signal means. Every statistic is an aggregate over
+    * map-only per-row expressions, so the whole report is a single
+    * pass with one driver-sized result row at any corpus size. */
+  def reportCard(df: DataFrame, textCol: String, idCol: String,
+                 langCol: String): DataFrame = {
+    val g = Text.gopherRules(col(textCol))
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(Text.tokenCount(col(textCol))).as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      count_distinct(col(langCol)).as("n_langs"),
+      round(avg(Text.qualityScore(col(textCol))), 6).as("mean_quality"),
+      sum(when(g.getField("passes"), 1L).otherwise(0L)).as("gopher_pass"),
+      round(avg(g.getField("mean_word_len")), 6).as("mean_word_len"),
+      min(length(col(textCol))).cast("long").as("min_chars"),
+      max(length(col(textCol))).cast("long").as("max_chars"))
+  }
+
   /** Curriculum training order: documents proceed easy-to-hard by
     * [[perplexityBuckets]] stage (head -> middle -> tail) and are
     * seeded-hash shuffled WITHIN each stage — curriculum learning's

@@ -206,6 +206,10 @@ object TextQueries {
       Corpus.perplexityBuckets(Tables.documents(s, dir), "text", "doc_id",
         "source")),
 
+    "t37_report_card" -> ((s, dir) =>
+      // the corpus release-note stats in ONE aggregate scan
+      Corpus.reportCard(Tables.documents(s, dir), "text", "doc_id", "lang")),
+
     "t36_curriculum" -> ((s, dir) =>
       // curriculum order: easy->hard by per-source LM thirds, seeded
       // md5 shuffle within each stage — the whole order replays in SQL
@@ -353,6 +357,45 @@ object TextQueries {
        + CAST($punctSql <= 0.2 AS INT)
        + CAST($stopSql >= 0.01 AS INT)
        + CAST($mwlSql BETWEEN 2.0 AND 12.0 AS INT)) / 4.0"""
+
+  private val gopherRowsSql: String = s"""
+      WITH g AS (
+        SELECT doc_id, text,
+          CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS wc,
+          len(text) - len(replace(text, '#', '')) AS hash_cnt,
+          len(text) - len(replace(text, '...', '')) AS ell3,
+          CAST(len(string_split(text, chr(10))) AS DOUBLE) AS n_lines,
+          len(regexp_extract_all(text, '^\\s*[-*]', 0, 'm')) AS bullet_n,
+          len(regexp_extract_all(text, '\\.\\.\\.$$', 0, 'm')) AS ellipsis_n,
+          len(regexp_extract_all(text, '(^|\\s)[^\\s]*[A-Za-z][^\\s]*', 0)) AS alpha_n,
+          len(list_filter($lowToksSql,
+            x -> list_contains(['the', 'be', 'to', 'of', 'and', 'that',
+                                'have', 'with'], x))) AS stop_hits,
+          round(CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE
+            CAST(len(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) /
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END, 6)
+            AS mean_word_len
+        FROM documents),
+      r AS (
+        SELECT doc_id, CAST(wc AS BIGINT) AS word_count, mean_word_len,
+          round(CASE WHEN wc = 0 THEN 0.0 ELSE
+            (CAST(hash_cnt AS DOUBLE) + CAST(ell3 AS DOUBLE) / 3.0) /
+            CAST(wc AS DOUBLE) END, 6) AS symbol_ratio,
+          round(CAST(bullet_n AS DOUBLE) / n_lines, 6) AS bullet_frac,
+          round(CAST(ellipsis_n AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
+          round(CASE WHEN wc = 0 THEN 0.0 ELSE
+            CAST(alpha_n AS DOUBLE) / CAST(wc AS DOUBLE) END, 6) AS alpha_frac,
+          CAST(stop_hits AS BIGINT) AS stop_hits
+        FROM g)
+      SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_frac,
+             ellipsis_frac, alpha_frac, stop_hits,
+             (word_count BETWEEN 50 AND 100000 AND
+              mean_word_len BETWEEN 3.0 AND 10.0 AND
+              symbol_ratio < 0.1 AND bullet_frac < 0.9 AND
+              ellipsis_frac < 0.3 AND alpha_frac > 0.8 AND
+              stop_hits >= 2) AS passes
+      FROM r"""
 
   val oracles: Map[String, String] = Map(
     "t21_bpe_count" -> """
@@ -615,44 +658,23 @@ object TextQueries {
 
     // t34: every statistic is the same builtin arithmetic (length
     // deltas, multiline regex counts, in-order double division)
-    "t34_gopher_rules" -> s"""
-      WITH g AS (
-        SELECT doc_id, text,
-          CASE WHEN len(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '\\s+')) END AS wc,
-          len(text) - len(replace(text, '#', '')) AS hash_cnt,
-          len(text) - len(replace(text, '...', '')) AS ell3,
-          CAST(len(string_split(text, chr(10))) AS DOUBLE) AS n_lines,
-          len(regexp_extract_all(text, '^\\s*[-*]', 0, 'm')) AS bullet_n,
-          len(regexp_extract_all(text, '\\.\\.\\.$$', 0, 'm')) AS ellipsis_n,
-          len(regexp_extract_all(text, '(^|\\s)[^\\s]*[A-Za-z][^\\s]*', 0)) AS alpha_n,
-          len(list_filter($lowToksSql,
-            x -> list_contains(['the', 'be', 'to', 'of', 'and', 'that',
-                                'have', 'with'], x))) AS stop_hits,
-          round(CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE
-            CAST(len(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) /
-            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END, 6)
-            AS mean_word_len
-        FROM documents),
-      r AS (
-        SELECT doc_id, CAST(wc AS BIGINT) AS word_count, mean_word_len,
-          round(CASE WHEN wc = 0 THEN 0.0 ELSE
-            (CAST(hash_cnt AS DOUBLE) + CAST(ell3 AS DOUBLE) / 3.0) /
-            CAST(wc AS DOUBLE) END, 6) AS symbol_ratio,
-          round(CAST(bullet_n AS DOUBLE) / n_lines, 6) AS bullet_frac,
-          round(CAST(ellipsis_n AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
-          round(CASE WHEN wc = 0 THEN 0.0 ELSE
-            CAST(alpha_n AS DOUBLE) / CAST(wc AS DOUBLE) END, 6) AS alpha_frac,
-          CAST(stop_hits AS BIGINT) AS stop_hits
-        FROM g)
-      SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_frac,
-             ellipsis_frac, alpha_frac, stop_hits,
-             (word_count BETWEEN 50 AND 100000 AND
-              mean_word_len BETWEEN 3.0 AND 10.0 AND
-              symbol_ratio < 0.1 AND bullet_frac < 0.9 AND
-              ellipsis_frac < 0.3 AND alpha_frac > 0.8 AND
-              stop_hits >= 2) AS passes
-      FROM r""",
+    "t34_gopher_rules" -> gopherRowsSql,
+
+    // t37: one aggregate over the t34 per-doc panel + the t2/t10
+    // quality arithmetic; all sums integer-exact, means rounded
+    "t37_report_card" -> s"""
+      WITH p AS ($gopherRowsSql)
+      SELECT count(*) AS n_docs,
+             CAST(sum(p.word_count) AS BIGINT) AS total_tokens,
+             CAST(sum(len(text)) AS BIGINT) AS total_chars,
+             count(DISTINCT lang) AS n_langs,
+             round(avg($qualitySql), 6) AS mean_quality,
+             CAST(sum(CASE WHEN p.passes THEN 1 ELSE 0 END) AS BIGINT)
+               AS gopher_pass,
+             round(avg(p.mean_word_len), 6) AS mean_word_len,
+             CAST(min(len(text)) AS BIGINT) AS min_chars,
+             CAST(max(len(text)) AS BIGINT) AS max_chars
+      FROM documents JOIN p USING (doc_id)""",
 
     // t28: rank on the ROUNDED score (t12 rule) + integer third
     // boundaries (3*rk <= n) — no ntile() ambiguity across engines

@@ -27,6 +27,25 @@ class StreamingSpec extends SparkSpec {
       s"stream rows ${got.length} vs batch ${expected.length}")
   }
 
+  test("gopher rule gate is stateless: real document stream equals batch") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gopher_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val expected = docs
+      .select(col("doc_id"), graft.ops.Text.gopherRules(col("text")).as("g"))
+      .select("doc_id", "g.*").collect().map(_.toString).sorted
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = stream
+      .select(col("doc_id"), graft.ops.Text.gopherRules(col("text")).as("g"))
+      .select("doc_id", "g.*")
+      .writeStream.format("memory").queryName("gopher_sink")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("gopher_sink").collect().map(_.toString).sorted
+    assert(got.sameElements(expected), "streamed gopher panel must equal batch")
+  }
+
   test("session windows: real file stream equals batch result") {
     val batchDf = Tables.events(spark, sf)
     val expected = Streams.userSessions(batchDf).collect().map(_.toString).sorted
