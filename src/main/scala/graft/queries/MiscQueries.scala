@@ -14,6 +14,17 @@ import Q.QueryFn
 object MiscQueries {
 
   val queries: Map[String, QueryFn] = Map(
+    "q10_rollup" -> ((s, dir) =>
+      // multi-level aggregation surface: ROLLUP over (returnflag,
+      // linestatus) with grouping_id — subtotal and grand-total rows in
+      // one pass (Catalyst expands to grouping sets; quantities are
+      // integer-valued doubles, so the sums are order-exact)
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))),
+
     "q9_sql_surface" -> ((s, dir) => {
       // the spark.sql(...) surface end-to-end: temp views over the same
       // parquet tables, ANSI SQL with a graft extension function in the
@@ -79,6 +90,16 @@ object MiscQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // q10: ROLLUP null-fills grouped columns on subtotal rows in both
+    // engines; grouping bits are MSB-first in declaration order
+    "q10_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             count(*) AS n,
+             CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
     // unicode_sum('A') = 65, 'N' = 78, 'R' = 82 — one ASCII char per flag
     "q9_sql_surface" -> """
       SELECT l_returnflag,
