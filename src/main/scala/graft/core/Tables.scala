@@ -30,6 +30,14 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+        // TIMESTAMP_NTZ under Spark 4's NTZ inference, but watermarks
+        // and unix_micros need the instant type. The session time zone
+        // is pinned UTC (Sessions.tune), so this cast relabels the same
+        // wall-clock values — microsecond-identical to the oracle's
+        // naive-timestamp reading.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

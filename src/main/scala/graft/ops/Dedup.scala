@@ -487,6 +487,51 @@ object Dedup {
       .select(col("id").as(idCol), col(textCol))
   }
 
+  /** Line rows (id, line_id, line): single-newline split — the unit
+    * CCNet/RefinedWeb-style LINE rules work at, finer than
+    * [[splitParagraphs]]' blank-line unit. Map-only; blank lines are
+    * dropped, line_id keeps position for order-preserving reassembly. */
+  def splitLines(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\n")).as(Seq("line_id", "line")))
+      .filter(trim(col("line")) =!= "")
+
+  /** Cross-document boilerplate line removal (the CCNet / RefinedWeb
+    * line rule): any line whose trimmed text appears in MORE than
+    * `maxDocs` distinct documents is boilerplate — nav bars, cookie
+    * banners, legal footers — and is removed from EVERY document.
+    * Different contract from [[dedupParagraphs]]: there a shared unit is
+    * content that deserves ONE canonical owner (keep-first); here high
+    * document frequency is evidence the line is template chrome, so no
+    * copy survives. Docs reduced to nothing disappear from the output
+    * (compose with a length gate downstream, as the pipelines do).
+    *
+    * Scale shape: one map-only line explode, ONE exchange keyed by the
+    * 64-bit line hash for the distinct-doc-frequency aggregate
+    * (count_distinct plans as a two-level partial agg — a million-doc
+    * cookie banner collapses to one row per input partition before the
+    * shuffle), and a LEFT ANTI join of the line rows against the
+    * frequent-line table. That table holds only lines with df > maxDocs
+    * — vanishingly small next to the corpus (boilerplate is rare in
+    * DISTINCT-line space) — so AQE turns the anti-join into a broadcast:
+    * line rows are never reshuffled. Reassembly is the bounded per-doc
+    * collect_list sort, as in [[dedupParagraphs]]. */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             maxDocs: Int, sep: String = "\n"): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val lines = splitLines(df, textCol, idCol)
+      .withColumn("__h", Hashing.md5Int(trim(col("line"))))
+    val frequent = lines.groupBy("__h")
+      .agg(count_distinct(col("id")).as("__df"))
+      .filter(col("__df") > maxDocs)
+    lines.join(frequent, Seq("__h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(sep,
+        array_sort(collect_list(struct(col("line_id"), col("line"))))
+          .getField("line")).as(textCol))
+      .select(col("id").as(idCol), col(textCol))
+  }
+
   /** Per-suite contamination REPORT — the attribution a team reads
     * before choosing thresholds: for each (corpus doc, benchmark suite)
     * pair with shingle-overlap fraction >= `minOverlap`, one row

@@ -199,6 +199,18 @@ object DedupQueries {
       Dedup.dedupParagraphs(corpus, "text", "doc_id")
     }),
 
+    "d17_boilerplate_lines" -> ((s, dir) => {
+      // every doc = its own text line + a corpus-wide cookie-banner line
+      // (df = 500 > 5: removed from ALL docs) + a line shared by only 3
+      // docs (df = 3 <= 5: kept) — the CCNet line rule, vs d13's
+      // keep-first paragraph contract
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\ncookie banner accept all line"),
+          when(col("doc_id") < 3, lit("\nrarely shared footer line"))
+            .otherwise(lit(""))).as("text"))
+      Dedup.removeBoilerplateLines(corpus, "text", "doc_id", maxDocs = 5)
+    }),
+
     "d12_contamination_report" -> ((s, dir) => {
       // two overlapping suites: per-(doc, suite) overlap fractions at
       // >= 0.5 — exact oracle below shares the shingle arithmetic
@@ -723,6 +735,26 @@ object DedupQueries {
                  WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.s AND s.e))
       SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
       FROM keep GROUP BY doc_id""",
+
+    // line removed everywhere when its distinct-doc frequency > 5;
+    // order-preserving reassembly of the survivors
+    "d17_boilerplate_lines" -> """
+      WITH corpus AS (SELECT doc_id,
+             text || chr(10) || 'cookie banner accept all line' ||
+             CASE WHEN doc_id < 3
+                  THEN chr(10) || 'rarely shared footer line' ELSE '' END AS x
+           FROM documents),
+      ln AS (SELECT doc_id, u.lid AS line_id, u.line AS line FROM (
+               SELECT doc_id, unnest(list_transform(range(len(ls)),
+                 i -> {'lid': i, 'line': ls[i+1]})) AS u
+               FROM (SELECT doc_id, string_split(x, chr(10)) AS ls
+                     FROM corpus)) t
+             WHERE trim(u.line) <> ''),
+      freq AS (SELECT trim(line) AS k FROM ln
+               GROUP BY 1 HAVING count(DISTINCT doc_id) > 5)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY line_id) AS text
+      FROM ln WHERE trim(line) NOT IN (SELECT k FROM freq)
+      GROUP BY doc_id""",
 
     // keep-first per paragraph text, order-preserving reassembly
     "d13_para_dedup" -> """

@@ -25,6 +25,33 @@ object MiscQueries {
           count(lit(1)).as("n"),
           grouping_id().as("gid"))),
 
+    "q11_cube" -> ((s, dir) =>
+      // full CUBE over (returnflag, linestatus): all four grouping-set
+      // levels in one pass — the remaining multi-level aggregation
+      // surface beyond q10's ROLLUP (Catalyst's Expand feeds one hash
+      // aggregate; integer-valued quantities keep the sums order-exact)
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))),
+
+    "q12_window_analytics" -> ((s, dir) => {
+      // analytic-window surface over the events stream table: per-user
+      // event sequence number, previous value (lag), and a 3-row moving
+      // sum. Partitioned by user_id — shuffles once on the key, never
+      // funnels the frame through one reducer. The moving sum adds the
+      // SAME <= 3 doubles in the same ts order in both engines, so
+      // rounding it is order-exact.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).as("seq"),
+        round(lag(col("value"), 1).over(w), 4).as("prev_value"),
+        round(sum("value").over(w.rowsBetween(-2, 0)), 4).as("moving_sum3"))
+    }),
+
     "q9_sql_surface" -> ((s, dir) => {
       // the spark.sql(...) surface end-to-end: temp views over the same
       // parquet tables, ANSI SQL with a graft extension function in the
@@ -99,6 +126,28 @@ object MiscQueries {
              CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    // q11: CUBE null-fills grouped columns per grouping set; grouping
+    // bits MSB-first in declaration order, as in q10
+    "q11_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             count(*) AS n,
+             CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    // q12: (ts, event_id) is a total order per user, so every window
+    // value is deterministic; DuckDB's default RANGE frame for lag /
+    // row_number matches, and the moving sum pins ROWS BETWEEN
+    "q12_window_analytics" -> """
+      SELECT user_id, event_id,
+             CAST(row_number() OVER w AS INT) AS seq,
+             round(lag(value, 1) OVER w, 4) AS prev_value,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_sum3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
 
     // unicode_sum('A') = 65, 'N' = 78, 'R' = 82 — one ASCII char per flag
     "q9_sql_surface" -> """

@@ -39,6 +39,20 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_rows"), count_distinct(col("event_id")).as("n_ids"))
     }),
 
+    "st9_interval_join" -> ((s, dir) => {
+      // stream-stream interval join, batch path: every view paired with
+      // the same user's purchases within the following hour. The batch
+      // side is RangeJoin.within's gap-bucket equi-join; StreamingSpec
+      // proves the REAL watermarked stream-stream join emits the
+      // identical pair set
+      val e = Tables.events(s, dir)
+      Streams.intervalJoin(
+        e.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+        e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+        "user_id", "ts", gapSec = 3600)
+        .select(col("l_event_id"), col("r_event_id"), col("l_user_id"))
+    }),
+
     "st8_vector_ingest" -> ((s, dir) => {
       // one VectorIngest.step against a fresh ANN index of the embedding
       // corpus: 10 verbatim dups (+30000, dropped vs history) + 10
@@ -78,6 +92,16 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // inclusive [ts, ts + 1h] bounds at microsecond granularity — the
+    // same contract as the engine's unix_micros arithmetic
+    "st9_interval_join" -> """
+      SELECT v.event_id AS l_event_id, p.event_id AS r_event_id,
+             v.user_id AS l_user_id
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+      WHERE v.event_type = 'view' AND p.event_type = 'purchase'""",
+
     // st8: with nprobe = nlist the dup check is EXACT (all cells
     // probed), so the kept set is deterministic: the 10 negated
     // (novel) vectors survive, the 10 verbatim dups drop
