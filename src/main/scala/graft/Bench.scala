@@ -23,6 +23,7 @@ object Bench {
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
     "d5_cosine_dup", "d6_dup_components", "d7_decontaminate",
     "d9_incremental_lsh", "d10_dup_spans", "d13_para_dedup",
+    "d17_boilerplate_lines", "t38_token_budget_mix",
     "d15_decontaminate_maponly", "b17_group_split",
     "s1_ann_topk", "t1_token_count", "t2_quality_score",
     "t4_fingerprint", "t7_repetition", "t8_pack_sequences",

@@ -191,6 +191,50 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** Sample each source down to a TOKEN budget — what an LM training
+    * mix actually provisions ([[mixSources]]' row quotas are a proxy;
+    * epochs are priced in tokens). Docs are taken in seeded-hash order
+    * (the [[deterministicShuffle]] key — reproducible across engines
+    * and stage retries, unlike `rand()`), and a doc is kept while its
+    * source's EXCLUSIVE running token total is still under the budget:
+    * the budget may overshoot by at most one document, and the first
+    * document of a source always survives a positive budget. Sources
+    * absent from `budgets` are dropped.
+    *
+    * Scale: the running total is [[Ordinals.withRunningTotal]] under
+    * the (source, hash, id) total order — ONE range exchange, no
+    * per-source window reducer (a dominant source spreads across many
+    * partitions). Per-source offsets into the global running total are
+    * a source-count-sized driver dictionary folded in as a literal
+    * when-chain; token arithmetic stays exact while total tokens
+    * < 2^53 (100 TB of text is ~25 T tokens, three orders inside).
+    * Output keeps the input columns plus `n_tokens`. */
+  def mixToTokenBudget(df: DataFrame, textCol: String, idCol: String,
+                       sourceCol: String, budgets: Map[String, Long],
+                       seed: Long = 42L): DataFrame = {
+    require(budgets.nonEmpty, "mixToTokenBudget: budgets must not be empty")
+    val in = df.filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("n_tokens", graft.ops.Text.tokenCount(col(textCol)))
+      .withColumn("__tok", col("n_tokens").cast("double"))
+    val run = Ordinals.withRunningTotal(in,
+      Seq(col(sourceCol).asc,
+        Hashing.md5Int(concat_ws(":", col(idCol).cast("string"), lit(seed))).asc,
+        col(idCol).asc),
+      "__tok", "__cum")
+    val totals = in.groupBy(sourceCol).agg(sum("__tok").as("__t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+    var acc = 0.0
+    val offsets = totals.map { case (s, t) => val o = acc; acc += t; s -> o }
+    val offCol = offsets.foldLeft(lit(0.0)) { case (c, (s, o)) =>
+      when(col(sourceCol) === s, lit(o)).otherwise(c)
+    }
+    val budgetCol = budgets.foldLeft(lit(0.0)) { case (c, (s, b)) =>
+      when(col(sourceCol) === s, lit(b.toDouble)).otherwise(c)
+    }
+    run.filter(col("__cum") - offCol - col("__tok") < budgetCol)
+      .drop("__tok", "__cum")
+  }
+
   /** Temperature-scaled mixture weights from the OBSERVED source sizes
     * (the multilingual-sampling recipe, mC4/XLM-R style: p_s prop. to
     * n_s^(1/T); T > 1 upsamples the tail, T = 1 is proportional) —

@@ -160,6 +160,17 @@ object TextQueries {
           lit("no terminal punctuation on this line")))
           .as("cleaned"))),
 
+    "t38_token_budget_mix" -> ((s, dir) =>
+      // token-budget sampling: three sources capped at 700/400/10
+      // tokens in seeded-hash order — src3's 10-token budget proves the
+      // one-doc-overshoot contract (first doc alone blows the budget
+      // and still survives)
+      Corpus.mixToTokenBudget(Tables.documents(s, dir)
+          .select("doc_id", "text", "source"),
+        "text", "doc_id", "source",
+        Map("src1" -> 700L, "src2" -> 400L, "src3" -> 10L), seed = 7L)
+        .select("doc_id", "source", "n_tokens")),
+
     "t19_shuffle" -> ((s, dir) =>
       // reproducible training order: seeded-hash global rank
       Corpus.deterministicShuffle(Tables.documents(s, dir)
@@ -508,6 +519,23 @@ object TextQueries {
       FROM t""",
 
     // same md5 arithmetic as Hashing.md5Int; rank ties broken by id
+    // exclusive per-source running token total under the seeded-hash
+    // order must stay below the source's budget
+    "t38_token_budget_mix" -> """
+      WITH t AS (SELECT doc_id, source,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)) AS BIGINT) AS h
+                 FROM documents
+                 WHERE source IN ('src1', 'src2', 'src3')),
+      r AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM t)
+      SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens
+      FROM r
+      WHERE prev < CASE source WHEN 'src1' THEN 700
+                               WHEN 'src2' THEN 400 ELSE 10 END""",
+
     "t19_shuffle" -> """
       SELECT doc_id,
              CAST(row_number() OVER (ORDER BY

@@ -85,6 +85,32 @@ class CorpusSpec extends SparkSpec {
     assert(!bySource.contains("c"))               // unweighted source dropped
   }
 
+  test("mixToTokenBudget: exclusive-cumsum keep rule, one-doc overshoot, no windows") {
+    import spark.implicits._
+    // token counts: every doc = 4 tokens; hash order within a source is
+    // seeded but whatever it is, budget 10 keeps exactly 3 docs
+    // (exclusive cumsums 0, 4, 8 < 10; the third overshoots to 12)
+    val df = ((0L until 5L).map(i => (i, "w x y z", "a")) ++
+      (10L until 12L).map(i => (i, "p q r s", "b")) ++
+      (20L until 22L).map(i => (i, "m n o t", "c"))).toDF("doc_id", "text", "source")
+    val out = Corpus.mixToTokenBudget(df, "text", "doc_id", "source",
+      Map("a" -> 10L, "b" -> 2L), seed = 1L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(2)))
+    val bySource = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource("a") == 3, "budget 10 over 4-token docs keeps 3 (one overshoot)")
+    assert(bySource("b") == 1, "a positive budget always keeps the first doc")
+    assert(!bySource.contains("c"), "unbudgeted source dropped")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source", "n_tokens"))
+    assert(out.collect().forall(_.getLong(3) == 4L))
+    // determinism: same seed = same keep set; different seed may differ
+    val again = Corpus.mixToTokenBudget(df, "text", "doc_id", "source",
+      Map("a" -> 10L, "b" -> 2L), seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
   test("temperatureWeights: T=1 proportional, T=2 flattens toward the tail, T->inf uniform") {
     import spark.implicits._
     // 90/10 split: proportional keeps the skew, temperature flattens it

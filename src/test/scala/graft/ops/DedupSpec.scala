@@ -291,6 +291,30 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == "solo\n\nafter blanks")
   }
 
+  test("removeBoilerplateLines drops high-df lines everywhere, keeps rare ones, no windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique a\nCOOKIE BANNER\nunique b"),
+      (2L, "other\nCOOKIE BANNER\n  COOKIE BANNER  "), // trim-keyed: both hit
+      (3L, "COOKIE BANNER"),                           // nothing left -> doc vanishes
+      (4L, "solo\nCOOKIE BANNER\n\nafter blank"),      // blank line dropped, order kept
+      (5L, "pair line\nunique c"),
+      (6L, "pair line\nunique d"))                     // df=2 <= 2: pair line survives
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "text", "doc_id", maxDocs = 2)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "unique a\nunique b")
+    assert(m(2L) == "other")
+    assert(!m.contains(3L), "a doc of only boilerplate disappears")
+    assert(m(4L) == "solo\nafter blank")
+    assert(m(5L) == "pair line\nunique c" && m(6L) == "pair line\nunique d")
+    // contract vs dedupParagraphs: NO copy of the frequent line survives
+    assert(!m.values.exists(_.contains("COOKIE BANNER")))
+    // scale shape: no window operator anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
   test("contaminationReport attributes overlap per suite") {
     import spark.implicits._
     val corpus = Seq(
