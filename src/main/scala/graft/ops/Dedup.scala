@@ -532,6 +532,32 @@ object Dedup {
       .select(col("id").as(idCol), col(textCol))
   }
 
+  /** Per-document NOVELTY score: the fraction of a doc's distinct
+    * n-gram shingles that appear in no other document — the
+    * corpus-relative complement of [[Corpus.repetitionStats]]'
+    * within-doc repetition. Low novelty flags templated/near-duplicate
+    * content that survived exact dedup; selection recipes upweight
+    * high-novelty docs the way DSIR upweights target-like ones.
+    *
+    * Scale shape: [[shingleHashRows]]' single by-id exchange feeds both
+    * the shingle doc-frequency aggregate (keyed by the 60-bit hash —
+    * two-level partial agg, a boilerplate shingle collapses per
+    * partition before the shuffle) and the join back, then one per-doc
+    * aggregate. Rows are (id, n_shingles, novelty), novelty rounded to
+    * 6 (the pre-rank-rounding rule every scorer follows). */
+  def noveltyScores(df: DataFrame, textCol: String, idCol: String,
+                    n: Int): DataFrame = {
+    val sh = shingleHashRows(df, textCol, idCol, n)
+    // rows are distinct per (id, hash), so a plain count IS the
+    // distinct-document frequency
+    val docFreq = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    sh.join(docFreq, Seq("__h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        round(avg(when(col("__df") === 1, 1.0).otherwise(0.0)), 6).as("novelty"))
+      .select(col("id").as(idCol), col("n_shingles"), col("novelty"))
+  }
+
   /** Per-suite contamination REPORT — the attribution a team reads
     * before choosing thresholds: for each (corpus doc, benchmark suite)
     * pair with shingle-overlap fraction >= `minOverlap`, one row

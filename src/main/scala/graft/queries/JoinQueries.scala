@@ -46,6 +46,32 @@ object JoinQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    "q13_semi_join" -> ((s, dir) => {
+      // EXISTS surface (TPC-H q4 shape on this schema): orders with at
+      // least one returned lineitem, counted per priority. LEFT SEMI
+      // emits each order once however many lineitems match — one
+      // shuffle on the order key, no fact-fact row blowup
+      val ord = Tables.orders(s, dir)
+      val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      ord.join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    "q14_anti_join" -> ((s, dir) => {
+      // NOT EXISTS surface: dormant customers — no order since
+      // 2001-01-01 — per market segment. LEFT ANTI against the
+      // date-filtered orders key set (the filter reaches the parquet
+      // scan); the complement of q13's semi-join under the same
+      // single-shuffle plan shape
+      val cust = Tables.customer(s, dir)
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
     "q7_range_join" -> ((s, dir) => {
       // view -> purchase by the same user within 1 hour: the bucketed
       // range join (no per-user cartesian); exact-microsecond oracle
@@ -94,6 +120,21 @@ object JoinQueries {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       GROUP BY 1, 2""",
+
+    "q13_semi_join" -> """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority""",
+
+    "q14_anti_join" -> """
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY c_mktsegment""",
 
     "q7_range_join" -> """
       SELECT a.event_id AS view_id, b.event_id AS purchase_id

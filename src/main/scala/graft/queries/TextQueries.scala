@@ -160,6 +160,13 @@ object TextQueries {
           lit("no terminal punctuation on this line")))
           .as("cleaned"))),
 
+    "t39_novelty" -> ((s, dir) =>
+      // corpus-relative novelty: share of each doc's distinct 3-gram
+      // shingles found nowhere else (testdata plants heavy cross-doc
+      // overlap, so scores spread well below 1)
+      graft.ops.Dedup.noveltyScores(Tables.documents(s, dir)
+        .select("doc_id", "text"), "text", "doc_id", n = 3)),
+
     "t38_token_budget_mix" -> ((s, dir) =>
       // token-budget sampling: three sources capped at 700/400/10
       // tokens in seeded-hash order — src3's 10-token budget proves the
@@ -519,6 +526,26 @@ object TextQueries {
       FROM t""",
 
     // same md5 arithmetic as Hashing.md5Int; rank ties broken by id
+    // distinct 3-gram shingles per doc (short-doc branch: whole text is
+    // the single shingle), df=1 share rounded to 6
+    "t39_novelty" -> """
+      WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> list_reduce(list_transform(range(i, i + 3),
+                    j -> (string_split_regex(trim(text), '\s+'))[j + 1]),
+                  (a, b) -> a || ' ' || b)))) AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+           UNION ALL
+           SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) < 3),
+      df AS (SELECT sh, count(*) AS d FROM sh GROUP BY 1)
+      SELECT doc_id, count(*) AS n_shingles,
+             round(avg(CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+      FROM sh JOIN df USING (sh)
+      GROUP BY doc_id""",
+
     // exclusive per-source running token total under the seeded-hash
     // order must stay below the source's budget
     "t38_token_budget_mix" -> """
