@@ -149,6 +149,28 @@ object Relational {
     * buffers every value in the aggregation buffer — fine for a
     * dictionary-valued column, an OOM for a continuous one at 100 TB.
     * Returns null for an all-null/empty column (SQL median semantics). */
+  /** Shuffle-key skew report — the diagnostic a team runs BEFORE keying
+    * a 100 TB join or aggregate: the `topK` hottest values of `keyCol`
+    * with row count, share of all rows, and skew factor (count ÷ the
+    * mean rows-per-key). A skew factor in the hundreds says "salt this
+    * key or let AQE split it"; ~1 says the key is safe.
+    *
+    * Cost shape: one map-side-combined count aggregate (a hot key
+    * collapses per input partition — counting skew never suffers it), a
+    * 1-row broadcast of the totals, and TakeOrdered for the top-K (no
+    * global sort). Ordering ties break on the key value, so the report
+    * is deterministic. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum("n_rows").as("__t"), count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__t"), 6).as("share"),
+        round(col("n_rows").cast("double") * col("__k") / col("__t"), 4).as("skew"))
+      .orderBy(desc("n_rows"), col(keyCol))
+      .limit(topK)
+  }
+
   def exactMedian(df: DataFrame, c: String): Option[Double] = {
     val vals = df.select(col(c).cast(DoubleType).as("__v"))
       .filter(col("__v").isNotNull)

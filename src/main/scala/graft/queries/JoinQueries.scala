@@ -72,6 +72,25 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    "q15_correlated_subquery" -> ((s, dir) => {
+      // correlated-scalar-subquery surface: orders priced above their
+      // customer's average order value, counted per status. Decorrelated
+      // as a per-customer aggregate + equi-join (what Catalyst does to
+      // the SQL form); the oracle keeps the correlated spelling. The
+      // "above average" test is cross-multiplied in DECIMAL (price * n
+      // > sum) — division-free and order-exact on both engines (the q9
+      // rule: float aggregation depends on partition order, and avg()
+      // is a float in some engines even over decimals).
+      val ord = Tables.orders(s, dir)
+      val byCust = ord.groupBy(col("o_custkey").as("__ck"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("__sum"),
+          count(lit(1)).as("__n"))
+      ord.join(byCust, col("o_custkey") === col("__ck"))
+        .filter(col("o_totalprice").cast("decimal(18,4)") * col("__n") > col("__sum"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_above_avg"))
+    }),
+
     "q7_range_join" -> ((s, dir) => {
       // view -> purchase by the same user within 1 hour: the bucketed
       // range join (no per-user cartesian); exact-microsecond oracle
@@ -135,6 +154,15 @@ object JoinQueries {
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       GROUP BY c_mktsegment""",
+
+    "q15_correlated_subquery" -> """
+      SELECT o_orderstatus, count(*) AS n_above_avg
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+            (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+            (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders i
+             WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_orderstatus""",
 
     "q7_range_join" -> """
       SELECT a.event_id AS view_id, b.event_id AS purchase_id

@@ -122,7 +122,12 @@ object RelationalQueries {
 
     "a12_dedup" -> ((s, dir) =>
       dedupKeepFirst(Tables.orders(s, dir), Seq("o_orderstatus", "o_orderpriority"), "o_orderkey")
-        .select("o_orderkey", "o_orderstatus", "o_orderpriority")))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")),
+
+    "a13_skew_report" -> ((s, dir) =>
+      // pre-shuffle diagnostic: the 20 hottest user_id keys with share
+      // and skew factor (count / mean-rows-per-key)
+      skewReport(Tables.events(s, dir), "user_id", topK = 20)))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -266,5 +271,16 @@ object RelationalQueries {
 
     "a12_dedup" -> """
       SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
-      QUALIFY row_number() OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_orderkey) = 1""")
+      QUALIFY row_number() OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_orderkey) = 1""",
+
+    // top-20 ties break on the key so the LIMIT selection is stable
+    "a13_skew_report" -> """
+      WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+      t AS (SELECT sum(n_rows) AS t, count(*) AS k FROM c)
+      SELECT user_id, n_rows,
+             round(CAST(n_rows AS DOUBLE) / t, 6) AS share,
+             round(CAST(n_rows AS DOUBLE) * k / t, 4) AS skew
+      FROM c, t
+      ORDER BY n_rows DESC, user_id
+      LIMIT 20""")
 }
