@@ -49,4 +49,61 @@ object CorpusSink {
     * `spark.sql.sources.partitionColumnTypeInference` applies). */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a parquet dataset's small files toward `targetBytes` per
+    * file — the OPTIMIZE step every long-lived 100 TB table needs:
+    * streaming ingest and per-batch writes accrete thousands of tiny
+    * files, and past a point the job spends longer listing/opening
+    * files than reading bytes. Rewrites the data with the file count
+    * sized from the OBSERVED bytes (ceil(bytes / targetBytes)); with
+    * `partitionCol` the hive layout is preserved and rows re-cluster
+    * per partition value.
+    *
+    * The rewrite goes to a sibling temp directory and swaps in via two
+    * Hadoop FS renames (old -> .bak, tmp -> path, delete .bak) — not
+    * atomic across the pair, but a crash leaves either the old or the
+    * new COMPLETE dataset on disk, never a half-written mix (readers of
+    * `path` during the swap window can race; pause them, as any
+    * table-format-less compaction must). All file I/O goes through the
+    * Hadoop FileSystem of `path`'s scheme — works on file://, hdfs://,
+    * s3a:// alike. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+              partitionCol: Option[String] = None): (Long, Long) = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val root = new HPath(path)
+    val fs = FileSystem.get(root.toUri, spark.sessionState.newHadoopConf())
+    def parquetFiles(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(root)
+    val bytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+    val df = spark.read.parquet(path)
+    val tmp = new HPath(path + ".compact.tmp")
+    val bak = new HPath(path + ".compact.bak")
+    partitionCol match {
+      case Some(pc) =>
+        // per-partition clustering: files per directory shrink while the
+        // pruning layout survives; maxRecordsPerFile bounds hot values
+        val rows = df.count()
+        val perFile = math.max(1L, rows / nFiles)
+        df.repartition(nFiles, col(pc))
+          .write.option("maxRecordsPerFile", perFile)
+          .partitionBy(pc).mode("overwrite").parquet(tmp.toString)
+      case None =>
+        df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    }
+    val after = parquetFiles(tmp).length.toLong
+    if (!fs.rename(root, bak)) throw new java.io.IOException(s"rename $root -> $bak failed")
+    if (!fs.rename(tmp, root)) throw new java.io.IOException(s"rename $tmp -> $root failed")
+    fs.delete(bak, true)
+    (before.length.toLong, after)
+  }
 }

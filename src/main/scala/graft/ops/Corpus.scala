@@ -166,6 +166,36 @@ object Corpus {
       .select(col(idCol), col(sourceCol), round(col("__q"), 6).as("quality"))
   }
 
+  /** Per-source EXACT token-length percentiles (nearest-rank, type-1:
+    * the value at rank ceil(p*n) under (token_count, id) order) — the
+    * length profile a corpus release publishes next to its report card,
+    * and the input to choosing chunk/packing budgets per source.
+    * Percentiles should be dyadic (0.25/0.5/0.75) so ceil(p*n) is
+    * float-exact and any engine replays the same rank.
+    *
+    * Scale: the same machinery as [[qualityGate]]'s exact median — one
+    * [[Ordinals.withPerKeyRank]] range sort (a dominant source spreads
+    * across partitions, no per-source window reducer), a broadcast
+    * count dictionary, and one conditional aggregate; values are never
+    * buffered per group (the builtin exact percentile agg would hold
+    * every length in memory). Output: (source, p<NN>..., n_docs). */
+  def lengthPercentiles(df: DataFrame, textCol: String, idCol: String,
+                        sourceCol: String,
+                        ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must lie in (0,1], got $ps")
+    val t = df.select(col(sourceCol), col(idCol),
+      Text.tokenCount(col(textCol)).as("__tok"))
+    val ranked = Ordinals.withPerKeyRank(t, sourceCol,
+      Seq(col("__tok").asc, col(idCol).asc), "__rk")
+    val counts = t.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val j = ranked.join(broadcast(counts), sourceCol)
+    val aggs = ps.map(p =>
+      max(when(col("__rk") === ceil(lit(p) * col("__n")), col("__tok")))
+        .as(s"p${math.round(p * 100)}")) :+ max("__n").as("n_docs")
+    j.groupBy(sourceCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Source-mixture sampling: keep the first floor(weight * totalRows)
     * docs of each weighted source, in `idCol` order — the deterministic
     * quota form of training-mix assembly (Pile/Dolma-style source

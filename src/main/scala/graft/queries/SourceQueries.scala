@@ -109,6 +109,20 @@ object SourceQueries {
         .groupBy("lang").agg(count(lit(1)).as("n"))
     }),
 
+    "s26_compact" -> ((s, dir) => {
+      // small-files OPTIMIZE: write with a tiny per-file cap (many tiny
+      // files), compact toward one big file, and prove the content
+      // survives the two-rename swap exactly (per-lang counts). The
+      // file-count shrink itself is asserted in SinkSpec.
+      val out = Q.tempDir("graft_s26")
+      graft.io.CorpusSink.writePartitioned(
+        Tables.documents(s, dir), out, "lang", maxRecordsPerFile = 20L)
+      graft.io.CorpusSink.compact(s, out, targetBytes = 1L << 30,
+        partitionCol = Some("lang"))
+      graft.io.CorpusSink.readPartitioned(s, out)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+    }),
+
     "s16_snapshot_diff" -> ((s, dir) => {
       // v(N) = docs 0..; v(N+1) drops ids < 20, adds 90000..90009,
       // rewrites text of 20 <= id < 40 — exact EXCEPT/INTERSECT oracle
@@ -137,6 +151,8 @@ object SourceQueries {
     "s1_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s14_corpus_sink" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "s26_compact" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "s15_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, CAST(0 AS BIGINT) AS n_quarantined FROM documents",

@@ -160,6 +160,13 @@ object TextQueries {
           lit("no terminal punctuation on this line")))
           .as("cleaned"))),
 
+    "t40_length_percentiles" -> ((s, dir) =>
+      // per-source exact token-length quartiles (nearest-rank) — the
+      // release-note length profile; dyadic percentiles keep ceil(p*n)
+      // float-exact on both engines
+      Corpus.lengthPercentiles(Tables.documents(s, dir),
+        "text", "doc_id", "source")),
+
     "t39_novelty" -> ((s, dir) =>
       // corpus-relative novelty: share of each doc's distinct 3-gram
       // shingles found nowhere else (testdata plants heavy cross-doc
@@ -526,6 +533,24 @@ object TextQueries {
       FROM t""",
 
     // same md5 arithmetic as Hashing.md5Int; rank ties broken by id
+    // nearest-rank (type-1) quartiles: value at per-source rank
+    // ceil(p*n) under (token_count, doc_id) order
+    "t40_length_percentiles" -> """
+      WITH t AS (SELECT source, doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents),
+      r AS (SELECT source, tok,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY tok, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM t)
+      SELECT source,
+             CAST(max(CASE WHEN rk = ceil(0.25 * n) THEN tok END) AS BIGINT) AS p25,
+             CAST(max(CASE WHEN rk = ceil(0.5 * n) THEN tok END) AS BIGINT) AS p50,
+             CAST(max(CASE WHEN rk = ceil(0.75 * n) THEN tok END) AS BIGINT) AS p75,
+             max(n) AS n_docs
+      FROM r GROUP BY source""",
+
     // distinct 3-gram shingles per doc (short-doc branch: whole text is
     // the single shingle), df=1 share rounded to 6
     "t39_novelty" -> """

@@ -42,6 +42,35 @@ class CorpusSinkSpec extends SparkSpec {
       s"expected partition pruning in:\n$scan")
   }
 
+  test("compact: file count shrinks, content and hive layout survive the rename swap") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = graft.queries.Q.tempDir("corpus-compact")
+    CorpusSink.writePartitioned(docs, out, "lang", maxRecordsPerFile = 10L)
+    def parquetCount = Files.walk(Paths.get(out)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    val before = parquetCount
+    val (repBefore, repAfter) = CorpusSink.compact(spark, out,
+      targetBytes = 1L << 30, partitionCol = Some("lang"))
+    assert(repBefore == before, "report counts the files it saw")
+    val after = parquetCount
+    assert(repAfter == after, "report counts the files it wrote")
+    assert(after < before, s"compaction must shrink files: $before -> $after")
+    // layout preserved: still hive-partitioned by lang
+    val dirs = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    assert(dirs.nonEmpty)
+    // content identical
+    val back = CorpusSink.readPartitioned(spark, out)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == orig)
+    // no leftover swap directories
+    assert(!Files.exists(Paths.get(out + ".compact.tmp")))
+    assert(!Files.exists(Paths.get(out + ".compact.bak")))
+  }
+
   test("sortWithinFiles orders rows inside every written file (row-group stats lever)") {
     val docs = graft.core.Tables.documents(spark, sf)
     val out = graft.queries.Q.tempDir("corpus-sink-sorted")

@@ -85,6 +85,19 @@ class CorpusSpec extends SparkSpec {
     assert(!bySource.contains("c"))               // unweighted source dropped
   }
 
+  test("lengthPercentiles: nearest-rank quartiles hand-checked, no keyless window") {
+    import spark.implicits._
+    // source a: token counts 1..8 (ceil(.25*8)=2 -> 2, ceil(.5*8)=4 -> 4,
+    // ceil(.75*8)=6 -> 6); source b: counts {3,5} -> p25=3, p50=3, p75=5
+    val docs = ((1L to 8L).map(i => (i, ("w " * i.toInt).trim, "a")) ++
+      Seq((20L, "x x x", "b"), (21L, "y y y y y", "b"))).toDF("doc_id", "text", "source")
+    val out = Corpus.lengthPercentiles(docs, "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((2L, 4L, 6L, 8L)))
+    assert(out("b") == ((3L, 3L, 5L, 2L)))
+  }
+
   test("mixToTokenBudget: exclusive-cumsum keep rule, one-doc overshoot, no windows") {
     import spark.implicits._
     // token counts: every doc = 4 tokens; hash order within a source is
