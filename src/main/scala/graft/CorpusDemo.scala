@@ -35,6 +35,12 @@ object CorpusDemo {
     println(f"[demo] quality kept ${kept0.count()}; mean dup-span frac " +
       f"${spanStats.agg(avg("dup_frac")).head().getDouble(0)}%.4f")
 
+    // 1b. cross-document boilerplate line removal (CCNet line rule) —
+    //     on this fixture no line crosses the df threshold, proving the
+    //     rule passes clean corpora through untouched
+    val debp = Dedup.removeBoilerplateLines(kept0, "text", "doc_id", maxDocs = 50)
+    println(s"[demo] boilerplate line pass: ${debp.count()} docs survive")
+
     // 2. exact + near dedup — each cluster keeps its LONGEST member
     //    (quality-aware keep-one, not blind min-id)
     val exact = Dedup.exactDedup(kept0, "text", "doc_id")
@@ -78,6 +84,23 @@ object CorpusDemo {
       "text", "doc_id", budget = 512)
     println(s"[demo] train ${train.count()} docs -> ${chunks.count()} chunks -> " +
       s"${packed.agg(count_distinct(col("seq_id"))).head().getLong(0)} packed sequences")
+
+    // 5b. per-source length profile + token-budget mix on the full
+    //     table (source column lives there), then a compacted release
+    val withSrc = Tables.documents(spark, sf).select("doc_id", "text", "source")
+    val prof = Corpus.lengthPercentiles(withSrc, "text", "doc_id", "source")
+    println(s"[demo] length quartiles over ${prof.count()} sources")
+    val mixed = Corpus.mixToTokenBudget(withSrc, "text", "doc_id", "source",
+      budgets = withSrc.select("source").distinct().collect()
+        .map(_.getString(0) -> 300L).toMap)
+    println(s"[demo] token-budget mix kept ${mixed.count()} docs " +
+      s"(${mixed.agg(sum("n_tokens")).head().getLong(0)} tokens)")
+    val relDir = s"$out/release"
+    graft.io.CorpusSink.writePartitioned(mixed, relDir, "source",
+      maxRecordsPerFile = 5L)
+    val (fb, fa) = graft.io.CorpusSink.compact(spark, relDir,
+      targetBytes = 1L << 30, partitionCol = Some("source"))
+    println(s"[demo] release compacted: $fb -> $fa files")
 
     // 6. reproducible training order
     val shuffled = Corpus.deterministicShuffle(

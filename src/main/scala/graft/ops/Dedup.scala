@@ -558,6 +558,38 @@ object Dedup {
       .select(col("id").as(idCol), col("n_shingles"), col("novelty"))
   }
 
+  /** Cross-source overlap matrix: for each source pair, the number of
+    * shared distinct n-gram shingles and their Jaccard similarity — the
+    * audit that finds sources mirroring each other (a crawl that
+    * re-ingested a dump, two snapshots of the same site) BEFORE their
+    * duplicates dilute a training mix. Pairs with zero overlap are
+    * omitted.
+    *
+    * Scale shape: shingles are keyed directly by SOURCE (the source
+    * column rides [[shingleRowsRaw]]'s id seat), so the distinct
+    * (source, hash) vocabulary collapses the corpus by orders of
+    * magnitude before anything wide; the self-join on the hash is the
+    * inverted-index shape with fan-out bounded by #sources per hash
+    * (sources are low-cardinality by definition — a shingle in every
+    * source emits S(S-1)/2 rows, not corpus-squared); per-source sizes
+    * come back as a broadcast dictionary. */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+                    n: Int): DataFrame = {
+    val sh = shingleRowsRaw(df, textCol, sourceCol, n)
+      .select(col("id").as("__src"), Hashing.md5Int(col("sh")).as("__h"))
+      .distinct()
+    val sizes = sh.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col("__src").as("source_a"), col("__h"))
+    val b = sh.select(col("__src").as("source_b"), col("__h"))
+    a.join(b, Seq("__h")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("__src").as("source_a"), col("__n").as("__na"))), "source_a")
+      .join(broadcast(sizes.select(col("__src").as("source_b"), col("__n").as("__nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("common"),
+        round(col("common").cast("double") /
+          (col("__na") + col("__nb") - col("common")), 6).as("jaccard"))
+  }
+
   /** Per-suite contamination REPORT — the attribution a team reads
     * before choosing thresholds: for each (corpus doc, benchmark suite)
     * pair with shingle-overlap fraction >= `minOverlap`, one row

@@ -171,6 +171,37 @@ object Relational {
       .limit(topK)
   }
 
+  /** Exact winsorization bounds: the values at the loPct-th and hiPct-th
+    * percentiles (nearest-rank over non-null values). Ranks are computed
+    * with INTEGER arithmetic — ceil(n*p/100) as (n*p + 99)/100 — so any
+    * replayer lands the identical rank (a float p*n product can ceil to
+    * a different integer between engines when p isn't dyadic). Value
+    * retrieval is [[Ordinals.rowsAtRanks]]' range-sorted rank selection:
+    * no value buffering, no keyless window. */
+  def winsorizeBounds(df: DataFrame, c: String, loPct: Int, hiPct: Int): (Double, Double) = {
+    require(0 < loPct && loPct < hiPct && hiPct <= 100,
+      s"need 0 < loPct < hiPct <= 100, got ($loPct, $hiPct)")
+    val vals = df.filter(col(c).isNotNull).select(col(c).cast("double").as("__v"))
+    val n = vals.count()
+    require(n > 0, s"winsorize: no non-null values in $c")
+    def rank(p: Int): Long = math.max(1L, (n * p + 99) / 100)
+    val rows = Ordinals.rowsAtRanks(vals, Seq(col("__v").asc),
+        _ => Seq(rank(loPct), rank(hiPct)))
+      .collect().map(_.getDouble(0)).sorted
+    (rows.head, rows.last)
+  }
+
+  /** Winsorize: clip `c` into its exact [loPct, hiPct] percentile range —
+    * the outlier treatment that keeps rows (a tail-heavy price column
+    * stops dominating scalers/losses) where a filter would drop them.
+    * Nulls pass through; clipping is a map-only pass after the one
+    * rank-selection job. */
+  def winsorize(df: DataFrame, c: String, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    val (lo, hi) = winsorizeBounds(df, c, loPct, hiPct)
+    df.withColumn(c, when(col(c).isNull, col(c))
+      .otherwise(greatest(least(col(c).cast("double"), lit(hi)), lit(lo))))
+  }
+
   def exactMedian(df: DataFrame, c: String): Option[Double] = {
     val vals = df.select(col(c).cast(DoubleType).as("__v"))
       .filter(col("__v").isNotNull)

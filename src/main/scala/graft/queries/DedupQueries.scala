@@ -199,6 +199,11 @@ object DedupQueries {
       Dedup.dedupParagraphs(corpus, "text", "doc_id")
     }),
 
+    "d18_source_overlap" -> ((s, dir) =>
+      // which sources mirror each other: shared distinct 3-gram
+      // shingles + Jaccard per source pair (zero-overlap pairs omitted)
+      Dedup.sourceOverlap(Tables.documents(s, dir), "text", "source", n = 3)),
+
     "d17_boilerplate_lines" -> ((s, dir) => {
       // every doc = its own text line + a corpus-wide cookie-banner line
       // (df = 500 > 5: removed from ALL docs) + a line shared by only 3
@@ -735,6 +740,31 @@ object DedupQueries {
                  WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.s AND s.e))
       SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
       FROM keep GROUP BY doc_id""",
+
+    // per-source distinct shingle vocabularies (short-doc branch
+    // included), pairwise intersection + Jaccard
+    "d18_source_overlap" -> """
+      WITH base AS (SELECT source, unnest(list_distinct(list_transform(
+             range(len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> list_reduce(list_transform(range(i, i + 3),
+                    j -> (string_split_regex(trim(text), '\s+'))[j + 1]),
+                  (a, b) -> a || ' ' || b)))) AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+           UNION ALL
+           SELECT source, regexp_replace(trim(text), '\s+', ' ', 'g') AS sh
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) < 3),
+      sh0 AS (SELECT DISTINCT source, sh FROM base),
+      sizes AS (SELECT source, count(*) AS n FROM sh0 GROUP BY 1),
+      prs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS common
+              FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.source < b.source
+              GROUP BY 1, 2)
+      SELECT source_a, source_b, common,
+             round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+      FROM prs JOIN sizes na ON na.source = source_a
+               JOIN sizes nb ON nb.source = source_b""",
 
     // line removed everywhere when its distinct-doc frequency > 5;
     // order-preserving reassembly of the survivors

@@ -127,7 +127,22 @@ object RelationalQueries {
     "a13_skew_report" -> ((s, dir) =>
       // pre-shuffle diagnostic: the 20 hottest user_id keys with share
       // and skew factor (count / mean-rows-per-key)
-      skewReport(Tables.events(s, dir), "user_id", topK = 20)))
+      skewReport(Tables.events(s, dir), "user_id", topK = 20)),
+
+    "a14_winsorize" -> ((s, dir) => {
+      // exact-percentile clipping of the tail-heavy price column; the
+      // summary row proves bounds, clipped extremes, and tail counts
+      val li = Tables.lineitem(s, dir).withColumn("__orig", col("l_extendedprice"))
+      val (lo, hi) = winsorizeBounds(li, "l_extendedprice", 5, 95)
+      winsorize(li, "l_extendedprice", 5, 95).agg(
+          round(min("l_extendedprice"), 6).as("min_after"),
+          round(max("l_extendedprice"), 6).as("max_after"),
+          count(when(col("__orig") < lo, 1)).as("n_below"),
+          count(when(col("__orig") > hi, 1)).as("n_above"),
+          count(lit(1)).as("n"))
+        .withColumn("lo_bound", round(lit(lo), 6))
+        .withColumn("hi_bound", round(lit(hi), 6))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -282,5 +297,26 @@ object RelationalQueries {
              round(CAST(n_rows AS DOUBLE) * k / t, 4) AS skew
       FROM c, t
       ORDER BY n_rows DESC, user_id
-      LIMIT 20""")
+      LIMIT 20""",
+
+    // nearest-rank bounds with INTEGER rank arithmetic ((n*p + 99)//100)
+    // — a float p*n can ceil differently between engines
+    "a14_winsorize" -> """
+      WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL),
+      nn AS (SELECT count(*) AS n FROM v),
+      r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v),
+      b AS (SELECT
+        max(CASE WHEN rk = (SELECT greatest(1, (n*5 + 99)//100) FROM nn)
+                 THEN x END) AS lo,
+        max(CASE WHEN rk = (SELECT greatest(1, (n*95 + 99)//100) FROM nn)
+                 THEN x END) AS hi
+        FROM r)
+      SELECT round(greatest(least((SELECT min(x) FROM v), hi), lo), 6) AS min_after,
+             round(greatest(least((SELECT max(x) FROM v), hi), lo), 6) AS max_after,
+             (SELECT count(*) FROM v WHERE x < b.lo) AS n_below,
+             (SELECT count(*) FROM v WHERE x > b.hi) AS n_above,
+             (SELECT count(*) FROM lineitem) AS n,
+             round(lo, 6) AS lo_bound, round(hi, 6) AS hi_bound
+      FROM b""")
 }

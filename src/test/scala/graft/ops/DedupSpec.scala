@@ -291,6 +291,22 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == "solo\n\nafter blanks")
   }
 
+  test("sourceOverlap: hand-checked pair Jaccard; disjoint pairs omitted") {
+    import spark.implicits._
+    // src a: shingles {1 2 3, 2 3 4} (from "1 2 3 4"); src b shares
+    // exactly {2 3 4} of its {2 3 4, 3 4 5}; src c is disjoint
+    val docs = Seq(
+      (1L, "1 2 3 4", "a"),
+      (2L, "2 3 4 5", "b"),
+      (3L, "x y z", "c")).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", "b")) == ((1L, math.round(1.0 / 3 * 1e6) / 1e6)))
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")),
+      "zero-overlap pairs are omitted")
+  }
+
   test("removeBoilerplateLines drops high-df lines everywhere, keeps rare ones, no windows") {
     import spark.implicits._
     val docs = Seq(

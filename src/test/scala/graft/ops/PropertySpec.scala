@@ -20,6 +20,31 @@ class PropertySpec extends SparkSpec {
     Gen.listOfN(40, Gen.zip(Gen.choose(0L, 30L),
       Gen.option(Gen.choose(-100.0, 100.0)), Gen.oneOf("a", "b", "c")))
 
+  test("winsorize clips into exact bounds, keeps rows, passes nulls and in-range values") {
+    for (data <- samples(rowsGen) if data.count(_._2.isDefined) >= 10) {
+      import spark.implicits._
+      val df = data.map { case (k, v, c) => (k, v.map(Double.box).orNull, c) }
+        .toDF("k", "x", "c").withColumn("x", col("x").cast("double"))
+      val (lo, hi) = Relational.winsorizeBounds(df, "x", 10, 90)
+      assert(lo <= hi)
+      val out = Relational.winsorize(df, "x", 10, 90)
+      assert(out.count() == df.count(), "winsorize never drops rows")
+      assert(out.filter(col("x").isNull).count() ==
+        df.filter(col("x").isNull).count(), "nulls pass through")
+      assert(out.filter(col("x") < lo || col("x") > hi).count() == 0,
+        "every non-null value lands inside the bounds")
+      // strictly-inside values are untouched and gain no new members
+      // (clipping maps outliers onto the bounds, never into the open
+      // interval) — compare the (lo, hi) multisets
+      val inside = (d: org.apache.spark.sql.DataFrame) =>
+        d.filter(col("x") > lo && col("x") < hi).groupBy("x").count()
+      val diff = inside(df).as("b")
+        .join(inside(out).as("a"), Seq("x"), "full_outer")
+        .filter(!(col("b.count") <=> col("a.count")))
+      assert(diff.count() == 0, "open-interval multiset must be unchanged")
+    }
+  }
+
   test("imputation never changes non-null cells and fills every null (I1/I2)") {
     for (data <- samples(rowsGen) if data.exists(_._2.isDefined)) {
       import spark.implicits._
