@@ -72,6 +72,24 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    "q16_bucketed_join" -> ((s, dir) => {
+      // the co-located-join story exercised end to end in the driver
+      // gate: both fact tables written bucketed by the join key, then a
+      // join that plans with NO shuffle exchange on either side
+      // (BucketingSpec pins the plan; this query oracles the content).
+      // UUID-tagged table names keep concurrent runs from colliding.
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val (to, tl) = (s"orders_q16_$tag", s"lineitem_q16_$tag")
+      graft.io.Bucketing.writeBucketed(Tables.orders(s, dir), to, "o_orderkey", 8)
+      graft.io.Bucketing.writeBucketed(Tables.lineitem(s, dir), tl, "l_orderkey", 8)
+      graft.io.Bucketing.table(s, tl)
+        .join(graft.io.Bucketing.table(s, to),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
     "q15_correlated_subquery" -> ((s, dir) => {
       // correlated-scalar-subquery surface: orders priced above their
       // customer's average order value, counted per status. Decorrelated
@@ -154,6 +172,12 @@ object JoinQueries {
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       GROUP BY c_mktsegment""",
+
+    "q16_bucketed_join" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o_orderpriority""",
 
     "q15_correlated_subquery" -> """
       SELECT o_orderstatus, count(*) AS n_above_avg
