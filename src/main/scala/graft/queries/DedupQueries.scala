@@ -168,6 +168,31 @@ object DedupQueries {
           threshold = 0.7), testFraction = 0.3, seed = 42L)
         .select("doc_id", "split")),
 
+    "b18_split_leakage_audit" -> ((s, dir) => {
+      // EVIDENCE query for the leakage-safe split: the group-aware
+      // router leaks ZERO near-dup pairs across halves, while the same
+      // md5 routing keyed by the raw doc id (ignoring clusters) cuts
+      // through planted near-dup pairs — the number a leakage audit
+      // reports before anyone trains on the split
+      val corpus = nearCorpus(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3,
+        threshold = 0.7)
+      val safe = graft.ops.Balancing.groupSplit(corpus, "doc_id", pairs,
+        testFraction = 0.3, seed = 42L)
+      val naive = corpus.withColumn("split",
+        when(pmod(graft.ops.Hashing.md5Int(concat_ws(":",
+            col("doc_id").cast("string"), lit(42L))), lit(1000L)) < 300,
+          "test").otherwise("train"))
+      def crossPairs(split: DataFrame, mode: String): DataFrame =
+        pairs
+          .join(split.select(col("doc_id").as("id_a"), col("split").as("__sa")), "id_a")
+          .join(split.select(col("doc_id").as("id_b"), col("split").as("__sb")), "id_b")
+          .filter(col("__sa") =!= col("__sb"))
+          .agg(count(lit(1)).as("n_cross_pairs"))
+          .withColumn("mode", lit(mode))
+      crossPairs(safe, "group").unionByName(crossPairs(naive, "naive"))
+    }),
+
     "d9_incremental_lsh" -> ((s, dir) => {
       // the production ingest shape: a perturbed batch (docs 0..49, ids
       // +20000) checked against an LSH index of the corpus — no corpus
@@ -702,6 +727,45 @@ object DedupQueries {
                        % 1000 < 300
                   THEN 'test' ELSE 'train' END AS split
       FROM grp""",
+
+    // replay both routers (group hash vs raw-id hash) and count pairs
+    // whose ends land on different sides
+    "b18_split_leakage_audit" -> s"""
+      WITH RECURSIVE pairs AS (${jaccardOracle(NearCorpusSql, 3, 0.7)}),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      comp AS (SELECT n.id AS doc_id,
+                 least(n.id, (SELECT min(r) FROM reach WHERE reach.id = n.id)) AS component
+               FROM nodes n),
+      corpus AS ($NearCorpusSql),
+      grp AS (SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS g
+              FROM corpus c LEFT JOIN comp USING (doc_id)),
+      safe AS (SELECT doc_id,
+                 CASE WHEN CAST(('0x' || substring(md5(CAST(g AS VARCHAR) || ':42'), 1, 15)) AS BIGINT)
+                           % 1000 < 300
+                      THEN 'test' ELSE 'train' END AS split
+               FROM grp),
+      naive AS (SELECT doc_id,
+                  CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) AS BIGINT)
+                            % 1000 < 300
+                       THEN 'test' ELSE 'train' END AS split
+                FROM corpus)
+      SELECT 'group' AS mode,
+             (SELECT count(*) FROM pairs p
+              JOIN safe a ON a.doc_id = p.id_a
+              JOIN safe b ON b.doc_id = p.id_b
+              WHERE a.split <> b.split) AS n_cross_pairs
+      UNION ALL
+      SELECT 'naive',
+             (SELECT count(*) FROM pairs p
+              JOIN naive a ON a.doc_id = p.id_a
+              JOIN naive b ON b.doc_id = p.id_b
+              WHERE a.split <> b.split)""",
 
     // incremental LSH == full LSH on (corpus ∪ batch) restricted to
     // >= 1 new side; recall 1 on this fixture (same banding as d3)
