@@ -296,6 +296,46 @@ object Corpus {
     mixSources(df, sourceCol, idCol,
       temperatureWeights(df, sourceCol, temperature), totalRows)
 
+  /** Sentence-aware chunking: like [[chunkDocs]] but cuts only at
+    * sentence boundaries, so no chunk ever starts or ends mid-sentence
+    * (the property RAG retrieval and span-sensitive training care
+    * about). A sentence is a `[.!?]`-terminated run; each sentence
+    * joins the chunk its START token offset falls in
+    * (floor(offset / budget)), so chunks cover contiguous token ranges
+    * and may run over the budget by less than one sentence — the
+    * documented trade for a replayable, state-free assignment (greedy
+    * reset-on-overflow packing is prefix-sequential and neither
+    * distributable nor oracle-replayable). A single sentence longer
+    * than the budget becomes its own over-budget chunk rather than
+    * being split.
+    *
+    * Scale: sentence split is one map-only posexplode; the running
+    * token offset is a window partitioned BY DOC (bounded by document
+    * length, the d10-island class of window — never keyless); chunk
+    * reassembly is the bounded per-doc collect_list sort. Output
+    * (id, chunk_id, chunk, n_tokens, n_sentences). */
+  def chunkBySentence(df: DataFrame, textCol: String, idCol: String,
+                      chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("sent_id")
+    val sents = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "(?<=[.!?])\\s+")).as(Seq("sent_id", "sent")))
+      .filter(trim(col("sent")) =!= "")
+      .withColumn("__tok", Text.tokenCount(col("sent")))
+      .withColumn("__start",
+        coalesce(sum("__tok").over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("chunk_id", floor(col("__start") / chunkTokens))
+    sents.groupBy(col("id"), col("chunk_id"))
+      .agg(concat_ws(" ",
+          array_sort(collect_list(struct(col("sent_id"), col("sent"))))
+            .getField("sent")).as("chunk"),
+        sum("__tok").as("n_tokens"),
+        count(lit(1)).as("n_sentences"))
+      .select(col("id").as(idCol), col("chunk_id"), col("chunk"),
+        col("n_tokens"), col("n_sentences"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3): split
     * each source into `head` / `middle` / `tail` thirds by LM score —
     * best-scoring third is `head`, and downstream mixes sample the

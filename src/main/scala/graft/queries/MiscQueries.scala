@@ -25,6 +25,18 @@ object MiscQueries {
           count(lit(1)).as("n"),
           grouping_id().as("gid"))),
 
+    "q17_set_ops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT surface (set semantics, deduplicating):
+      // customers with a big order AND a finished order vs big-order
+      // customers with none finished
+      val ord = Tables.orders(s, dir)
+      val big = ord.filter(col("o_totalprice") > 250000).select("o_custkey")
+      val fin = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
+      big.intersect(fin).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+        .unionByName(
+          big.except(fin).agg(count(lit(1)).as("n")).withColumn("op", lit("except")))
+    }),
+
     "q11_cube" -> ((s, dir) =>
       // full CUBE over (returnflag, linestatus): all four grouping-set
       // levels in one pass — the remaining multi-level aggregation
@@ -126,6 +138,17 @@ object MiscQueries {
              CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q17_set_ops" -> """
+      SELECT count(*) AS n, 'intersect' AS op FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      UNION ALL
+      SELECT count(*), 'except' FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
 
     // q11: CUBE null-fills grouped columns per grouping set; grouping
     // bits MSB-first in declaration order, as in q10

@@ -160,6 +160,14 @@ object TextQueries {
           lit("no terminal punctuation on this line")))
           .as("cleaned"))),
 
+    "t41_sentence_chunks" -> ((s, dir) =>
+      // sentence-boundary chunking at a 30-token budget; the fixture
+      // injects a standalone '.' sentence break after every 7 tokens
+      // (the raw corpus has no punctuation)
+      Corpus.chunkBySentence(Tables.documents(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"), "((?:\\S+\\s+){7})", "$1. ").as("text")),
+        "text", "doc_id", chunkTokens = 30)),
+
     "t40_length_percentiles" -> ((s, dir) =>
       // per-source exact token-length quartiles (nearest-rank) — the
       // release-note length profile; dyadic percentiles keep ceil(p*n)
@@ -533,6 +541,32 @@ object TextQueries {
       FROM t""",
 
     // same md5 arithmetic as Hashing.md5Int; rank ties broken by id
+    // sentence extraction without lookbehind (RE2): runs ending in
+    // punctuation, trimmed — elementwise equal to the engine's
+    // (?<=[.!?])\s+ split on this fixture; chunk = floor(start/budget)
+    "t41_sentence_chunks" -> """
+      WITH px AS (SELECT doc_id,
+             regexp_replace(text, '((?:\S+\s+){7})', '\1. ', 'g') AS x
+           FROM documents),
+      sent AS (SELECT doc_id, u.sid AS sent_id, trim(u.s) AS sent FROM (
+          SELECT doc_id, unnest(list_transform(range(len(ss)),
+            i -> {'sid': i, 's': ss[i+1]})) AS u
+          FROM (SELECT doc_id,
+                  regexp_extract_all(x, '[^.!?]*[.!?]+\s*|[^.!?]+$') AS ss
+                FROM px)) t
+        WHERE trim(u.s) <> ''),
+      tok AS (SELECT doc_id, sent_id, sent,
+                len(string_split_regex(sent, '\s+')) AS tk FROM sent),
+      st AS (SELECT *, coalesce(sum(tk) OVER (PARTITION BY doc_id
+               ORDER BY sent_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+             FROM tok)
+      SELECT doc_id, CAST(floor(strt / 30.0) AS BIGINT) AS chunk_id,
+             string_agg(sent, ' ' ORDER BY sent_id) AS chunk,
+             CAST(sum(tk) AS BIGINT) AS n_tokens,
+             count(*) AS n_sentences
+      FROM st GROUP BY 1, 2""",
+
     // nearest-rank (type-1) quartiles: value at per-source rank
     // ceil(p*n) under (token_count, doc_id) order
     "t40_length_percentiles" -> """

@@ -85,6 +85,25 @@ class CorpusSpec extends SparkSpec {
     assert(!bySource.contains("c"))               // unweighted source dropped
   }
 
+  test("chunkBySentence: boundary-only cuts, start-offset buckets, over-budget singleton") {
+    import spark.implicits._
+    // doc 1: sentences of 3/3/3 tokens, budget 5 -> starts 0,3,6 ->
+    // chunks 0,0,1 (chunk 0 runs over budget by one sentence: 6 tokens)
+    // doc 2: one 8-token sentence, budget 5 -> its own over-budget chunk
+    val docs = Seq(
+      (1L, "a b one. c d two! e f three?"),
+      (2L, "w w w w w w w eight.")).toDF("doc_id", "text")
+    val out = Corpus.chunkBySentence(docs, "text", "doc_id", chunkTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, 0L)) == (("a b one. c d two!", 6L, 2L)))
+    assert(out((1L, 1L)) == (("e f three?", 3L, 1L)))
+    assert(out((2L, 0L)) == (("w w w w w w w eight.", 8L, 1L)))
+    // no chunk starts or ends mid-sentence: every chunk ends in
+    // terminal punctuation on this fixture
+    assert(out.values.forall { case (c, _, _) => ".!?".contains(c.last) })
+  }
+
   test("lengthPercentiles: nearest-rank quartiles hand-checked, no keyless window") {
     import spark.implicits._
     // source a: token counts 1..8 (ceil(.25*8)=2 -> 2, ceil(.5*8)=4 -> 4,
