@@ -202,6 +202,21 @@ object Relational {
       .otherwise(greatest(least(col(c).cast("double"), lit(hi)), lit(lo))))
   }
 
+  /** Robust scaling: (x - median) / IQR — the outlier-insensitive
+    * cousin of M2's StandardScaler (mean/stddev move with every
+    * outlier; median and quartiles don't). Median is [[exactMedian]]'s
+    * middle-pair average; quartiles are [[winsorizeBounds]]' integer-
+    * rank selection, so every statistic is exactly replayable. A zero
+    * IQR (over half the values identical) degrades to centering only.
+    * Fit = two rank-selection jobs; transform = map-only. */
+  def robustScale(df: DataFrame, c: String, out: String): DataFrame = {
+    val med = exactMedian(df, c).getOrElse(
+      throw new IllegalArgumentException(s"robustScale: no non-null values in $c"))
+    val (q1, q3) = winsorizeBounds(df, c, 25, 75)
+    val iqr = if (q3 > q1) q3 - q1 else 1.0
+    df.withColumn(out, (col(c).cast("double") - med) / iqr)
+  }
+
   def exactMedian(df: DataFrame, c: String): Option[Double] = {
     val vals = df.select(col(c).cast(DoubleType).as("__v"))
       .filter(col("__v").isNotNull)

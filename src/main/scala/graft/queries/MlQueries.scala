@@ -242,6 +242,15 @@ object MlQueries {
       imps.map { case (f, _) => f }.sorted.toDF("feature")
     }),
 
+    "m21_robust_scale" -> ((s, dir) =>
+      // robust scaling of the quantity column: (x - exact median) / IQR
+      // — every statistic a rank selection, so the per-row doubles are
+      // engine-exact
+      graft.ops.Relational.robustScale(Tables.lineitem(s, dir),
+          "l_quantity", "q_scaled")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("q_scaled"), 6).as("q_scaled"))),
+
     "m20_linear_shap" -> ((s, dir) => {
       // EXACT linear SHAP (Lundberg & Lee 2017), per-row, FULL value
       // oracle — the M13 family's first non-stand-in member: phi =
@@ -584,6 +593,25 @@ object MlQueries {
 
     "m13_permutation_importance" -> """
       SELECT * FROM (VALUES ('o_custkey'), ('o_totalprice')) AS t(feature)""",
+
+    // m21: median = middle-pair average (ranks (n+1)//2 and n//2+1);
+    // quartiles = integer-rank nearest-rank selection, IQR guard at 0
+    "m21_robust_scale" -> """
+      WITH v AS (SELECT l_quantity AS x FROM lineitem WHERE l_quantity IS NOT NULL),
+      nn AS (SELECT count(*) AS n FROM v),
+      r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v),
+      med AS (SELECT avg(x) AS m FROM r
+              WHERE rk IN ((SELECT (n+1)//2 FROM nn), (SELECT n//2 + 1 FROM nn))),
+      qs AS (SELECT
+        max(CASE WHEN rk = (SELECT greatest(1, (n*25 + 99)//100) FROM nn) THEN x END) AS q1,
+        max(CASE WHEN rk = (SELECT greatest(1, (n*75 + 99)//100) FROM nn) THEN x END) AS q3
+        FROM r)
+      SELECT l_orderkey, l_linenumber,
+             round((l_quantity - (SELECT m FROM med)) /
+                   (CASE WHEN (SELECT q3 FROM qs) > (SELECT q1 FROM qs)
+                         THEN (SELECT q3 FROM qs) - (SELECT q1 FROM qs)
+                         ELSE 1.0 END), 6) AS q_scaled
+      FROM lineitem""",
 
     // m20: phi = m * (x - mu) with m and mu decimal-derived doubles —
     // every scalar expression mirrors the engine token-for-token

@@ -109,6 +109,22 @@ object SourceQueries {
         .groupBy("lang").agg(count(lit(1)).as("n"))
     }),
 
+    "s27_schema_merge" -> ((s, dir) => {
+      // schema evolution across snapshot generations: v1 lacks `lang`,
+      // v2 adds it. mergeSchema unions the footers, v1 rows read the
+      // new column as null — the per-file-pruned read every long-lived
+      // dataset relies on when columns are added mid-life
+      val out = Q.tempDir("graft_s27")
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") < 250).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      docs.filter(col("doc_id") >= 250).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+    }),
+
     "s26_compact" -> ((s, dir) => {
       // small-files OPTIMIZE: write with a tiny per-file cap (many tiny
       // files), compact toward one big file, and prove the content
@@ -154,6 +170,11 @@ object SourceQueries {
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "s26_compact" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    // old-generation rows surface the added column as NULL
+    "s27_schema_merge" -> """
+      SELECT CASE WHEN doc_id < 250 THEN NULL ELSE lang END AS lang,
+             count(*) AS n, min(doc_id) AS min_id
+      FROM documents GROUP BY 1""",
     "s15_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, CAST(0 AS BIGINT) AS n_quarantined FROM documents",
     "s16_snapshot_diff" -> """
