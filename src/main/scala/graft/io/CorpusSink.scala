@@ -88,21 +88,40 @@ object CorpusSink {
     val df = spark.read.parquet(path)
     val tmp = new HPath(path + ".compact.tmp")
     val bak = new HPath(path + ".compact.bak")
+    // stale swap leftovers from a crashed earlier run would make the
+    // renames below fail (or, on HDFS, nest root INSIDE bak) — clear
+    // them first; a surviving bak means that run died mid-swap and the
+    // live dataset is whichever of root/bak exists, so only delete bak
+    // when root is present
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) {
+      require(fs.exists(root),
+        s"$bak exists but $root does not — a previous compact died mid-swap; " +
+          s"restore by renaming $bak back to $root before compacting")
+      fs.delete(bak, true)
+    }
     partitionCol match {
       case Some(pc) =>
-        // per-partition clustering: files per directory shrink while the
-        // pruning layout survives; maxRecordsPerFile bounds hot values
-        val rows = df.count()
-        val perFile = math.max(1L, rows / nFiles)
-        df.repartition(nFiles, col(pc))
-          .write.option("maxRecordsPerFile", perFile)
-          .partitionBy(pc).mode("overwrite").parquet(tmp.toString)
+        // RANGE-partition on (value, row hash): the sampler allocates
+        // tasks proportional to data volume, so a dominant partition
+        // value SPLITS across many tasks (no single hot reducer — a
+        // plain repartition(col(pc)) would funnel it through one) while
+        // small values share a task and keep few files per directory
+        val salted = df.withColumn("__salt",
+          xxhash64(df.columns.map(col): _*))
+        salted.repartitionByRange(nFiles, col(pc), col("__salt"))
+          .drop("__salt")
+          .write.partitionBy(pc).mode("overwrite").parquet(tmp.toString)
       case None =>
         df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     }
     val after = parquetFiles(tmp).length.toLong
     if (!fs.rename(root, bak)) throw new java.io.IOException(s"rename $root -> $bak failed")
-    if (!fs.rename(tmp, root)) throw new java.io.IOException(s"rename $tmp -> $root failed")
+    if (!fs.rename(tmp, root)) {
+      // roll the old dataset back so `path` never stays empty
+      fs.rename(bak, root)
+      throw new java.io.IOException(s"rename $tmp -> $root failed (old data restored)")
+    }
     fs.delete(bak, true)
     (before.length.toLong, after)
   }

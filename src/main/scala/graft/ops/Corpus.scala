@@ -184,6 +184,8 @@ object Corpus {
                         ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"percentiles must lie in (0,1], got $ps")
+    require(ps.map(p => math.round(p * 100)).distinct.size == ps.size,
+      s"percentiles collide after rounding to whole percent (column names p<NN>): $ps")
     val t = df.select(col(sourceCol), col(idCol),
       Text.tokenCount(col(textCol)).as("__tok"))
     val ranked = Ordinals.withPerKeyRank(t, sourceCol,
@@ -251,8 +253,16 @@ object Corpus {
         Hashing.md5Int(concat_ws(":", col(idCol).cast("string"), lit(seed))).asc,
         col(idCol).asc),
       "__tok", "__cum")
+    // offsets must accumulate in the SAME source order the range sort
+    // uses — Spark sorts strings by UTF-8 BYTE order, which differs
+    // from Scala's UTF-16 ordering for supplementary characters, so the
+    // driver-side sort compares the encoded bytes unsigned
+    val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val totals = in.groupBy(sourceCol).agg(sum("__tok").as("__t"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)(utf8Order)
     var acc = 0.0
     val offsets = totals.map { case (s, t) => val o = acc; acc += t; s -> o }
     val offCol = offsets.foldLeft(lit(0.0)) { case (c, (s, o)) =>
@@ -321,7 +331,12 @@ object Corpus {
       .partitionBy("id").orderBy("sent_id")
     val sents = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "(?<=[.!?])\\s+")).as(Seq("sent_id", "sent")))
-      .filter(trim(col("sent")) =!= "")
+      // trim each sentence: the split consumes separator whitespace but
+      // not a document's LEADING whitespace, which would otherwise leak
+      // into the first chunk's text (and disagree with token counting,
+      // which trims)
+      .withColumn("sent", trim(col("sent")))
+      .filter(col("sent") =!= "")
       .withColumn("__tok", Text.tokenCount(col("sent")))
       .withColumn("__start",
         coalesce(sum("__tok").over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))

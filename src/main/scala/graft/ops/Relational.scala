@@ -191,15 +191,21 @@ object Relational {
     (rows.head, rows.last)
   }
 
+  /** Clip `c` into [lo, hi] (nulls pass through) — the map-only half of
+    * winsorization, split out so callers that already hold the bounds
+    * (the a14 query, any fit-once/apply-many pipeline) don't pay the
+    * rank-selection job twice. */
+  def winsorizeWith(df: DataFrame, c: String, lo: Double, hi: Double): DataFrame =
+    df.withColumn(c, when(col(c).isNull, col(c))
+      .otherwise(greatest(least(col(c).cast("double"), lit(hi)), lit(lo))))
+
   /** Winsorize: clip `c` into its exact [loPct, hiPct] percentile range —
     * the outlier treatment that keeps rows (a tail-heavy price column
     * stops dominating scalers/losses) where a filter would drop them.
-    * Nulls pass through; clipping is a map-only pass after the one
-    * rank-selection job. */
+    * One rank-selection job, then a map-only clip. */
   def winsorize(df: DataFrame, c: String, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
     val (lo, hi) = winsorizeBounds(df, c, loPct, hiPct)
-    df.withColumn(c, when(col(c).isNull, col(c))
-      .otherwise(greatest(least(col(c).cast("double"), lit(hi)), lit(lo))))
+    winsorizeWith(df, c, lo, hi)
   }
 
   /** Robust scaling: (x - median) / IQR — the outlier-insensitive
@@ -210,11 +216,22 @@ object Relational {
     * IQR (over half the values identical) degrades to centering only.
     * Fit = two rank-selection jobs; transform = map-only. */
   def robustScale(df: DataFrame, c: String, out: String): DataFrame = {
-    val med = exactMedian(df, c).getOrElse(
-      throw new IllegalArgumentException(s"robustScale: no non-null values in $c"))
-    val (q1, q3) = winsorizeBounds(df, c, 25, 75)
+    val vals = df.filter(col(c).isNotNull).select(col(c).cast(DoubleType).as("__v"))
+    val n = vals.count()
+    require(n > 0, s"robustScale: no non-null values in $c")
+    // all four order statistics (median pair + both quartiles) from ONE
+    // rank-selection sort; ranks sorted ascending map to values sorted
+    // ascending, so the zip recovers which value sits at which rank
+    def pct(p: Int): Long = math.max(1L, (n * p + 99) / 100)
+    val medRanks = Seq((n + 1) / 2, n / 2 + 1)
+    val wanted = (medRanks ++ Seq(pct(25), pct(75))).distinct.sorted
+    val got = Ordinals.rowsAtRanks(vals, Seq(col("__v").asc), _ => wanted)
+      .collect().map(_.getDouble(0)).sorted
+    val byRank = wanted.zip(got).toMap
+    val med = medRanks.map(byRank).sum / medRanks.size
+    val (q1, q3) = (byRank(pct(25)), byRank(pct(75)))
     val iqr = if (q3 > q1) q3 - q1 else 1.0
-    df.withColumn(out, (col(c).cast("double") - med) / iqr)
+    df.withColumn(out, (col(c).cast(DoubleType) - med) / iqr)
   }
 
   def exactMedian(df: DataFrame, c: String): Option[Double] = {

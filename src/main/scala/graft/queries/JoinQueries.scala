@@ -77,7 +77,12 @@ object JoinQueries {
       // gate: both fact tables written bucketed by the join key, then a
       // join that plans with NO shuffle exchange on either side
       // (BucketingSpec pins the plan; this query oracles the content).
-      // UUID-tagged table names keep concurrent runs from colliding.
+      // UUID-tagged table names keep concurrent runs from colliding;
+      // tables from PREVIOUS runs are dropped here so repeated gate
+      // runs don't accumulate fact-table copies in the warehouse
+      s.catalog.listTables().collect().map(_.name)
+        .filter(t => t.startsWith("orders_q16_") || t.startsWith("lineitem_q16_"))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val (to, tl) = (s"orders_q16_$tag", s"lineitem_q16_$tag")
       graft.io.Bucketing.writeBucketed(Tables.orders(s, dir), to, "o_orderkey", 8)

@@ -134,7 +134,7 @@ object RelationalQueries {
       // summary row proves bounds, clipped extremes, and tail counts
       val li = Tables.lineitem(s, dir).withColumn("__orig", col("l_extendedprice"))
       val (lo, hi) = winsorizeBounds(li, "l_extendedprice", 5, 95)
-      winsorize(li, "l_extendedprice", 5, 95).agg(
+      winsorizeWith(li, "l_extendedprice", lo, hi).agg(
           round(min("l_extendedprice"), 6).as("min_after"),
           round(max("l_extendedprice"), 6).as("max_after"),
           count(when(col("__orig") < lo, 1)).as("n_below"),
