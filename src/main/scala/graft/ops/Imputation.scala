@@ -29,6 +29,28 @@ object Imputation {
     }
   }
 
+  /** Groupwise mean fill (extension beyond the reference's global
+    * imputers): nulls in `c` take their GROUP's mean — the standard
+    * refinement when a column's level differs by segment (price by
+    * category, score by source) and a global mean would bias every
+    * group toward the grand average. Groups whose values are ALL null
+    * fall back to the global mean so no null survives.
+    *
+    * Scale: one map-side-combined aggregate per group (dictionary-
+    * sized), broadcast back; the fill is a map-only coalesce. */
+  case class FillMeanBy(c: String, by: String) extends TableOp {
+    def describe = s"impute $c with per-$by mean"
+    def apply(df: DataFrame): DataFrame = {
+      requireNumeric(df, c)
+      val global = df.agg(avg(col(c))).first().getDouble(0)
+      val means = df.groupBy(col(by).as("__k"))
+        .agg(avg(col(c)).as("__m"))
+      df.join(broadcast(means), col(by) <=> col("__k"), "left")
+        .withColumn(c, coalesce(col(c).cast(DoubleType), col("__m"), lit(global)))
+        .drop("__k", "__m")
+    }
+  }
+
   /** I2 — median fill, exact (`…:38-44`). At extreme scale swap
     * `median` for `percentile_approx` — behavior documented. */
   case class FillMedian(c: String) extends TableOp {

@@ -171,6 +171,21 @@ object Relational {
       .limit(topK)
   }
 
+  /** Per-group mode: each group's most frequent non-null value of `c`,
+    * ties to the smallest value (the I3 global-mode contract, per key).
+    * Two map-side-combined aggregates — the (key, value) count then a
+    * min-struct argmax over (-count, value) — no window, no reducer
+    * hot-spot: a million-row group collapses to its distinct values
+    * before either shuffle. Output (key, mode, n). */
+  def groupMode(df: DataFrame, key: String, c: String): DataFrame =
+    df.filter(col(c).isNotNull)
+      .groupBy(col(key), col(c)).agg(count(lit(1)).as("__n"))
+      .withColumn("__neg", -col("__n"))
+      .groupBy(col(key))
+      .agg(min(struct(col("__neg"), col(c).as("__v"))).as("__w"))
+      .select(col(key), col("__w.__v").as("mode"),
+        (-col("__w.__neg")).as("n"))
+
   /** Exact winsorization bounds: the values at the loPct-th and hiPct-th
     * percentiles (nearest-rank over non-null values). Ranks are computed
     * with INTEGER arithmetic — ceil(n*p/100) as (n*p + 99)/100 — so any

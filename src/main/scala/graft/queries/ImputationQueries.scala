@@ -30,6 +30,14 @@ object ImputationQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_quantity"), 4).as("l_quantity"))),
 
+    "i10_group_mean_fill" -> ((s, dir) =>
+      // groupwise refinement of i1: nulls take their returnflag group's
+      // mean (integer-valued quantities sum exactly, so the per-group
+      // means are order-exact doubles)
+      FillMeanBy("l_quantity", "l_returnflag")(Q.lineitemWithNulls(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 4).as("l_quantity"))),
+
     "i2_median_fill" -> ((s, dir) =>
       FillMedian("l_quantity")(Q.lineitemWithNulls(s, dir))
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -78,6 +86,13 @@ object ImputationQueries {
     "i1_mean_fill" -> s"""
       SELECT l_orderkey, l_linenumber,
              round(COALESCE($QSql, (SELECT avg($QSql) FROM lineitem)), 4) AS l_quantity
+      FROM lineitem""",
+
+    "i10_group_mean_fill" -> s"""
+      SELECT l_orderkey, l_linenumber,
+             round(COALESCE($QSql,
+               avg($QSql) OVER (PARTITION BY l_returnflag),
+               (SELECT avg($QSql) FROM lineitem)), 4) AS l_quantity
       FROM lineitem""",
 
     "i2_median_fill" -> s"""

@@ -129,6 +129,11 @@ object RelationalQueries {
       // and skew factor (count / mean-rows-per-key)
       skewReport(Tables.events(s, dir), "user_id", topK = 20)),
 
+    "a15_group_mode" -> ((s, dir) =>
+      // most frequent order priority per status, ties to the smallest
+      // value — the I3 mode contract per group, aggregate-only
+      groupMode(Tables.orders(s, dir), "o_orderstatus", "o_orderpriority")),
+
     "a14_winsorize" -> ((s, dir) => {
       // exact-percentile clipping of the tail-heavy price column; the
       // summary row proves bounds, clipped extremes, and tail counts
@@ -298,6 +303,13 @@ object RelationalQueries {
       FROM c, t
       ORDER BY n_rows DESC, user_id
       LIMIT 20""",
+
+    "a15_group_mode" -> """
+      WITH cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                   FROM orders GROUP BY 1, 2)
+      SELECT o_orderstatus, o_orderpriority AS mode, n FROM cnt
+      QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        ORDER BY n DESC, o_orderpriority) = 1""",
 
     // nearest-rank bounds with INTEGER rank arithmetic ((n*p + 99)//100)
     // — a float p*n can ceil differently between engines
