@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CleanLines(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "char_entropy takes exactly one argument")
+        CharEntropy(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

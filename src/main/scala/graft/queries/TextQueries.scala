@@ -160,6 +160,13 @@ object TextQueries {
           lit("no terminal punctuation on this line")))
           .as("cleaned"))),
 
+    "t42_char_entropy" -> ((s, dir) =>
+      // map-only code-point entropy per doc (the gibberish/mojibake
+      // signal); canonical ascending-code-point summation makes the
+      // double replayable to ~1e-15, far inside the 6-decimal rounding
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(call_function("char_entropy", col("text")), 6).as("entropy"))),
+
     "t41_sentence_chunks" -> ((s, dir) =>
       // sentence-boundary chunking at a 30-token budget; the fixture
       // injects a standalone '.' sentence break after every 7 tokens
@@ -541,6 +548,16 @@ object TextQueries {
       FROM t""",
 
     // same md5 arithmetic as Hashing.md5Int; rank ties broken by id
+    // per-doc code-point histogram -> -sum(p log2 p); every doc here is
+    // multi-symbol so the zero/-0.0 boundary never arises
+    "t42_char_entropy" -> """
+      WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+                  FROM documents),
+      cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+      tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1)
+      SELECT doc_id, round(-sum((k / n) * log2(k / n)), 6) AS entropy
+      FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id""",
+
     // sentence extraction without lookbehind (RE2): runs ending in
     // punctuation, trimmed — elementwise equal to the engine's
     // (?<=[.!?])\s+ split on this fixture; chunk = floor(start/budget)
