@@ -89,6 +89,27 @@ object Encoding {
     }
   }
 
+  /** Target encoding with m-estimate smoothing (the production form of
+    * E3): encoded = (sum_y + m·global_mean) / (n + m). Rare categories
+    * shrink toward the global mean instead of memorizing their handful
+    * of targets — the leakage/overfit guard every real feature pipeline
+    * applies; m is the pseudo-count prior (m = 0 degrades to E3). Same
+    * dictionary-aggregate + broadcast-join shape as E3. */
+  case class SmoothedTargetEncode(c: String, target: String,
+                                  m: Double = 10.0) extends TableOp {
+    def describe = s"smoothed target encode $c by $target (m=$m)"
+    def apply(df: DataFrame): DataFrame = {
+      require(m >= 0, s"prior pseudo-count m must be >= 0, got $m")
+      val global = df.agg(avg(col(target))).first().getDouble(0)
+      val dict = df.groupBy(col(c))
+        .agg(sum(col(target)).as("__s"), count(col(target)).as("__n"))
+        .select(col(c),
+          ((col("__s") + lit(m) * lit(global)) / (col("__n") + lit(m)))
+            .as(s"${c}_encoded"))
+      df.join(broadcast(dict), Seq(c), "left")
+    }
+  }
+
   /** E4 — frequency encoding: category -> relative frequency, col
     * `{c}_freq_encoded` (`…:263-271`). Total via a second tiny aggregate on
     * the dictionary itself (no full-table window). */

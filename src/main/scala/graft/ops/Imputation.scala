@@ -90,6 +90,26 @@ object Imputation {
     * With partition keys the window never collapses to one partition at
     * scale.
     */
+  /** Forward fill (LOCF — last observation carried forward) per key in
+    * explicit order: the time-series imputer that repeats the most
+    * recent reading instead of inventing values between them (sensor
+    * gaps, sparse event attributes). Leading nulls stay null — there is
+    * nothing to carry. `partitionCols` is REQUIRED: a keyless running
+    * window funnels the frame through one reducer (the SCALING.md
+    * forbidden class); per-key windows are bounded by key history. */
+  case class ForwardFill(c: String, orderCols: Seq[String],
+                         partitionCols: Seq[String]) extends TableOp {
+    def describe = s"forward fill $c ordered by ${orderCols.mkString(",")}"
+    def apply(df: DataFrame): DataFrame = {
+      require(partitionCols.nonEmpty,
+        "ForwardFill needs partitionCols — a keyless running window is a single-reducer funnel")
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
   case class Interpolate(c: String, orderCols: Seq[String],
                          partitionBy: Seq[String] = Nil) extends TableOp {
     def describe = s"interpolate $c ordered by ${orderCols.mkString(",")}"

@@ -34,6 +34,14 @@ object EncodingQueries {
         .select(col("o_orderkey"), col("o_orderpriority"),
           round(col("o_orderpriority_encoded"), 4).as("o_orderpriority_encoded"))),
 
+    "e7_smoothed_target" -> ((s, dir) =>
+      // m-estimate target encoding (integer-valued quantities keep all
+      // sums order-exact, so the shrunk means replay bit-for-bit)
+      Encoding.SmoothedTargetEncode("l_returnflag", "l_quantity", m = 10.0)(
+          Tables.lineitem(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_returnflag_encoded"), 6).as("l_returnflag_encoded"))),
+
     "e4_freq_encode" -> ((s, dir) =>
       Encoding.FrequencyEncode("c_mktsegment")(Tables.customer(s, dir))
         .select(col("c_custkey"), col("c_mktsegment"),
@@ -105,6 +113,16 @@ object EncodingQueries {
       SELECT c_custkey, c_mktsegment,
              dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS c_mktsegment_label
       FROM customer""",
+
+    // e7: (sum + m*global)/(n + m) — the same double operations in the
+    // same order on both engines
+    "e7_smoothed_target" -> """
+      WITH g AS (SELECT avg(l_quantity) AS gm FROM lineitem),
+      d AS (SELECT l_returnflag, sum(l_quantity) AS s, count(l_quantity) AS n
+            FROM lineitem GROUP BY 1)
+      SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+             round((d.s + 10.0 * g.gm) / (d.n + 10.0), 6) AS l_returnflag_encoded
+      FROM lineitem l JOIN d USING (l_returnflag), g""",
 
     "e3_target_encode" -> """
       SELECT o_orderkey, o_orderpriority,

@@ -30,6 +30,15 @@ object ImputationQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_quantity"), 4).as("l_quantity"))),
 
+    "i11_locf_fill" -> ((s, dir) => {
+      // forward fill per user in event-time order: every 7th event's
+      // value nulled, then carried forward; leading nulls survive
+      val e = Tables.events(s, dir).withColumn("value",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      ForwardFill("value", Seq("ts", "event_id"), Seq("user_id"))(e)
+        .select(col("event_id"), round(col("value"), 4).as("value"))
+    }),
+
     "i10_group_mean_fill" -> ((s, dir) =>
       // groupwise refinement of i1: nulls take their returnflag group's
       // mean (integer-valued quantities sum exactly, so the per-group
@@ -87,6 +96,16 @@ object ImputationQueries {
       SELECT l_orderkey, l_linenumber,
              round(COALESCE($QSql, (SELECT avg($QSql) FROM lineitem)), 4) AS l_quantity
       FROM lineitem""",
+
+    "i11_locf_fill" -> """
+      WITH t AS (SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+                 FROM events)
+      SELECT event_id,
+             round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value
+      FROM t""",
 
     "i10_group_mean_fill" -> s"""
       SELECT l_orderkey, l_linenumber,

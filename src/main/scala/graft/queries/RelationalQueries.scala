@@ -129,6 +129,17 @@ object RelationalQueries {
       // and skew factor (count / mean-rows-per-key)
       skewReport(Tables.events(s, dir), "user_id", topK = 20)),
 
+    "a16_pivot" -> ((s, dir) =>
+      // cross-tabulation via the pivot surface: status x priority
+      // counts as columns. Explicit pivot values pin the schema AND
+      // skip the values-discovery scan — one aggregate pass total
+      Tables.orders(s, dir).groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .toDF("o_orderstatus", "urgent", "high", "medium",
+          "not_specified", "low")),
+
     "a15_group_mode" -> ((s, dir) =>
       // most frequent order priority per status, ties to the smallest
       // value — the I3 mode contract per group, aggregate-only
@@ -303,6 +314,15 @@ object RelationalQueries {
       FROM c, t
       ORDER BY n_rows DESC, user_id
       LIMIT 20""",
+
+    "a16_pivot" -> """
+      SELECT o_orderstatus,
+             count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+             count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+             count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+             count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+             count(*) FILTER (o_orderpriority = '5-LOW') AS low
+      FROM orders GROUP BY o_orderstatus""",
 
     "a15_group_mode" -> """
       WITH cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
