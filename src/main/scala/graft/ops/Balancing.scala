@@ -23,6 +23,20 @@ object Balancing {
   def classCounts(df: DataFrame, target: String): DataFrame =
     df.groupBy(col(target)).agg(count(lit(1)).as("__n"))
 
+  /** Balanced class weights — n / (k · n_c) per class (the standard
+    * "balanced" heuristic): the weighting alternative to resampling
+    * (B2-B14 move rows; weights move the LOSS, feed MLlib's weightCol
+    * and no data is duplicated or dropped — at 100 TB the only sane
+    * option for mild imbalance). One dictionary-sized aggregate; the
+    * division is a single double op per class, engine-exact. */
+  def classWeights(df: DataFrame, target: String): DataFrame = {
+    val counts = classCounts(df, target)
+    val n = df.count()
+    val k = counts.count()
+    counts.select(col(target), col("__n").as("n_rows"),
+      (lit(n.toDouble) / (lit(k.toDouble) * col("__n"))).as("weight"))
+  }
+
   /** B1 — random train/test split with seed
     * (`data_balancing_list_method_ui.py:197-199`). */
   def randomSplit(df: DataFrame, testFraction: Double, seed: Long): (DataFrame, DataFrame) = {

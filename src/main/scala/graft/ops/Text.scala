@@ -79,6 +79,25 @@ object Text {
     *  - `alpha_frac` (words containing a letter) > 0.8
     *  - `stop_hits` (occurrences of core stopwords) >= 2
     */
+  /** Flesch reading-ease score from regex-countable proxies: words =
+    * alphanumeric runs, sentences = terminal-punct-before-space runs
+    * + 1 (the trailing segment), syllables = vowel-group runs (the
+    * standard programmatic approximation). Map-only — three
+    * regexp_extract_all counts and fixed arithmetic, so the doubles
+    * replay exactly on any engine that counts the same runs. Higher =
+    * easier; natural English prose sits roughly 60-80. */
+  def fleschScore(c: Column): Column = {
+    val words = size(regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0)))
+      .cast(DoubleType)
+    val sentences = (size(regexp_extract_all(c, lit("[.!?]\\s"), lit(0))) + 1)
+      .cast(DoubleType)
+    val syllables = size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0)))
+      .cast(DoubleType)
+    when(words === 0, lit(null).cast(DoubleType)).otherwise(
+      lit(206.835) - lit(1.015) * (words / sentences) -
+        lit(84.6) * (syllables / words))
+  }
+
   def gopherRules(c: Column): Column = {
     val wc = tokenCount(c)
     val wcD = wc.cast(DoubleType)

@@ -42,6 +42,13 @@ object BalancingQueries {
       Oversample("o_orderstatus")(Tables.orders(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
+    "b19_class_weights" -> ((s, dir) =>
+      // the weighting alternative to resampling: n/(k*n_c) per class,
+      // fed to MLlib's weightCol — no rows moved
+      graft.ops.Balancing.classWeights(Tables.orders(s, dir), "o_orderstatus")
+        .select(col("o_orderstatus"), col("n_rows"),
+          round(col("weight"), 6).as("weight"))),
+
     "b12_trim_equal" -> ((s, dir) =>
       TrimEqual("o_orderpriority", 100, orderCols = Seq("o_orderkey"))(
         Tables.orders(s, dir))
@@ -78,6 +85,13 @@ object BalancingQueries {
                  (SELECT count(*) AS cnt FROM orders GROUP BY o_orderstatus))
       SELECT o_orderstatus, (SELECT mx FROM m) AS n
       FROM orders GROUP BY o_orderstatus""",
+
+    "b19_class_weights" -> """
+      WITH c AS (SELECT o_orderstatus, count(*) AS n_rows FROM orders GROUP BY 1),
+      t AS (SELECT sum(n_rows) AS n, count(*) AS k FROM c)
+      SELECT o_orderstatus, n_rows,
+             round(CAST(n AS DOUBLE) / (CAST(k AS DOUBLE) * n_rows), 6) AS weight
+      FROM c, t""",
 
     "b12_trim_equal" -> """
       SELECT o_orderkey, o_orderpriority FROM orders

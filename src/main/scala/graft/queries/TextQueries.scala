@@ -160,6 +160,14 @@ object TextQueries {
           lit("no terminal punctuation on this line")))
           .as("cleaned"))),
 
+    "t44_readability" -> ((s, dir) =>
+      // Flesch reading ease over the period-injected fixture (t41's
+      // sentence breaks); three regex counts + fixed arithmetic
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(graft.ops.Text.fleschScore(
+          regexp_replace(col("text"), "((?:\\S+\\s+){7})", "$1. ")), 4)
+          .as("flesch"))),
+
     "t42_char_entropy" -> ((s, dir) =>
       // map-only code-point entropy per doc (the gibberish/mojibake
       // signal); canonical ascending-code-point summation makes the
@@ -548,6 +556,21 @@ object TextQueries {
       FROM t""",
 
     // same md5 arithmetic as Hashing.md5Int; rank ties broken by id
+    // words = [a-z0-9]+ runs, sentences = [.!?]\s runs + 1, syllables =
+    // vowel-group runs; identical run-counting and arithmetic order
+    "t44_readability" -> """
+      WITH px AS (SELECT doc_id,
+             regexp_replace(text, '((?:\S+\s+){7})', '\1. ', 'g') AS x
+           FROM documents)
+      SELECT doc_id,
+             round(206.835
+               - 1.015 * (len(regexp_extract_all(lower(x), '[a-z0-9]+'))
+                          / CAST(len(regexp_extract_all(x, '[.!?]\s')) + 1 AS DOUBLE))
+               - 84.6 * (len(regexp_extract_all(lower(x), '[aeiouy]+'))
+                         / CAST(len(regexp_extract_all(lower(x), '[a-z0-9]+')) AS DOUBLE)),
+               4) AS flesch
+      FROM px""",
+
     // per-doc code-point histogram -> -sum(p log2 p); every doc here is
     // multi-symbol so the zero/-0.0 boundary never arises
     "t42_char_entropy" -> """
