@@ -93,6 +93,24 @@ object DedupQueries {
         bands = D3Bands, rowsPerBand = D3RowsPerBand, threshold = D3Threshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    "d20_para_minhash" -> ((s, dir) => {
+      // COMPOSITION: paragraph units through the minhash pipeline —
+      // docs 0..9 share an identical section, 10..19 carry a perturbed
+      // one (cross-group paragraph jaccard 0.8); unit id = doc*1000+pos
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") < 10,
+            lit("\n\nshared section alpha beta gamma delta"))
+          .when(col("doc_id") < 20,
+            lit("\n\nshared section alpha beta gamma delta extra"))
+          .otherwise(lit(""))).as("text"))
+      val paras = Dedup.splitParagraphs(corpus, "text", "doc_id")
+        .select((col("id") * 1000 + col("para_id")).as("pid"), col("para"))
+      Dedup.minhashLshPairs(paras, "para", "pid", n = 3,
+        bands = 21, rowsPerBand = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(nearCorpus(s, dir), "text", "doc_id", bits = 16,
         maxDist = 1)
@@ -804,6 +822,25 @@ object DedupQueries {
                  WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.s AND s.e))
       SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
       FROM keep GROUP BY doc_id""",
+
+    // paragraph units (doc*1000 + position) through the exact-jaccard
+    // pair oracle — recall 1 at these banding params on this fixture
+    "d20_para_minhash" -> s"""
+      SELECT id_a, id_b, jaccard FROM (${jaccardOracle(
+        """WITH base AS (SELECT doc_id,
+               text || CASE
+                 WHEN doc_id < 10 THEN chr(10) || chr(10) ||
+                   'shared section alpha beta gamma delta'
+                 WHEN doc_id < 20 THEN chr(10) || chr(10) ||
+                   'shared section alpha beta gamma delta extra'
+                 ELSE '' END AS x
+             FROM documents)
+           SELECT doc_id * 1000 + u.pid AS doc_id, u.para AS text FROM (
+             SELECT doc_id, unnest(list_transform(range(len(ps)),
+               i -> {'pid': i, 'para': ps[i+1]})) AS u
+             FROM (SELECT doc_id, string_split_regex(x, '\n{2,}') AS ps
+                   FROM base)) t
+           WHERE trim(u.para) <> ''""", 3, 0.7)}) z""",
 
     // per-source distinct shingle vocabularies (short-doc branch
     // included), pairwise intersection + Jaccard
