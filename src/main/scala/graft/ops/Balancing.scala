@@ -23,6 +23,25 @@ object Balancing {
   def classCounts(df: DataFrame, target: String): DataFrame =
     df.groupBy(col(target)).agg(count(lit(1)).as("__n"))
 
+  /** Leakage-safe GROUP k-fold assignment — [[groupSplit]]'s contract
+    * extended to cross-validation: every near-dup cluster lands WHOLE
+    * in one of `k` folds (fold = seeded md5 of the component key mod
+    * k), so no CV fold ever validates against a near-duplicate of its
+    * own training data. Same deterministic hash routing, same
+    * broadcast-able component join; fold sizes are approximate at
+    * group granularity. Returns df + an integer `fold` column. */
+  def groupFolds(df: DataFrame, idCol: String, pairs: DataFrame,
+                 k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    val comp = Dedup.components(pairs).withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("fold",
+        pmod(Hashing.md5Int(concat_ws(":",
+          coalesce(col("comp"), col(idCol)).cast("string"), lit(seed))),
+          lit(k.toLong)))
+      .drop("comp")
+  }
+
   /** Balanced class weights — n / (k · n_c) per class (the standard
     * "balanced" heuristic): the weighting alternative to resampling
     * (B2-B14 move rows; weights move the LOSS, feed MLlib's weightCol

@@ -211,6 +211,14 @@ object DedupQueries {
       crossPairs(safe, "group").unionByName(crossPairs(naive, "naive"))
     }),
 
+    "b20_group_kfold" -> ((s, dir) =>
+      // leakage-safe 5-fold CV assignment: near-dup clusters (d2 pairs)
+      // land whole in one fold — md5 routing, exact oracle below
+      graft.ops.Balancing.groupFolds(nearCorpus(s, dir), "doc_id",
+        Dedup.ngramJaccardPairs(nearCorpus(s, dir), "text", "doc_id", n = 3,
+          threshold = 0.7), k = 5, seed = 42L)
+        .select("doc_id", "fold")),
+
     "d9_incremental_lsh" -> ((s, dir) => {
       // the production ingest shape: a perturbed batch (docs 0..49, ids
       // +20000) checked against an LSH index of the corpus — no corpus
@@ -744,6 +752,27 @@ object DedupQueries {
              CASE WHEN CAST(('0x' || substring(md5(CAST(g AS VARCHAR) || ':42'), 1, 15)) AS BIGINT)
                        % 1000 < 300
                   THEN 'test' ELSE 'train' END AS split
+      FROM grp""",
+
+    // b17's component replay with fold = md5(component:seed) mod 5
+    "b20_group_kfold" -> s"""
+      WITH RECURSIVE pairs AS (${jaccardOracle(NearCorpusSql, 3, 0.7)}),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      comp AS (SELECT n.id AS doc_id,
+                 least(n.id, (SELECT min(r) FROM reach WHERE reach.id = n.id)) AS component
+               FROM nodes n),
+      corpus AS ($NearCorpusSql),
+      grp AS (SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS g
+              FROM corpus c LEFT JOIN comp USING (doc_id))
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(g AS VARCHAR) || ':42'), 1, 15)) AS BIGINT)
+               % 5 AS fold
       FROM grp""",
 
     // replay both routers (group hash vs raw-id hash) and count pairs
