@@ -73,6 +73,26 @@ class BalancingSpec extends SparkSpec {
     (before.keySet - majority).foreach(k => assert(after(k) == before(k)))
   }
 
+  test("groupFolds: cluster-pure fold assignment, all folds in range, deterministic") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 31L, 32L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = groupFolds(docs, "doc_id", pairs, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 10 && out.values.forall(f => f >= 0 && f < 3))
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "chain cluster split across folds")
+    assert(Set(out(10L), out(11L)).size == 1)
+    assert(Set(out(20L), out(21L)).size == 1)
+    val again = groupFolds(docs, "doc_id", pairs, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    // every fold is non-empty over many singleton groups
+    val many = groupFolds((0L until 2000L).toDF("doc_id"), "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), k = 5)
+      .groupBy("fold").count().collect()
+    assert(many.length == 5)
+  }
+
   test("groupSplit: near-dup clusters never straddle the boundary; deterministic") {
     import spark.implicits._
     // three clusters (chain 1-2-3, pair 10-11, pair 20-21) + loose docs
