@@ -39,6 +39,17 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_rows"), count_distinct(col("event_id")).as("n_ids"))
     }),
 
+    "st10_stream_static_join" -> ((s, dir) =>
+      // stream-static enrichment, batch path: events pick up their
+      // user's market segment from the customer dim (broadcast — zero
+      // stateful shuffle in stream mode); StreamingSpec runs the same
+      // join on a real file stream
+      Streams.enrichJoin(Tables.events(s, dir),
+          Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          "user_id", "c_custkey")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))),
+
     "st9_interval_join" -> ((s, dir) => {
       // stream-stream interval join, batch path: every view paired with
       // the same user's purchases within the following hour. The batch
@@ -92,6 +103,12 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "st10_stream_static_join" -> """
+      SELECT e.event_type, c.c_mktsegment, count(*) AS n,
+             round(sum(e.value), 4) AS sum_value
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2""",
+
     // inclusive [ts, ts + 1h] bounds at microsecond granularity — the
     // same contract as the engine's unix_micros arithmetic
     "st9_interval_join" -> """

@@ -85,6 +85,19 @@ object Streams {
           col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $gapSec SECONDS"))
     }
 
+  /** Stream-static enrichment join — the most common production
+    * streaming shape: each event picks up its dimension row (user
+    * profile, product metadata) from a BATCH table. The static side is
+    * broadcast, so in stream mode every micro-batch joins map-side with
+    * zero stateful shuffle (no watermark needed — the static side is
+    * not a stream, there is no join state to bound); in batch mode the
+    * same call is a plain broadcast left join. Dimension columns ride
+    * along; unmatched keys keep nulls. */
+  def enrichJoin(events: DataFrame, dim: DataFrame, keyCol: String,
+                 dimKeyCol: String): DataFrame =
+    events.join(broadcast(dim), col(keyCol) === col(dimKeyCol), "left")
+      .drop(dimKeyCol)
+
   /** Run any of the transforms as a REAL stream from parquet files into an
     * in-memory sink; returns the query (caller awaits/stops). Used by the
     * spec to prove stream-mode execution, not just batch semantics. */

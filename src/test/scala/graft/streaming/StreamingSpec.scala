@@ -57,6 +57,22 @@ class StreamingSpec extends SparkSpec {
       s"stream rows ${got.length} vs batch ${expected.length}")
   }
 
+  test("stream-static enrichment: real file stream x broadcast dim equals batch") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables.events(spark, sf)
+    val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      Streams.enrichJoin(df, dim, "user_id", "c_custkey")
+        .groupBy("event_type", "c_mktsegment").agg(count(lit(1)).as("n"))
+    val expected = enrich(batch).collect().map(_.toString).sorted
+    val q = Streams.runFileStream(spark, eventsDir, batch.schema,
+      enrich, "enrich_sink")
+    q.awaitTermination(120000)
+    val got = spark.table("enrich_sink").collect().map(_.toString).sorted
+    assert(got.sameElements(expected),
+      s"stream rows ${got.length} vs batch ${expected.length}")
+  }
+
   test("interval join: real stream-stream join equals the batch gap-bucket join") {
     import org.apache.spark.sql.functions._
     val batch = Tables.events(spark, sf)
