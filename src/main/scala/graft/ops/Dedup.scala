@@ -487,6 +487,29 @@ object Dedup {
       .select(col("id").as(idCol), col(textCol))
   }
 
+  /** Aggressive normalization for dedup KEYS (not for output text):
+    * lowercase, strip everything but letters/digits/whitespace,
+    * collapse whitespace runs, trim — the standard canonicalization
+    * most pipelines hash BEFORE exact dedup, so that case, punctuation,
+    * and spacing variants of the same document collapse ("Hello,
+    * World!" == "hello world"). Map-only column expression. */
+  def normalizeForDedup(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Exact dedup under [[normalizeForDedup]] keys — "fuzzy-exact":
+    * keeps one representative (lowest id) per NORMALIZED text while
+    * returning the ORIGINAL text of the survivor. Same one
+    * map-side-combined min-struct aggregate as [[exactDedup]], keyed by
+    * md5 of the normalized form. */
+  def normalizedDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(textCol),
+      Hashing.md5Int(normalizeForDedup(col(textCol))).as("__h"))
+    keyed.groupBy("__h")
+      .agg(min(struct(col("id"), col(textCol))).as("__w"))
+      .select(col("__w.id").as(idCol), col(s"__w.$textCol"))
+  }
+
   /** Line rows (id, line_id, line): single-newline split — the unit
     * CCNet/RefinedWeb-style LINE rules work at, finer than
     * [[splitParagraphs]]' blank-line unit. Map-only; blank lines are

@@ -93,6 +93,17 @@ object DedupQueries {
         bands = D3Bands, rowsPerBand = D3RowsPerBand, threshold = D3Threshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    "d21_normalized_dedup" -> ((s, dir) =>
+      // fuzzy-exact: every doc also appears UPPERCASED with extra
+      // punctuation and doubled spaces (+40000) — raw-exact d1 would
+      // keep both; normalized keys collapse each pair to the original
+      Dedup.normalizedDedup(Tables.documents(s, dir).select("doc_id", "text")
+          .unionByName(Tables.documents(s, dir).select(
+            (col("doc_id") + 40000).as("doc_id"),
+            concat(lit("  "), regexp_replace(upper(col("text")), " ", ",  "))
+              .as("text"))),
+        "text", "doc_id")),
+
     "d20_para_minhash" -> ((s, dir) => {
       // COMPOSITION: paragraph units through the minhash pipeline —
       // docs 0..9 share an identical section, 10..19 carry a perturbed
@@ -851,6 +862,22 @@ object DedupQueries {
                  WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.s AND s.e))
       SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
       FROM keep GROUP BY doc_id""",
+
+    // normalized keys (lowercase, alnum+ws only, collapsed ws) collapse
+    // each planted variant pair; survivor = lowest id, ORIGINAL text
+    "d21_normalized_dedup" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 40000,
+               '  ' || regexp_replace(upper(text), ' ', ',  ', 'g')
+        FROM documents),
+      k AS (SELECT doc_id, text,
+              trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nk
+            FROM corpus)
+      SELECT doc_id, text FROM k
+      QUALIFY row_number() OVER (PARTITION BY nk ORDER BY doc_id) = 1""",
 
     // paragraph units (doc*1000 + position) through the exact-jaccard
     // pair oracle — recall 1 at these banding params on this fixture
