@@ -466,46 +466,56 @@ object Dedup {
     * their surviving paragraphs in original order. Boilerplate shared
     * across pages (headers, disclaimers) disappears from every doc but
     * the first — finer-grained than document dedup, stricter than line
-    * rules. ONE min-struct aggregate keyed by the paragraph hash (the
-    * exact-dedup shape: map-side combine collapses a million-fold
-    * boilerplate para per input partition BEFORE the shuffle), a
-    * winners semi-join, and a per-doc collect_list reassembly (bounded
-    * by doc size). Returns (id, text) with `sep` between paragraphs. */
+    * rules. JOIN-FREE: one min-struct aggregate keyed by the paragraph
+    * hash carries (id, para_id, para) through the min (the exact-dedup
+    * shape: map-side combine collapses a million-fold boilerplate para
+    * per input partition BEFORE the shuffle — since (id, para_id) is
+    * unique per row, the trailing para field never decides the min),
+    * then a per-doc collect_list reassembly (bounded by doc size) —
+    * no corpus-sized join back, no self-join ambiguity. Returns
+    * (id, text) with `sep` between paragraphs. */
   def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
-                      sep: String = "\n\n"): DataFrame = {
-    val hashed = splitParagraphs(df, textCol, idCol)
+                      sep: String = "\n\n"): DataFrame =
+    splitParagraphs(df, textCol, idCol)
       .withColumn("__h", Hashing.md5Int(col("para")))
-    val winners = hashed.groupBy("__h")
-      .agg(min(struct(col("id"), col("para_id"))).as("__w"))
-    hashed.join(winners,
-        hashed("__h") === winners("__h") &&
-          struct(hashed("id"), hashed("para_id")) === winners("__w"))
-      .groupBy(hashed("id"))
+      .groupBy("__h")
+      .agg(min(struct(col("id"), col("para_id"), col("para"))).as("__w"))
+      .select(col("__w.id").as("id"), col("__w.para_id").as("para_id"),
+        col("__w.para").as("para"))
+      .groupBy("id")
       .agg(concat_ws(sep,
         array_sort(collect_list(struct(col("para_id"), col("para"))))
           .getField("para")).as(textCol))
       .select(col("id").as(idCol), col(textCol))
-  }
 
   /** Aggressive normalization for dedup KEYS (not for output text):
     * lowercase, strip everything but letters/digits/whitespace,
     * collapse whitespace runs, trim — the standard canonicalization
     * most pipelines hash BEFORE exact dedup, so that case, punctuation,
     * and spacing variants of the same document collapse ("Hello,
-    * World!" == "hello world"). Map-only column expression. */
+    * World!" == "hello world"). UNICODE-aware (`\p{L}\p{N}`, not
+    * `[a-z0-9]`): CJK/Cyrillic/Arabic text keeps its letters instead of
+    * normalizing to the empty string. Map-only column expression. */
   def normalizeForDedup(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
 
   /** Exact dedup under [[normalizeForDedup]] keys — "fuzzy-exact":
     * keeps one representative (lowest id) per NORMALIZED text while
     * returning the ORIGINAL text of the survivor. Same one
     * map-side-combined min-struct aggregate as [[exactDedup]], keyed by
-    * md5 of the normalized form. */
+    * md5 of the normalized form. Rows whose normalized key is EMPTY
+    * (emoji-only, punctuation-only) all pass through unchanged — an
+    * empty key is absence of signal, not evidence of duplication, so
+    * they must never collapse into a single survivor (each such row
+    * gets its own id-keyed group; the grouping stays one aggregate). */
   def normalizedDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = normalizeForDedup(col(textCol))
     val keyed = df.select(col(idCol).as("id"), col(textCol),
-      Hashing.md5Int(normalizeForDedup(col(textCol))).as("__h"))
-    keyed.groupBy("__h")
+      Hashing.md5Int(norm).as("__h"),
+      when(norm === "", col(idCol).cast("string")).otherwise(lit(null))
+        .as("__eid"))
+    keyed.groupBy("__h", "__eid")
       .agg(min(struct(col("id"), col(textCol))).as("__w"))
       .select(col("__w.id").as(idCol), col(s"__w.$textCol"))
   }

@@ -81,15 +81,6 @@ object Imputation {
     }
   }
 
-  /** I4 — linear interpolation, pandas
-    * `interpolate(method='linear', limit_direction='both')` (`…:58-63`).
-    * Row order is pandas-implicit; here it is EXPLICIT: `orderCols` within
-    * `partitionBy` keys (SURVEY §7.4(1)) — callers must pass enough columns
-    * for a TOTAL order or neighbor choice is tie-dependent. Blend is linear
-    * in ORDINAL row position (pandas default), not in order-column value.
-    * With partition keys the window never collapses to one partition at
-    * scale.
-    */
   /** Forward fill (LOCF — last observation carried forward) per key in
     * explicit order: the time-series imputer that repeats the most
     * recent reading instead of inventing values between them (sensor
@@ -110,6 +101,15 @@ object Imputation {
     }
   }
 
+  /** I4 — linear interpolation, pandas
+    * `interpolate(method='linear', limit_direction='both')` (`…:58-63`).
+    * Row order is pandas-implicit; here it is EXPLICIT: `orderCols` within
+    * `partitionBy` keys (SURVEY §7.4(1)) — callers must pass enough columns
+    * for a TOTAL order or neighbor choice is tie-dependent. Blend is linear
+    * in ORDINAL row position (pandas default), not in order-column value.
+    * With partition keys the window never collapses to one partition at
+    * scale.
+    */
   case class Interpolate(c: String, orderCols: Seq[String],
                          partitionBy: Seq[String] = Nil) extends TableOp {
     def describe = s"interpolate $c ordered by ${orderCols.mkString(",")}"

@@ -143,12 +143,6 @@ object Relational {
       .select("column", "null_count", "null_pct")
   }
 
-  /** Exact median of one column, memory-bounded at ANY scale:
-    * distributed range sort + global-rank selection of the middle
-    * element(s). Spark's builtin exact `median`/`percentile` aggregate
-    * buffers every value in the aggregation buffer — fine for a
-    * dictionary-valued column, an OOM for a continuous one at 100 TB.
-    * Returns null for an all-null/empty column (SQL median semantics). */
   /** Shuffle-key skew report — the diagnostic a team runs BEFORE keying
     * a 100 TB join or aggregate: the `topK` hottest values of `keyCol`
     * with row count, share of all rows, and skew factor (count ÷ the
@@ -249,6 +243,12 @@ object Relational {
     df.withColumn(out, (col(c).cast(DoubleType) - med) / iqr)
   }
 
+  /** Exact median of one column, memory-bounded at ANY scale:
+    * distributed range sort + global-rank selection of the middle
+    * element(s). Spark's builtin exact `median`/`percentile` aggregate
+    * buffers every value in the aggregation buffer — fine for a
+    * dictionary-valued column, an OOM for a continuous one at 100 TB.
+    * Returns null for an all-null/empty column (SQL median semantics). */
   def exactMedian(df: DataFrame, c: String): Option[Double] = {
     val vals = df.select(col(c).cast(DoubleType).as("__v"))
       .filter(col("__v").isNotNull)

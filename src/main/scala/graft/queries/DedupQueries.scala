@@ -189,13 +189,15 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("span_start").cast("long"),
           col("span_end").cast("long"))),
 
-    "b17_group_split" -> ((s, dir) =>
+    "b17_group_split" -> ((s, dir) => {
       // leakage-safe split: near-dup clusters (d2 pairs) hash-route
       // whole to one side; seeded md5 arithmetic = exact oracle below
-      graft.ops.Balancing.groupSplit(nearCorpus(s, dir), "doc_id",
-        Dedup.ngramJaccardPairs(nearCorpus(s, dir), "text", "doc_id", n = 3,
+      val corpus = nearCorpus(s, dir)
+      graft.ops.Balancing.groupSplit(corpus, "doc_id",
+        Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3,
           threshold = 0.7), testFraction = 0.3, seed = 42L)
-        .select("doc_id", "split")),
+        .select("doc_id", "split")
+    }),
 
     "b18_split_leakage_audit" -> ((s, dir) => {
       // EVIDENCE query for the leakage-safe split: the group-aware
@@ -863,8 +865,10 @@ object DedupQueries {
       SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
       FROM keep GROUP BY doc_id""",
 
-    // normalized keys (lowercase, alnum+ws only, collapsed ws) collapse
-    // each planted variant pair; survivor = lowest id, ORIGINAL text
+    // normalized keys (lowercase, Unicode letter/digit+ws only,
+    // collapsed ws) collapse each planted variant pair; survivor =
+    // lowest id, ORIGINAL text; empty keys never collapse (each row
+    // with an empty normalized form is its own partition)
     "d21_normalized_dedup" -> """
       WITH corpus AS (
         SELECT doc_id, text FROM documents
@@ -874,10 +878,12 @@ object DedupQueries {
         FROM documents),
       k AS (SELECT doc_id, text,
               trim(regexp_replace(regexp_replace(lower(text),
-                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nk
+                '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nk
             FROM corpus)
       SELECT doc_id, text FROM k
-      QUALIFY row_number() OVER (PARTITION BY nk ORDER BY doc_id) = 1""",
+      QUALIFY row_number() OVER (PARTITION BY nk,
+        CASE WHEN nk = '' THEN CAST(doc_id AS VARCHAR) ELSE '' END
+        ORDER BY doc_id) = 1""",
 
     // paragraph units (doc*1000 + position) through the exact-jaccard
     // pair oracle — recall 1 at these banding params on this fixture

@@ -14,6 +14,13 @@ import Q.QueryFn
   */
 object JoinQueries {
 
+  /** Per-JVM namespace for q16's bucketed table names: cleanup only ever
+    * touches THIS session's previous copies, so a concurrent gate run in
+    * another JVM (different tag) never has its freshly written tables
+    * dropped mid-query. */
+  private val q16SessionTag: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
   val queries: Map[String, QueryFn] = Map(
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -77,14 +84,16 @@ object JoinQueries {
       // gate: both fact tables written bucketed by the join key, then a
       // join that plans with NO shuffle exchange on either side
       // (BucketingSpec pins the plan; this query oracles the content).
-      // UUID-tagged table names keep concurrent runs from colliding;
-      // tables from PREVIOUS runs are dropped here so repeated gate
-      // runs don't accumulate fact-table copies in the warehouse
+      // session-namespaced table names keep concurrent runs from
+      // colliding; cleanup drops only THIS session's previous copies
+      // (wildcard-dropping all q16_* would delete a concurrent gate
+      // run's freshly written tables mid-query)
+      val pre = s"q16_${q16SessionTag}_"
       s.catalog.listTables().collect().map(_.name)
-        .filter(t => t.startsWith("orders_q16_") || t.startsWith("lineitem_q16_"))
+        .filter(t => t.startsWith(s"orders_$pre") || t.startsWith(s"lineitem_$pre"))
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-      val (to, tl) = (s"orders_q16_$tag", s"lineitem_q16_$tag")
+      val (to, tl) = (s"orders_$pre$tag", s"lineitem_$pre$tag")
       graft.io.Bucketing.writeBucketed(Tables.orders(s, dir), to, "o_orderkey", 8)
       graft.io.Bucketing.writeBucketed(Tables.lineitem(s, dir), tl, "l_orderkey", 8)
       graft.io.Bucketing.table(s, tl)

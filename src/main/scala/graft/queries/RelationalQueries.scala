@@ -132,11 +132,15 @@ object RelationalQueries {
     "a16_pivot" -> ((s, dir) =>
       // cross-tabulation via the pivot surface: status x priority
       // counts as columns. Explicit pivot values pin the schema AND
-      // skip the values-discovery scan — one aggregate pass total
+      // skip the values-discovery scan — one aggregate pass total.
+      // na.fill(0): Spark's pivot-count leaves an absent (status,
+      // priority) cell NULL where the oracle's count FILTER says 0 —
+      // the cross-tab contract is 0-for-empty
       Tables.orders(s, dir).groupBy("o_orderstatus")
         .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
           "4-NOT SPECIFIED", "5-LOW"))
         .count()
+        .na.fill(0)
         .toDF("o_orderstatus", "urgent", "high", "medium",
           "not_specified", "low")),
 

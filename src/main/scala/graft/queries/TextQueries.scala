@@ -557,17 +557,20 @@ object TextQueries {
 
     // same md5 arithmetic as Hashing.md5Int; rank ties broken by id
     // words = [a-z0-9]+ runs, sentences = [.!?]\s runs + 1, syllables =
-    // vowel-group runs; identical run-counting and arithmetic order
+    // vowel-group runs; identical run-counting and arithmetic order.
+    // NULLIF on the word count mirrors the engine's words == 0 guard:
+    // a doc with no [a-z0-9]+ run scores NULL on both sides, not a
+    // DuckDB double-division inf/nan
     "t44_readability" -> """
       WITH px AS (SELECT doc_id,
              regexp_replace(text, '((?:\S+\s+){7})', '\1. ', 'g') AS x
            FROM documents)
       SELECT doc_id,
              round(206.835
-               - 1.015 * (len(regexp_extract_all(lower(x), '[a-z0-9]+'))
+               - 1.015 * (NULLIF(len(regexp_extract_all(lower(x), '[a-z0-9]+')), 0)
                           / CAST(len(regexp_extract_all(x, '[.!?]\s')) + 1 AS DOUBLE))
                - 84.6 * (len(regexp_extract_all(lower(x), '[aeiouy]+'))
-                         / CAST(len(regexp_extract_all(lower(x), '[a-z0-9]+')) AS DOUBLE)),
+                         / CAST(NULLIF(len(regexp_extract_all(lower(x), '[a-z0-9]+')), 0) AS DOUBLE)),
                4) AS flesch
       FROM px""",
 

@@ -291,6 +291,31 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == "solo\n\nafter blanks")
   }
 
+  test("dedupParagraphs plan is join-free: two aggregates, no self-join") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\n\nb"), (2L, "b\n\nc")).toDF("doc_id", "text")
+    val plan = Dedup.dedupParagraphs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"dedupParagraphs must be the min-struct aggregate shape (no corpus-sized join back):\n$plan")
+  }
+
+  test("normalizedDedup: Unicode text keeps its letters; empty keys never collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Привет, мир!"),        // Cyrillic — normalizes to "привет мир"
+      (2L, "привет  мир"),         // same normalized key -> collapses into 1
+      (3L, "你好世界"),              // CJK — its own key, survives
+      (4L, "!!!"),                 // empty normalized key
+      (5L, "???"),                 // empty normalized key — must NOT merge with 4
+      (6L, "🎉🎉"))                 // emoji-only — empty key, survives
+      .toDF("doc_id", "text")
+    val out = Dedup.normalizedDedup(docs, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 4L, 5L, 6L),
+      s"expected the Cyrillic pair to collapse and every empty-key row to survive, got $out")
+  }
+
   test("sourceOverlap: hand-checked pair Jaccard; disjoint pairs omitted") {
     import spark.implicits._
     // src a: shingles {1 2 3, 2 3 4} (from "1 2 3 4"); src b shares
