@@ -281,6 +281,37 @@ object MlQueries {
           lit(ok).as("complete"))
     }),
 
+    "m22_tree_shap" -> ((s, dir) => {
+      // EXACT Tree SHAP (Lundberg 2018 Algorithm 2, path-dependent) with
+      // a FULL value oracle: a fixed depth-2 tree over (o_custkey,
+      // o_totalprice) whose covers come from the data, so the DuckDB
+      // side can replay the Shapley values in closed form (for a
+      // depth-2 tree, phi_i = 1/2[(E_{i} - E_0) + (E_{01} - E_{other})]
+      // with each conditional expectation a cover-weighted CASE). The
+      // engine runs the REAL polynomial algorithm — TreeShapSpec pins it
+      // against brute-force Shapley and fitted MLlib DT/RF/GBT models;
+      // this query pins the arithmetic end to end against an
+      // independent replay.
+      val ord = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val bare = graft.ml.TreeShap.ShapTree(
+        feature = Array(1, 0, -1, -1, -1),
+        threshold = Array(250000.0, 750.0, Double.NaN, Double.NaN, Double.NaN),
+        left = Array(1, 2, -1, -1, -1),
+        right = Array(4, 3, -1, -1, -1),
+        value = Array(0.0, 0.0, 10.0, 20.0, 40.0),
+        cover = Array.fill(5)(Double.NaN))
+      val tree = graft.ml.TreeShap.withCovers(bare, ord,
+        Seq("o_custkey", "o_totalprice"))
+      graft.ml.TreeShap.shapFrame(ord.filter(col("o_orderkey") % 40 === 0),
+          Seq("o_custkey", "o_totalprice"), Seq(tree), Seq(1.0),
+          Seq("o_orderkey"))
+        .select(col("o_orderkey"),
+          round(col("phi_o_custkey"), 6).as("phi_custkey"),
+          round(col("phi_o_totalprice"), 6).as("phi_price"),
+          round(col("expected_value"), 6).as("expected_value"))
+    }),
+
     "m19_text_classifier" -> ((s, dir) => {
       // fastText-style quality classifier: train on a seeded separable
       // labeling of the corpus (docs containing 'table' -> 1), score the
@@ -632,6 +663,32 @@ object MlQueries {
 
     "m19_text_classifier" -> """
       SELECT count(*) AS n_docs, true AS accuracy_ge_09 FROM documents""",
+
+    // m22: closed-form Tree SHAP replay for the fixed depth-2 tree —
+    // covers are data counts; per-row phi from the four conditional
+    // expectations (E_0, E_{cust}, E_{price}, E_{both})
+    "m22_tree_shap" -> """
+      WITH c AS (SELECT
+          CAST(count(*) AS DOUBLE) AS nroot,
+          CAST(sum(CASE WHEN o_totalprice <= 250000 THEN 1 ELSE 0 END) AS DOUBLE) AS nl,
+          CAST(sum(CASE WHEN o_totalprice <= 250000 AND o_custkey <= 750 THEN 1 ELSE 0 END) AS DOUBLE) AS nll
+        FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+      d AS (SELECT nroot, nl, nll, nroot - nl AS nr, nl - nll AS nlr FROM c),
+      e AS (SELECT o_orderkey,
+          ((10*nll + 20*nlr) / nl * nl + 40*nr) / nroot AS e0,
+          CASE WHEN o_totalprice <= 250000
+               THEN (10*nll + 20*nlr) / nl ELSE 40.0 END AS ef1,
+          (nl * (CASE WHEN o_custkey <= 750 THEN 10.0 ELSE 20.0 END) + 40*nr) / nroot AS ef0,
+          CASE WHEN o_totalprice <= 250000
+               THEN CASE WHEN o_custkey <= 750 THEN 10.0 ELSE 20.0 END
+               ELSE 40.0 END AS ef01
+        FROM orders CROSS JOIN d
+        WHERE o_orderkey % 40 = 0)
+      SELECT o_orderkey,
+             round(0.5 * ((ef0 - e0) + (ef01 - ef1)), 6) AS phi_custkey,
+             round(0.5 * ((ef1 - e0) + (ef01 - ef0)), 6) AS phi_price,
+             round(e0, 6) AS expected_value
+      FROM e""",
 
     // m5c: the linear row is the decimal-exact OLS r2 on the modulo
     // split (m12 recipe); the rf row is invariant-only
