@@ -124,8 +124,18 @@ object ExcelSource {
     } finally zip.close()
   }
 
-  /** Read an .xlsx into an all-string DataFrame, first row as header. */
+  /** Read an Excel workbook into an all-string DataFrame, first row as
+    * header. Dispatches on MAGIC BYTES, not extension: `PK` = .xlsx
+    * (zip+XML, below), `D0 CF 11 E0` = legacy .xls (OLE2/BIFF8 —
+    * [[XlsSource]]) — a mislabeled file still reads, matching
+    * pandas.read_excel's engine sniffing. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val head = {
+      val in = new java.io.FileInputStream(path)
+      try { val b = new Array[Byte](4); in.read(b); b } finally in.close()
+    }
+    if ((head(0) & 0xFF) == 0xD0 && (head(1) & 0xFF) == 0xCF)
+      return XlsSource.read(spark, path)
     val rows = parseRows(path)
     require(rows.nonEmpty, s"empty sheet in $path")
     val header = rows.head.map(h => if (h == null) "" else h.trim)

@@ -91,10 +91,30 @@ object SourceQueries {
       .select(col("n_nationkey").cast("int"), col("n_name"))
   }
 
+  /** S4 legacy half: nation -> hand-built BIFF8 .xls (OLE2 container,
+    * SST/LABELSST strings, RK ints, NUMBER doubles) -> magic-byte
+    * dispatch through ExcelSource.read -> typed projection. The fixture
+    * is small, so it lands in the CFB MINI stream — the reader's
+    * miniFAT path runs on every gate. */
+  private def s4bXlsScan: QueryFn = (s, dir) => {
+    val path = Q.tempDir("graft_s4b") + "/nation.xls"
+    val src = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").collect()
+    graft.io.XlsSource.write(
+      Seq[Seq[Any]](Seq("n_nationkey", "n_name", "n_regionkey")) ++
+        src.toIndexedSeq.map(r => Seq[Any](r.getAs[Number](0).intValue(),
+          r.getString(1), r.getAs[Number](2).doubleValue())),
+      path)
+    graft.io.ExcelSource.read(s, path)
+      .select(col("n_nationkey").cast("bigint"), col("n_name"),
+        col("n_regionkey").cast("bigint"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "s1_csv_roundtrip" -> s1CsvRoundtrip,
     "s2_csv_allstring" -> s2CsvAllString,
     "s4_excel_scan" -> s4ExcelScan,
+    "s4b_xls_scan" -> s4bXlsScan,
     "s7_version_check" -> s7VersionCheck,
     "s9_params_json" -> s9ParamsJson,
     "s13_schema_profile" -> profileDocuments,
@@ -185,6 +205,8 @@ object SourceQueries {
       SELECT doc_id + 90000, 'added' FROM documents WHERE doc_id < 10""",
     "s4_excel_scan" ->
       "SELECT n_nationkey, n_name FROM nation",
+    "s4b_xls_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s2_csv_allstring" ->
       "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
     "s7_version_check" -> """
