@@ -48,6 +48,23 @@ object MultimodalQueries {
       Multimodal.decodeMedia(media)
     }),
 
+    "mm6_video_meta" -> ((s, dir) => {
+      // REAL MP4 container parse end to end: executors synthesize one
+      // standards-valid ISO-BMFF file per row (ftyp/moov/mvhd/trak/
+      // tkhd/mdia/hdlr boxes), parseMp4 walks the box tree back, and
+      // every surfaced fact is id-derived arithmetic — a full
+      // value-level oracle over a genuine build -> parse round trip.
+      import s.implicits._
+      val media = s.range(40).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val k = (id % 9 + 1).toInt
+          (id, Multimodal.syntheticMp4((id + 1) * 250, 16 * k, 9 * k,
+            withAudio = id % 2 == 0))
+        }
+      }.toDF("media_id", "content")
+      Multimodal.describeVideo(media)
+    }),
+
     "mm4_resize" -> ((s, dir) =>
       // resize in the decode seam: new pixel budget caps the byte length,
       // meta rewritten to the target dimensions
@@ -70,6 +87,16 @@ object MultimodalQueries {
              CAST(i * 13 % 256 AS DOUBLE) AS mean_g,
              CAST(i * 29 % 256 AS DOUBLE) AS mean_b
       FROM range(50) t(i)""",
+
+    "mm6_video_meta" -> """
+      SELECT CAST(i AS BIGINT) AS media_id, 'isom' AS brand,
+             CAST((i + 1) * 250 AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+             CAST(16 * (i % 9 + 1) AS INT) AS width,
+             CAST(9 * (i % 9 + 1) AS INT) AS height,
+             true AS has_video,
+             i % 2 = 0 AS has_audio
+      FROM range(40) t(i)""",
 
     "mm1_media_schema" -> """
       SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,

@@ -140,4 +140,42 @@ class MultimodalSpec extends SparkSpec {
         (id * 13 % 256).toDouble, (id * 29 % 256).toDouble), s"id $id: ${got(id)}")
     }
   }
+
+  test("parseMp4 walks real ISO-BMFF boxes: mvhd, tracks, dimensions, handlers") {
+    val b = Multimodal.syntheticMp4(durationMs = 2500, w = 320, h = 180,
+      withAudio = true)
+    val Some(m) = Multimodal.parseMp4(b)
+    assert(m.brand == "isom" && m.timescale == 1000 && m.durationMs == 2500)
+    assert(m.nTracks == 2 && m.width == 320 && m.height == 180)
+    assert(m.hasVideo && m.hasAudio)
+    val Some(v) = Multimodal.parseMp4(
+      Multimodal.syntheticMp4(100, 64, 36, withAudio = false))
+    assert(v.nTracks == 1 && v.hasVideo && !v.hasAudio)
+  }
+
+  test("parseMp4 rejects non-MP4 and survives truncated/corrupt boxes") {
+    assert(Multimodal.parseMp4(null).isEmpty)
+    assert(Multimodal.parseMp4("plainly not a video file".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(Multimodal.syntheticPng(1, 4, 4)).isEmpty)
+    // truncate mid-moov: the walk stops without throwing
+    val whole = Multimodal.syntheticMp4(1000, 32, 18, withAudio = false)
+    for (cut <- Seq(17, 40, whole.length / 2))
+      Multimodal.parseMp4(whole.take(cut)) // must not throw
+  }
+
+  test("describeVideo surfaces container facts per row; non-MP4 rows null out") {
+    import spark.implicits._
+    val media = spark.range(4).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val bytes = if (id == 3) "junk".getBytes
+          else Multimodal.syntheticMp4((id + 1) * 100, 16, 9, id % 2 == 0)
+        (id, bytes)
+      }
+    }.toDF("media_id", "content")
+    val got = Multimodal.describeVideo(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getLong(2) == 100 && got(0L).getBoolean(7))
+    assert(got(1L).getLong(2) == 200 && !got(1L).getBoolean(7))
+    assert(got(3L).isNullAt(1) && got(3L).isNullAt(2))
+  }
 }
