@@ -44,6 +44,19 @@ object CorpusSink {
       .parquet(path)
   }
 
+  /** Append one batch to a partitioned corpus — the micro-batch /
+    * incremental-ingest form of [[writePartitioned]]: same clustering
+    * and file-size levers, `append` mode so earlier batches stay.
+    * Streaming ingest accretes files per batch; run [[compact]] when
+    * listing time starts to rival read time. */
+  def appendPartitioned(df: DataFrame, path: String, partitionCol: String,
+                        maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(col(partitionCol)).write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .mode("append")
+      .parquet(path)
+
   /** Read a partitioned corpus back. The partition column comes back
     * from directory names (string-typed unless
     * `spark.sql.sources.partitionColumnTypeInference` applies). */

@@ -699,12 +699,34 @@ object Dedup {
   def decontaminateMapOnly(corpus: DataFrame, benchmark: DataFrame,
                            textCol: String, idCol: String, n: Int,
                            maxOverlap: Double,
-                           expectedShingles: Long = 4L * 1000 * 1000): DataFrame = {
+                           expectedShingles: Long = 4L * 1000 * 1000): DataFrame =
+    benchmarkBloom(benchmark, textCol, idCol, n, expectedShingles) match {
+      case None => corpus // empty benchmark: nothing to drop
+      case Some(bloom) =>
+        decontaminateWithBloom(corpus, bloom, textCol, n, maxOverlap)
+    }
+
+  /** The fit half of [[decontaminateMapOnly]]: one aggregate over the
+    * benchmark's distinct shingle hashes -> a driver-held bloom filter
+    * (None for an empty benchmark). Build ONCE, then apply
+    * [[decontaminateWithBloom]] to any number of batches / micro-batches
+    * — the streaming pipeline's shape, where re-scanning the benchmark
+    * per batch would be pure waste. */
+  def benchmarkBloom(benchmark: DataFrame, textCol: String, idCol: String,
+                     n: Int,
+                     expectedShingles: Long = 4L * 1000 * 1000): Option[Array[Byte]] = {
     val bs = shingleHashRows(benchmark, textCol, idCol, n).select("__h").distinct()
     val bloomRow = bs.agg(call_function("bloom_agg", col("__h"),
       lit(expectedShingles), lit(expectedShingles * 10)).as("bf")).head()
-    if (bloomRow.isNullAt(0)) return corpus // empty benchmark: nothing to drop
-    val bloom = bloomRow.getAs[Array[Byte]](0)
+    if (bloomRow.isNullAt(0)) None else Some(bloomRow.getAs[Array[Byte]](0))
+  }
+
+  /** The apply half of [[decontaminateMapOnly]]: ZERO-shuffle row-local
+    * filter against a prebuilt benchmark bloom — runs on batch or
+    * streaming DataFrames alike. */
+  def decontaminateWithBloom(corpus: DataFrame, bloom: Array[Byte],
+                             textCol: String, n: Int,
+                             maxOverlap: Double): DataFrame = {
     val sh = call_function("shingle_hashes", col(textCol), lit(n))
     val withCounts = corpus
       .withColumn("__n_sh", size(sh).cast(LongType))

@@ -82,6 +82,67 @@ object StreamingQueries {
         threshold = 0.99, nprobe = 8).select("vec_id")
     }),
 
+    "st11_corpus_pipeline" -> ((s, dir) => {
+      // END-TO-END streaming corpus pipeline (ingest-dedup -> bloom
+      // decontamination -> quality gate -> partitioned sink), run as a
+      // REAL two-file readStream, then re-run as the batch fold of the
+      // same step over the same files. The returned rows are the
+      // stream's surviving corpus; `stream_equals_batch` pins the
+      // bit-for-bit equality of the two paths engine-side, and the
+      // DuckDB oracle independently replays the whole pipeline
+      // (incremental LSH drop rule across both batches, exact shingle
+      // decontamination, quality threshold).
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val b1 = docs.filter(col("doc_id") < 100)
+      val b2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .unionByName(docs.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 30000).as("doc_id"), col("lang"),
+            concat(col("text"), lit(" extra token")).as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+          .select((col("doc_id") + 31000).as("doc_id"), col("lang"),
+            concat(col("text"), lit(" extra token")).as("text")))
+      val root = Q.tempDir("graft_st11")
+      val srcDir = s"$root/src"
+      new java.io.File(srcDir).mkdirs()
+      // two single-file batches with strictly ordered mod times so the
+      // file stream processes f1 before f2
+      for ((b, name, age) <- Seq((b1, "f1", 20000L), (b2, "f2", 10000L))) {
+        b.coalesce(1).write.parquet(s"$srcDir/$name")
+        val part = new java.io.File(s"$srcDir/$name").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$srcDir/$name"))
+        dst.setLastModified(System.currentTimeMillis() - age)
+      }
+      val schema = docs.schema
+      val benchmark = docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+      val bloom = graft.ops.Dedup.benchmarkBloom(benchmark, "text", "doc_id",
+        n = 3, expectedShingles = 200000L)
+      def freshIndex(path: String): Unit =
+        graft.ops.LshIndex.save(graft.ops.LshIndex.build(docs.limit(0),
+          "text", "doc_id", n = 3, bands = 21, rowsPerBand = 3), path)
+      def cfg(ix: String, out: String) = graft.streaming.CorpusPipeline.Config(
+        indexPath = ix, threshold = 0.7, bloom = bloom, n = 3,
+        maxOverlap = 0.8, minQuality = 0.75, outDir = out,
+        partitionCol = "lang")
+      // stream path
+      freshIndex(s"$root/ixS")
+      graft.streaming.CorpusPipeline.start(s, srcDir, schema,
+        cfg(s"$root/ixS", s"$root/outS"), s"$root/cp").awaitTermination()
+      // batch path: fold the SAME step over the SAME files in order
+      freshIndex(s"$root/ixB")
+      for (f <- Seq("f1", "f2"))
+        graft.streaming.CorpusPipeline.step(
+          s.read.parquet(s"$srcDir/$f.parquet"), cfg(s"$root/ixB", s"$root/outB"))
+      val outS = s.read.parquet(s"$root/outS").select("doc_id", "lang", "text")
+      val outB = s.read.parquet(s"$root/outB").select("doc_id", "lang", "text")
+      val equal = outS.exceptAll(outB).isEmpty && outB.exceptAll(outS).isEmpty
+      outS.select(col("doc_id"), col("lang"))
+        .withColumn("stream_equals_batch", lit(equal))
+    }),
+
     "st7_ingest_dedup" -> ((s, dir) => {
       // one IngestDedup.step against a fresh index of the corpus: batch =
       // 25 perturbed corpus docs (near-dups of history, dropped) + 25
@@ -125,6 +186,75 @@ object StreamingQueries {
     "st8_vector_ingest" -> """
       SELECT CAST(vec_id + 31000 AS BIGINT) AS vec_id
       FROM embeddings WHERE vec_id >= 10 AND vec_id < 20""",
+
+    // st11: full pipeline replay — batch1 (ids < 100) dedups against an
+    // empty index (within-batch components), batch2 (ids >= 100, incl.
+    // the +30000/+31000 plants) drops on any pair into batch-1 SURVIVORS
+    // (history wins; dropped batch-1 docs never entered the index) plus
+    // within-batch components; then exact shingle decontamination vs
+    // docs 50..59 and the quality threshold. stream == batch is pinned
+    // engine-side; this replay pins WHAT both compute.
+    "st11_corpus_pipeline" -> s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id < 200
+        UNION ALL SELECT doc_id + 30000, lang, text || ' extra token'
+        FROM documents WHERE doc_id < 25
+        UNION ALL SELECT doc_id + 31000, lang, text || ' extra token'
+        FROM documents WHERE doc_id >= 100 AND doc_id < 110),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(len(string_split_regex(trim(text), '\\s+')) - 2),
+               i -> list_reduce(list_transform(range(i, i + 3),
+                      j -> (string_split_regex(trim(text), '\\s+'))[j + 1]),
+                    (a, b) -> a || ' ' || b)))) AS sh
+             FROM corpus
+             WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+             UNION ALL
+             SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS sh
+             FROM corpus
+             WHERE len(string_split_regex(trim(text), '\\s+')) < 3),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b
+                FROM prs JOIN sizes na ON na.doc_id = id_a
+                         JOIN sizes nb ON nb.doc_id = id_b
+                WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.7),
+      p11 AS (SELECT id_a, id_b FROM pairs WHERE id_a < 100 AND id_b < 100),
+      e1 AS (SELECT id_a AS src, id_b AS dst FROM p11
+             UNION SELECT id_b, id_a FROM p11),
+      reach1 AS (SELECT src AS id, dst AS r FROM e1
+                 UNION SELECT reach1.id, e.dst FROM reach1 JOIN e1 e ON e.src = reach1.r),
+      drop1 AS (SELECT id FROM reach1 GROUP BY id
+                HAVING least(id, min(r)) <> id),
+      surv1 AS (SELECT doc_id FROM corpus WHERE doc_id < 100
+                AND doc_id NOT IN (SELECT id FROM drop1)),
+      old2 AS (SELECT id_b AS id FROM pairs
+               WHERE id_b >= 100 AND id_a IN (SELECT doc_id FROM surv1)
+               UNION SELECT id_a FROM pairs
+               WHERE id_a >= 100 AND id_b IN (SELECT doc_id FROM surv1)),
+      p22 AS (SELECT id_a, id_b FROM pairs WHERE id_a >= 100 AND id_b >= 100),
+      e2 AS (SELECT id_a AS src, id_b AS dst FROM p22
+             UNION SELECT id_b, id_a FROM p22),
+      reach2 AS (SELECT src AS id, dst AS r FROM e2
+                 UNION SELECT reach2.id, e.dst FROM reach2 JOIN e2 e ON e.src = reach2.r),
+      drop2 AS (SELECT id FROM reach2 GROUP BY id
+                HAVING least(id, min(r)) <> id),
+      surv2 AS (SELECT doc_id FROM corpus WHERE doc_id >= 100
+                AND doc_id NOT IN (SELECT id FROM old2)
+                AND doc_id NOT IN (SELECT id FROM drop2)),
+      kept AS (SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv2),
+      bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id BETWEEN 50 AND 59),
+      hits AS (SELECT s.doc_id, count(*) AS h FROM sh s
+               JOIN bsh ON s.sh = bsh.sh GROUP BY 1),
+      contam AS (SELECT k.doc_id FROM kept k
+                 JOIN sizes z ON z.doc_id = k.doc_id
+                 JOIN hits h ON h.doc_id = k.doc_id
+                 WHERE h.h > 0 AND h.h >= z.n_sh * 0.8)
+      SELECT c.doc_id, c.lang, true AS stream_equals_batch
+      FROM corpus c JOIN kept k ON k.doc_id = c.doc_id
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+        AND ${TextQueries.qualitySql} >= 0.75""",
 
     // kept = batch docs with NO >= 0.7 Jaccard pair into the corpus AND
     // min of their within-batch near-dup component (the step() drop rule)

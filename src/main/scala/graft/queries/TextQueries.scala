@@ -400,7 +400,8 @@ object TextQueries {
     s"CAST(${hitsSql(Text.EnStopwords)} AS DOUBLE) / len($lowToksSql)"
   private val mwlSql =
     s"CAST(list_sum(list_transform($toksSql, x -> len(x))) AS DOUBLE) / len($toksSql)"
-  private val qualitySql =
+  // package-visible: the st11 pipeline oracle replays the same gate
+  private[queries] val qualitySql =
     s"""(CAST(len(text) BETWEEN 50 AND 100000 AS INT)
        + CAST($punctSql <= 0.2 AS INT)
        + CAST($stopSql >= 0.01 AS INT)
