@@ -900,9 +900,20 @@ object Dedup {
   /** Embedding cosine near-dup pairs above `threshold`.
     * `Similarity.cosine` does the arithmetic; candidate generation here is
     * the sign-LSH band join (random-hyperplane sketch) — brute force only
-    * when `lshPlanes == 0`. */
+    * when `lshPlanes == 0`. `lshTables` > 1 unions candidates from
+    * independently-seeded sketch tables (the banded form: per-pair miss
+    * probability (1-p^planes)^tables — more planes keep buckets SMALL as
+    * n grows, more tables buy the recall back; exact verification means
+    * extra tables can only ADD true pairs, never false ones).
+    *
+    * FIXED planes are a scale trap: bucket occupancy n/2^planes grows
+    * linearly with the corpus, and candidate volume occupancy²·buckets =
+    * n²/2^planes grows QUADRATICALLY (the r6 sf1 bench measured 36x for
+    * 10x data). Use [[cosinePairsAuto]] unless the corpus size is known
+    * and fixed. */
   def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
-                  threshold: Double, lshPlanes: Int = 0, seed: Long = 42L): DataFrame = {
+                  threshold: Double, lshPlanes: Int = 0, seed: Long = 42L,
+                  lshTables: Int = 1): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     if (lshPlanes <= 0) {
       // all-pairs candidates, but scoring still goes through the
@@ -914,14 +925,36 @@ object Dedup {
     } else {
       // scale path: codegen'd sketches for candidates, codegen'd
       // exploded-join cosine for verification — no interpreted lambdas
-      // on the hot path
-      val sk = Similarity.signSketchDf(v, "id", "v", lshPlanes, seed)
-      val cand = sk.as("a").join(sk.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // on the hot path; per-table candidate sets union + distinct
+      // BEFORE the exact verify so a pair colliding in several tables
+      // verifies once
+      val cand = (0 until math.max(1, lshTables)).map { t =>
+        val sk = Similarity.signSketchDf(v, "id", "v", lshPlanes,
+          seed + 7919L * t)
+        sk.as("a").join(sk.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      }.reduce(_ unionByName _).distinct()
       Similarity.cosineForPairs(cand, v, "id", "v")
         .filter(col("cosine") >= threshold)
     }
+  }
+
+  /** [[cosinePairs]] with SIZE-ADAPTIVE planes: planes =
+    * ceil(log2(n / targetBucket)) keeps expected bucket occupancy near
+    * `targetBucket` at ANY corpus size, so candidate volume stays
+    * LINEAR (n·occupancy·tables/2) instead of quadratic — the same
+    * 1/sqrt(n) discipline as `Neighbors.autoWidth`. One count() job
+    * sizes the sketch; recall lost to the extra planes is bought back
+    * with `tables` independent sketch tables. */
+  def cosinePairsAuto(df: DataFrame, vecCol: String, idCol: String,
+                      threshold: Double, targetBucket: Int = 32,
+                      tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    val planes = math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+    cosinePairs(df, vecCol, idCol, threshold, lshPlanes = planes, seed = seed,
+      lshTables = tables)
   }
 
   /** Quality-aware keep-one: collapse every near-dup cluster in `pairs`

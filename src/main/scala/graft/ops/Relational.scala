@@ -258,6 +258,102 @@ object Relational {
     if (mids.isEmpty) None else Some(mids.sum / mids.length)
   }
 
+  /** EXACT medians of SEVERAL columns in a HANDFUL of shared aggregate
+    * scans — no per-column sort. Histogram-refinement rank selection:
+    * every active (column, rank) target bins its candidate interval into
+    * `bins` buckets in ONE shared pass (explode of per-target structs →
+    * map-side-combined (target, bin) counts + in-bin min/max), the
+    * driver walks cumulative counts to the bucket holding the rank, and
+    * the interval shrinks to that bucket's OBSERVED [min, max] — so
+    * identical-value pileups converge immediately and distinct doubles
+    * separate once the width passes their gap (≤ ~5 rounds in
+    * practice). When a target's bucket holds ≤ `collectLimit` rows the
+    * remaining values collect and sort locally.
+    *
+    * vs. the [[exactMedian]] sort path: k columns cost k range SORTS of
+    * the full data there (the r6 sf1 bench measured 12.6x for 10x data
+    * on 3 columns); here the whole batch costs ~4 scans TOTAL at any
+    * column count — the shape that survives 100 TB. NaN is treated as
+    * missing (excluded, like null); ±Inf columns fall back to the sort
+    * path (unbinnable range). */
+  def exactMedians(df: DataFrame, cols: Seq[String], bins: Int = 4096,
+                   collectLimit: Long = 65536): Map[String, Option[Double]] = {
+    if (cols.isEmpty) return Map.empty
+    def d(c: String) = col(c).cast(DoubleType)
+    // pass 0: per-column non-null/non-NaN count + min/max
+    val statAggs = cols.flatMap { c =>
+      val x = when(d(c).isNotNull && !isnan(d(c)), d(c))
+      Seq(count(x).as(s"__n_$c"), min(x).as(s"__lo_$c"), max(x).as(s"__hi_$c"))
+    }
+    val stats = df.agg(statAggs.head, statAggs.tail: _*).head()
+    // a target = one rank of one column, refined within [lo, hi]
+    // (both inclusive); rank is LOCAL to the interval
+    final case class Target(c: String, var rank: Long, var lo: Double,
+                            var hi: Double, var done: Option[Double] = None)
+    val targets = scala.collection.mutable.ArrayBuffer.empty[Target]
+    val result = scala.collection.mutable.Map.empty[String, Option[Double]]
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val n = stats.getLong(i * 3)
+      if (n == 0) result(c) = None
+      else {
+        val lo = stats.getDouble(i * 3 + 1); val hi = stats.getDouble(i * 3 + 2)
+        if (lo.isInfinite || hi.isInfinite) result(c) = exactMedian(df, c)
+        else if (lo == hi) result(c) = Some(lo)
+        else Seq((n + 1) / 2, n / 2 + 1).distinct.foreach { r =>
+          targets += Target(c, r, lo, hi)
+        }
+      }
+    }
+    var guard = 0
+    while (targets.exists(_.done.isEmpty) && guard < 64) {
+      guard += 1
+      val active = targets.filter(_.done.isEmpty).toSeq
+      val entries = active.zipWithIndex.map { case (t, i) =>
+        val x = d(t.c)
+        val w = (t.hi - t.lo) / bins
+        val bin = least(lit(bins - 1),
+          floor((x - lit(t.lo)) / lit(w)).cast("int"))
+        when(x.isNotNull && !isnan(x) && x >= lit(t.lo) && x <= lit(t.hi),
+          struct(lit(i).as("t"), bin.as("b"), x.as("x")))
+      }
+      val hist = df.select(explode(array(entries: _*)).as("e"))
+        .filter(col("e").isNotNull)
+        .groupBy(col("e.t").as("t"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("n"), min("e.x").as("mn"), max("e.x").as("mx"))
+        .collect()
+        .groupBy(_.getInt(0))
+      active.zipWithIndex.foreach { case (t, i) =>
+        val rows = hist.getOrElse(i, Array.empty).sortBy(_.getInt(1))
+        var r = t.rank
+        var picked: org.apache.spark.sql.Row = null
+        val it = rows.iterator
+        while (picked == null && it.hasNext) {
+          val row = it.next()
+          if (r <= row.getLong(2)) picked = row else r -= row.getLong(2)
+        }
+        require(picked != null, s"rank ${t.rank} fell off the histogram of ${t.c}")
+        val cnt = picked.getLong(2)
+        val mn = picked.getDouble(3)
+        val mx = picked.getDouble(4)
+        t.rank = r; t.lo = mn; t.hi = mx
+        if (mn == mx) t.done = Some(mn)
+        else if (cnt <= collectLimit) {
+          val vals = df.select(d(t.c).as("__v"))
+            .filter(col("__v") >= mn && col("__v") <= mx)
+            .collect().map(_.getDouble(0)).sorted
+          t.done = Some(vals((r - 1).toInt))
+        }
+      }
+    }
+    require(targets.forall(_.done.isDefined),
+      s"exactMedians failed to converge in $guard rounds")
+    targets.groupBy(_.c).foreach { case (c, ts) =>
+      val vals = ts.map(_.done.get)
+      result(c) = Some(vals.sum / vals.length)
+    }
+    result.toMap
+  }
+
   /** A7 — column stats: mean/median/min/max/std (`mice_method.py:115-120`).
     * The moment aggregates are one hash-agg pass. The EXACT median goes
     * through [[exactMedian]] (sort + rank selection per column — bounded
@@ -283,13 +379,10 @@ object Relational {
       val stackExpr = cols.map(c =>
         s"'$c', `mean_$c`, CAST(`min_$c` AS DOUBLE), CAST(`max_$c` AS DOUBLE), `std_$c`"
       ).mkString(s"stack(${cols.length}, ", ", ", ") as (column, mean, min, max, std)")
-      // medians are independent single-column jobs — run them concurrently
-      // (the scheduler interleaves their stages across the executor pool)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val medFutures = cols.map(c => c -> Future(exactMedian(df, c)))
-      val meds = medFutures.map { case (c, f) => c -> Await.result(f, Duration.Inf) }
+      // all exact medians in one shared histogram-refinement batch
+      // (r6: replaced per-column concurrent SORTS — see exactMedians)
+      val medsMap = exactMedians(df, cols)
+      val meds = cols.map(c => c -> medsMap(c))
       val medCol = meds.foldLeft(lit(null).cast(DoubleType)) {
         case (acc, (c, m)) =>
           when(col("column") === c, m.map(lit(_)).getOrElse(lit(null).cast(DoubleType)))

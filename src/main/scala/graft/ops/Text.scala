@@ -64,21 +64,6 @@ object Text {
     (lenOk + punctOk + stopOk + wordOk) / 4.0
   }
 
-  /** The full Gopher document-quality rule set (Rae et al. 2021 §A1.1)
-    * as one MAP-ONLY pass — per doc, every rule's statistic plus the
-    * conjunction verdict. All statistics are builtin codegen column
-    * arithmetic (counts via length deltas and multiline regex counts —
-    * no higher-order lambdas), so the filter runs at scan speed on
-    * 100 TB and replays exactly in SQL:
-    *
-    *  - `word_count` in [50, 100k]
-    *  - `mean_word_len` in [3, 10]
-    *  - `symbol_ratio` (# and ... occurrences per word) < 0.1
-    *  - `bullet_frac` (lines starting with -, *) < 0.9
-    *  - `ellipsis_frac` (lines ending with ...) < 0.3
-    *  - `alpha_frac` (words containing a letter) > 0.8
-    *  - `stop_hits` (occurrences of core stopwords) >= 2
-    */
   /** Flesch reading-ease score from regex-countable proxies: words =
     * alphanumeric runs, sentences = terminal-punct-before-space runs
     * + 1 (the trailing segment), syllables = vowel-group runs (the
@@ -98,6 +83,21 @@ object Text {
         lit(84.6) * (syllables / words))
   }
 
+  /** The full Gopher document-quality rule set (Rae et al. 2021 §A1.1)
+    * as one MAP-ONLY pass — per doc, every rule's statistic plus the
+    * conjunction verdict. All statistics are builtin codegen column
+    * arithmetic (counts via length deltas and multiline regex counts —
+    * no higher-order lambdas), so the filter runs at scan speed on
+    * 100 TB and replays exactly in SQL:
+    *
+    *  - `word_count` in [50, 100k]
+    *  - `mean_word_len` in [3, 10]
+    *  - `symbol_ratio` (# and ... occurrences per word) < 0.1
+    *  - `bullet_frac` (lines starting with -, *) < 0.9
+    *  - `ellipsis_frac` (lines ending with ...) < 0.3
+    *  - `alpha_frac` (words containing a letter) > 0.8
+    *  - `stop_hits` (occurrences of core stopwords) >= 2
+    */
   def gopherRules(c: Column): Column = {
     val wc = tokenCount(c)
     val wcD = wc.cast(DoubleType)

@@ -127,12 +127,33 @@ object DedupQueries {
         maxDist = 1)
         .select("id_a", "id_b", "hamming")),
 
+    "d22_simhash64" -> ((s, dir) =>
+      // the SCALE form of d4 (r6): 48-bit signatures, maxDist 3 -> four
+      // 12-bit blocks = 4096 block keys, so candidate volume stays
+      // bounded as the corpus grows where d4's 16-bit/8-bit-block shape
+      // went quadratic at the 10x bench (16 bits of key space saturate).
+      // Near-IDENTICAL twins (one appended token) sit a few bits apart
+      // at 48 bits — the regime Manku-style wide-hash banding targets;
+      // the oracle brute-forces the identical arithmetic
+      Dedup.simhashPairs(
+        Tables.documents(s, dir).select("doc_id", "text")
+          .unionByName(Tables.documents(s, dir).select(
+            (col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text"))),
+        "text", "doc_id", bits = 48, maxDist = 3)
+        .select("id_a", "id_b", "hamming")),
+
     "d5_cosine_dup" -> ((s, dir) => {
+      // size-adaptive planes (r6): fixed 8 planes measured 36x at the
+      // 10x scale-up — occupancy must stay bounded as n grows. The
+      // planted identical vectors share EVERY sketch, so recall on the
+      // oracle set is 1 at any plane count; extra tables only add
+      // exactly-verified candidates
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = e.unionByName(e.filter(col("vec_id") < 50)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      Dedup.cosinePairs(corpus, "embedding", "vec_id", threshold = 0.99,
-        lshPlanes = 8)
+      Dedup.cosinePairsAuto(corpus, "embedding", "vec_id", threshold = 0.99,
+        targetBucket = 32, tables = 2)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
@@ -549,14 +570,16 @@ object DedupQueries {
     s"${dot(c, c)} - 2.0 * ${dot(c, q)} + ${dot(q, q)}"
   }
 
-  private val simhashOracle: String = {
-    val bits = 16
+  /** Exact simhash replay, parameterized: same md5-derived 60-bit token
+    * hash and bit-sum arithmetic as the native `simhash64` expression,
+    * brute-force pair join (the oracle runs at sf0.01 only). */
+  private def simhashOracleFor(corpusSql: String, bits: Int, maxDist: Int): String = {
     val bitSums = (0 until bits).map(j =>
       s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n             ")
     val sig = (0 until bits).map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     s"""
-    WITH corpus AS ($NearCorpusSql),
+    WITH corpus AS ($corpusSql),
     tok AS (SELECT doc_id,
                    CAST(('0x' || substring(md5(CAST(t AS VARCHAR)), 1, 15)) AS BIGINT) AS h
             FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM corpus)),
@@ -567,8 +590,18 @@ object DedupQueries {
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist"""
   }
+
+  private val simhashOracle: String = simhashOracleFor(NearCorpusSql, 16, 1)
+
+  /** d22's corpus: every doc plus a one-token-appended twin — the
+    * near-IDENTICAL regime (hamming a few bits of 48) that wide-hash
+    * simhash banding is designed for. */
+  private val Simhash64CorpusSql: String = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 40000, text || ' zzz' FROM documents"""
 
   val oracles: Map[String, String] = Map(
     "d11_semdedup" -> """
@@ -680,6 +713,8 @@ object DedupQueries {
     "d3_minhash_lsh" -> jaccardOracle(NearCorpusSql, 3, 0.7),
 
     "d4_simhash" -> simhashOracle,
+
+    "d22_simhash64" -> simhashOracleFor(Simhash64CorpusSql, 48, 3),
 
     "d7_decontaminate" -> """
       WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -300,6 +300,23 @@ class DedupSpec extends SparkSpec {
       s"dedupParagraphs must be the min-struct aggregate shape (no corpus-sized join back):\n$plan")
   }
 
+  test("cosinePairsAuto: planted identical dups all found; output subset of brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val base = (0L until 300L).map(i => (i, Array.fill(16)(rng.nextGaussian())))
+    val corpus = (base ++ base.take(20).map { case (i, v) => (i + 1000, v) })
+      .toDF("vec_id", "embedding")
+    val auto = Dedup.cosinePairsAuto(corpus, "embedding", "vec_id",
+      threshold = 0.99, targetBucket = 16, tables = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.cosinePairs(corpus, "embedding", "vec_id",
+      threshold = 0.99, lshPlanes = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share every sketch -> all 20 planted pairs found
+    (0L until 20L).foreach(i => assert(auto.contains((i, i + 1000)), s"missing $i"))
+    assert(auto.subsetOf(brute), "exact verify must keep LSH output inside brute force")
+  }
+
   test("normalizedDedup: Unicode text keeps its letters; empty keys never collapse") {
     import spark.implicits._
     val docs = Seq(
