@@ -385,30 +385,47 @@ object Dedup {
       call_function("simhash64", Text.tokens(col(textCol)), lit(bits)).as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance <= maxDist. Candidate
-    * generation: split the signature into maxDist+1 blocks — any pair
-    * within distance must agree on >=1 whole block (pigeonhole); join on
-    * (block index, block value), verify exact popcount. */
+    * generation is Manku-style block banding: the signature splits into
+    * `maxDist + blocksPerKey` blocks, and any pair within distance must
+    * leave >= blocksPerKey blocks UNTOUCHED (pigeonhole), so each doc is
+    * keyed under every C(nBlocks, blocksPerKey) combination of
+    * blocksPerKey block values and pairs join on combination-key
+    * equality; exact popcount verifies.
+    *
+    * `blocksPerKey` is the precision/fan-out lever: 1 gives the classic
+    * match-one-block scheme (key width bits/(maxDist+1) — FINE while the
+    * key space dwarfs the corpus, quadratic once it saturates: the r6
+    * 10x bench caught 12-bit keys at 100k docs collecting 41M candidates
+    * for 320k true pairs, 8.5x the uniform-hash floor because templated
+    * documents CORRELATE block values). 3 widens the key to
+    * 3·bits/(maxDist+3) bits — e.g. 24 bits at bits=48/maxDist=3 — at
+    * the cost of C(6,3)=20 keys per doc: candidate volume collapses to
+    * near the true-pair count because unrelated docs must now agree on
+    * 24 correlated bits, not 12. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, bits: Int,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, blocksPerKey: Int = 1): DataFrame = {
+    require(blocksPerKey >= 1, s"blocksPerKey must be >= 1, got $blocksPerKey")
     val sigs = simhash(df, textCol, idCol, bits)
-    val nBlocks = maxDist + 1
+    val nBlocks = maxDist + blocksPerKey
     val blockBits = bits / nBlocks
-    val blocked = sigs.select(col("id"), col("simhash"),
-      explode(array((0 until nBlocks).map(b => struct(lit(b).as("blk"),
-        shiftrightunsigned(col("simhash"), b * blockBits)
-          .bitwiseAND(lit((1L << blockBits) - 1)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.blk"), col("bk.key"))
-    val popcount = (c: Column) => {
-      // 64-bit popcount via bit_count
-      bit_count(c)
-    }
-    blocked.as("a").join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+    require(blockBits >= 1, s"bits=$bits too narrow for $nBlocks blocks")
+    val combos = (0 until nBlocks).combinations(blocksPerKey).toSeq
+    val comboIdBits = 64 - java.lang.Long.numberOfLeadingZeros(combos.length.toLong)
+    require(blocksPerKey * blockBits + comboIdBits <= 63,
+      s"combination key overflows a long: $blocksPerKey x $blockBits value bits + $comboIdBits combo-id bits")
+    val block = (b: Int) => shiftrightunsigned(col("simhash"), b * blockBits)
+      .bitwiseAND(lit((1L << blockBits) - 1))
+    val keyed = sigs.select(col("id"), col("simhash"),
+      explode(array(combos.zipWithIndex.map { case (combo, ci) =>
+        combo.foldLeft(lit(ci.toLong): Column)((acc, b) =>
+          shiftleft(acc, blockBits).bitwiseOR(block(b)))
+      }: _*)).as("key"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("ha"), col("b.simhash").as("hb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", popcount(col("ha").bitwiseXOR(col("hb"))).cast(LongType))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }

@@ -128,19 +128,20 @@ object DedupQueries {
         .select("id_a", "id_b", "hamming")),
 
     "d22_simhash64" -> ((s, dir) =>
-      // the SCALE form of d4 (r6): 48-bit signatures, maxDist 3 -> four
-      // 12-bit blocks = 4096 block keys, so candidate volume stays
-      // bounded as the corpus grows where d4's 16-bit/8-bit-block shape
-      // went quadratic at the 10x bench (16 bits of key space saturate).
+      // the SCALE form of d4 (r6): 48-bit signatures, maxDist 3,
+      // blocksPerKey 3 -> Manku 3-of-6 banding on 24-bit combination
+      // keys, where d4's 16-bit/8-bit-block shape went quadratic at the
+      // 10x bench (key space saturates; templated docs correlate block
+      // values — profiled 41M candidates for 320k true pairs at 1-of-4).
       // Near-IDENTICAL twins (one appended token) sit a few bits apart
-      // at 48 bits — the regime Manku-style wide-hash banding targets;
-      // the oracle brute-forces the identical arithmetic
+      // at 48 bits — the regime wide-hash banding targets; the oracle
+      // brute-forces the identical arithmetic
       Dedup.simhashPairs(
         Tables.documents(s, dir).select("doc_id", "text")
           .unionByName(Tables.documents(s, dir).select(
             (col("doc_id") + 40000).as("doc_id"),
             concat(col("text"), lit(" zzz")).as("text"))),
-        "text", "doc_id", bits = 48, maxDist = 3)
+        "text", "doc_id", bits = 48, maxDist = 3, blocksPerKey = 3)
         .select("id_a", "id_b", "hamming")),
 
     "d5_cosine_dup" -> ((s, dir) => {

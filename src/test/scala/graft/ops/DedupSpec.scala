@@ -300,6 +300,28 @@ class DedupSpec extends SparkSpec {
       s"dedupParagraphs must be the min-struct aggregate shape (no corpus-sized join back):\n$plan")
   }
 
+  test("simhashPairs: combination banding (3-of-6) finds the same pairs as 1-of-4") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    // templated docs: shared prefix + per-doc tail, plus near-identical twins
+    val docs = ((0L until 120L).map { i =>
+      (i, "the quick brown template prefix " +
+        (0 until 10).map(j => s"w${rng.nextInt(50)}").mkString(" "))
+    } ++ (0L until 30L).map { i =>
+      (i + 1000, null.asInstanceOf[String]) // placeholder replaced below
+    }).toMap
+    val base = (0L until 120L).map(i => (i, docs(i)))
+    val twins = (0L until 30L).map(i => (i + 1000, docs(i) + " zz"))
+    val corpus = (base ++ twins).toDF("doc_id", "text")
+    def pairs(bpk: Int) =
+      Dedup.simhashPairs(corpus, "text", "doc_id", bits = 48, maxDist = 3,
+        blocksPerKey = bpk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pigeonhole completeness: both banding schemes find EVERY pair
+    // within the distance, so the outputs are identical
+    assert(pairs(3) == pairs(1))
+  }
+
   test("cosinePairsAuto: planted identical dups all found; output subset of brute force") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
