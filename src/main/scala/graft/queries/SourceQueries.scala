@@ -110,7 +110,31 @@ object SourceQueries {
         col("n_regionkey").cast("bigint"))
   }
 
+  /** S-ext: WARC ingest — documents round-tripped through real ISO-28500
+    * records (HTTP response payloads, exact Content-Length framing), one
+    * plain file + one GZIPPED file read through the same glob, HTTP
+    * headers stripped on read. The Common Crawl entry path. */
+  private def s28WarcScan: QueryFn = (s, dir) => {
+    val root = Q.tempDir("graft_s28")
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+    val (a, b) = docs.splitAt(docs.length / 2)
+    def recs(rows: Array[org.apache.spark.sql.Row]) = rows.toSeq.map { r =>
+      (s"<urn:uuid:${r.getLong(0)}>", "response",
+        s"http://example.com/doc/${r.getLong(0)}",
+        "application/http; msgtype=response",
+        graft.io.WarcSource.httpResponse(r.getString(1), "text/plain"))
+    }
+    graft.io.WarcSource.write(recs(a), s"$root/part1.warc")
+    graft.io.WarcSource.write(recs(b), s"$root/part2.warc.gz", gzip = true)
+    graft.io.WarcSource.read(s, s"$root/*.warc*", httpBody = true)
+      .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("bigint").as("doc_id"),
+        decode(col("content"), "UTF-8").as("text"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s28_warc_scan" -> s28WarcScan,
     "s1_csv_roundtrip" -> s1CsvRoundtrip,
     "s2_csv_allstring" -> s2CsvAllString,
     "s4_excel_scan" -> s4ExcelScan,
@@ -207,6 +231,8 @@ object SourceQueries {
       "SELECT n_nationkey, n_name FROM nation",
     "s4b_xls_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s28_warc_scan" ->
+      "SELECT doc_id, text FROM documents",
     "s2_csv_allstring" ->
       "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
     "s7_version_check" -> """
