@@ -104,6 +104,24 @@ object DedupQueries {
               .as("text"))),
         "text", "doc_id")),
 
+    "d23_url_dedup" -> ((s, dir) => {
+      // crawl-side URL dedup (r6): every page appears twice — once at
+      // its canonical URL, once as the messy variant (case, :443,
+      // tracking run, fragment). dedupByUrl collapses each pair to the
+      // lowest id (the canonical row) at scan speed — the dedup
+      // pipelines run BEFORE any text is read
+      val docs = Tables.documents(s, dir)
+      val clean = docs.select(col("doc_id"),
+        concat(lit("https://www.site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/path/"), col("doc_id")).as("url"))
+      val messy = docs.select((col("doc_id") + 40000).as("doc_id"),
+        concat(lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(7)),
+          lit(".Example.COM:443/path/"), col("doc_id"),
+          lit("?utm_source=feed&fbclid=abc#top")).as("url"))
+      graft.ops.Urls.dedupByUrl(clean.unionByName(messy), "url", "doc_id")
+        .select("doc_id", "canonical_url")
+    }),
+
     "d20_para_minhash" -> ((s, dir) => {
       // COMPOSITION: paragraph units through the minhash pipeline —
       // docs 0..9 share an identical section, 10..19 carry a perturbed
@@ -716,6 +734,14 @@ object DedupQueries {
     "d4_simhash" -> simhashOracle,
 
     "d22_simhash64" -> simhashOracleFor(Simhash64CorpusSql, 48, 3),
+
+    // both variants canonicalize to the clean URL -> survivor = the
+    // clean (lower-id) row, carrying its ORIGINAL url text
+    "d23_url_dedup" -> """
+      SELECT doc_id,
+             'https://www.site' || (doc_id % 7) || '.example.com/path/'
+               || doc_id AS canonical_url
+      FROM documents""",
 
     "d7_decontaminate" -> """
       WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -57,6 +57,22 @@ object TextQueries {
         .select(col("doc_id"), col("pos").cast("long").as("idx"),
           col("col").as("fp"))),
 
+    "t45_url_canon" -> ((s, dir) =>
+      // crawl-URL hygiene (r6): per-doc synthetic URL with every
+      // canonicalization hazard planted (case, default port, tracking
+      // run, fragment) -> canonical form + host + registrable domain;
+      // the oracle replays the identical regex chain (shared
+      // Java/RE2 syntax — no lookaround)
+      Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(7)),
+          lit(".Example.COM:443/Path/"), col("doc_id"),
+          lit("?utm_source=feed&utm_medium=rss&id="),
+          pmod(col("doc_id"), lit(50)), lit("#section-2")).as("url"))
+        .select(col("doc_id"),
+          graft.ops.Urls.canonicalizeUrl(col("url")).as("canonical"),
+          graft.ops.Urls.urlHost(col("url")).as("host"),
+          graft.ops.Urls.registrableDomain(col("url")).as("domain"))),
+
     "t5_quality_filter" -> ((s, dir) =>
       // End-to-end filter: keep docs with quality >= 0.75, report per-lang
       // survivor counts — the composite op a C4-style cleaning run uses.
@@ -526,6 +542,34 @@ object TextQueries {
       SELECT lang, count(*) AS n FROM documents
       WHERE $qualitySql >= 0.75
       GROUP BY lang""",
+
+    // identical regex chain as Urls.canonicalizeUrl, RE2 backrefs
+    "t45_url_canon" -> s"""
+      WITH u AS (SELECT doc_id,
+          'HTTPS://WWW.Site' || (doc_id % 7) || '.Example.COM:443/Path/'
+            || doc_id || '?utm_source=feed&utm_medium=rss&id='
+            || (doc_id % 50) || '#section-2' AS url
+        FROM documents),
+      c AS (SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      lower(regexp_extract(url, '^([^:/?#]+://[^/?#]*)', 1))
+                        || regexp_replace(url, '^[^:/?#]+://[^/?#]*', ''),
+                      '#.*$$', '', 'g'),
+                    '^(https://[^/?#:]*):443($$|[/?#].*)', '\\1\\2', 'g'),
+                  '^(http://[^/?#:]*):80($$|[/?#].*)', '\\1\\2', 'g'),
+                '([?&])((utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?)+', '\\1', 'g'),
+              '[?&]$$', '', 'g'),
+            '^([a-z]+://[^/?#]+)/$$', '\\1', 'g') AS canonical,
+          lower(regexp_extract(url, '^[^:/?#]+://([^/?#:]*)', 1)) AS host
+        FROM u)
+      SELECT doc_id, canonical, host,
+             regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+      FROM c""",
 
     // 'g' flag: DuckDB replaces only the first match by default, Spark
     // replaces all; patterns stay inside the Java-regex/RE2 shared syntax
