@@ -209,6 +209,38 @@ object Text {
   private[ops] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private[ops] val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
+  /** HTML -> text extraction — the step between a WARC response body and
+    * a `documents` row (what trafilatura/jusText do structurally, minus
+    * ML boilerplate scoring, which [[graft.ops.Dedup.removeBoilerplateLines]]
+    * handles CROSS-document instead): drop script/style/comment blocks
+    * wholesale, turn block-level closers into newlines, strip remaining
+    * tags, decode the common entities, normalize whitespace. One
+    * map-only codegen'd regexp chain in the Java/RE2 SHARED syntax
+    * (case-insensitive + dot-all inline flags, lazy quantifiers — no
+    * lookaround), so the oracle replays it verbatim and it runs on a
+    * streaming DataFrame unchanged. */
+  def htmlToText(c: Column): Column = {
+    // no pattern backreferences (RE2 has none): script and style blocks
+    // drop via alternation
+    val noScript = regexp_replace(c,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", "")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&") // amp LAST
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, r)) =>
+      regexp_replace(acc, e, r)
+    }
+    // spaces collapse; newline runs keep PARAGRAPH structure (>= 2
+    // newlines stay a blank-line break for splitParagraphs downstream);
+    // edge trim is regex (builtin trim strips SPACES only, not \n)
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(decoded,
+      "[ \\t]+", " "), " ?\\n ?", "\n"), "\\n{3,}", "\n\n"),
+      "^\\s+|\\s+$", "")
+  }
+
   /** PII AUDIT counts — the measurement twin of [[redactPii]]: per-row
     * match counts for each pattern (email, IPv4, phone), so a source can
     * be scored for PII density BEFORE deciding to redact or drop.

@@ -57,6 +57,22 @@ object TextQueries {
         .select(col("doc_id"), col("pos").cast("long").as("idx"),
           col("col").as("fp"))),
 
+    "t46_html_extract" -> ((s, dir) =>
+      // WARC -> documents bridge (r6): each doc wrapped in a full HTML
+      // page (script/style/comment/nav chrome, entities, block tags),
+      // extracted back by the map-only htmlToText chain; the oracle
+      // replays the identical regex chain over the identical wrapper
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.ops.Text.htmlToText(concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>body { color: red; }</style>" +
+            "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "</head><body><!-- nav --><div class=\"nav\">Home | About</div>" +
+            "<h1>Doc "), col("doc_id"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;</p></body></html>")))
+          .as("text"))),
+
     "t45_url_canon" -> ((s, dir) =>
       // crawl-URL hygiene (r6): per-doc synthetic URL with every
       // canonicalization hazard planted (case, default port, tracking
@@ -542,6 +558,34 @@ object TextQueries {
       SELECT lang, count(*) AS n FROM documents
       WHERE $qualitySql >= 0.75
       GROUP BY lang""",
+
+    // identical regex chain as Text.htmlToText over the identical
+    // wrapper; '' escapes single quotes inside the DuckDB literal
+    "t46_html_extract" -> """
+      WITH h AS (SELECT doc_id,
+          '<html><head><title>Doc ' || doc_id ||
+          '</title><style>body { color: red; }</style>' ||
+          '<script type="text/javascript">var x = 1 < 2;</script>' ||
+          '</head><body><!-- nav --><div class="nav">Home | About</div>' ||
+          '<h1>Doc ' || doc_id || '</h1><p>' || text ||
+          '</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;</p></body></html>' AS x
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(x,
+                  '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', '', 'g'),
+                '(?s)<!--.*?-->', '', 'g'),
+              '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>', chr(10), 'g'),
+          '(?s)<[^>]*>', '', 'g'),
+          '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+          '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'),
+          '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n{3,}',
+          chr(10) || chr(10), 'g'), '^\s+|\s+$', '', 'g') AS text
+      FROM h""",
 
     // identical regex chain as Urls.canonicalizeUrl, RE2 backrefs
     "t45_url_canon" -> s"""
