@@ -33,6 +33,7 @@ object Bench {
     "t9_source_mix", "t12_tfidf", "t13_lm_score", "t16_chunk_docs",
     "t17_normalize", "t29_dsir_select", "t30_winnow", "t31_bm25",
     "t41_sentence_chunks", "t42_char_entropy",
+    "t46_html_extract", "t47_link_extract", "t48_host_rank",
     "st1_tumbling_window", "st3_session_window",
     "mm2_feature_extract")
 

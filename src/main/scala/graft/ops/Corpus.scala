@@ -439,4 +439,68 @@ object Corpus {
       .withColumn("curriculum_rank", col("curriculum_rank") - 1)
       .select(col(idCol), col("bucket"), col("curriculum_rank"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * exponentiated-gradient updates push training weight toward domains
+    * with EXCESS loss — where the proxy model underperforms the
+    * reference — then smooth toward uniform.
+    *
+    * Honest stand-in scope: DoReMi proper re-evaluates a proxy model
+    * between steps; with no trainer in the engine, the per-domain loss
+    * here is the corpus-unigram LM cross-entropy (nats/token, the
+    * [[Lexicon.unigramLogProb]] machinery aggregated per SOURCE) and
+    * the reference loss is the all-corpus cross-entropy, both FIXED
+    * across steps — so the `steps` loop telescopes mathematically to a
+    * single step at `steps * eta` (kept as a loop because that is the
+    * seam where a real proxy-model eval plugs in, and the oracle
+    * replays the loop's exact float product). The update rule itself
+    * is the published one:
+    * `alpha_d <- alpha_d * exp(eta * max(L_d - L_ref, 0))`,
+    * `w = (1-smoothing) * alpha/sum(alpha) + smoothing/nDomains`,
+    * starting from token-share alpha_0.
+    *
+    * Returns one row per source: (source, tokens, excess_loss, weight).
+    *
+    * Scale: the heavy work is the (doc, term) count table — the shared
+    * t12/t13 shape (occurrence collapse BEFORE the term join, broadcast
+    * vocabulary totals). Everything after the per-source rollup is
+    * arithmetic on a domains-sized frame: the EG loop adds zero
+    * exchanges, and nDomains rides a 1-row broadcast, never a collect
+    * of data rows. */
+  def doremiWeights(df: DataFrame, textCol: String, idCol: String,
+                    sourceCol: String, eta: Double = 1.0, steps: Int = 2,
+                    smoothing: Double = 0.01): DataFrame = {
+    require(steps >= 1 && eta > 0 && smoothing >= 0 && smoothing < 1)
+    val dt = Lexicon.docTermCounts(df, textCol, idCol)
+    val ct = dt.groupBy("term").agg(sum("c").as("__ct"))
+    val total = ct.agg(sum("__ct").as("__tot"))
+    val dom = dt
+      .join(df.select(col(idCol).as("id"), col(sourceCol).as("source")), "id")
+      .join(ct, "term").crossJoin(broadcast(total))
+      .groupBy("source")
+      .agg(sum("c").as("tokens"),
+        sum(col("c") * log(col("__ct").cast(DoubleType) / col("__tot")))
+          .as("__lp"))
+    // reference loss + token share denominators from the SAME two-level
+    // sum shape the oracle uses (per-domain partials, then across
+    // domains) — one domains-sized aggregate on a 1-row broadcast
+    val globals = dom.agg(sum("tokens").as("__gtok"), sum("__lp").as("__glp"),
+      count(lit(1)).as("__nd"))
+    val based = dom.crossJoin(broadcast(globals))
+      .withColumn("excess_loss",
+        greatest(lit(0.0),
+          (-col("__lp") / col("tokens")) - (-col("__glp") / col("__gtok"))))
+      .withColumn("__alpha", col("tokens").cast(DoubleType) / col("__gtok"))
+    val stepped = (1 to steps).foldLeft(based) { (acc, _) =>
+      acc.withColumn("__alpha",
+        col("__alpha") * exp(lit(eta) * col("excess_loss")))
+    }
+    val norm = stepped.agg(sum("__alpha").as("__asum"))
+    stepped.crossJoin(broadcast(norm))
+      .select(col("source"), col("tokens"),
+        round(col("excess_loss"), 6).as("excess_loss"),
+        round(lit(1.0 - smoothing) * col("__alpha") / col("__asum") +
+          lit(smoothing) / col("__nd"), 6).as("weight"))
+  }
 }

@@ -264,13 +264,16 @@ object DedupQueries {
       crossPairs(safe, "group").unionByName(crossPairs(naive, "naive"))
     }),
 
-    "b20_group_kfold" -> ((s, dir) =>
+    "b20_group_kfold" -> ((s, dir) => {
       // leakage-safe 5-fold CV assignment: near-dup clusters (d2 pairs)
       // land whole in one fold — md5 routing, exact oracle below
-      graft.ops.Balancing.groupFolds(nearCorpus(s, dir), "doc_id",
-        Dedup.ngramJaccardPairs(nearCorpus(s, dir), "text", "doc_id", n = 3,
+      // (corpus bound ONCE — the b17 double-build nit, same fix)
+      val corpus = nearCorpus(s, dir)
+      graft.ops.Balancing.groupFolds(corpus, "doc_id",
+        Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3,
           threshold = 0.7), k = 5, seed = 42L)
-        .select("doc_id", "fold")),
+        .select("doc_id", "fold")
+    }),
 
     "d9_incremental_lsh" -> ((s, dir) => {
       // the production ingest shape: a perturbed batch (docs 0..49, ids

@@ -24,6 +24,25 @@ object TextQueries {
     * — the last char is NBSP, not a space). */
   private val NormFrom = "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0"
 
+  /** DuckDB replay of [[graft.ops.Urls.canonicalizeUrl]] over column `c`
+    * \u2014 the identical regex chain in the shared Java/RE2 syntax (used by
+    * the t47 oracle; t45 carries the same chain inline). */
+  private def canonChainSql(c: String): String =
+    s"""regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    lower(regexp_extract($c, '^([^:/?#]+://[^/?#]*)', 1))
+                      || regexp_replace($c, '^[^:/?#]+://[^/?#]*', ''),
+                    '#.*$$', '', 'g'),
+                  '^(https://[^/?#:]*):443($$|[/?#].*)', '\\1\\2', 'g'),
+                '^(http://[^/?#:]*):80($$|[/?#].*)', '\\1\\2', 'g'),
+              '([?&])((utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?)+', '\\1', 'g'),
+            '[?&]$$', '', 'g'),
+          '^([a-z]+://[^/?#]+)/$$', '\\1', 'g')"""
+
   val queries: Map[String, QueryFn] = Map(
     "t1_token_count" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -88,6 +107,48 @@ object TextQueries {
           graft.ops.Urls.canonicalizeUrl(col("url")).as("canonical"),
           graft.ops.Urls.urlHost(col("url")).as("host"),
           graft.ops.Urls.registrableDomain(col("url")).as("domain"))),
+
+    "t47_link_extract" -> ((s, dir) =>
+      // anchor-href extraction (r6): each doc wrapped in HTML carrying
+      // both quote styles, a relative link, a fragment link, and an
+      // uppercase absolute link; keep the absolute ones, canonicalize,
+      // derive the host — the WARC -> host-graph front half. Map-only
+      // regex chain until the explode; oracle replays it verbatim.
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(graft.ops.WebGraph.extractHrefs(concat(
+          lit("<p>See <a href=\"https://Site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/page?utm_source=feed&id="),
+          pmod(col("doc_id"), lit(10)),
+          lit("\">x</a>, <a href='/rel/"), col("doc_id"),
+          lit("'>y</a>, <a href=\"#frag\">z</a> and <A HREF=\"HTTP://Other"),
+          pmod(col("doc_id"), lit(3)), lit(".ORG:80/\">w</A></p>")))).as("href"))
+        .filter(col("href").rlike("(?i)^https?://"))
+        .select(col("doc_id"), col("href"),
+          graft.ops.Urls.canonicalizeUrl(col("href")).as("canonical"),
+          graft.ops.Urls.urlHost(col("href")).as("host"))),
+
+    "t48_host_rank" -> ((s, dir) => {
+      // integer-token PageRank (r6) over a deterministic host graph
+      // derived from doc_id arithmetic: sources h0..h16, destinations
+      // h0..h19 (h17-h19 dangling), with a hot-sink skew on h0..h4.
+      // All arithmetic is long division + order-independent long sums,
+      // so the 3-iteration oracle replays bit for bit.
+      val d = Tables.documents(s, dir)
+      val src = concat(lit("h"), pmod(col("doc_id"), lit(17)))
+      val e1 = d.select(src.as("src"),
+        concat(lit("h"), pmod(col("doc_id") * 7 + 3, lit(20))).as("dst"))
+      val e2 = d.select(src.as("src"),
+        concat(lit("h"), pmod(col("doc_id"), lit(5))).as("dst"))
+      graft.ops.WebGraph.hostRank(e1.union(e2), iterations = 3)
+    }),
+
+    "t49_doremi_weights" -> ((s, dir) =>
+      // DoReMi-style domain reweighting (r6): unigram-LM cross-entropy
+      // per source vs the all-corpus reference, 2 EG steps at eta=1,
+      // 1% uniform smoothing — the oracle replays the identical float
+      // expression trees (same two-level sum shape, same exp product)
+      Corpus.doremiWeights(Tables.documents(s, dir), "text", "doc_id",
+        "source", eta = 1.0, steps = 2, smoothing = 0.01)),
 
     "t5_quality_filter" -> ((s, dir) =>
       // End-to-end filter: keep docs with quality >= 0.75, report per-lang
@@ -614,6 +675,95 @@ object TextQueries {
       SELECT doc_id, canonical, host,
              regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
       FROM c""",
+
+    // href extraction + the t45 canonicalization chain over each
+    // absolute link; DuckDB's unnest flattens the per-doc match list
+    // (row order is irrelevant — the gate compares sorted multisets)
+    "t47_link_extract" -> s"""
+      WITH h AS (SELECT doc_id,
+          '<p>See <a href="https://Site' || (doc_id % 7) ||
+          '.example.com/page?utm_source=feed&id=' || (doc_id % 10) ||
+          '">x</a>, <a href=''/rel/' || doc_id ||
+          '''>y</a>, <a href="#frag">z</a> and <A HREF="HTTP://Other' ||
+          (doc_id % 3) || '.ORG:80/">w</A></p>' AS x
+        FROM documents),
+      l AS (SELECT doc_id,
+          unnest(regexp_extract_all(x,
+            '(?i)<a\\b[^>]*?\\shref\\s*=\\s*["'']([^"'']*)["'']', 1)) AS href
+        FROM h)
+      SELECT doc_id, href, ${canonChainSql("href")} AS canonical,
+             lower(regexp_extract(href, '^[^:/?#]+://([^/?#:]*)', 1)) AS host
+      FROM l WHERE regexp_matches(href, '(?i)^https?://')""",
+
+    // integer-token PageRank, 3 iterations unrolled; '//' is DuckDB's
+    // floor division == Spark's `div` on the all-positive token counts,
+    // and integer sums are order-independent, so the replay is exact
+    "t48_host_rank" -> """
+      WITH e AS (
+        SELECT 'h' || (doc_id % 17) AS src,
+               'h' || ((doc_id * 7 + 3) % 20) AS dst FROM documents
+        UNION
+        SELECT 'h' || (doc_id % 17), 'h' || (doc_id % 5) FROM documents),
+      nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      r0 AS (SELECT host, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+      rc1 AS (SELECT e.dst AS host, SUM((r.r * 85 // 100) // deg.d) AS rc
+              FROM e JOIN r0 r ON e.src = r.host JOIN deg ON deg.src = e.src
+              GROUP BY e.dst),
+      r1 AS (SELECT n.host, COALESCE(rc.rc, 0) +
+               (((SELECT SUM(r) FROM r0)
+                 - COALESCE((SELECT SUM(rc) FROM rc1), 0))
+                // (SELECT count(*) FROM nodes)) AS r
+             FROM nodes n LEFT JOIN rc1 rc ON n.host = rc.host),
+      rc2 AS (SELECT e.dst AS host, SUM((r.r * 85 // 100) // deg.d) AS rc
+              FROM e JOIN r1 r ON e.src = r.host JOIN deg ON deg.src = e.src
+              GROUP BY e.dst),
+      r2 AS (SELECT n.host, COALESCE(rc.rc, 0) +
+               (((SELECT SUM(r) FROM r1)
+                 - COALESCE((SELECT SUM(rc) FROM rc2), 0))
+                // (SELECT count(*) FROM nodes)) AS r
+             FROM nodes n LEFT JOIN rc2 rc ON n.host = rc.host),
+      rc3 AS (SELECT e.dst AS host, SUM((r.r * 85 // 100) // deg.d) AS rc
+              FROM e JOIN r2 r ON e.src = r.host JOIN deg ON deg.src = e.src
+              GROUP BY e.dst),
+      r3 AS (SELECT n.host, COALESCE(rc.rc, 0) +
+               (((SELECT SUM(r) FROM r2)
+                 - COALESCE((SELECT SUM(rc) FROM rc3), 0))
+                // (SELECT count(*) FROM nodes)) AS r
+             FROM nodes n LEFT JOIN rc3 rc ON n.host = rc.host)
+      SELECT host, r AS rank_tokens FROM r3""",
+
+    // the t13 unigram-LM chain rolled up per SOURCE, then the DoReMi EG
+    // update replayed with the engine's exact float trees: two-level
+    // sums (per-domain partials then across domains), the same
+    // `a0 * exp(e) * exp(e)` product, one final normalize + smooth
+    "t49_doremi_weights" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> ''
+             GROUP BY 1, 2),
+      ct AS (SELECT term, sum(c) AS ct FROM dt GROUP BY 1),
+      tot AS (SELECT sum(ct) AS tot FROM ct),
+      dom AS (SELECT d.source, sum(dt.c) AS tokens,
+                     sum(dt.c * ln(CAST(ct.ct AS DOUBLE)
+                                   / (SELECT tot FROM tot))) AS lp
+              FROM dt JOIN ct USING (term) JOIN documents d USING (doc_id)
+              GROUP BY 1),
+      g AS (SELECT sum(tokens) AS gtok, sum(lp) AS glp, count(*) AS nd
+            FROM dom),
+      b AS (SELECT source, tokens,
+                   CASE WHEN (-lp / tokens) - (SELECT -glp / gtok FROM g) > 0
+                        THEN (-lp / tokens) - (SELECT -glp / gtok FROM g)
+                        ELSE 0 END AS excess,
+                   CAST(tokens AS DOUBLE) / (SELECT gtok FROM g) AS a0
+            FROM dom),
+      st AS (SELECT source, tokens, excess,
+                    a0 * exp(1.0 * excess) * exp(1.0 * excess) AS a
+             FROM b),
+      n AS (SELECT sum(a) AS asum FROM st)
+      SELECT source, tokens, round(excess, 6) AS excess_loss,
+             round(0.99 * a / (SELECT asum FROM n)
+                   + 0.01 / (SELECT nd FROM g), 6) AS weight
+      FROM st""",
 
     // 'g' flag: DuckDB replaces only the first match by default, Spark
     // replaces all; patterns stay inside the Java-regex/RE2 shared syntax

@@ -198,4 +198,34 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(o.map(t => t._1 -> t._3).toMap == again, "order must be deterministic")
   }
+
+  test("doremiWeights: EG pushes weight to the high-loss domain; sums to 1") {
+    import spark.implicits._
+    // domain "rare" uses vocabulary nothing else shares -> every token is
+    // corpus-rare -> highest unigram cross-entropy -> positive excess;
+    // "common" repeats the corpus-dominant tokens -> negative excess (0)
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "the quick brown fox jumps over the dog", "common")) ++
+      (9 to 12).map(i => (i.toLong, "the quick brown fox sat on the mat", "mixed")) ++
+      Seq((13L, "zyx wvu tsr qpo nml kji hgf edc", "rare"),
+          (14L, "zyx wvu tsr qpo nml kji hgf edc", "rare")))
+      .toDF("doc_id", "text", "source")
+    val w = Corpus.doremiWeights(docs, "text", "doc_id", "source",
+      eta = 1.0, steps = 2, smoothing = 0.01)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val tokTotal = w.values.map(_._1).sum.toDouble
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-6, "weights sum to 1")
+    assert(w("rare")._2 > 0, "rare domain has positive excess loss")
+    assert(w("common")._2 == 0.0, "dominant domain has zero excess")
+    // EG moved mass: rare's weight exceeds its token share; common's fell
+    assert(w("rare")._3 > w("rare")._1 / tokTotal, w.toString)
+    assert(w("common")._3 < w("common")._1 / tokTotal, w.toString)
+    // smoothing floor: every weight >= smoothing / nDomains
+    assert(w.values.forall(_._3 >= 0.01 / 3 - 1e-12))
+    val again = Corpus.doremiWeights(docs, "text", "doc_id", "source",
+      eta = 1.0, steps = 2, smoothing = 0.01)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(w.view.mapValues(_._3).toMap == again, "bit-deterministic")
+  }
 }
