@@ -150,6 +150,39 @@ object TextQueries {
       Corpus.doremiWeights(Tables.documents(s, dir), "text", "doc_id",
         "source", eta = 1.0, steps = 2, smoothing = 0.01)),
 
+    "t50_robots" -> ((s, dir) => {
+      // RFC 9309 fetch-policy gate (r6): per-host robots.txt bodies
+      // (wildcard group with an allow-override, an empty Disallow, and
+      // a decoy bot group) parsed by Robots.parseRules, candidate URLs
+      // decided by longest-prefix/allow-wins. The oracle encodes the
+      // fixture's RULE TABLE directly (group semantics are spec-pinned)
+      // and replays the DECISION logic generically — a parser bug that
+      // leaked the decoy group, kept the empty Disallow, or dropped the
+      // allow-override flips decisions and fails the hash.
+      val d = Tables.documents(s, dir)
+      val robots = d.select(pmod(col("doc_id"), lit(5)).as("k")).distinct()
+        .select(concat(lit("h"), col("k"), lit(".example.com")).as("host"),
+          concat_ws("\n",
+            lit("User-agent: *"),
+            concat(lit("Disallow: /p"), col("k")),
+            concat(lit("Allow: /p"), col("k"), lit("/ok")),
+            lit("Disallow:"),
+            lit("User-agent: bot"),
+            lit("Disallow: /")).as("body"))
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://h"), pmod(col("doc_id"), lit(5)),
+          lit(".example.com"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("/p"), pmod(col("doc_id"), lit(5)), lit("/x")))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              concat(lit("/p"), pmod(col("doc_id"), lit(5)), lit("/ok/y")))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit("/q/z"))
+            .otherwise(lit(""))).as("url"))
+      graft.ops.Robots.isAllowed(urls, "url",
+          graft.ops.Robots.parseRules(robots, "host", "body"))
+        .select("doc_id", "url", "host", "path", "allowed")
+    }),
+
     "t5_quality_filter" -> ((s, dir) =>
       // End-to-end filter: keep docs with quality >= 0.75, report per-lang
       // survivor counts — the composite op a C4-style cleaning run uses.
@@ -764,6 +797,41 @@ object TextQueries {
              round(0.99 * a / (SELECT asum FROM n)
                    + 0.01 / (SELECT nd FROM g), 6) AS weight
       FROM st""",
+
+    // the fixture's wildcard-group rule table stated directly (parse
+    // group semantics are RobotsSpec-pinned; the decoy bot group and the
+    // empty Disallow contribute NO rows here — an engine parser that
+    // disagrees flips decisions); decision logic replayed generically:
+    // longest prefix wins, allow beats disallow on ties, no match passes
+    "t50_robots" -> """
+      WITH k AS (SELECT DISTINCT doc_id % 5 AS k FROM documents),
+      rules AS (
+        SELECT 'h' || k || '.example.com' AS host, 0 AS allow,
+               '/p' || k AS prefix FROM k
+        UNION ALL
+        SELECT 'h' || k || '.example.com', 1, '/p' || k || '/ok' FROM k),
+      u AS (SELECT doc_id,
+          'https://h' || (doc_id % 5) || '.example.com' ||
+          CASE WHEN doc_id % 4 = 0 THEN '/p' || (doc_id % 5) || '/x'
+               WHEN doc_id % 4 = 1 THEN '/p' || (doc_id % 5) || '/ok/y'
+               WHEN doc_id % 4 = 2 THEN '/q/z' ELSE '' END AS url
+        FROM documents),
+      p AS (SELECT doc_id, url,
+          lower(regexp_extract(url, '^[^:/?#]+://([^/?#:]*)', 1)) AS host,
+          CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) = ''
+               THEN '/'
+               ELSE regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)
+          END AS path
+        FROM u),
+      m AS (SELECT p.doc_id, r.allow,
+                   row_number() OVER (PARTITION BY p.doc_id
+                     ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+            FROM p JOIN rules r
+              ON p.host = r.host AND starts_with(p.path, r.prefix))
+      SELECT p.doc_id, p.url, p.host, p.path,
+             COALESCE(m.allow = 1, TRUE) AS allowed
+      FROM p LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) m
+        USING (doc_id)""",
 
     // 'g' flag: DuckDB replaces only the first match by default, Spark
     // replaces all; patterns stay inside the Java-regex/RE2 shared syntax
