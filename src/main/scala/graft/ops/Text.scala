@@ -241,6 +241,44 @@ object Text {
       "^\\s+|\\s+$", "")
   }
 
+  /** Unicode SCRIPT ranges for [[scriptCounts]] — explicit code-point
+    * ranges (not `\p{script=...}` classes, whose tables shift with the
+    * engine's Unicode version) in the Java/RE2 shared `\x{...}` syntax,
+    * so both engines classify identically forever. Coverage: the major
+    * blocks of each script (Latin incl. the 00C0-024F extended letters;
+    * CJK = Han unified + kana + hangul syllables) — a SIGNAL for routing
+    * and filtering, not an exhaustive Unicode census (documented). */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}")
+
+  /** Per-script character counts — the pre-langid routing signal (a
+    * Cyrillic page should never reach a Latin-alphabet classifier, and
+    * mixed-script runs flag mojibake/spam). One map-only `regexp_count`
+    * per script, all codegen'd. */
+  def scriptCounts(c: Column): Seq[(String, Column)] =
+    ScriptRanges.map { case (name, r) =>
+      s"n_$name" -> regexp_count(c, lit(s"[$r]"))
+    }
+
+  /** Dominant script by count; ties keep the EARLIER [[ScriptRanges]]
+    * entry (strict-greater fold — deterministic, oracle-replayable as a
+    * CASE chain). Rows with zero script characters report "none". */
+  def dominantScript(c: Column): Column = {
+    val counts = scriptCounts(c)
+    val seed = (lit("none"), lit(0L))
+    val (name, _) = counts.foldLeft(seed) { case ((bn, bc), (n, cc)) =>
+      val cnt = cc.cast(LongType)
+      (when(cnt > bc, lit(n.stripPrefix("n_"))).otherwise(bn),
+        when(cnt > bc, cnt).otherwise(bc))
+    }
+    name
+  }
+
   /** PII AUDIT counts — the measurement twin of [[redactPii]]: per-row
     * match counts for each pattern (email, IPv4, phone), so a source can
     * be scored for PII density BEFORE deciding to redact or drop.

@@ -150,6 +150,22 @@ object TextQueries {
       Corpus.doremiWeights(Tables.documents(s, dir), "text", "doc_id",
         "source", eta = 1.0, steps = 2, smoothing = 0.01)),
 
+    "t51_script_mix" -> ((s, dir) => {
+      // Unicode script histogram (r6): per-doc counts over explicit
+      // code-point ranges + dominant script — the pre-langid routing
+      // signal. Fixture plants Cyrillic/CJK/Arabic suffixes by doc_id;
+      // the oracle replays the same ranges via regexp_extract_all
+      val x = concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 1, lit(" Привет мир"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(" 你好世界"))
+          .when(pmod(col("doc_id"), lit(4)) === 3, lit(" مرحبا"))
+          .otherwise(lit("")))
+      val counts = Text.scriptCounts(x)
+      Tables.documents(s, dir).select(
+        (col("doc_id") +: counts.map { case (n, c) => c.as(n) } :+
+          Text.dominantScript(x).as("script")): _*)
+    }),
+
     "t50_robots" -> ((s, dir) => {
       // RFC 9309 fetch-policy gate (r6): per-host robots.txt bodies
       // (wildcard group with an allow-override, an empty Disallow, and
@@ -797,6 +813,37 @@ object TextQueries {
              round(0.99 * a / (SELECT asum FROM n)
                    + 0.01 / (SELECT nd FROM g), 6) AS weight
       FROM st""",
+
+    // identical code-point ranges (shared \x{...} syntax — no \p{script}
+    // classes, whose tables drift with Unicode versions); dominant =
+    // first script in range order reaching the max, 'none' at zero
+    "t51_script_mix" -> """
+      WITH x AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 1 THEN ' Привет мир'
+               WHEN doc_id % 4 = 2 THEN ' 你好世界'
+               WHEN doc_id % 4 = 3 THEN ' مرحبا' ELSE '' END AS t
+        FROM documents),
+      c AS (SELECT doc_id,
+          len(regexp_extract_all(t, '[A-Za-z\x{00C0}-\x{024F}]')) AS n_latin,
+          len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS n_cyrillic,
+          len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) AS n_greek,
+          len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) AS n_arabic,
+          len(regexp_extract_all(t, '[\x{0900}-\x{097F}]')) AS n_devanagari,
+          len(regexp_extract_all(t,
+            '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]')) AS n_cjk
+        FROM x),
+      g AS (SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+                               n_devanagari, n_cjk) AS mx FROM c)
+      SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_devanagari,
+             n_cjk,
+             CASE WHEN mx = 0 THEN 'none'
+                  WHEN n_latin = mx THEN 'latin'
+                  WHEN n_cyrillic = mx THEN 'cyrillic'
+                  WHEN n_greek = mx THEN 'greek'
+                  WHEN n_arabic = mx THEN 'arabic'
+                  WHEN n_devanagari = mx THEN 'devanagari'
+                  ELSE 'cjk' END AS script
+      FROM g""",
 
     // the fixture's wildcard-group rule table stated directly (parse
     // group semantics are RobotsSpec-pinned; the decoy bot group and the

@@ -43,4 +43,29 @@ class HtmlSpec extends SparkSpec {
     // the empty <p></p> leaves a blank-line break -> two paragraphs
     assert(paras.toSeq == Seq("alpha", "beta"))
   }
+
+  test("scriptCounts and dominantScript classify by code-point range") {
+    import spark.implicits._
+    def classify(s: String): (Map[String, Int], String) = {
+      val c = Text.scriptCounts(col("t"))
+      val row = Seq(s).toDF("t").select(
+        (c.map { case (n, cc) => cc.as(n) } :+
+          Text.dominantScript(col("t")).as("script")): _*).head()
+      (c.indices.map(i => c(i)._1 -> row.getInt(i)).toMap,
+        row.getString(c.size))
+    }
+    val (enC, enS) = classify("Hello, world 123")
+    assert(enC("n_latin") == 10 && enC("n_cyrillic") == 0 && enS == "latin")
+    val (ruC, ruS) = classify("Привет мир")
+    assert(ruC("n_cyrillic") == 9 && ruC("n_latin") == 0 && ruS == "cyrillic")
+    val (cjC, cjS) = classify("你好 こんにちは 안녕")
+    assert(cjC("n_cjk") == 9 && cjS == "cjk", cjC.toString)
+    assert(classify("مرحبا")._2 == "arabic")
+    assert(classify("नमस्ते")._2 == "devanagari")
+    // accented Latin sits in the extended range; digits count nowhere
+    assert(classify("café")._1("n_latin") == 4)
+    assert(classify("12345 .,!?")._2 == "none")
+    // mixed with a tie goes to the EARLIER range entry (latin)
+    assert(classify("ab Пр")._2 == "latin")
+  }
 }
