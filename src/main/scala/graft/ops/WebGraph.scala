@@ -71,26 +71,37 @@ object WebGraph {
     *
     * Scale: per iteration ONE hash join (ranks into edges, keyed by src)
     * and ONE map-side-combined sum (keyed by dst); the teleport pool is
-    * two scalar aggregates riding a 1-row broadcast. `checkpointEvery`
-    * truncates plan lineage via localCheckpoint for long runs (at K<=10
-    * fixed iterations the lazy plan is fine; a 50-iteration production
-    * run should checkpoint every ~5).
+    * two scalar aggregates riding a 1-row broadcast.
+    *
+    * `checkpointEvery` (default 1) truncates lineage with an eager
+    * localCheckpoint of the edge/degree base ONCE and of the rank frame
+    * each Nth iteration. This is load-bearing, not hygiene: `ranks`
+    * feeds two branches per iteration (contributions + the teleport
+    * pool), so an unbroken lazy lineage DOUBLES per iteration — 2^K
+    * plan copies, each re-reading the sources — where the checkpointed
+    * loop computes every frame exactly once (the canonical iterative-
+    * Spark shape). 0 keeps the fully lazy plan for inspection/tests.
+    * At cluster scale prefer a reliable `sc.setCheckpointDir` checkpoint
+    * for the same truncation with executor-loss tolerance (localCheckpoint
+    * blocks die with their executor; documented trade).
     */
   def hostRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 5,
                dampNum: Long = 85L, dampDen: Long = 100L,
                seedTokens: Long = 1000000000L,
-               checkpointEvery: Int = 0): DataFrame = {
+               checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
-    val nodes = e.select(col("__src").as("host"))
-      .union(e.select(col("__dst"))).distinct()
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointEvery > 0) df.localCheckpoint() else df
+    val e = ckpt(edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct())
+    val nodes = ckpt(e.select(col("__src").as("host"))
+      .union(e.select(col("__dst"))).distinct())
     // node count: the ONE driver-side scalar (O(1) state; the dictionary-
     // collect pattern every encoder here uses)
     val n = nodes.count()
-    val eDeg = e.join(e.groupBy("__src").agg(count(lit(1)).as("__deg")),
-      "__src")
+    val eDeg = ckpt(e.join(e.groupBy("__src").agg(count(lit(1)).as("__deg")),
+      "__src"))
     var ranks = nodes.withColumn("rank_tokens", lit(seedTokens))
     for (i <- 1 to iterations) {
       val contrib = eDeg
@@ -113,7 +124,7 @@ object WebGraph {
             .as("rank_tokens"))
       ranks =
         if (checkpointEvery > 0 && i % checkpointEvery == 0)
-          next.localCheckpoint(true)
+          next.localCheckpoint()
         else next
     }
     ranks
