@@ -34,6 +34,7 @@ object Bench {
     "t17_normalize", "t29_dsir_select", "t30_winnow", "t31_bm25",
     "t41_sentence_chunks", "t42_char_entropy",
     "t46_html_extract", "t47_link_extract", "t48_host_rank",
+    "t52_web_pipeline",
     "st1_tumbling_window", "st3_session_window",
     "mm2_feature_extract")
 

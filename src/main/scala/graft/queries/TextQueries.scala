@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -23,6 +24,48 @@ object TextQueries {
   /** The translate 'from' set of [[Text.normalizeText]] (explicit escapes
     * — the last char is NBSP, not a space). */
   private val NormFrom = "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0"
+
+  /** The t46/t52 HTML page wrapper (script/style/comment chrome, block
+    * tags, entities) — shared by the Spark queries and, via
+    * [[htmlWrapSql]], their oracles. */
+  private def htmlWrap(text: Column, id: Column): Column = concat(
+    lit("<html><head><title>Doc "), id,
+    lit("</title><style>body { color: red; }</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+      "</head><body><!-- nav --><div class=\"nav\">Home | About</div>" +
+      "<h1>Doc "), id,
+    lit("</h1><p>"), text,
+    lit("</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;</p></body></html>"))
+
+  /** [[htmlWrap]] rendered as DuckDB SQL over the `text` column with `id`
+    * spliced for the title/h1 ('' escapes are unnecessary — the wrapper
+    * carries no single quotes). */
+  private def htmlWrapSql(id: String): String =
+    "'<html><head><title>Doc ' || " + id + " ||\n" +
+      "          '</title><style>body { color: red; }</style>' ||\n" +
+      "          '<script type=\"text/javascript\">var x = 1 < 2;</script>' ||\n" +
+      "          '</head><body><!-- nav --><div class=\"nav\">Home | About</div>' ||\n" +
+      "          '<h1>Doc ' || " + id + " || '</h1><p>' || text ||\n" +
+      "          '</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;</p></body></html>'"
+
+  /** DuckDB replay of [[graft.ops.Text.htmlToText]] over expression `x`
+    * — built by plain concatenation so the regex backslashes stay
+    * literal (the Java/RE2 shared chain; used by t46 and t52). */
+  private def htmlChainSql(x: String): String =
+    """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(""" + x + """,
+                  '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', '', 'g'),
+                '(?s)<!--.*?-->', '', 'g'),
+              '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>', chr(10), 'g'),
+          '(?s)<[^>]*>', '', 'g'),
+          '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+          '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'),
+          '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n{3,}',
+          chr(10) || chr(10), 'g'), '^\s+|\s+$', '', 'g')"""
 
   /** DuckDB replay of [[graft.ops.Urls.canonicalizeUrl]] over column `c`
     * \u2014 the identical regex chain in the shared Java/RE2 syntax (used by
@@ -82,14 +125,7 @@ object TextQueries {
       // extracted back by the map-only htmlToText chain; the oracle
       // replays the identical regex chain over the identical wrapper
       Tables.documents(s, dir).select(col("doc_id"),
-        graft.ops.Text.htmlToText(concat(
-          lit("<html><head><title>Doc "), col("doc_id"),
-          lit("</title><style>body { color: red; }</style>" +
-            "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
-            "</head><body><!-- nav --><div class=\"nav\">Home | About</div>" +
-            "<h1>Doc "), col("doc_id"),
-          lit("</h1><p>"), col("text"),
-          lit("</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;</p></body></html>")))
+        graft.ops.Text.htmlToText(htmlWrap(col("text"), col("doc_id")))
           .as("text"))),
 
     "t45_url_canon" -> ((s, dir) =>
@@ -164,6 +200,44 @@ object TextQueries {
       Tables.documents(s, dir).select(
         (col("doc_id") +: counts.map { case (n, c) => c.as(n) } :+
           Text.dominantScript(x).as("script")): _*)
+    }),
+
+    "t52_web_pipeline" -> ((s, dir) => {
+      // the COMPOSED crawl-curation path (r6), one plan: raw crawl rows
+      // (hazard-bearing URL + full HTML page) -> canonical-URL dedup
+      // (10 variants per page collapse, min id survives) -> robots gate
+      // (sites 0/1 disallow /Path for *) -> HTML-to-text -> quality
+      // gate -> exact text dedup -> per-survivor token counts. Every
+      // stage is the already-oracled operator; the oracle replays the
+      // whole cascade.
+      import graft.ops.{Robots, Text, Urls}
+      val d = Tables.documents(s, dir)
+      val crawl = d.select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(5)),
+          lit(".Example.COM:443/Path/"), pmod(col("doc_id"), lit(50)),
+          lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(10)),
+          lit("#s")).as("url"),
+        htmlWrap(col("text"), col("doc_id")).as("html"))
+      val canon = crawl.withColumn("curl", Urls.canonicalizeUrl(col("url")))
+      val urlDeduped = canon.groupBy("curl")
+        .agg(min(struct(col("doc_id"), col("html"))).as("__w"))
+        .select(col("__w.doc_id").as("doc_id"), col("curl"),
+          col("__w.html").as("html"))
+      val robots = d.select(pmod(col("doc_id"), lit(5)).as("k")).distinct()
+        .select(
+          concat(lit("www.site"), col("k"), lit(".example.com")).as("host"),
+          concat_ws("\n", lit("User-agent: *"),
+            when(col("k") <= 1, lit("Disallow: /Path"))
+              .otherwise(lit("Disallow: /private"))).as("body"))
+      val gated = Robots.isAllowed(urlDeduped, "curl",
+          Robots.parseRules(robots, "host", "body"))
+        .filter(col("allowed"))
+      val texts = gated.select(col("doc_id"), col("host"),
+          Text.htmlToText(col("html")).as("text"))
+        .filter(Text.qualityScore(col("text")) >= 0.75)
+      graft.ops.Dedup.exactDedup(texts, "text", "doc_id")
+        .select(col("doc_id"), col("host"),
+          Text.tokenCount(col("text")).as("n_tokens"))
     }),
 
     "t50_robots" -> ((s, dir) => {
@@ -670,32 +744,14 @@ object TextQueries {
       GROUP BY lang""",
 
     // identical regex chain as Text.htmlToText over the identical
-    // wrapper; '' escapes single quotes inside the DuckDB literal
-    "t46_html_extract" -> """
+    // wrapper (shared htmlWrapSql/htmlChainSql renderers)
+    "t46_html_extract" -> ("""
       WITH h AS (SELECT doc_id,
-          '<html><head><title>Doc ' || doc_id ||
-          '</title><style>body { color: red; }</style>' ||
-          '<script type="text/javascript">var x = 1 < 2;</script>' ||
-          '</head><body><!-- nav --><div class="nav">Home | About</div>' ||
-          '<h1>Doc ' || doc_id || '</h1><p>' || text ||
-          '</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;</p></body></html>' AS x
+          """ + htmlWrapSql("doc_id") + """ AS x
         FROM documents)
       SELECT doc_id,
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(regexp_replace(regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(x,
-                  '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', '', 'g'),
-                '(?s)<!--.*?-->', '', 'g'),
-              '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>', chr(10), 'g'),
-          '(?s)<[^>]*>', '', 'g'),
-          '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
-          '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'),
-          '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n{3,}',
-          chr(10) || chr(10), 'g'), '^\s+|\s+$', '', 'g') AS text
-      FROM h""",
+        """ + htmlChainSql("x") + """ AS text
+      FROM h"""),
 
     // identical regex chain as Urls.canonicalizeUrl, RE2 backrefs
     "t45_url_canon" -> s"""
@@ -844,6 +900,51 @@ object TextQueries {
                   WHEN n_devanagari = mx THEN 'devanagari'
                   ELSE 'cjk' END AS script
       FROM g""",
+
+    // the whole crawl cascade replayed: canonical chain -> min-id URL
+    // winners -> literal robots rule table + generic decision -> html
+    // chain -> quality gate -> md5 exact dedup -> token counts
+    "t52_web_pipeline" -> (s"""
+      WITH crawl AS (SELECT doc_id,
+          'HTTPS://WWW.Site' || (doc_id % 5) || '.Example.COM:443/Path/' ||
+          (doc_id % 50) || '?utm_source=feed&id=' || (doc_id % 10) ||
+          '#s' AS url,
+          """ + htmlWrapSql("doc_id") + s""" AS html
+        FROM documents),
+      canon AS (SELECT doc_id, html, ${canonChainSql("url")} AS curl
+                FROM crawl),
+      w AS (SELECT curl, min(doc_id) AS doc_id FROM canon GROUP BY curl),
+      u AS (SELECT c.doc_id, c.curl, c.html
+            FROM canon c JOIN w ON c.curl = w.curl AND c.doc_id = w.doc_id),
+      p AS (SELECT doc_id, curl, html,
+              lower(regexp_extract(curl, '^[^:/?#]+://([^/?#:]*)', 1)) AS host,
+              CASE WHEN regexp_extract(curl,
+                     '^[a-z]+://[^/?#]+(/[^?#]*)', 1) = '' THEN '/'
+                   ELSE regexp_extract(curl, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)
+              END AS path
+            FROM u),
+      rules AS (SELECT 'www.site' || k || '.example.com' AS host, 0 AS allow,
+                       CASE WHEN k <= 1 THEN '/Path' ELSE '/private' END
+                         AS prefix
+                FROM (SELECT DISTINCT doc_id % 5 AS k FROM documents)),
+      m AS (SELECT p.doc_id, r.allow,
+                   row_number() OVER (PARTITION BY p.doc_id
+                     ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+            FROM p JOIN rules r
+              ON p.host = r.host AND starts_with(p.path, r.prefix)),
+      g AS (SELECT p.doc_id, p.host, p.html
+            FROM p LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) m
+              USING (doc_id)
+            WHERE COALESCE(m.allow = 1, TRUE)),
+      t AS (SELECT doc_id, host,
+              """ + htmlChainSql("html") + s""" AS text
+            FROM g),
+      q AS (SELECT * FROM t WHERE $qualitySql >= 0.75),
+      dd AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1)
+      SELECT q.doc_id, q.host,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len($toksSql) END AS n_tokens
+      FROM q JOIN dd ON q.doc_id = dd.doc_id"""),
 
     // the fixture's wildcard-group rule table stated directly (parse
     // group semantics are RobotsSpec-pinned; the decoy bot group and the
