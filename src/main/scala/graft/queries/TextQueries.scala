@@ -202,6 +202,22 @@ object TextQueries {
           Text.dominantScript(x).as("script")): _*)
     }),
 
+    "t53_platt_calibration" -> ((s, dir) => {
+      // Platt-calibrate the CHEAP rule-based quality score against the
+      // Gopher panel verdict (r6): 3 Newton steps, each one distributed
+      // aggregate of five sufficient statistics; the oracle unrolls the
+      // identical float trees (iteration 1 is exact — sigmoid(0)=0.5)
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        Text.qualityScore(col("text")).as("q"),
+        Text.gopherRules(col("text")).getField("passes")
+          .cast("double").as("y"))
+      val (a, b) = graft.ml.Calibration.plattFit(d, "q", "y", iterations = 3)
+      d.agg(count(lit(1)).as("n_docs")).select(col("n_docs"),
+        round(lit(a), 6).as("platt_a"), round(lit(b), 6).as("platt_b"),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(a) + lit(b)))), 6)
+          .as("p_at_1"))
+    }),
+
     "t52_web_pipeline" -> ((s, dir) => {
       // the COMPOSED crawl-curation path (r6), one plan: raw crawl rows
       // (hazard-bearing URL + full HTML page) -> canonical-URL dedup
@@ -900,6 +916,49 @@ object TextQueries {
                   WHEN n_devanagari = mx THEN 'devanagari'
                   ELSE 'cjk' END AS script
       FROM g""",
+
+    // three Newton steps unrolled with the engine's exact float trees:
+    // per-iteration p CTE, five sufficient-statistic sums, 2x2 solve;
+    // labels = the t34 gopher panel, scores = the exact-dyadic quality
+    "t53_platt_calibration" -> (s"""
+      WITH gp AS (""" + gopherRowsSql + s"""),
+      base AS (SELECT d.doc_id, $qualitySql AS q,
+                      CASE WHEN gp.passes THEN 1.0 ELSE 0.0 END AS y
+               FROM documents d JOIN gp ON d.doc_id = gp.doc_id),
+      p1 AS (SELECT q, y, 1/(1+exp(-(0.0*q + 0.0))) AS p FROM base),
+      it1 AS (SELECT sum(p*(1-p)*q*q) AS h11, sum(p*(1-p)*q) AS h12,
+                     sum(p*(1-p)) AS h22, sum((p-y)*q) AS g1,
+                     sum(p-y) AS g2 FROM p1),
+      ab1 AS (SELECT 0.0 - (h22*g1 - h12*g2)/(h11*h22 - h12*h12) AS a,
+                     0.0 - (h11*g2 - h12*g1)/(h11*h22 - h12*h12) AS b
+              FROM it1),
+      p2 AS (SELECT q, y, 1/(1+exp(-((SELECT a FROM ab1)*q
+                                     + (SELECT b FROM ab1)))) AS p
+             FROM base),
+      it2 AS (SELECT sum(p*(1-p)*q*q) AS h11, sum(p*(1-p)*q) AS h12,
+                     sum(p*(1-p)) AS h22, sum((p-y)*q) AS g1,
+                     sum(p-y) AS g2 FROM p2),
+      ab2 AS (SELECT (SELECT a FROM ab1)
+                       - (h22*g1 - h12*g2)/(h11*h22 - h12*h12) AS a,
+                     (SELECT b FROM ab1)
+                       - (h11*g2 - h12*g1)/(h11*h22 - h12*h12) AS b
+              FROM it2),
+      p3 AS (SELECT q, y, 1/(1+exp(-((SELECT a FROM ab2)*q
+                                     + (SELECT b FROM ab2)))) AS p
+             FROM base),
+      it3 AS (SELECT sum(p*(1-p)*q*q) AS h11, sum(p*(1-p)*q) AS h12,
+                     sum(p*(1-p)) AS h22, sum((p-y)*q) AS g1,
+                     sum(p-y) AS g2 FROM p3),
+      ab3 AS (SELECT (SELECT a FROM ab2)
+                       - (h22*g1 - h12*g2)/(h11*h22 - h12*h12) AS a,
+                     (SELECT b FROM ab2)
+                       - (h11*g2 - h12*g1)/(h11*h22 - h12*h12) AS b
+              FROM it3)
+      SELECT (SELECT count(*) FROM base) AS n_docs,
+             round((SELECT a FROM ab3), 6) AS platt_a,
+             round((SELECT b FROM ab3), 6) AS platt_b,
+             round(1/(1+exp(-((SELECT a FROM ab3) + (SELECT b FROM ab3)))), 6)
+               AS p_at_1"""),
 
     // the whole crawl cascade replayed: canonical chain -> min-id URL
     // winners -> literal robots rule table + generic decision -> html
