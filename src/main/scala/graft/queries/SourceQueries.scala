@@ -196,6 +196,19 @@ object SourceQueries {
       graft.ops.Corpus.diffSnapshots(oldV, newV, "text", "doc_id")
     }),
 
+    "s29_orc_roundtrip" -> ((s, dir) => {
+      // ORC write + read-back (r6): Spark's second columnar format as a
+      // first-class sink/source — the read-back predicate and projection
+      // push into the ORC scan exactly as with parquet (spec pins
+      // PushedFilters on the OrcScan)
+      import org.apache.spark.sql.functions.col
+      val out = Q.tempDir("graft_s29") + "/docs"
+      Tables.documents(s, dir).select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).filter(col("doc_id") < 100)
+        .select("doc_id", "lang", "source")
+    }),
+
     "s15_jsonl_roundtrip" -> ((s, dir) => {
       // JSONL write + lenient read-back: clean corpus round-trips
       // exactly, zero quarantined lines (corrupt-line handling is
@@ -210,6 +223,8 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "s1_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s29_orc_roundtrip" ->
+      "SELECT doc_id, lang, source FROM documents WHERE doc_id < 100",
     "s14_corpus_sink" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "s26_compact" ->

@@ -148,4 +148,22 @@ class IoSpec extends SparkSpec {
       Set((1L, "hello world"), (2L, "quoted \" brace } inside")))
     assert(none.count() == 0)
   }
+
+  test("ORC round-trips exactly and pushes filters into the OrcScan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+      .toString + "/docs"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq ==
+      docs.collect().map(_.getLong(0)).sorted.toSeq, "round trip")
+    val plan = back.filter(col("doc_id") < 10).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"filter must reach the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"projection must prune the ORC scan:\n$plan")
+  }
 }
