@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Fingerprint64(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("z_order"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "z_order"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "z_order takes exactly two arguments")
+        ZOrderKey(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "count_in"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

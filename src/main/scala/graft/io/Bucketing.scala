@@ -27,4 +27,23 @@ object Bucketing {
     * the check the BucketingSpec uses to prove join co-location. */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Z-ORDER layout (the lakehouse OPTIMIZE ZORDER BY recipe): cluster
+    * rows by the Morton key of two integer cell coordinates, so a
+    * 2-D box predicate touches FEW partitions/files instead of all of
+    * them — a single-column sort can only prune one dimension (a
+    * full-width, narrow-height box hits every x-sorted file; under z it
+    * hits the ~1/4 of the key space its y bits allow). One range
+    * exchange + in-partition sort; write the result with any sink and
+    * parquet min/max row-group stats do the pruning. Callers quantize
+    * continuous columns to cells first (percentile or fixed-width). */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+                   partitions: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__z", call_function("z_order",
+        col(xCol).cast("long"), col(yCol).cast("long")))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 }

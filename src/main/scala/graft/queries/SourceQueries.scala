@@ -196,6 +196,17 @@ object SourceQueries {
       graft.ops.Corpus.diffSnapshots(oldV, newV, "text", "doc_id")
     }),
 
+    "s30_zorder" -> ((s, dir) => {
+      // Morton/Z-order clustering key (r6): the exact-integer bit
+      // interleave behind OPTIMIZE ZORDER BY, over a deterministic
+      // 1024x1024 cell grid; the oracle replays all 64 bit terms
+      import org.apache.spark.sql.functions.{call_function, col, lit, pmod}
+      Tables.documents(s, dir).select(col("doc_id"),
+          pmod(col("doc_id"), lit(1024)).cast("long").as("x"),
+          pmod(col("doc_id") * 7919, lit(1024)).cast("long").as("y"))
+        .withColumn("z", call_function("z_order", col("x"), col("y")))
+    }),
+
     "s29_orc_roundtrip" -> ((s, dir) => {
       // ORC write + read-back (r6): Spark's second columnar format as a
       // first-class sink/source — the read-back predicate and projection
@@ -225,6 +236,17 @@ object SourceQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s29_orc_roundtrip" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id < 100",
+    // all 64 interleave terms generated mechanically — pure BIGINT bit
+    // arithmetic, engine-exact on both sides
+    "s30_zorder" -> {
+      val terms = (0 until 32).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""
+      WITH c AS (SELECT doc_id, doc_id % 1024 AS x,
+                        (doc_id * 7919) % 1024 AS y FROM documents)
+      SELECT doc_id, x, y, ($terms) AS z FROM c"""
+    },
     "s14_corpus_sink" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "s26_compact" ->
