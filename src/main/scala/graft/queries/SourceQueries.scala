@@ -196,6 +196,26 @@ object SourceQueries {
       graft.ops.Corpus.diffSnapshots(oldV, newV, "text", "doc_id")
     }),
 
+    "s31_merge_upsert" -> ((s, dir) => {
+      // partition-scoped MERGE (r6): v1 corpus partitioned by lang;
+      // the update batch rewrites every 10th doc as v2 and inserts five
+      // new docs into a brand-new lang=zz partition; only touched
+      // partition dirs swap (two renames each, old-or-new complete)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val out = Q.tempDir("graft_s31") + "/corpus"
+      val d = Tables.documents(s, dir)
+      graft.io.CorpusSink.writePartitioned(
+        d.select(col("doc_id"), col("lang"), lit("v1").as("ver")),
+        out, "lang")
+      val updates = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("lang"), lit("v2").as("ver"))
+        .unionByName(d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            lit("zz").as("lang"), lit("v2").as("ver")))
+      graft.io.CorpusSink.upsertPartitions(s, out, updates, "doc_id", "lang")
+      s.read.parquet(out).select("doc_id", "lang", "ver")
+    }),
+
     "s30_zorder" -> ((s, dir) => {
       // Morton/Z-order clustering key (r6): the exact-integer bit
       // interleave behind OPTIMIZE ZORDER BY, over a deterministic
@@ -236,6 +256,13 @@ object SourceQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s29_orc_roundtrip" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id < 100",
+    "s31_merge_upsert" -> """
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 0 THEN 'v2' ELSE 'v1' END AS ver
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, 'zz' AS lang, 'v2' AS ver
+      FROM documents WHERE doc_id < 5""",
     // all 64 interleave terms generated mechanically — pure BIGINT bit
     // arithmetic, engine-exact on both sides
     "s30_zorder" -> {

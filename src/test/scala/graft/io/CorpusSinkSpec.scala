@@ -85,4 +85,40 @@ class CorpusSinkSpec extends SparkSpec {
       assert(ids.sameElements(ids.sorted), s"$f not sorted")
     }
   }
+
+  test("upsertPartitions: touched dirs rewrite, untouched files stay byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.Q.tempDir("corpus-upsert")
+    val base = Seq((1L, "a", "v1"), (2L, "a", "v1"), (3L, "b", "v1"),
+      (4L, "c", "v1")).toDF("id", "lang", "ver")
+    CorpusSink.writePartitioned(base, out, "lang")
+    def listing(langDir: String): Seq[(String, Long)] =
+      Files.walk(Paths.get(out, s"lang=$langDir")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, Files.getLastModifiedTime(p).toMillis)).toSeq.sorted
+    val bBefore = listing("b")
+    val cBefore = listing("c")
+    // update id=1, insert id=10 (lang=a), insert id=20 into NEW lang=d
+    val updates = Seq((1L, "a", "v2"), (10L, "a", "v2"), (20L, "d", "v2"))
+      .toDF("id", "lang", "ver")
+    val touched = CorpusSink.upsertPartitions(spark, out, updates, "id", "lang")
+    assert(touched == Seq("a", "d"))
+    val back = spark.read.parquet(out).select("id", "lang", "ver")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == Set((1L, "a", "v2"), (2L, "a", "v1"), (10L, "a", "v2"),
+      (3L, "b", "v1"), (4L, "c", "v1"), (20L, "d", "v2")), back.toString)
+    assert(listing("b") == bBefore && listing("c") == cBefore,
+      "untouched partitions must keep their exact files")
+    // no temp/backup leftovers
+    val leftovers = Files.walk(Paths.get(out).getParent).iterator().asScala
+      .map(_.toString).filter(s => s.contains(".upsert.")).toSeq
+    assert(leftovers.isEmpty, leftovers.toString)
+    // second upsert over the new partition works (d now exists)
+    CorpusSink.upsertPartitions(spark, out,
+      Seq((20L, "d", "v3")).toDF("id", "lang", "ver"), "id", "lang")
+    val d = spark.read.parquet(out).filter(col("lang") === "d")
+      .select("ver").collect().map(_.getString(0)).toSeq
+    assert(d == Seq("v3"))
+  }
 }
