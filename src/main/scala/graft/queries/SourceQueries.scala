@@ -196,6 +196,20 @@ object SourceQueries {
       graft.ops.Corpus.diffSnapshots(oldV, newV, "text", "doc_id")
     }),
 
+    "s32_skipping_index" -> ((s, dir) => {
+      // file-level data skipping (r6): doc_id-sorted small files + a
+      // per-file min/max manifest; the range read opens only the
+      // overlapping files and returns exactly the full-scan answer
+      import org.apache.spark.sql.functions.col
+      val out = Q.tempDir("graft_s32") + "/corpus"
+      Tables.documents(s, dir).select("doc_id", "lang", "source")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(out)
+      graft.io.SkippingIndex.build(s, out, Seq("doc_id"))
+      graft.io.SkippingIndex.prunedRead(s, out, "doc_id", 100L, 199L)
+    }),
+
     "s31_merge_upsert" -> ((s, dir) => {
       // partition-scoped MERGE (r6): v1 corpus partitioned by lang;
       // the update batch rewrites every 10th doc as v2 and inserts five
@@ -256,6 +270,9 @@ object SourceQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s29_orc_roundtrip" ->
       "SELECT doc_id, lang, source FROM documents WHERE doc_id < 100",
+    "s32_skipping_index" -> """
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id BETWEEN 100 AND 199""",
     "s31_merge_upsert" -> """
       SELECT doc_id, lang,
              CASE WHEN doc_id % 10 = 0 THEN 'v2' ELSE 'v1' END AS ver

@@ -149,6 +149,31 @@ class IoSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("SkippingIndex: overlap files only, exact results, empty range") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip")
+      .toString + "/data"
+    spark.range(0, 1000).select(col("id").as("doc_id"),
+        (col("id") % 7).as("grp"))
+      .repartitionByRange(10, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    SkippingIndex.build(spark, dir, Seq("doc_id"))
+    val cand = SkippingIndex.candidateFiles(spark, dir, "doc_id", 100L, 199L)
+    val total = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(total >= 8, s"expected many files, got $total")
+    assert(cand.nonEmpty && cand.size <= 3,
+      s"range-clustered data must confine a 10% range to few files: ${cand.size} of $total")
+    val got = SkippingIndex.prunedRead(spark, dir, "doc_id", 100L, 199L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (100L to 199L).toSeq, "pruned read must equal full filter")
+    assert(SkippingIndex.prunedRead(spark, dir, "doc_id", 5000L, 6000L)
+      .count() == 0, "out-of-range reads nothing")
+    // the manifest dir is invisible to plain readers of the dataset
+    assert(spark.read.parquet(dir).columns.toSeq == Seq("doc_id", "grp"))
+  }
+
   test("ORC round-trips exactly and pushes filters into the OrcScan") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_orc")
