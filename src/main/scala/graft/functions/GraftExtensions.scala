@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Fingerprint64(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllDistinct].getName, "hll_distinct"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "hll_distinct takes (col, p)")
+        HllDistinct(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("z_order"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "z_order"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

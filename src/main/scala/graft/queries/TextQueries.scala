@@ -202,6 +202,18 @@ object TextQueries {
           Text.dominantScript(x).as("script")): _*)
     }),
 
+    "a17_hll_distinct" -> ((s, dir) =>
+      // per-source distinct-token cardinality (r6): exact count_distinct
+      // vs the native mergeable HLL aggregate (hll_distinct, p=9 -> 512
+      // byte registers, md5-prefix hash) — the oracle rebuilds the
+      // registers bucket for bucket and replays the estimator
+      Lexicon.tokenRows(Tables.documents(s, dir), "text", "source")
+        .groupBy("id")
+        .agg(countDistinct("term").as("exact_distinct"),
+          round(call_function("hll_distinct", col("term"), lit(9)), 6)
+            .as("hll_estimate"))
+        .withColumnRenamed("id", "source")),
+
     "t53_platt_calibration" -> ((s, dir) => {
       // Platt-calibrate the CHEAP rule-based quality score against the
       // Gopher panel verdict (r6): 3 Newton steps, each one distributed
@@ -916,6 +928,42 @@ object TextQueries {
                   WHEN n_devanagari = mx THEN 'devanagari'
                   ELSE 'cjk' END AS script
       FROM g""",
+
+    // the HLL registers rebuilt in SQL: same md5-prefix 60-bit hash,
+    // bucket = top 9 bits, rho via a generated integer CASE chain,
+    // max per bucket, then the standard estimator with linear counting;
+    // the only float is the final 2^-M sum (6-decimal rounding absorbs
+    // engine-vs-oracle summation order)
+    "a17_hll_distinct" -> {
+      val rhoCase = (0 until 51)
+        .map(k => s"WHEN r >= ${1L << (50 - k)} THEN ${k + 1}")
+        .mkString("CASE WHEN r = 0 THEN 52 ", " ", " END")
+      s"""
+      WITH tok AS (SELECT source, unnest($lowToksSql) AS term FROM documents),
+      t AS (SELECT source, term FROM tok WHERE term <> ''),
+      d AS (SELECT DISTINCT source, term FROM t),
+      h AS (SELECT source,
+              CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS hv
+            FROM d),
+      b AS (SELECT source, hv >> 51 AS bucket,
+                   hv & ${(1L << 51) - 1} AS r FROM h),
+      r AS (SELECT source, bucket, max($rhoCase) AS mx
+            FROM b GROUP BY 1, 2),
+      agg AS (SELECT source, sum(power(2.0, -mx)) AS s_used,
+                     count(*) AS used FROM r GROUP BY 1),
+      e AS (SELECT source,
+              (512 - used) + s_used AS s, 512 - used AS zeros FROM agg),
+      est AS (SELECT source,
+               CASE WHEN (0.7213/(1.0 + 1.079/512))*512*512/s <= 2.5*512
+                         AND zeros > 0
+                    THEN 512 * ln(512.0/zeros)
+                    ELSE (0.7213/(1.0 + 1.079/512))*512*512/s END AS v
+             FROM e),
+      x AS (SELECT source, count(DISTINCT term) AS exact_distinct
+            FROM t GROUP BY 1)
+      SELECT x.source, x.exact_distinct, round(est.v, 6) AS hll_estimate
+      FROM x JOIN est USING (source)"""
+    },
 
     // three Newton steps unrolled with the engine's exact float trees:
     // per-iteration p CTE, five sufficient-statistic sums, 2x2 solve;

@@ -46,6 +46,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(expected), "streamed gopher panel must equal batch")
   }
 
+  test("web map-only stretch is stateless: html/script/url chain streams") {
+    import org.apache.spark.sql.functions._
+    // the t46/t51/t45 stretch — html extraction, script counts, URL
+    // canonicalization — on a REAL readStream: zero state, zero
+    // shuffles, stream equals batch row for row
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("web_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def chain(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.ops.Text.htmlToText(
+        concat(lit("<p>"), col("text"), lit("</p><script>x</script>")))
+        .as("extracted"),
+      graft.ops.Text.dominantScript(col("text")).as("script"),
+      graft.ops.Urls.canonicalizeUrl(
+        concat(lit("HTTP://H"), col("doc_id"), lit(".COM:80/x#f"))).as("curl"))
+    val expected = chain(docs).collect().map(_.toString).sorted
+    val q = chain(spark.readStream.schema(docs.schema).parquet(dir))
+      .writeStream.format("memory").queryName("web_sink")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("web_sink").collect().map(_.toString).sorted
+    assert(got.sameElements(expected), "streamed web chain must equal batch")
+  }
+
   test("session windows: real file stream equals batch result") {
     val batchDf = Tables.events(spark, sf)
     val expected = Streams.userSessions(batchDf).collect().map(_.toString).sorted
