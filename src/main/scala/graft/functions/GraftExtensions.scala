@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Fingerprint64(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("kmv_minhashes"),
+      new ExpressionInfo(classOf[KmvMinHashes].getName, "kmv_minhashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "kmv_minhashes takes (col, k)")
+        KmvMinHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[HllDistinct].getName, "hll_distinct"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -202,6 +202,40 @@ object TextQueries {
           Text.dominantScript(x).as("script")): _*)
     }),
 
+    "a18_kmv_overlap" -> ((s, dir) => {
+      // KMV/theta set algebra (r6): distinct-token cardinalities of two
+      // sources, their union and INTERSECTION — estimated from bottom-k
+      // sketches (k smallest md5-prefix hashes; bottom-k of a union is
+      // inside the union of bottom-ks) against exact joins; the oracle
+      // rebuilds the sketches as rank-<=k rows and replays the
+      // (k-1)/theta estimator arithmetic verbatim
+      val k = 256
+      val pow260 = math.pow(2.0, 60)
+      val rows = Lexicon.tokenRows(
+        Tables.documents(s, dir).filter(col("source").isin("src0", "src1")),
+        "text", "source")
+      val sk = rows.groupBy("id").agg(
+        call_function("kmv_minhashes", col("term"), lit(k)).as("mins"),
+        countDistinct("term").as("exact"))
+      val a = sk.filter(col("id") === "src0")
+        .select(col("mins").as("ma"), col("exact").as("exact_a"))
+      val b = sk.filter(col("id") === "src1")
+        .select(col("mins").as("mb"), col("exact").as("exact_b"))
+      val inter = rows.groupBy("term")
+        .agg(countDistinct("id").as("__ns"))
+        .filter(col("__ns") === 2).agg(count(lit(1)).as("exact_inter"))
+      def est(m: Column): Column =
+        when(size(m) < k, size(m).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(m, k) / lit(pow260)))
+      val mu = array_sort(array_union(col("ma"), col("mb")))
+      a.crossJoin(b).crossJoin(inter).select(
+        col("exact_a"), col("exact_b"), col("exact_inter"),
+        round(est(col("ma")), 6).as("est_a"),
+        round(est(col("mb")), 6).as("est_b"),
+        round(est(col("ma")) + est(col("mb")) - est(mu), 6).as("est_inter"))
+    }),
+
     "a17_hll_distinct" -> ((s, dir) =>
       // per-source distinct-token cardinality (r6): exact count_distinct
       // vs the native mergeable HLL aggregate (hll_distinct, p=9 -> 512
@@ -928,6 +962,45 @@ object TextQueries {
                   WHEN n_devanagari = mx THEN 'devanagari'
                   ELSE 'cjk' END AS script
       FROM g""",
+
+    // bottom-k sketches rebuilt as rank-<=k rows over distinct hashes;
+    // union sketch from the full distinct union (the bottom-k of a
+    // union equals the kth-smallest there); same (k-1)/theta trees
+    "a18_kmv_overlap" -> s"""
+      WITH tok AS (SELECT source, unnest($lowToksSql) AS term FROM documents
+                   WHERE source IN ('src0', 'src1')),
+      t AS (SELECT DISTINCT source, term FROM tok WHERE term <> ''),
+      h AS (SELECT DISTINCT source,
+              CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS hv
+            FROM t),
+      ra AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+             FROM h WHERE source = 'src0'),
+      rb AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+             FROM h WHERE source = 'src1'),
+      ru AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+             FROM (SELECT DISTINCT hv FROM h)),
+      ea AS (SELECT CASE WHEN (SELECT count(*) FROM ra) < 256
+               THEN CAST((SELECT count(*) FROM ra) AS DOUBLE)
+               ELSE 255.0 / ((SELECT hv FROM ra WHERE rn = 256)
+                             / power(2.0, 60)) END AS v),
+      eb AS (SELECT CASE WHEN (SELECT count(*) FROM rb) < 256
+               THEN CAST((SELECT count(*) FROM rb) AS DOUBLE)
+               ELSE 255.0 / ((SELECT hv FROM rb WHERE rn = 256)
+                             / power(2.0, 60)) END AS v),
+      eu AS (SELECT CASE WHEN (SELECT count(*) FROM ru) < 256
+               THEN CAST((SELECT count(*) FROM ru) AS DOUBLE)
+               ELSE 255.0 / ((SELECT hv FROM ru WHERE rn = 256)
+                             / power(2.0, 60)) END AS v),
+      xi AS (SELECT count(*) AS n FROM (SELECT term FROM t GROUP BY term
+             HAVING count(DISTINCT source) = 2))
+      SELECT
+        (SELECT count(DISTINCT term) FROM t WHERE source = 'src0') AS exact_a,
+        (SELECT count(DISTINCT term) FROM t WHERE source = 'src1') AS exact_b,
+        (SELECT n FROM xi) AS exact_inter,
+        round((SELECT v FROM ea), 6) AS est_a,
+        round((SELECT v FROM eb), 6) AS est_b,
+        round(((SELECT v FROM ea) + (SELECT v FROM eb))
+              - (SELECT v FROM eu), 6) AS est_inter""",
 
     // the HLL registers rebuilt in SQL: same md5-prefix 60-bit hash,
     // bucket = top 9 bits, rho via a generated integer CASE chain,
