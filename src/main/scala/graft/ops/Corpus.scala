@@ -440,6 +440,35 @@ object Corpus {
       .select(col(idCol), col("bucket"), col("curriculum_rank"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each row draws a hash-uniform u in (0,1) keyed by
+    * (seed, id) and ranks by u^(1/weight); the top k keys are an exact
+    * weighted sample without replacement — the op behind
+    * quality-weighted or length-weighted corpus subsampling.
+    *
+    * Deterministic by construction: u is the md5-prefix uniform (the
+    * engine's [[Hashing.md5Int]] recipe — retry- and replay-stable, no
+    * rand()), and ranking happens on the key ROUNDED to 9 decimals with
+    * id as tie-break, so the selected set is identical across engines
+    * even where pow() differs in the last ulp. Rows with weight <= 0
+    * are excluded (zero-weight rows cannot be drawn).
+    *
+    * Scale: map-only key computation + `orderBy.limit` = TakeOrdered
+    * (per-partition top-k merged on the driver, O(k x partitions)) —
+    * never a global sort. */
+  def weightedSample(df: DataFrame, weightCol: String, idCol: String,
+                     k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1)
+    val u = (Hashing.md5Int(concat_ws(":", col(idCol).cast("string"),
+      lit(seed.toString))).cast(DoubleType) + lit(0.5)) /
+      lit(math.pow(2.0, 60))
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_key",
+        round(pow(u, lit(1.0) / col(weightCol)), 9))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
     * exponentiated-gradient updates push training weight toward domains

@@ -202,6 +202,15 @@ object TextQueries {
           Text.dominantScript(x).as("script")): _*)
     }),
 
+    "t54_weighted_sample" -> ((s, dir) =>
+      // Efraimidis-Spirakis weighted sample (r6): 50 docs drawn without
+      // replacement proportional to token count; hash-uniform draws +
+      // pre-rank rounding make the selected SET engine-exact
+      Corpus.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"),
+          Text.tokenCount(col("text")).as("w")),
+        "w", "doc_id", k = 50, seed = 42L)),
+
     "a18_kmv_overlap" -> ((s, dir) => {
       // KMV/theta set algebra (r6): distinct-token cardinalities of two
       // sources, their union and INTERSECTION — estimated from bottom-k
@@ -962,6 +971,23 @@ object TextQueries {
                   WHEN n_devanagari = mx THEN 'devanagari'
                   ELSE 'cjk' END AS script
       FROM g""",
+
+    // same hash-uniform draw (md5-prefix + 0.5 over 2^60), same
+    // u^(1/w) key, ranking on the 9-decimal-rounded key with doc_id
+    // tie-break — the selected SET is engine-exact
+    "t54_weighted_sample" -> s"""
+      WITH w AS (SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS w
+        FROM documents),
+      p AS (SELECT doc_id, w,
+          round(power(
+            (CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                 || ':42'), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+              / power(2.0, 60),
+            1.0 / w), 9) AS sample_key
+        FROM w WHERE w > 0)
+      SELECT doc_id, w, sample_key FROM p
+      ORDER BY sample_key DESC, doc_id LIMIT 50""",
 
     // bottom-k sketches rebuilt as rank-<=k rows over distinct hashes;
     // union sketch from the full distinct union (the bottom-k of a

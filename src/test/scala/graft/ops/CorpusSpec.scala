@@ -199,6 +199,28 @@ class CorpusSpec extends SparkSpec {
     assert(o.map(t => t._1 -> t._3).toMap == again, "order must be deterministic")
   }
 
+  test("weightedSample: weight-proportional draw, no replacement, TakeOrdered") {
+    import spark.implicits._
+    // 100 heavy rows (w=50) + 900 light rows (w=1): heavy mass is
+    // 5000/5900 — a 100-row sample should be dominated by heavy rows
+    val df = ((0 until 100).map(i => (i.toLong, 50)) ++
+      (100 until 1000).map(i => (i.toLong, 1)) :+ (1000L, 0))
+      .toDF("id", "w")
+    val got = Corpus.weightedSample(df, "w", "id", k = 100, seed = 7L)
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.length == 100 && rows.map(_._1).distinct.length == 100,
+      "k distinct rows — sampling without replacement")
+    assert(!rows.map(_._1).contains(1000L), "zero-weight rows cannot be drawn")
+    val heavy = rows.count(_._2 == 50)
+    assert(heavy > 55, s"heavy rows hold ~85% of mass, got $heavy/100")
+    val again = Corpus.weightedSample(df, "w", "id", k = 100, seed = 7L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_._1).toSeq == again, "hash-draw determinism")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
+
   test("doremiWeights: EG pushes weight to the high-loss domain; sums to 1") {
     import spark.implicits._
     // domain "rare" uses vocabulary nothing else shares -> every token is
