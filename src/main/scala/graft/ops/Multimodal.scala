@@ -458,4 +458,150 @@ object Multimodal {
     val n = math.max(1L, media.count() / rowsPerPartition).toInt
     media.repartitionByRange(n, col("media_id"))
   }
+
+  /** Parsed EXIF facts (the image twin of [[Mp4Meta]]). */
+  case class ExifMeta(orientation: Int, pixelX: Int, pixelY: Int,
+                      make: String, dateTime: String)
+
+  /** REAL EXIF parse: JPEG APP1 segment walk -> TIFF header (both
+    * byte orders) -> IFD0 (Make 0x010F, Orientation 0x0112, DateTime
+    * 0x0132, Exif-IFD pointer 0x8769) -> Exif IFD (PixelXDimension
+    * 0xA002, PixelYDimension 0xA003). Truncation/corruption-safe
+    * (returns None); unknown tags skipped; SHORT and LONG accepted for
+    * the dimensions, inline and offset ASCII values for the strings.
+    * Map-only per row — the camera-metadata extraction an image corpus
+    * runs at scan speed. */
+  def parseExif(b: Array[Byte]): Option[ExifMeta] = {
+    if (b == null || b.length < 4) return None
+    def u8(i: Int) = b(i) & 0xFF
+    if (u8(0) != 0xFF || u8(1) != 0xD8) return None // not JPEG
+    try {
+      // JPEG segment walk: lengths are ALWAYS big-endian
+      var i = 2
+      var tiff = -1
+      while (tiff < 0 && i + 4 <= b.length && u8(i) == 0xFF) {
+        val marker = u8(i + 1)
+        if (marker == 0xD9 || marker == 0xDA) return None // no APP1 found
+        val len = (u8(i + 2) << 8) | u8(i + 3)
+        if (marker == 0xE1 && len >= 8 + 6 &&
+            new String(b, i + 4, 6, "US-ASCII") == "Exif\u0000\u0000")
+          tiff = i + 10
+        else i += 2 + len
+      }
+      if (tiff < 0) return None
+      val little = new String(b, tiff, 2, "US-ASCII") match {
+        case "II" => true
+        case "MM" => false
+        case _ => return None
+      }
+      def u16(i: Int): Int =
+        if (little) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+      def u32(i: Int): Long =
+        if (little) u16(i).toLong | (u16(i + 2).toLong << 16)
+        else (u16(i).toLong << 16) | u16(i + 2).toLong
+      if (u16(tiff + 2) != 42) return None
+      var orientation = 1
+      var px = -1; var py = -1
+      var make = ""; var dt = ""
+      def readAscii(count: Int, valueOff: Int): String = {
+        val at = if (count <= 4) valueOff else tiff + u32(valueOff).toInt
+        val raw = new String(b, at, count, "US-ASCII")
+        raw.takeWhile(_ != '\u0000')
+      }
+      def readIfd(off: Int, exifLevel: Boolean): Unit = {
+        val n = u16(off)
+        var e = 0
+        while (e < n) {
+          val at = off + 2 + 12 * e
+          val tag = u16(at); val tpe = u16(at + 2)
+          val count = u32(at + 4).toInt
+          val vOff = at + 8
+          def shortOrLong: Int =
+            if (tpe == 3) u16(vOff) else u32(vOff).toInt
+          tag match {
+            case 0x010F if tpe == 2 => make = readAscii(count, vOff)
+            case 0x0112 if tpe == 3 => orientation = u16(vOff)
+            case 0x0132 if tpe == 2 => dt = readAscii(count, vOff)
+            case 0x8769 if !exifLevel =>
+              readIfd(tiff + u32(vOff).toInt, exifLevel = true)
+            case 0xA002 => px = shortOrLong
+            case 0xA003 => py = shortOrLong
+            case _ => ()
+          }
+          e += 1
+        }
+      }
+      readIfd(tiff + u32(tiff + 4).toInt, exifLevel = false)
+      Some(ExifMeta(orientation, px, py, make, dt))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Minimal standards-shaped JPEG carrying an APP1/Exif TIFF block with
+    * IFD0 {Make, Orientation, DateTime, ExifIFD} and Exif IFD
+    * {PixelX/YDimension}; `little` picks the TIFF byte order. */
+  def syntheticJpegExif(orientation: Int, px: Int, py: Int, make: String,
+                        dateTime: String, little: Boolean): Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def w8(v: Int): Unit = buf += (v & 0xFF).toByte
+    def w16(v: Int): Unit =
+      if (little) { w8(v); w8(v >> 8) } else { w8(v >> 8); w8(v) }
+    def w32(v: Long): Unit =
+      if (little) { w16(v.toInt); w16((v >> 16).toInt) }
+      else { w16((v >> 16).toInt); w16(v.toInt) }
+    // TIFF block (offsets relative to its own start)
+    buf ++= (if (little) "II" else "MM").getBytes("US-ASCII")
+    w16(42); w32(8L)
+    val makeZ = make + "\u0000"
+    val dtZ = dateTime + "\u0000"
+    val ifd0 = 8; val ifd0Size = 2 + 4 * 12 + 4
+    val exifIfd = ifd0 + ifd0Size
+    val exifSize = 2 + 2 * 12 + 4
+    val oMake = exifIfd + exifSize
+    val oDt = oMake + makeZ.length
+    // IFD0: 4 entries in ascending tag order
+    w16(4)
+    w16(0x010F); w16(2); w32(makeZ.length.toLong); w32(oMake.toLong)
+    // SHORT values are left-justified in the 4-byte field either way
+    w16(0x0112); w16(3); w32(1L); w16(orientation); w16(0)
+    w16(0x0132); w16(2); w32(dtZ.length.toLong); w32(oDt.toLong)
+    w16(0x8769); w16(4); w32(1L); w32(exifIfd.toLong)
+    w32(0L) // next-IFD pointer
+    // Exif IFD: 2 entries (LONG, inline)
+    w16(2)
+    w16(0xA002); w16(4); w32(1L); w32(px.toLong)
+    w16(0xA003); w16(4); w32(1L); w32(py.toLong)
+    w32(0L)
+    buf ++= makeZ.getBytes("US-ASCII")
+    buf ++= dtZ.getBytes("US-ASCII")
+    val tiffBytes = buf.toArray
+    val payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiffBytes
+    val app1Len = payload.length + 2
+    Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+      ((app1Len >> 8) & 0xFF).toByte, (app1Len & 0xFF).toByte) ++
+      payload ++ Array(0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** EXIF description through the partition seam (the [[describeMedia]]
+    * shape): (media_id, orientation, pixel_x, pixel_y, make, date_time);
+    * non-JPEG / EXIF-less rows null out. */
+  def describeExif(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("orientation", IntegerType, nullable = true),
+      StructField("pixel_x", IntegerType, nullable = true),
+      StructField("pixel_y", IntegerType, nullable = true),
+      StructField("make", StringType, nullable = true),
+      StructField("date_time", StringType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        parseExif(bytes) match {
+          case Some(m) => Row(r.getLong(0), m.orientation, m.pixelX,
+            m.pixelY, m.make, m.dateTime)
+          case None => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }(encoder)
+  }
 }

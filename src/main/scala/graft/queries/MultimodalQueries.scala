@@ -65,6 +65,23 @@ object MultimodalQueries {
       Multimodal.describeVideo(media)
     }),
 
+    "mm7_exif" -> ((s, dir) => {
+      // REAL EXIF parse end to end (r6): executors synthesize one
+      // JPEG/APP1/TIFF block per row — byte order ALTERNATES per id
+      // (II/MM), which the output never shows: the parser must
+      // normalize both. Every surfaced fact is id-derived arithmetic.
+      import s.implicits._
+      val media = s.range(40).as[Long].mapPartitions { it =>
+        it.map { id =>
+          (id, Multimodal.syntheticJpegExif(
+            (id % 8 + 1).toInt, (100 + id).toInt, (80 + id).toInt,
+            "Cam" + (id % 5), f"2026:08:14 07:00:${id % 60}%02d",
+            little = id % 2 == 0))
+        }
+      }.toDF("media_id", "content")
+      Multimodal.describeExif(media)
+    }),
+
     "mm4_resize" -> ((s, dir) =>
       // resize in the decode seam: new pixel budget caps the byte length,
       // meta rewritten to the target dimensions
@@ -87,6 +104,16 @@ object MultimodalQueries {
              CAST(i * 13 % 256 AS DOUBLE) AS mean_g,
              CAST(i * 29 % 256 AS DOUBLE) AS mean_b
       FROM range(50) t(i)""",
+
+    "mm7_exif" -> """
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CAST(i % 8 + 1 AS INT) AS orientation,
+             CAST(100 + i AS INT) AS pixel_x,
+             CAST(80 + i AS INT) AS pixel_y,
+             'Cam' || (i % 5) AS make,
+             '2026:08:14 07:00:' || lpad(CAST(i % 60 AS VARCHAR), 2, '0')
+               AS date_time
+      FROM range(40) t(i)""",
 
     "mm6_video_meta" -> """
       SELECT CAST(i AS BIGINT) AS media_id, 'isom' AS brand,

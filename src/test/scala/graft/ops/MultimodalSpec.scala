@@ -178,4 +178,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L).getLong(2) == 200 && !got(1L).getBoolean(7))
     assert(got(3L).isNullAt(1) && got(3L).isNullAt(2))
   }
+
+  test("parseExif: both byte orders round-trip; corrupt/absent nulls out") {
+    def build(little: Boolean) = Multimodal.syntheticJpegExif(
+      6, 4032, 3024, "CamX", "2026:08:14 07:15:00", little)
+    for (little <- Seq(true, false)) {
+      val m = Multimodal.parseExif(build(little)).get
+      assert(m == Multimodal.ExifMeta(6, 4032, 3024, "CamX",
+        "2026:08:14 07:15:00"), s"little=$little -> $m")
+    }
+    assert(Multimodal.parseExif(null).isEmpty)
+    assert(Multimodal.parseExif("nope".getBytes).isEmpty)
+    // JPEG without an APP1 segment (straight to EOI)
+    assert(Multimodal.parseExif(Array(0xFF, 0xD8, 0xFF, 0xD9)
+      .map(_.toByte)).isEmpty)
+    // truncated mid-TIFF: parser must not throw
+    val t = build(little = true)
+    assert(Multimodal.parseExif(t.take(t.length / 2)).isEmpty)
+  }
 }

@@ -70,6 +70,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(expected), "streamed web chain must equal batch")
   }
 
+  test("native sketches aggregate on a real stream (complete mode) == batch") {
+    import org.apache.spark.sql.functions._
+    // the custom TypedImperativeAggregates (hll_distinct, kmv_minhashes)
+    // run inside Structured Streaming's stateful aggregation unchanged:
+    // register/bottom-k states merge across micro-batches exactly like
+    // map-side partials, so the final estimate equals the batch run
+    val docs = Tables.documents(spark, sf).select("source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sketch_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Lexicon.tokenRows(df, "text", "source")
+        .groupBy("id")
+        .agg(call_function("hll_distinct", col("term"), lit(9)).as("est"),
+          call_function("kmv_minhashes", col("term"), lit(64)).as("mins"))
+    val expected = sketch(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        r.getSeq[Long](2).mkString(","))).sorted
+    val q = sketch(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir))
+      .writeStream.format("memory").queryName("sketch_sink")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sketch_sink").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        r.getSeq[Long](2).mkString(","))).sorted
+    assert(got.sameElements(expected),
+      "streamed sketch states must merge to the batch result bit for bit")
+  }
+
   test("session windows: real file stream equals batch result") {
     val batchDf = Tables.events(spark, sf)
     val expected = Streams.userSessions(batchDf).collect().map(_.toString).sorted
