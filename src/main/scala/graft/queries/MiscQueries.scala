@@ -48,6 +48,16 @@ object MiscQueries {
           count(lit(1)).as("n"),
           grouping_id().as("gid"))),
 
+    "q18_funnel" -> ((s, dir) =>
+      // ordered funnel analytics (r6): which step of view -> click ->
+      // purchase each user reached, all steps within 7 days of their
+      // FIRST view and strictly time-increasing — composed from
+      // type-filtered scans + user-keyed min-joins, no sequence scan;
+      // all comparisons integer microseconds, fully engine-exact
+      graft.ops.Funnel.funnelSteps(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowMicros = 7L * 24 * 3600 * 1000000)),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -129,6 +139,28 @@ object MiscQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // earliest-anchored windowFunnel replay: per-step min epoch-us
+    // chained through user-keyed joins; strictly-increasing + 7-day
+    // window vs the first view — all integer comparisons
+    "q18_funnel" -> """
+      WITH f1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t1
+                  FROM events WHERE event_type = 'view' GROUP BY 1),
+      f2 AS (SELECT e.user_id AS u, f1.t1, min(epoch_us(e.ts)) AS t2
+             FROM events e JOIN f1 ON e.user_id = f1.u
+             WHERE e.event_type = 'click' AND epoch_us(e.ts) > f1.t1
+               AND epoch_us(e.ts) - f1.t1 <= 604800000000
+             GROUP BY 1, 2),
+      f3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t3
+             FROM events e JOIN f2 ON e.user_id = f2.u
+             WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t2
+               AND epoch_us(e.ts) - f2.t1 <= 604800000000
+             GROUP BY 1)
+      SELECT f1.u AS user_id,
+             CAST(CASE WHEN f3.u IS NOT NULL THEN 3
+                       WHEN f2.u IS NOT NULL THEN 2
+                       ELSE 1 END AS INT) AS step_reached
+      FROM f1 LEFT JOIN f2 ON f1.u = f2.u LEFT JOIN f3 ON f1.u = f3.u""",
+
     // q10: ROLLUP null-fills grouped columns on subtotal rows in both
     // engines; grouping bits are MSB-first in declaration order
     "q10_rollup" -> """
