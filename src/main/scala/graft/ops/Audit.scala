@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality auditing — the Deequ-style "unit tests for data" layer a
+  * training-data pipeline runs before admitting a drop into the corpus:
+  * declarative constraints verified in ONE aggregate scan, distribution
+  * shape (higher moments) per group, and a chi-square independence
+  * check between two categorical columns.
+  *
+  * Behavioral parity: the reference eyeballs these properties through
+  * its missing-value profile (A5), value_counts (A1) and column stats
+  * (A7) reports; this turns them into machine-checkable pass/fail rows.
+  *
+  * Scale shape: `auditReport` folds EVERY constraint metric into one
+  * `agg(...)` over one scan — count/sum partials are map-side combined,
+  * the result is a single driver row exploded to one row per constraint
+  * (stack), so the audit costs one pass however many constraints run.
+  * Uniqueness constraints add count(DISTINCT) columns (Catalyst plans
+  * one Expand per distinct-column set); keep them few on 100 TB inputs
+  * or point them at a bucketed key. Moments sum DECIMAL powers —
+  * order-independent under any partitioning, so results are
+  * bit-identical across engines and cluster sizes. The chi-square
+  * contingency table aggregates BEFORE any join: everything after the
+  * first groupBy is cells-sized.
+  */
+object Audit {
+
+  /** A declarative data-quality constraint. `metric` is a ratio in
+    * [0, 1]; the constraint passes when metric >= atLeast. */
+  sealed trait Constraint {
+    def label: String
+    def atLeast: Double
+    /** (numerator, denominator) aggregate expressions. */
+    private[ops] def fraction: (Column, Column)
+  }
+
+  /** Fraction of rows with `column` non-null. */
+  final case class Complete(column: String, atLeast: Double = 1.0)
+      extends Constraint {
+    val label = s"complete($column)"
+    private[ops] def fraction = (count(col(column)), count(lit(1)))
+  }
+
+  /** Distinct non-null values / non-null rows (1.0 = unique key). */
+  final case class Unique(column: String, atLeast: Double = 1.0)
+      extends Constraint {
+    val label = s"unique($column)"
+    private[ops] def fraction = (countDistinct(col(column)), count(col(column)))
+  }
+
+  /** Fraction of rows with lo <= column <= hi (nulls fail). */
+  final case class InRange(column: String, lo: Double, hi: Double,
+                           atLeast: Double = 1.0) extends Constraint {
+    val label = s"in_range($column,$lo,$hi)"
+    private[ops] def fraction =
+      (count(when(col(column).between(lo, hi), 1)), count(lit(1)))
+  }
+
+  /** Fraction of rows whose value is one of `values` (nulls fail). */
+  final case class InSet(column: String, values: Seq[String],
+                         atLeast: Double = 1.0) extends Constraint {
+    val label = s"in_set($column)"
+    private[ops] def fraction =
+      (count(when(col(column).isin(values: _*), 1)), count(lit(1)))
+  }
+
+  /** One-scan audit: a row per constraint with its metric (ratio of two
+    * long counts — deterministic double) and verdict. */
+  def auditReport(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "at least one constraint")
+    val aggs = constraints.zipWithIndex.flatMap { case (c, i) =>
+      val (num, den) = c.fraction
+      Seq(num.cast("long").as(s"__n$i"), den.cast("long").as(s"__d$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = constraints.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.label).as("constraint"),
+        round(col(s"__n$i").cast("double") / col(s"__d$i").cast("double"), 9)
+          .as("metric"),
+        (col(s"__n$i").cast("double") / col(s"__d$i").cast("double") >=
+          c.atLeast - 1e-12).as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("__c"))
+      .select(col("__c.constraint").as("constraint"),
+        col("__c.metric").as("metric"), col("__c.passed").as("passed"))
+  }
+
+  /** Per-group distribution shape: n, mean, population variance,
+    * skewness (g1) and excess kurtosis (g2) of `valueCol`.
+    *
+    * Exactness contract: the value is scaled to INTEGER thousandths
+    * (round(v*1000) — half-up in both engines for non-negative input)
+    * and the four power sums run in exact integer arithmetic —
+    * DECIMAL(38,0) here, HUGEINT in the oracle — so they are EXACT and
+    * order-independent (skew/kurtosis are scale-invariant, so the
+    * thousandths unit cancels; mean and variance divide the scale back
+    * out). The moment formulas then run in double over those exact
+    * sums with one fixed expression tree (sqrt, not pow, for the 3/2
+    * power), so any engine replaying the same tree reproduces the same
+    * bits. Magnitude bound: |v| < 3e3 keeps sum(m^4) under 1e26 for
+    * 1e12 rows — far inside 38 digits. */
+  def momentStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val m = round(col(valueCol) * lit(1000), 0).cast("decimal(19,0)")
+    val agg = df.groupBy(col(keyCol))
+      .agg(count(m).as("n"),
+        sum(m).as("__s1"), sum(m * m).as("__s2"),
+        sum(m * m * m).as("__s3"), sum(m * m * m * m).as("__s4"))
+    val n = col("n").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val s3 = col("__s3").cast("double")
+    val s4 = col("__s4").cast("double")
+    val mean = s1 / n
+    val m2 = (s2 / n) - (mean * mean)
+    val m3 = (s3 / n) - ((lit(3.0) * mean) * (s2 / n)) +
+      ((lit(2.0) * mean) * (mean * mean))
+    val m4 = (s4 / n) - ((lit(4.0) * mean) * (s3 / n)) +
+      ((lit(6.0) * (mean * mean)) * (s2 / n)) -
+      (lit(3.0) * ((mean * mean) * (mean * mean)))
+    agg.select(col(keyCol), col("n"),
+      round(mean / lit(1000.0), 6).as("mean"),
+      round(m2 / lit(1000000.0), 6).as("variance"),
+      round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+      round((m4 / (m2 * m2)) - lit(3.0), 6).as("kurtosis"))
+  }
+
+  /** Chi-square test of independence between two categoricals: returns
+    * one row (n, dof, chi2). The contingency table is one groupBy over
+    * the scan; marginals re-aggregate the CELLS (not the data), so
+    * everything past the first exchange is |A| x |B|-sized. Each cell
+    * term (obs - exp)^2 / exp is rounded to 9 decimals and summed in
+    * DECIMAL — order-independent, cross-engine exact. (The statistic
+    * and dof are returned; p-value lookup is a driver-side concern.) */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colTot = cells.groupBy("__b").agg(sum("__o").as("__rb"))
+    val tot = cells.agg(sum("__o").as("__n"),
+      countDistinct("__a").as("__ka"), countDistinct("__b").as("__kb"))
+    val exp = (col("__ra").cast("double") * col("__rb").cast("double")) /
+      col("__n").cast("double")
+    val o = col("__o").cast("double")
+    val term = ((o - exp) * (o - exp)) / exp
+    cells.join(broadcast(rowTot), "__a")
+      .join(broadcast(colTot), "__b")
+      .crossJoin(broadcast(tot))
+      .agg(first(col("__n")).as("n"),
+        first((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
+        sum(round(term, 9).cast("decimal(28,9)")).cast("double").as("chi2"))
+      .select(col("n"), col("dof"), round(col("chi2"), 6).as("chi2"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over an append-only event log: batch
+  * sessionization (the gap rule behind every product-analytics funnel)
+  * and calendar resampling with last-observation-carried-forward — the
+  * two shapes that turn an irregular event stream into the regular
+  * per-entity series downstream aggregation expects. (Streaming session
+  * windows live in streaming/Streams.scala via session_window; this is
+  * the batch/backfill path over the full history.)
+  *
+  * Behavioral parity: the reference has no event-log surface — both ops
+  * extend it the way pandas users do with `groupby` + `cumsum` gap
+  * rules and `resample().ffill()` (the I4/i11 fill family applied to a
+  * time grid).
+  *
+  * Scale shape: every window is keyed by the entity column — one hash
+  * exchange on the key, rows of one entity never leave one task, and no
+  * keyless window ever appears (PlanLintSpec's invariant). Session
+  * numbering is lag + running count inside the SAME window spec, so
+  * Catalyst fuses both into ONE Window operator over one sort. The
+  * resample grid is built from a per-entity min/max AGGREGATE (map-side
+  * combined) and exploded map-only — the grid never shuffles at corpus
+  * granularity; days join back on (entity, day). All session arithmetic
+  * is integer microseconds — engine-exact.
+  */
+object Timeseries {
+
+  /** Gap-rule sessionization: a new session starts when the previous
+    * event of the same entity is more than `gapMicros` older (or there
+    * is none). Returns one row per session: entity, session number
+    * (1-based, in time order), event count, start/end epoch-us and
+    * duration. `ordCol` breaks equal-timestamp ties so the numbering is
+    * a total order (replayable on any engine). */
+  def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+                 ordCol: String, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(ordCol))
+    val ts = unix_micros(col(tsCol))
+    val prev = lag(ts, 1).over(w)
+    val isNew = when(prev.isNull || ts - prev > gapMicros, 1L).otherwise(0L)
+    df.withColumn("__sess", sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(entityCol), col("__sess").as("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(ts).as("start_us"), max(ts).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** Daily resample with LOCF gap fill: per entity, one row for every
+    * calendar day between that entity's first and last event; days with
+    * events carry the day's value sum (order-exact: summed in DECIMAL,
+    * emitted as double) and days without events carry the previous
+    * day's value forward. `is_gap` marks filled rows. The carried value
+    * is the already-emitted double, so the fill is bit-identical to the
+    * source row on any engine. */
+  def resampleDailyLocf(df: DataFrame, entityCol: String, tsCol: String,
+                        valueCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    // per-(entity, day) sum in DECIMAL(18,6): order-independent, exact
+    val daily = df.groupBy(col(entityCol), day.as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).cast("double")
+        .as("__day_value"))
+    // per-entity calendar grid: aggregate to (min, max) then explode —
+    // the grid is map-only after a map-side-combined agg
+    val grid = df.groupBy(col(entityCol))
+      .agg(min(day).as("__d0"), max(day).as("__d1"))
+      .select(col(entityCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy(entityCol).orderBy("day")
+    grid.join(daily, Seq(entityCol, "day"), "left")
+      .withColumn("value_filled",
+        last(col("__day_value"), ignoreNulls = true).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("is_gap", col("__day_value").isNull)
+      .drop("__day_value")
+  }
+}

@@ -122,6 +122,27 @@ object DedupQueries {
         .select("doc_id", "canonical_url")
     }),
 
+    "d24_entity_resolution" -> ((s, dir) => {
+      // record linkage (r6): a deterministically dirtied copy of part
+      // (key%3==0 drops the 3rd name char, ==1 replaces the 1st) is
+      // matched back against the clean table — blocking on the RELIABLE
+      // attributes (brand, type) makes candidates an equi-join, the
+      // Levenshtein filter runs only inside blocks, best match is a
+      // min-struct argmin (distance, then id) — deterministic
+      val part = Tables.part(s, dir)
+      val dirtyName = when(pmod(col("p_partkey"), lit(3)) === 0,
+          concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)")))
+        .when(pmod(col("p_partkey"), lit(3)) === 1,
+          concat(lit("x"), expr("substring(p_name, 2)")))
+        .otherwise(col("p_name"))
+      val dirty = part.select(col("p_partkey").as("d_id"),
+        dirtyName.as("d_name"), col("p_brand"), col("p_type"))
+      graft.ops.Linkage.bestMatches(dirty, part,
+        "d_id", "d_name", "p_partkey", "p_name",
+        concat_ws("|", col("p_brand"), col("p_type")),
+        concat_ws("|", col("p_brand"), col("p_type")), maxDist = 2)
+    }),
+
     "d20_para_minhash" -> ((s, dir) => {
       // COMPOSITION: paragraph units through the minhash pipeline —
       // docs 0..9 share an identical section, 10..19 carry a perturbed
@@ -934,6 +955,31 @@ object DedupQueries {
     // collapsed ws) collapse each planted variant pair; survivor =
     // lowest id, ORIGINAL text; empty keys never collapse (each row
     // with an empty normalized form is its own partition)
+    // d24: same dirtying, same block join, same Levenshtein metric;
+    // best match replayed as row_number over (dist, id)
+    "d24_entity_resolution" -> """
+      WITH dirty AS (
+        SELECT p_partkey AS d_id,
+               CASE WHEN p_partkey % 3 = 0
+                      THEN substr(p_name, 1, 2) || substr(p_name, 4)
+                    WHEN p_partkey % 3 = 1
+                      THEN 'x' || substr(p_name, 2)
+                    ELSE p_name END AS d_name,
+               p_brand, p_type
+        FROM part),
+      cand AS (
+        SELECT d.d_id AS dirty_id, p.p_partkey AS cid,
+               levenshtein(d.d_name, p.p_name) AS dist
+        FROM dirty d JOIN part p
+          ON d.p_brand = p.p_brand AND d.p_type = p.p_type
+        WHERE levenshtein(d.d_name, p.p_name) <= 2),
+      r AS (
+        SELECT dirty_id, cid, dist,
+               row_number() OVER (PARTITION BY dirty_id ORDER BY dist, cid) AS rn
+        FROM cand)
+      SELECT dirty_id, cid AS match_id, CAST(dist AS INT) AS dist
+      FROM r WHERE rn = 1""",
+
     "d21_normalized_dedup" -> """
       WITH corpus AS (
         SELECT doc_id, text FROM documents

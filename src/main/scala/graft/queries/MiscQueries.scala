@@ -58,6 +58,37 @@ object MiscQueries {
         "event_type", Seq("view", "click", "purchase"),
         windowMicros = 7L * 24 * 3600 * 1000000)),
 
+    "q20_sessionize" -> ((s, dir) =>
+      // batch gap-rule sessionization (r6): a session breaks after 30
+      // idle minutes; lag + running count share ONE user-keyed window
+      // (one exchange, one sort), all arithmetic integer microseconds
+      graft.ops.Timeseries.sessionize(Tables.events(s, dir),
+        "user_id", "ts", "event_id", gapMicros = 30L * 60 * 1000000)),
+
+    "q21_resample" -> ((s, dir) =>
+      // daily calendar resample with LOCF gap fill (r6): per-user day
+      // grid from a min/max aggregate + sequence explode (map-only),
+      // day sums in DECIMAL (order-exact), fill carries the emitted
+      // double bit-for-bit
+      graft.ops.Timeseries.resampleDailyLocf(Tables.events(s, dir),
+        "user_id", "ts", "value")),
+
+    "a20_moments" -> ((s, dir) =>
+      // distribution shape per event type (r6): skewness/kurtosis from
+      // exact DECIMAL power sums — order-independent under any
+      // partitioning, final formulas one fixed double tree
+      graft.ops.Audit.momentStats(Tables.events(s, dir), "event_type",
+        "value")),
+
+    "a21_chi2" -> ((s, dir) =>
+      // chi-square independence (r6): event_type x value-band
+      // contingency in one groupBy; marginals re-aggregate the CELLS,
+      // cell terms rounded + decimal-summed (order-free)
+      graft.ops.Audit.chiSquare(
+        Tables.events(s, dir).withColumn("band",
+          when(col("value") >= 100, lit("hi")).otherwise(lit("lo"))),
+        "event_type", "band")),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -191,6 +222,113 @@ object MiscQueries {
              CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    // q20: (ts, event_id) is a total order per user; both engines pin
+    // ROWS frames, so the running session count is replayable even
+    // though event_id ties never occur
+    "q20_sessionize" -> """
+      WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_us
+        FROM events),
+      s AS (
+        SELECT user_id, ts_us,
+               sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM t)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events,
+             min(ts_us) AS start_us, max(ts_us) AS end_us,
+             max(ts_us) - min(ts_us) AS duration_us
+      FROM s GROUP BY 1, 2""",
+
+    // q21: the grid day column casts to DATE on both sides; the LOCF
+    // window carries the DECIMAL-summed double forward unchanged
+    "q21_resample" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY 1),
+      grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds)
+      SELECT g.user_id, g.day,
+             last_value(d.day_value IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_filled,
+             d.day_value IS NULL AS is_gap
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""",
+
+    // a20: m = HUGEINT thousandths (round(v*1000) half-up both
+    // engines); power sums exact 128-bit integers, then the IDENTICAL
+    // double expression tree as the engine (sqrt for the 3/2 power,
+    // fully parenthesized; skew/kurt are scale-invariant so the
+    // thousandths unit cancels)
+    "a20_moments" -> """
+      WITH t AS (
+        SELECT event_type, CAST(round(value * 1000, 0) AS HUGEINT) AS m
+        FROM events),
+      a AS (
+        SELECT event_type, count(m) AS n,
+               sum(m) AS s1, sum(m * m) AS s2,
+               sum(m * m * m) AS s3, sum(m * m * m * m) AS s4
+        FROM t GROUP BY 1),
+      d AS (
+        SELECT event_type, n,
+               CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+               CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+               CAST(s4 AS DOUBLE) AS s4d
+        FROM a),
+      m AS (
+        SELECT event_type, n, (s1d / nd) AS mean,
+               ((s2d / nd) - ((s1d / nd) * (s1d / nd))) AS m2,
+               ((s3d / nd) - ((3.0 * (s1d / nd)) * (s2d / nd))
+                 + ((2.0 * (s1d / nd)) * ((s1d / nd) * (s1d / nd)))) AS m3,
+               ((s4d / nd) - ((4.0 * (s1d / nd)) * (s3d / nd))
+                 + ((6.0 * ((s1d / nd) * (s1d / nd))) * (s2d / nd))
+                 - (3.0 * (((s1d / nd) * (s1d / nd)) * ((s1d / nd) * (s1d / nd)))))
+                 AS m4
+        FROM d)
+      SELECT event_type, n, round(mean / 1000.0, 6) AS mean,
+             round(m2 / 1000000.0, 6) AS variance,
+             round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+             round((m4 / (m2 * m2)) - 3.0, 6) AS kurtosis
+      FROM m""",
+
+    // a21: contingency cells -> marginals -> (o-e)^2/e, each term
+    // rounded to 9 and summed in DECIMAL (order-free)
+    "a21_chi2" -> """
+      WITH cells AS (
+        SELECT event_type AS a,
+               CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS b,
+               count(*) AS o
+        FROM events GROUP BY 1, 2),
+      ra AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+      rb AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+      tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka,
+                     count(DISTINCT b) AS kb FROM cells)
+      SELECT CAST(max(tot.n) AS BIGINT) AS n,
+             CAST(max((tot.ka - 1) * (tot.kb - 1)) AS BIGINT) AS dof,
+             round(CAST(sum(CAST(round(
+               ((CAST(cells.o AS DOUBLE)
+                 - ((CAST(ra.rt AS DOUBLE) * CAST(rb.ct AS DOUBLE))
+                    / CAST(tot.n AS DOUBLE)))
+                * (CAST(cells.o AS DOUBLE)
+                 - ((CAST(ra.rt AS DOUBLE) * CAST(rb.ct AS DOUBLE))
+                    / CAST(tot.n AS DOUBLE))))
+               / ((CAST(ra.rt AS DOUBLE) * CAST(rb.ct AS DOUBLE))
+                  / CAST(tot.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS chi2
+      FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot""",
 
     // q12: (ts, event_id) is a total order per user, so every window
     // value is deterministic; DuckDB's default RANGE frame for lag /

@@ -144,6 +144,18 @@ object RelationalQueries {
         .toDF("o_orderstatus", "urgent", "high", "medium",
           "not_specified", "low")),
 
+    "a19_quality_audit" -> ((s, dir) =>
+      // Deequ-style declarative data-quality audit (r6): five
+      // constraints verified in ONE aggregate scan over the nullified
+      // lineitem (planted l_quantity nulls make completeness
+      // non-trivial); each metric a ratio of two long counts
+      graft.ops.Audit.auditReport(Q.lineitemWithNulls(s, dir), Seq(
+        graft.ops.Audit.Complete("l_quantity", atLeast = 0.8),
+        graft.ops.Audit.Complete("l_orderkey"),
+        graft.ops.Audit.Unique("l_orderkey", atLeast = 0.9),
+        graft.ops.Audit.InRange("l_quantity", 1, 50, atLeast = 0.8),
+        graft.ops.Audit.InSet("l_returnflag", Seq("A", "N", "R"))))),
+
     "a15_group_mode" -> ((s, dir) =>
       // most frequent order priority per status, ties to the smallest
       // value — the I3 mode contract per group, aggregate-only
@@ -165,6 +177,44 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // a19: one aggregate CTE feeds one row per constraint; "constraint"
+    // is reserved in DuckDB, hence the quoted alias. passed replays the
+    // engine's `metric >= atLeast - 1e-12` double compare verbatim.
+    "a19_quality_audit" -> """
+      WITH m AS (
+        SELECT count(*) AS n_total,
+               count(CASE WHEN l_linenumber = 3 THEN NULL ELSE l_quantity END) AS c_qty,
+               count(l_orderkey) AS c_ok,
+               count(DISTINCT l_orderkey) AS d_ok,
+               count(CASE WHEN (CASE WHEN l_linenumber = 3 THEN NULL ELSE l_quantity END)
+                          BETWEEN 1 AND 50 THEN 1 END) AS r_qty,
+               count(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 END) AS s_flag
+        FROM lineitem)
+      SELECT 'complete(l_quantity)' AS "constraint",
+             round(CAST(c_qty AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS metric,
+             CAST(c_qty AS DOUBLE) / CAST(n_total AS DOUBLE) >= 0.8 - 1e-12 AS passed
+      FROM m
+      UNION ALL
+      SELECT 'complete(l_orderkey)',
+             round(CAST(c_ok AS DOUBLE) / CAST(n_total AS DOUBLE), 9),
+             CAST(c_ok AS DOUBLE) / CAST(n_total AS DOUBLE) >= 1.0 - 1e-12
+      FROM m
+      UNION ALL
+      SELECT 'unique(l_orderkey)',
+             round(CAST(d_ok AS DOUBLE) / CAST(c_ok AS DOUBLE), 9),
+             CAST(d_ok AS DOUBLE) / CAST(c_ok AS DOUBLE) >= 0.9 - 1e-12
+      FROM m
+      UNION ALL
+      SELECT 'in_range(l_quantity,1.0,50.0)',
+             round(CAST(r_qty AS DOUBLE) / CAST(n_total AS DOUBLE), 9),
+             CAST(r_qty AS DOUBLE) / CAST(n_total AS DOUBLE) >= 0.8 - 1e-12
+      FROM m
+      UNION ALL
+      SELECT 'in_set(l_returnflag)',
+             round(CAST(s_flag AS DOUBLE) / CAST(n_total AS DOUBLE), 9),
+             CAST(s_flag AS DOUBLE) / CAST(n_total AS DOUBLE) >= 1.0 - 1e-12
+      FROM m""",
+
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AuditSpec extends SparkSpec {
+
+  test("auditReport: one scan, metrics and verdicts per constraint") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10.0), "A"), (2L, Some(20.0), "B"), (2L, None, "A"),
+      (3L, Some(99.0), "C"), (4L, Some(-5.0), "A"))
+      .toDF("id", "v", "flag")
+    val got = Audit.auditReport(df, Seq(
+        Audit.Complete("v", atLeast = 0.8),
+        Audit.Unique("id", atLeast = 0.9),
+        Audit.InRange("v", 0, 50, atLeast = 0.5),
+        Audit.InSet("flag", Seq("A", "B"), atLeast = 0.9)))
+      .as[(String, Double, Boolean)].collect()
+      .map { case (c, m, p) => c -> (m, p) }.toMap
+    assert(got("complete(v)") == (0.8, true))
+    assert(got("unique(id)") == (0.8, false))         // 4 distinct / 5
+    assert(got("in_range(v,0.0,50.0)") == (0.4, false)) // 10,20 of 5 rows
+    assert(got("in_set(flag)") == (0.8, false))        // C fails
+  }
+
+  test("momentStats: hand-computed shape of a tiny distribution") {
+    import spark.implicits._
+    val df = (Seq.fill(1)(1.0) ++ Seq(2.0, 3.0, 4.0)).map(("a", _))
+      .toDF("k", "value")
+    val Array(r) = Audit.momentStats(df, "k", "value").collect()
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5)       // mean
+    assert(r.getDouble(3) == 1.25)      // population variance
+    assert(r.getDouble(4) == 0.0)       // symmetric -> zero skew
+    assert(r.getDouble(5) == -1.36)     // m4/m2^2 - 3 = 2.5625/1.5625 - 3
+  }
+
+  test("momentStats is partitioning-invariant (decimal sums)") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => ("k", (i % 37) + i * 0.001))
+    val a = Audit.momentStats(vals.toDF("k", "value").repartition(1), "k", "value").collect()
+    val b = Audit.momentStats(vals.toDF("k", "value").repartition(13), "k", "value").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("chiSquare: hand-computed 2x2 statistic") {
+    import spark.implicits._
+    val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(30)(("y", "p")) ++ Seq.fill(40)(("y", "q"))
+    val Array(r) = Audit.chiSquare(rows.toDF("a", "b"), "a", "b").collect()
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) == 1L)
+    // 4/12 + 4/18 + 4/28 + 4/42 = 0.793651 (rounded to 6)
+    assert(r.getDouble(2) == 0.793651)
+  }
+}

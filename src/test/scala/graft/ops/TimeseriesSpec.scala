@@ -1,0 +1,52 @@
+package graft.ops
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class TimeseriesSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("sessionize: gap rule, numbering, counts, durations") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: two sessions — 10-min gaps inside, a 45-min gap between
+      (1L, ts(0), 10L), (1L, ts(10), 11L), (1L, ts(20), 12L),
+      (1L, ts(65), 13L), (1L, ts(70), 14L),
+      // u2: one single-event session
+      (2L, ts(5), 20L),
+      // u3: boundary — exactly 30 minutes is NOT a break (> gap, not >=)
+      (3L, ts(0), 30L), (3L, ts(30), 31L), (3L, ts(61), 32L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Timeseries.sessionize(events, "user_id", "ts", "event_id",
+        gapMicros = 30L * 60000000)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (u, s, n, st, en, d) => (u, s) -> (n, st, en, d) }.toMap
+    assert(got((1L, 1L)) == (3L, 0L, 20L * 60000000, 20L * 60000000))
+    assert(got((1L, 2L)) == (2L, 65L * 60000000, 70L * 60000000, 5L * 60000000))
+    assert(got((2L, 1L)) == (1L, 5L * 60000000, 5L * 60000000, 0L))
+    // u3: 30-min gap keeps the session, the 31-min gap breaks it
+    assert(got((3L, 1L))._1 == 2L && got((3L, 2L))._1 == 1L)
+    assert(got.size == 5)
+  }
+
+  test("resampleDailyLocf: grid spans min..max, gaps carry forward") {
+    import spark.implicits._
+    def day(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val events = Seq(
+      // u1: events on Jan 1 (two rows summed) and Jan 4 — Jan 2/3 filled
+      (1L, day(1), 1.5), (1L, day(1), 2.5), (1L, day(4), 7.0),
+      // u2: single day — one grid row, no gaps
+      (2L, day(10), 3.25))
+      .toDF("user_id", "ts", "value")
+    val got = Timeseries.resampleDailyLocf(events, "user_id", "ts", "value")
+      .as[(Long, java.sql.Date, Double, Boolean)].collect()
+      .map { case (u, d, v, g) => (u, d.toString) -> (v, g) }.toMap
+    assert(got.size == 5)
+    assert(got((1L, "2024-01-01")) == (4.0, false))
+    assert(got((1L, "2024-01-02")) == (4.0, true))
+    assert(got((1L, "2024-01-03")) == (4.0, true))
+    assert(got((1L, "2024-01-04")) == (7.0, false))
+    assert(got((2L, "2024-01-10")) == (3.25, false))
+  }
+}
