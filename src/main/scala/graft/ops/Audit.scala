@@ -134,6 +134,42 @@ object Audit {
     * term (obs - exp)^2 / exp is rounded to 9 decimals and summed in
     * DECIMAL — order-independent, cross-engine exact. (The statistic
     * and dof are returned; p-value lookup is a driver-side concern.) */
+  /** Mutual information (nats) between two categoricals, plus the two
+    * marginal entropies: one row (n, h_a, h_b, mi). Same contingency
+    * shape as [[chiSquare]] — one groupBy over the scan, everything
+    * after it cells-sized. Each term's double tree is fixed
+    * ((o/n) * ln((o*n)/(ra*ct))), rounded to 9 and DECIMAL-summed, so
+    * the result is order-independent; ln agrees bit-for-bit across
+    * engines on this platform (the t29/t13 log-parity contract). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colTot = cells.groupBy("__b").agg(sum("__o").as("__rb"))
+    val tot = cells.agg(sum("__o").as("__n"))
+    val n = col("__n").cast("double")
+    val o = col("__o").cast("double")
+    val miTerm = (o / n) * log((o * n) / (col("__ra").cast("double") *
+      col("__rb").cast("double")))
+    val withTot = cells.join(broadcast(rowTot), "__a")
+      .join(broadcast(colTot), "__b")
+      .crossJoin(broadcast(tot))
+    val mi = withTot.agg(first(col("__n")).as("n"),
+      sum(round(miTerm, 9).cast("decimal(28,9)")).cast("double").as("__mi"))
+    val ha = rowTot.crossJoin(broadcast(tot))
+      .agg(sum(round((col("__ra").cast("double") / n) *
+        log(col("__ra").cast("double") / n), 9).cast("decimal(28,9)"))
+        .cast("double").as("__ha"))
+    val hb = colTot.crossJoin(broadcast(tot))
+      .agg(sum(round((col("__rb").cast("double") / n) *
+        log(col("__rb").cast("double") / n), 9).cast("decimal(28,9)"))
+        .cast("double").as("__hb"))
+    mi.crossJoin(ha).crossJoin(hb)
+      .select(col("n"), round(lit(0.0) - col("__ha"), 6).as("h_a"),
+        round(lit(0.0) - col("__hb"), 6).as("h_b"),
+        round(col("__mi"), 6).as("mi"))
+  }
+
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))

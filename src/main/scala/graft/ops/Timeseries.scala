@@ -49,6 +49,45 @@ object Timeseries {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Time-RANGE rolling aggregate: for every event, the count and
+    * value-sum of the same entity's events in the trailing `windowMicros`
+    * (inclusive of the current row and its timestamp peers — RANGE
+    * frame semantics, identical across engines). The sum accumulates
+    * DECIMAL, so frame-internal addition order can't flip a bit.
+    * One entity-keyed window — one exchange, one sort, no keyless
+    * frame. */
+  def rollingRange(df: DataFrame, entityCol: String, tsCol: String,
+                   valueCol: String, windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowMicros, 0)
+    df.select(col(entityCol), col(tsCol),
+      count(lit(1)).over(w).as("n_window"),
+      sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double")
+        .as("sum_window"))
+  }
+
+  /** Gaps-and-islands / SCD-style run-length encoding: consecutive
+    * events of one entity with the SAME state value collapse to one
+    * interval row (state, start, end, count) — the core of a type-2
+    * slowly-changing-dimension build. The island key is the classic
+    * difference of two row_numbers (global per entity minus per
+    * (entity, state)); both windows share the entity partitioning, so
+    * the plan is one exchange + one sort feeding two numberings, then
+    * a map-side-combined aggregate. All arithmetic integer. */
+  def stateIslands(df: DataFrame, entityCol: String, tsCol: String,
+                   ordCol: String, stateCol: String): DataFrame = {
+    val wAll = Window.partitionBy(entityCol).orderBy(col(tsCol), col(ordCol))
+    val wState = Window.partitionBy(col(entityCol), col(stateCol))
+      .orderBy(col(tsCol), col(ordCol))
+    df.withColumn("__grp",
+        row_number().over(wAll) - row_number().over(wState))
+      .groupBy(col(entityCol), col(stateCol), col("__grp"))
+      .agg(min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"),
+        count(lit(1)).as("n_in_period"))
+      .drop("__grp")
+  }
+
   /** Daily resample with LOCF gap fill: per entity, one row for every
     * calendar day between that entity's first and last event; days with
     * events carry the day's value sum (order-exact: summed in DECIMAL,

@@ -85,6 +85,44 @@ object WebGraph {
     * for the same truncation with executor-loss tolerance (localCheckpoint
     * blocks die with their executor; documented trade).
     */
+  /** Global triangle count of the UNDIRECTED simple graph underlying an
+    * edge list: one row (n_nodes, n_edges, triangles). Edges are
+    * canonicalized to (min, max) and deduplicated (self-loops dropped),
+    * so multigraph inputs are fine. Counting joins the oriented edge
+    * list to itself twice under the a < b < c total order — every
+    * triangle matches exactly one (a,b)(b,c)(a,c) pattern, so no
+    * de-duplication pass is needed. String order is byte-wise in both
+    * engines, hence replayable.
+    *
+    * Scale shape: both joins are EQUI-joins on a node key (never a
+    * cross product); the wedge table (a,b)x(b,c) is the size of the
+    * path-count, the standard distributed triangle algorithm (the
+    * MapReduce NodeIterator++ shape). On power-law host graphs the
+    * refinement is degree-ordered orientation — orient each edge toward
+    * the higher-(degree, id) endpoint so every wedge pivots at its
+    * LOWEST-degree vertex, bounding wedges by sum(min-deg per edge)
+    * instead of sum(deg^2) at hubs; same joins, one extra degree
+    * aggregate + broadcast. The lexicographic orientation here keeps
+    * the oracle replay one line and is exact on any graph. */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val wedges = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(und.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+    val nodes = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v"))).distinct()
+    tris.agg(count(lit(1)).as("triangles"))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_edges"), col("triangles"))
+  }
+
   def hostRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 5,
                dampNum: Long = 85L, dampDen: Long = 100L,

@@ -89,6 +89,31 @@ object MiscQueries {
           when(col("value") >= 100, lit("hi")).otherwise(lit("lo"))),
         "event_type", "band")),
 
+    "q22_rolling_range" -> ((s, dir) =>
+      // trailing-1-hour rolling count/sum per user (r6): a RANGE frame
+      // over integer microseconds — peers of the current timestamp are
+      // in-frame in both engines; the sum accumulates DECIMAL so frame
+      // addition order can't flip a bit
+      graft.ops.Timeseries.rollingRange(Tables.events(s, dir),
+        "user_id", "ts", "value", windowMicros = 3600000000L)),
+
+    "q23_scd2_islands" -> ((s, dir) =>
+      // gaps-and-islands run-length encoding (r6): consecutive
+      // same-type event runs per user collapse to interval rows — the
+      // SCD type-2 build step; island key = difference of two
+      // row_numbers sharing one exchange
+      graft.ops.Timeseries.stateIslands(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")),
+
+    "a22_mutual_info" -> ((s, dir) =>
+      // mutual information + marginal entropies (r6): same contingency
+      // scan as a21; each term's ln tree is engine-identical, rounded
+      // to 9 and DECIMAL-summed (order-free)
+      graft.ops.Audit.mutualInformation(
+        Tables.events(s, dir).withColumn("band",
+          when(col("value") >= 100, lit("hi")).otherwise(lit("lo"))),
+        "event_type", "band")),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -329,6 +354,64 @@ object MiscQueries {
                   / CAST(tot.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
                AS chi2
       FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot""",
+
+    // q22: RANGE frame over epoch microseconds; DECIMAL window sum
+    "q22_rolling_range" -> """
+      SELECT user_id, ts,
+             count(*) OVER w AS n_window,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_window
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    // q23: islands via the two-row_number difference; all integers
+    "q23_scd2_islands" -> """
+      WITH t AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS grp
+        FROM events)
+      SELECT user_id, event_type,
+             min(ts_us) AS start_us, max(ts_us) AS end_us,
+             count(*) AS n_in_period
+      FROM t GROUP BY user_id, event_type, grp""",
+
+    // a22: identical ln trees ((o/n)*ln((o*n)/(ra*ct)) and p*ln(p)),
+    // rounded to 9, DECIMAL-summed, negated AS 0.0 - sum for entropies
+    "a22_mutual_info" -> """
+      WITH cells AS (
+        SELECT event_type AS a,
+               CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS b,
+               count(*) AS o
+        FROM events GROUP BY 1, 2),
+      ra AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+      rb AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+      tot AS (SELECT sum(o) AS n FROM cells),
+      mi AS (
+        SELECT CAST(max(tot.n) AS BIGINT) AS n,
+               CAST(sum(CAST(round(
+                 (CAST(cells.o AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * ln((CAST(cells.o AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                      / (CAST(ra.rt AS DOUBLE) * CAST(rb.ct AS DOUBLE))), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS mi_raw
+        FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot),
+      ha AS (
+        SELECT CAST(sum(CAST(round(
+                 (CAST(ra.rt AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * ln(CAST(ra.rt AS DOUBLE) / CAST(tot.n AS DOUBLE)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS ha_raw
+        FROM ra CROSS JOIN tot),
+      hb AS (
+        SELECT CAST(sum(CAST(round(
+                 (CAST(rb.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * ln(CAST(rb.ct AS DOUBLE) / CAST(tot.n AS DOUBLE)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS hb_raw
+        FROM rb CROSS JOIN tot)
+      SELECT mi.n, round(0.0 - ha.ha_raw, 6) AS h_a,
+             round(0.0 - hb.hb_raw, 6) AS h_b,
+             round(mi.mi_raw, 6) AS mi
+      FROM mi CROSS JOIN ha CROSS JOIN hb""",
 
     // q12: (ts, event_id) is a total order per user, so every window
     // value is deterministic; DuckDB's default RANGE frame for lag /

@@ -178,6 +178,19 @@ object TextQueries {
       graft.ops.WebGraph.hostRank(e1.union(e2), iterations = 3)
     }),
 
+    "t55_triangles" -> ((s, dir) => {
+      // global triangle count (r6) over a deterministic 13-host graph
+      // from doc_id arithmetic — two equi-joins under the a < b < c
+      // orientation, each triangle matched exactly once
+      val d = Tables.documents(s, dir)
+      val h = (c: org.apache.spark.sql.Column) => concat(lit("h"), c)
+      val e1 = d.select(h(pmod(col("doc_id"), lit(13))).as("src"),
+        h(pmod(col("doc_id") * 3 + 1, lit(13))).as("dst"))
+      val e2 = d.select(h(pmod(col("doc_id"), lit(13))).as("src"),
+        h(pmod(col("doc_id") * 5 + 2, lit(13))).as("dst"))
+      graft.ops.WebGraph.triangleCount(e1.union(e2))
+    }),
+
     "t49_doremi_weights" -> ((s, dir) =>
       // DoReMi-style domain reweighting (r6): unigram-LM cross-entropy
       // per source vs the all-corpus reference, 2 EG steps at eta=1,
@@ -874,6 +887,32 @@ object TextQueries {
     // integer-token PageRank, 3 iterations unrolled; '//' is DuckDB's
     // floor division == Spark's `div` on the all-positive token counts,
     // and integer sums are order-independent, so the replay is exact
+    // t55: same doc_id edge fixture; canonical (least, greatest)
+    // orientation, DISTINCT simple edges, wedge join + closing join
+    "t55_triangles" -> """
+      WITH raw AS (
+        SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 13 AS VARCHAR),
+               'h' || CAST((doc_id * 5 + 2) % 13 AS VARCHAR)
+        FROM documents),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE least(src, dst) <> greatest(src, dst)),
+      w AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e1.b = e2.a),
+      tr AS (
+        SELECT count(*) AS triangles
+        FROM w JOIN und e3 ON w.x = e3.a AND w.z = e3.b),
+      nn AS (SELECT count(*) AS n_nodes FROM
+               (SELECT a AS v FROM und UNION SELECT b FROM und)),
+      ne AS (SELECT count(*) AS n_edges FROM und)
+      SELECT nn.n_nodes, ne.n_edges, tr.triangles
+      FROM nn CROSS JOIN ne CROSS JOIN tr""",
+
     "t48_host_rank" -> """
       WITH e AS (
         SELECT 'h' || (doc_id % 17) AS src,

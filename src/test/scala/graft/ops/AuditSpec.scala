@@ -43,6 +43,20 @@ class AuditSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("mutualInformation: hand-computed 2x2 MI and entropies") {
+    import spark.implicits._
+    val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(30)(("y", "p")) ++ Seq.fill(40)(("y", "q"))
+    val Array(r) = Audit.mutualInformation(rows.toDF("a", "b"), "a", "b")
+      .collect()
+    assert(r.getLong(0) == 100L)
+    assert(r.getDouble(1) == 0.610864)  // H(a) = -(0.3 ln 0.3 + 0.7 ln 0.7)
+    assert(r.getDouble(2) == 0.673012)  // H(b) = -(0.4 ln 0.4 + 0.6 ln 0.6)
+    assert(r.getDouble(3) == 0.004022)  // sum p_ab ln(p_ab / (p_a p_b))
+    // independence sanity: MI is tiny relative to either entropy
+    assert(r.getDouble(3) < 0.01 * r.getDouble(1))
+  }
+
   test("chiSquare: hand-computed 2x2 statistic") {
     import spark.implicits._
     val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++

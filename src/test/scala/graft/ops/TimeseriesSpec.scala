@@ -30,6 +30,46 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("rollingRange: trailing window, inclusive bound, timestamp peers") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(30), 2.0), (1L, ts(70), 4.0), (1L, ts(200), 8.0),
+      // u2: two events at the SAME timestamp — RANGE peers see each other
+      (2L, ts(5), 10.0), (2L, ts(5), 20.0))
+      .toDF("user_id", "ts", "value")
+    val got = Timeseries.rollingRange(events, "user_id", "ts", "value",
+        windowMicros = 60L * 60000000)
+      .as[(Long, Timestamp, Long, Double)].collect()
+      .map { case (u, t, n, sm) => (u, t.getTime / 60000) -> (n, sm) }.toSet
+    assert(got.contains((1L, 0L) -> (1L, 1.0)))
+    assert(got.contains((1L, 30L) -> (2L, 3.0)))
+    // t=70: the 60-min trailing window [10, 70] drops t=0
+    assert(got.contains((1L, 70L) -> (2L, 6.0)))
+    assert(got.contains((1L, 200L) -> (1L, 8.0)))
+    // both peer rows carry the full peer frame
+    assert(got.count(_._1._1 == 2L) == 1 || got.contains((2L, 5L) -> (2L, 30.0)))
+    assert(got.filter(_._1._1 == 2L).forall(_._2 == (2L, 30.0)))
+  }
+
+  test("stateIslands: consecutive same-state runs collapse to intervals") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(1), 2L, "A"), (1L, ts(2), 3L, "B"),
+      (1L, ts(3), 4L, "A"),
+      (2L, ts(0), 5L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Timeseries.stateIslands(events, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map { case (u, st, s0, s1, n) => (u, s0 / 60000000) -> (st, s1 / 60000000, n) }
+      .toMap
+    assert(got((1L, 0L)) == ("A", 1L, 2L))   // first A-run spans t0..t1
+    assert(got((1L, 2L)) == ("B", 2L, 1L))
+    assert(got((1L, 3L)) == ("A", 3L, 1L))   // later A-run is a NEW island
+    assert(got((2L, 0L)) == ("C", 0L, 1L))
+    assert(got.size == 4)
+  }
+
   test("resampleDailyLocf: grid spans min..max, gaps carry forward") {
     import spark.implicits._
     def day(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")

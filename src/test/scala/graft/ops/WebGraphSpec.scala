@@ -98,6 +98,26 @@ class WebGraphSpec extends SparkSpec {
     assert(plain == replay(edges, 3))
   }
 
+  test("triangleCount: canonicalization, multigraph input, exact counts") {
+    import spark.implicits._
+    // path + one closing edge => exactly one triangle; duplicate and
+    // reversed edges and a self-loop must not change anything
+    val g1 = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+        ("b", "a"), ("d", "d"), ("a", "b"))
+      .toDF("src", "dst")
+    val Array(r1) = WebGraph.triangleCount(g1).collect()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == (4L, 4L, 1L))
+    // K4 has C(4,3) = 4 triangles
+    val nodes = Seq("w", "x", "y", "z")
+    val k4 = (for { a <- nodes; b <- nodes if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val Array(r2) = WebGraph.triangleCount(k4).collect()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == (4L, 6L, 4L))
+    // triangle-free bipartite square
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
+    assert(WebGraph.triangleCount(sq).collect()(0).getLong(2) == 0L)
+  }
+
   test("extractHrefs plan is map-only (no exchange before the explode output)") {
     import spark.implicits._
     val plan = Seq("<a href=\"https://x.com\">x</a>").toDF("h")
