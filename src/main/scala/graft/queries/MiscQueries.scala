@@ -114,6 +114,31 @@ object MiscQueries {
           when(col("value") >= 100, lit("hi")).otherwise(lit("lo"))),
         "event_type", "band")),
 
+    "a23_melt" -> ((s, dir) =>
+      // wide-to-long unpivot (pandas melt) (r6): four measure columns
+      // become (metric, value) rows — map-only Expand, zero shuffles,
+      // values pass through bit-identical
+      Tables.lineitem(s, dir).unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")),
+
+    "q24_rank_surface" -> ((s, dir) => {
+      // remaining analytic-rank surface (r6): percent_rank / cume_dist /
+      // ntile / dense_rank per user over (value, event_id) — a total
+      // order, so every rank is deterministic; percent_rank and
+      // cume_dist are integer ratios in double (exact cross-engine)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"),
+        ntile(4).over(w).as("quartile"),
+        dense_rank().over(w).as("dr"))
+    }),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -354,6 +379,29 @@ object MiscQueries {
                   / CAST(tot.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
                AS chi2
       FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot""",
+
+    // a23: UNION ALL replay of the unpivot; values untouched doubles
+    "a23_melt" -> """
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+
+    // q24: SQL-standard rank definitions on a per-user total order;
+    // ntile's uneven-bucket rule (first buckets get the extra row) is
+    // shared by both engines
+    "q24_rank_surface" -> """
+      SELECT user_id, event_id,
+             round(percent_rank() OVER w, 9) AS pr,
+             round(cume_dist() OVER w, 9) AS cd,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             CAST(dense_rank() OVER w AS INT) AS dr
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """

@@ -30,6 +30,26 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("sessionize agrees with Spark's session_window on the real events table") {
+    // same gap rule, two implementations: the window/running-count
+    // sessionize and Structured Streaming's session_window aggregation
+    // (run in batch mode) must carve identical sessions — (user, start,
+    // n_events) multisets equal. (session_window's `end` is last+gap by
+    // definition, so only start/count are directly comparable.)
+    val events = graft.core.Tables.events(spark, sf)
+    val mine = Timeseries.sessionize(events, "user_id", "ts", "event_id",
+        gapMicros = 10L * 60 * 1000000)
+      .select("user_id", "start_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val sw = graft.streaming.Streams.userSessions(events, "10 minutes")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("session_start")).as("start_us"),
+        org.apache.spark.sql.functions.col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(mine.nonEmpty && mine.sameElements(sw))
+  }
+
   test("rollingRange: trailing window, inclusive bound, timestamp peers") {
     import spark.implicits._
     val events = Seq(
