@@ -36,7 +36,10 @@ object Bench {
     "t46_html_extract", "t47_link_extract", "t48_host_rank",
     "t52_web_pipeline",
     "st1_tumbling_window", "st3_session_window",
-    "mm2_feature_extract")
+    "mm2_feature_extract",
+    // r6 event-time / data-quality / linkage additions
+    "q20_sessionize", "q22_rolling_range", "a19_quality_audit",
+    "a23_melt", "d24_entity_resolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
