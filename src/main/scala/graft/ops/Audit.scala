@@ -134,6 +134,30 @@ object Audit {
     * term (obs - exp)^2 / exp is rounded to 9 decimals and summed in
     * DECIMAL — order-independent, cross-engine exact. (The statistic
     * and dof are returned; p-value lookup is a driver-side concern.) */
+  /** Robust outlier report via median absolute deviation: one row
+    * (n, median, mad, n_outliers) where an outlier is
+    * |x - median| > k * 1.4826 * MAD (1.4826 makes MAD consistent with
+    * sigma under normality — the robust z-score rule; mean/stddev move
+    * with every outlier, median/MAD don't). Both medians ride
+    * [[Relational.exactMedian]]'s rank-selection (memory-bounded at any
+    * scale, middle-pair average = SQL median interpolation); the
+    * threshold compare reuses the unrounded driver doubles, so the
+    * verdict is engine-exact. Cost: two rank-selection jobs + one
+    * counting scan. */
+  def madOutliers(df: DataFrame, valueCol: String, k: Double = 3.0): DataFrame = {
+    val med = Relational.exactMedian(df, valueCol)
+      .getOrElse(throw new IllegalArgumentException(s"no values in $valueCol"))
+    val dev = df.filter(col(valueCol).isNotNull)
+      .select(abs(col(valueCol) - lit(med)).as("__dev"))
+    val mad = Relational.exactMedian(dev, "__dev").get
+    val thresh = (k * 1.4826) * mad
+    df.agg(count(col(valueCol)).as("n"),
+        count(when(abs(col(valueCol) - lit(med)) > lit(thresh), 1))
+          .as("n_outliers"))
+      .select(col("n"), round(lit(med), 6).as("median"),
+        round(lit(mad), 6).as("mad"), col("n_outliers"))
+  }
+
   /** Mutual information (nats) between two categoricals, plus the two
     * marginal entropies: one row (n, h_a, h_b, mi). Same contingency
     * shape as [[chiSquare]] — one groupBy over the scan, everything

@@ -33,9 +33,13 @@ object Linkage {
       col(dirtyName).as("__dn"), blockDirty.as("__blk"))
     val c = clean.select(col(cleanId).as("__cid"),
       col(cleanName).as("__cn"), blockClean.as("__blk"))
+    // threshold-bounded Levenshtein: the DP early-exits once the
+    // distance provably exceeds maxDist (returns -1) — O(len * maxDist)
+    // per pair instead of O(len^2), the difference that matters on long
+    // fields at corpus scale
     d.join(c, "__blk")
-      .withColumn("__dist", levenshtein(col("__dn"), col("__cn")))
-      .filter(col("__dist") <= maxDist)
+      .withColumn("__dist", levenshtein(col("__dn"), col("__cn"), maxDist))
+      .filter(col("__dist") >= 0)
       .groupBy("dirty_id")
       .agg(min(struct(col("__dist"), col("__cid"))).as("__w"))
       .select(col("dirty_id"), col("__w.__cid").as("match_id"),

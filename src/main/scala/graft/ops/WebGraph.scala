@@ -123,6 +123,29 @@ object WebGraph {
       .select(col("n_nodes"), col("n_edges"), col("triangles"))
   }
 
+  /** Global clustering coefficient: one row (wedges, triangles,
+    * coefficient = 3*triangles/wedges). Wedges = sum over nodes of
+    * C(deg, 2) — one degree aggregate over the canonical edge list
+    * (integer arithmetic); triangles from [[triangleCount]]'s join
+    * pair. The ratio of two exact longs is a deterministic double. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
+                            dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("__d"))
+    val wedges = deg.agg(sum(col("__d") * (col("__d") - 1) / 2)
+      .cast("long").as("wedges"))
+    val tris = triangleCount(edges, srcCol, dstCol).select("triangles")
+    broadcast(wedges).crossJoin(broadcast(tris))
+      .select(col("wedges"), col("triangles"),
+        round((lit(3.0) * col("triangles").cast("double")) /
+          col("wedges").cast("double"), 6).as("coefficient"))
+  }
+
   def hostRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 5,
                dampNum: Long = 85L, dampDen: Long = 100L,

@@ -139,6 +139,25 @@ object MiscQueries {
         dense_rank().over(w).as("dr"))
     }),
 
+    "q25_salted_agg" -> ((s, dir) =>
+      // two-phase salted aggregation (r6): the hot-key mitigation AQE
+      // can't apply to aggregates — phase 1 groups on (key, salt),
+      // phase 2 merges partials per key; DECIMAL sums make the result
+      // salt- and partitioning-invariant, which the oracle's plain
+      // GROUP BY proves
+      graft.ops.Skew.saltedAggregate(Tables.events(s, dir),
+        "event_type", buckets = 8,
+        partials = Seq(count(lit(1)).as("__c"),
+          sum(col("value").cast("decimal(18,6)")).as("__s")),
+        merges = Seq(sum(col("__c")).as("n"),
+          sum(col("__s")).cast("double").as("sum_value")))),
+
+    "a24_mad_outliers" -> ((s, dir) =>
+      // robust outlier report (r6): median + MAD via rank-selection
+      // (no value buffering), |x - med| > 3 * 1.4826 * MAD verdict
+      graft.ops.Audit.madOutliers(Tables.lineitem(s, dir),
+        "l_extendedprice")),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -379,6 +398,29 @@ object MiscQueries {
                   / CAST(tot.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
                AS chi2
       FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot""",
+
+    // q25: the salt is pure mechanics — a plain GROUP BY must
+    // reproduce the two-phase result bit for bit (DECIMAL sums)
+    "q25_salted_agg" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1""",
+
+    // a24: DuckDB median interpolates the middle pair exactly like the
+    // engine's rank-selection; threshold tree ((3.0*1.4826)*mad) on the
+    // UNROUNDED statistics
+    "a24_mad_outliers" -> """
+      WITH m AS (
+        SELECT CAST(median(l_extendedprice) AS DOUBLE) AS med FROM lineitem),
+      d AS (
+        SELECT CAST(median(abs(l.l_extendedprice - m.med)) AS DOUBLE) AS mad
+        FROM lineitem l CROSS JOIN m)
+      SELECT count(l.l_extendedprice) AS n,
+             round(max(m.med), 6) AS median,
+             round(max(d.mad), 6) AS mad,
+             count(CASE WHEN abs(l.l_extendedprice - m.med)
+                             > ((3.0 * 1.4826) * d.mad) THEN 1 END) AS n_outliers
+      FROM lineitem l CROSS JOIN m CROSS JOIN d""",
 
     // a23: UNION ALL replay of the unpivot; values untouched doubles
     "a23_melt" -> """

@@ -191,6 +191,19 @@ object TextQueries {
       graft.ops.WebGraph.triangleCount(e1.union(e2))
     }),
 
+    "t56_clustering" -> ((s, dir) => {
+      // global clustering coefficient (r6) over the t55 host graph:
+      // wedges from one degree aggregate, triangles from the oriented
+      // join pair, coefficient = 3T/W — a ratio of exact longs
+      val d = Tables.documents(s, dir)
+      val h = (c: org.apache.spark.sql.Column) => concat(lit("h"), c)
+      val e1 = d.select(h(pmod(col("doc_id"), lit(13))).as("src"),
+        h(pmod(col("doc_id") * 3 + 1, lit(13))).as("dst"))
+      val e2 = d.select(h(pmod(col("doc_id"), lit(13))).as("src"),
+        h(pmod(col("doc_id") * 5 + 2, lit(13))).as("dst"))
+      graft.ops.WebGraph.clusteringCoefficient(e1.union(e2))
+    }),
+
     "t49_doremi_weights" -> ((s, dir) =>
       // DoReMi-style domain reweighting (r6): unigram-LM cross-entropy
       // per source vs the all-corpus reference, 2 EG steps at eta=1,
@@ -887,6 +900,35 @@ object TextQueries {
     // integer-token PageRank, 3 iterations unrolled; '//' is DuckDB's
     // floor division == Spark's `div` on the all-positive token counts,
     // and integer sums are order-independent, so the replay is exact
+    // t56: wedges = sum C(deg,2) over the canonical edge list,
+    // triangles as in t55, coefficient = 3T/W
+    "t56_clustering" -> """
+      WITH raw AS (
+        SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 13 AS VARCHAR),
+               'h' || CAST((doc_id * 5 + 2) % 13 AS VARCHAR)
+        FROM documents),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE least(src, dst) <> greatest(src, dst)),
+      deg AS (
+        SELECT v, count(*) AS d FROM
+          (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+      wg AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS wedges FROM deg),
+      w AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e1.b = e2.a),
+      tr AS (
+        SELECT count(*) AS triangles
+        FROM w JOIN und e3 ON w.x = e3.a AND w.z = e3.b)
+      SELECT wg.wedges, tr.triangles,
+             round((3.0 * CAST(tr.triangles AS DOUBLE))
+                   / CAST(wg.wedges AS DOUBLE), 6) AS coefficient
+      FROM wg CROSS JOIN tr""",
+
     // t55: same doc_id edge fixture; canonical (least, greatest)
     // orientation, DISTINCT simple edges, wedge join + closing join
     "t55_triangles" -> """

@@ -57,6 +57,17 @@ class AuditSpec extends SparkSpec {
     assert(r.getDouble(3) < 0.01 * r.getDouble(1))
   }
 
+  test("madOutliers: hand-computed median/MAD and robust verdict") {
+    import spark.implicits._
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v")
+    val Array(r) = Audit.madOutliers(df, "v").collect()
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 5.5)   // middle-pair average of 1..9,1000
+    assert(r.getDouble(2) == 2.5)   // median of |x - 5.5|
+    // threshold 3 * 1.4826 * 2.5 = 11.12 — only the planted 1000 exceeds
+    assert(r.getLong(3) == 1L)
+  }
+
   test("chiSquare: hand-computed 2x2 statistic") {
     import spark.implicits._
     val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++

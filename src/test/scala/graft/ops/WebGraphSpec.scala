@@ -118,6 +118,21 @@ class WebGraphSpec extends SparkSpec {
     assert(WebGraph.triangleCount(sq).collect()(0).getLong(2) == 0L)
   }
 
+  test("clusteringCoefficient: triangle with pendant = 3/5") {
+    import spark.implicits._
+    // K3 (a,b,c) + pendant edge (c,d): degrees 2,2,3,1 ->
+    // wedges = 1+1+3+0 = 5, triangles = 1, coefficient = 0.6
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).toDF("src", "dst")
+    val Array(r) = WebGraph.clusteringCoefficient(g).collect()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == (5L, 1L, 0.6))
+    // K4: wedges = 4 * C(3,2) = 12, triangles = 4 -> coefficient 1.0
+    val nodes = Seq("w", "x", "y", "z")
+    val k4 = (for { a <- nodes; b <- nodes if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val Array(r2) = WebGraph.clusteringCoefficient(k4).collect()
+    assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2)) == (12L, 4L, 1.0))
+  }
+
   test("extractHrefs plan is map-only (no exchange before the explode output)") {
     import spark.implicits._
     val plan = Seq("<a href=\"https://x.com\">x</a>").toDF("h")
