@@ -50,9 +50,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries
-    val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.keys.toSeq.sorted
-      else headline.filter(all.contains)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c times an explicit subset (ad-hoc
+    // measurements outside the headline); BENCH_ALL=1 times everything.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) => list.split(",").toSeq.filter(all.contains)
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.keys.toSeq.sorted
+        else headline.filter(all.contains)
+    }
     // Warm every headline plan at the smallest SF before timing: codegen
     // compiles per generated class (schema-dependent, data-independent),
     // so a ~500-doc run JITs the exact classes the timed run executes —
