@@ -47,7 +47,45 @@ def main(sf_dir, out_dir):
     import glob, os
     produced = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)}
     npass = nfail = 0
+    BIG = 200_000  # above this, compare inside DuckDB (no Python materialization)
+
+    def compare_in_duckdb(name):
+        """EXCEPT ALL both directions with round-9 on doubles — the same
+        contract as canon(), but multithreaded and O(1) Python memory.
+        Returns (ok, n_rows, detail)."""
+        con.execute(f"CREATE OR REPLACE TEMP TABLE __got AS SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        try:
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __exp AS {oracles[name]}")
+        except Exception as e:
+            return False, 0, f"oracle error {e}"
+        gi = con.execute("PRAGMA table_info('__got')").fetchall()
+        ei = con.execute("PRAGMA table_info('__exp')").fetchall()
+        gcols = sorted((r[1], r[2]) for r in gi)
+        ecols = sorted((r[1], r[2]) for r in ei)
+        if [c for c, _ in gcols] != [c for c, _ in ecols]:
+            return False, 0, f"columns {[c for c,_ in gcols]} != {[c for c,_ in ecols]}"
+        sel = ", ".join(
+            f'round("{c}", 9) AS "{c}"' if t.upper() in ("DOUBLE", "FLOAT", "REAL")
+            else f'"{c}"' for c, t in gcols)
+        n1 = con.execute(f"SELECT count(*) FROM (SELECT {sel} FROM __got EXCEPT ALL SELECT {sel} FROM __exp)").fetchone()[0]
+        n2 = con.execute(f"SELECT count(*) FROM (SELECT {sel} FROM __exp EXCEPT ALL SELECT {sel} FROM __got)").fetchone()[0]
+        ng = con.execute("SELECT count(*) FROM __got").fetchone()[0]
+        ne = con.execute("SELECT count(*) FROM __exp").fetchone()[0]
+        ok = n1 == 0 and n2 == 0 and ng == ne
+        return ok, ng, None if ok else f"rows {ng} vs {ne}, asym diff {n1}/{n2}"
+
     for name in sorted(produced):
+        if name in oracles:
+            n = con.execute(f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+            if n > BIG:
+                ok, ng, detail = compare_in_duckdb(name)
+                if ok:
+                    print(f"PASS {name} ({ng} rows, in-db compare)")
+                    npass += 1
+                else:
+                    print(f"FAIL {name}: {detail}")
+                    nfail += 1
+                continue
         got_rel = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         gcols = [d[0] for d in got_rel.description]
         grows = got_rel.fetchall()
