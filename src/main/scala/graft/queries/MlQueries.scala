@@ -242,6 +242,15 @@ object MlQueries {
       imps.map { case (f, _) => f }.sorted.toDF("feature")
     }),
 
+    "m23_ridge" -> ((s, dir) =>
+      // ridge via distributed sufficient statistics (r6): five decimal
+      // sums in one aggregate, map-only predict — the shrinkage
+      // estimator next to m8/i8's OLS (see ml.Ridge for why NOT MLlib's
+      // internally-rescaled penalty)
+      graft.ml.Ridge.fitPredict(Tables.lineitem(s, dir),
+        "l_quantity", "l_extendedprice", lambda = 0.5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("pred"))),
+
     "m21_robust_scale" -> ((s, dir) =>
       // robust scaling of the quantity column: (x - exact median) / IQR
       // — every statistic a rank selection, so the per-row doubles are
@@ -627,6 +636,30 @@ object MlQueries {
 
     // m21: median = middle-pair average (ranks (n+1)//2 and n//2+1);
     // quartiles = integer-rank nearest-rank selection, IQR guard at 0
+    // m23: identical decimal sufficient statistics, identical double
+    // trees for w and b (mx/my inlined as (sx/n), (sy/n) exactly as
+    // Catalyst expands them)
+    "m23_ridge" -> """
+      WITH s AS (
+        SELECT CAST(count(CASE WHEN l_extendedprice IS NOT NULL
+                               AND l_quantity IS NOT NULL THEN 1 END) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_quantity AS DECIMAL(8,3))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+                        * CAST(l_quantity AS DECIMAL(8,3))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+                        * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sxx
+        FROM lineitem),
+      f AS (
+        SELECT ((sxy - (n * ((sx / n) * (sy / n))))
+                / ((sxx - (n * ((sx / n) * (sx / n)))) + (0.5 * n))) AS w,
+               n, sx, sy
+        FROM s),
+      g AS (SELECT w, ((sy / n) - (w * (sx / n))) AS b FROM f)
+      SELECT l.l_orderkey, l.l_linenumber,
+             round((g.w * l.l_extendedprice) + g.b, 4) AS pred
+      FROM lineitem l CROSS JOIN g""",
+
     "m21_robust_scale" -> """
       WITH v AS (SELECT l_quantity AS x FROM lineitem WHERE l_quantity IS NOT NULL),
       nn AS (SELECT count(*) AS n FROM v),
