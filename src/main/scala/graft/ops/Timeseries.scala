@@ -88,6 +88,51 @@ object Timeseries {
       .drop("__grp")
   }
 
+  /** Growth accounting: per calendar day, the count of FIRST-SEEN
+    * entities and the running cumulative total — the "total users over
+    * time" curve. First-seen is one map-side-combined min aggregate;
+    * the cumulative sum rides [[Ordinals.withRunningTotal]]'s
+    * distributed prefix sum (range-partitioned, never a keyless window
+    * funnel), so the curve computes at any scale; counts are integers,
+    * hence the double prefix sum is exact. */
+  def cumulativeFirstSeen(df: DataFrame, entityCol: String,
+                          tsCol: String): DataFrame = {
+    val firstDay = df.groupBy(col(entityCol))
+      .agg(min(to_date(col(tsCol))).as("first_day"))
+    val daily = firstDay.groupBy("first_day").agg(count(lit(1)).as("n_new"))
+    Ordinals.withRunningTotal(daily, Seq(col("first_day").asc),
+        "n_new", "__cum")
+      .select(col("first_day"), col("n_new"),
+        col("__cum").cast("long").as("cum_total"))
+  }
+
+  /** Cohort retention matrix: entities are cohorted by FIRST-SEEN week
+    * (Monday-truncated, identical in both engines); a cohort's week-k
+    * retention is the share of its members active k weeks later. Rows
+    * (cohort_week, week_offset, n_active, cohort_size, retention).
+    * Shapes: one min aggregate for cohorts, one distinct for
+    * (entity, week) activity, one entity-keyed join, one cells-sized
+    * count — cohort sizes re-join as a broadcast of the offset-0 rows
+    * (every member is active in its own first week by construction).
+    * All counts long; retention = ratio of two longs, rounded. */
+  def cohortRetention(df: DataFrame, entityCol: String,
+                      tsCol: String): DataFrame = {
+    val wk = to_date(date_trunc("week", col(tsCol)))
+    val cohort = df.groupBy(col(entityCol)).agg(min(wk).as("cohort_week"))
+    val activity = df.select(col(entityCol), wk.as("active_week")).distinct()
+    val cells = activity.join(cohort, entityCol)
+      .select(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .withColumn("retention", round(
+        col("n_active").cast("double") / col("cohort_size").cast("double"), 6))
+  }
+
   /** Daily resample with LOCF gap fill: per entity, one row for every
     * calendar day between that entity's first and last event; days with
     * events carry the day's value sum (order-exact: summed in DECIMAL,

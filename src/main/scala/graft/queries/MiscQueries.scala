@@ -158,6 +158,20 @@ object MiscQueries {
       graft.ops.Audit.madOutliers(Tables.lineitem(s, dir),
         "l_extendedprice")),
 
+    "q26_cumulative_users" -> ((s, dir) =>
+      // growth accounting (r6): new + cumulative first-seen users per
+      // day; the cumulative rides the RunningTotal distributed prefix
+      // sum, not a keyless window
+      graft.ops.Timeseries.cumulativeFirstSeen(Tables.events(s, dir),
+        "user_id", "ts")),
+
+    "q27_cohort_retention" -> ((s, dir) =>
+      // weekly cohort retention matrix (r6): cohort = first-seen week,
+      // retention = active share k weeks later — integer counts, one
+      // entity-keyed join, cells-sized output
+      graft.ops.Timeseries.cohortRetention(Tables.events(s, dir),
+        "user_id", "ts")),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -444,6 +458,43 @@ object MiscQueries {
              CAST(dense_rank() OVER w AS INT) AS dr
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""",
+
+    // q26: cumulative over the day-level frame (days are few, but the
+    // engine still computes it as a distributed prefix sum)
+    "q26_cumulative_users" -> """
+      WITH f AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1),
+      d AS (SELECT first_day, count(*) AS n_new FROM f GROUP BY 1)
+      SELECT first_day, n_new,
+             CAST(sum(n_new) OVER (ORDER BY first_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_total
+      FROM d""",
+
+    // q27: Monday-truncated weeks in both engines; offsets are exact
+    // multiples of 7 days, so the /7 division is integer-valued
+    "q27_cohort_retention" -> """
+      WITH c AS (
+        SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events),
+      cells AS (
+        SELECT c.cohort_week,
+               CAST((a.active_week - c.cohort_week) / 7 AS BIGINT) AS week_offset,
+               count(*) AS n_active
+        FROM a JOIN c USING (user_id)
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT cohort_week, n_active AS cohort_size
+        FROM cells WHERE week_offset = 0)
+      SELECT cells.cohort_week, cells.week_offset, cells.n_active,
+             sizes.cohort_size,
+             round(CAST(cells.n_active AS DOUBLE)
+                   / CAST(sizes.cohort_size AS DOUBLE), 6) AS retention
+      FROM cells JOIN sizes USING (cohort_week)""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """

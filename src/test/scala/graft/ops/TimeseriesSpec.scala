@@ -90,6 +90,43 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("cumulativeFirstSeen: new vs returning, running total") {
+    import spark.implicits._
+    def day(d: Int): Timestamp = Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    val events = Seq(
+      (1L, day(1)), (2L, day(1)),          // two new on day 1
+      (1L, day(2)),                         // returning only
+      (3L, day(3)), (1L, day(3)), (4L, day(3))) // two new on day 3
+      .toDF("user_id", "ts")
+    val got = Timeseries.cumulativeFirstSeen(events, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map { case (d, n, c) => d.toString -> (n, c) }.toMap
+    assert(got == Map("2024-03-01" -> (2L, 2L), "2024-03-03" -> (2L, 4L)))
+  }
+
+  test("cohortRetention: offsets, sizes, self-retention = 1.0") {
+    import spark.implicits._
+    // Mondays: 2024-03-04, 2024-03-11, 2024-03-18
+    def ts(s: String): Timestamp = Timestamp.valueOf(s + " 09:00:00")
+    val events = Seq(
+      // cohort A (wk of Mar 4): u1 active wk0, wk1, wk2; u2 wk0 only
+      (1L, ts("2024-03-05")), (1L, ts("2024-03-12")), (1L, ts("2024-03-20")),
+      (2L, ts("2024-03-06")),
+      // cohort B (wk of Mar 11): u3 active wk0 and wk1
+      (3L, ts("2024-03-13")), (3L, ts("2024-03-19")))
+      .toDF("user_id", "ts")
+    val got = Timeseries.cohortRetention(events, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect()
+      .map { case (cw, off, na, cs, r) => (cw.toString, off) -> (na, cs, r) }
+      .toMap
+    assert(got(("2024-03-04", 0L)) == (2L, 2L, 1.0))
+    assert(got(("2024-03-04", 1L)) == (1L, 2L, 0.5))
+    assert(got(("2024-03-04", 2L)) == (1L, 2L, 0.5))
+    assert(got(("2024-03-11", 0L)) == (1L, 1L, 1.0))
+    assert(got(("2024-03-11", 1L)) == (1L, 1L, 1.0))
+    assert(got.size == 5)
+  }
+
   test("resampleDailyLocf: grid spans min..max, gaps carry forward") {
     import spark.implicits._
     def day(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
