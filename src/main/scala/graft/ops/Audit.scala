@@ -134,6 +134,42 @@ object Audit {
     * term (obs - exp)^2 / exp is rounded to 9 decimals and summed in
     * DECIMAL — order-independent, cross-engine exact. (The statistic
     * and dof are returned; p-value lookup is a driver-side concern.) */
+  /** Welch's two-sample t statistic between the `valueCol`
+    * distributions of two groups: one row (n_a, n_b, mean_diff, t_stat,
+    * df) with the Welch-Satterthwaite degrees of freedom. Sufficient
+    * statistics are the same exact integer-thousandths sums as
+    * [[momentStats]] (one aggregate scan, order-independent); the t and
+    * df formulas run in double over them with one fixed tree, so the
+    * statistic replays bit-for-bit. (p-value lookup is a driver-side
+    * concern, as in [[chiSquare]].) */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val m = round(col(valueCol) * lit(1000), 0).cast("decimal(19,0)")
+    def side(g: String, tag: String) = Seq(
+      count(when(col(groupCol) === g, m)).cast("double").as(s"__n$tag"),
+      sum(when(col(groupCol) === g, m)).cast("double").as(s"__s1$tag"),
+      sum(when(col(groupCol) === g, m * m)).cast("double").as(s"__s2$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val s = df.agg(aggs.head, aggs.tail: _*)
+    def stats(tag: String): (Column, Column, Column) = {
+      val n = col(s"__n$tag")
+      val mean = col(s"__s1$tag") / n
+      // sample variance in thousandths^2
+      val v = (col(s"__s2$tag") - (n * (mean * mean))) / (n - lit(1.0))
+      (n, mean, v)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val se2 = (va / na) + (vb / nb)
+    val t = (ma - mb) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      (((va / na) * (va / na)) / (na - lit(1.0)) +
+        ((vb / nb) * (vb / nb)) / (nb - lit(1.0)))
+    s.select(na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
+      round((ma - mb) / lit(1000.0), 6).as("mean_diff"),
+      round(t, 6).as("t_stat"), round(dfW, 4).as("df"))
+  }
+
   /** Robust outlier report via median absolute deviation: one row
     * (n, median, mad, n_outliers) where an outlier is
     * |x - median| > k * 1.4826 * MAD (1.4826 makes MAD consistent with

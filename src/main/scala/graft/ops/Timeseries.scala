@@ -88,6 +88,27 @@ object Timeseries {
       .drop("__grp")
   }
 
+  /** First-order Markov transition matrix over an event-type sequence:
+    * rows (from_type, to_type, n, p) where p row-normalizes the counts
+    * per from_type. Pairs come from ONE lag over the entity-keyed
+    * window (no self-join of the event log); both the pair counts and
+    * the from-marginals are integer aggregates of the SAME cells-sized
+    * frame, so p is a deterministic ratio of longs. */
+  def transitionMatrix(df: DataFrame, entityCol: String, tsCol: String,
+                       ordCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(ordCol))
+    val pairs = df
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marg = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+    pairs.join(broadcast(marg), "from_type")
+      .withColumn("p",
+        round(col("n").cast("double") / col("__tot").cast("double"), 6))
+      .drop("__tot")
+  }
+
   /** Growth accounting: per calendar day, the count of FIRST-SEEN
     * entities and the running cumulative total — the "total users over
     * time" curve. First-seen is one map-side-combined min aggregate;

@@ -172,6 +172,18 @@ object MiscQueries {
       graft.ops.Timeseries.cohortRetention(Tables.events(s, dir),
         "user_id", "ts")),
 
+    "q28_transition_matrix" -> ((s, dir) =>
+      // first-order Markov transitions between event types (r6): one
+      // lag over the user-keyed window, integer counts, row-normalized
+      graft.ops.Timeseries.transitionMatrix(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")),
+
+    "a25_welch_t" -> ((s, dir) =>
+      // Welch two-sample t (r6): click vs view value distributions;
+      // exact integer sufficient sums, one fixed double tree
+      graft.ops.Audit.welchT(Tables.events(s, dir), "event_type",
+        "value", "click", "view")),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -495,6 +507,52 @@ object MiscQueries {
              round(CAST(cells.n_active AS DOUBLE)
                    / CAST(sizes.cohort_size AS DOUBLE), 6) AS retention
       FROM cells JOIN sizes USING (cohort_week)""",
+
+    // q28: same lag window, same marginal join
+    "q28_transition_matrix" -> """
+      WITH p AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS from_type,
+               event_type AS to_type
+        FROM events),
+      c AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      mg AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n,
+             round(CAST(c.n AS DOUBLE) / CAST(mg.tot AS DOUBLE), 6) AS p
+      FROM c JOIN mg USING (from_type)""",
+
+    // a25: HUGEINT thousandths sufficient sums; identical t/df trees
+    // (Welch-Satterthwaite), mean_diff rescaled by /1000
+    "a25_welch_t" -> """
+      WITH t AS (
+        SELECT event_type, CAST(round(value * 1000, 0) AS HUGEINT) AS m
+        FROM events),
+      s AS (
+        SELECT CAST(count(CASE WHEN event_type = 'click' THEN m END) AS DOUBLE) AS na,
+               CAST(sum(CASE WHEN event_type = 'click' THEN m END) AS DOUBLE) AS s1a,
+               CAST(sum(CASE WHEN event_type = 'click' THEN m * m END) AS DOUBLE) AS s2a,
+               CAST(count(CASE WHEN event_type = 'view' THEN m END) AS DOUBLE) AS nb,
+               CAST(sum(CASE WHEN event_type = 'view' THEN m END) AS DOUBLE) AS s1b,
+               CAST(sum(CASE WHEN event_type = 'view' THEN m * m END) AS DOUBLE) AS s2b
+        FROM t),
+      d AS (
+        SELECT na, nb, (s1a / na) AS ma, (s1b / nb) AS mb,
+               ((s2a - (na * ((s1a / na) * (s1a / na)))) / (na - 1.0)) AS va,
+               ((s2b - (nb * ((s1b / nb) * (s1b / nb)))) / (nb - 1.0)) AS vb
+        FROM s),
+      e AS (
+        SELECT na, nb, ma, mb, va, vb,
+               ((va / na) + (vb / nb)) AS se2
+        FROM d)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             round((ma - mb) / 1000.0, 6) AS mean_diff,
+             round((ma - mb) / sqrt(se2), 6) AS t_stat,
+             round((se2 * se2)
+                   / ((((va / na) * (va / na)) / (na - 1.0))
+                      + (((vb / nb) * (vb / nb)) / (nb - 1.0))), 4) AS df
+      FROM e""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """

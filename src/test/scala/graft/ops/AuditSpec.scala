@@ -68,6 +68,21 @@ class AuditSpec extends SparkSpec {
     assert(r.getLong(3) == 1L)
   }
 
+  test("welchT: hand-computed two-sample statistic") {
+    import spark.implicits._
+    // a = {1,2,3,4,5}: mean 3, var 2.5; b = {2,4,6}: mean 4, var 4
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("b", _))
+    val Array(r) = Audit.welchT(rows.toDF("g", "v"), "g", "v", "a", "b")
+      .collect()
+    assert((r.getLong(0), r.getLong(1)) == (5L, 3L))
+    assert(r.getDouble(2) == -1.0)
+    // se2 = 2.5/5 + 4/3 = 1.833333; t = -1/sqrt(1.833333) = -0.738549
+    assert(r.getDouble(3) == -0.738549)
+    // df = se2^2 / ((0.5^2/4) + (1.333333^2/2)) = 3.361111/0.951389
+    assert(r.getDouble(4) == 3.5328, r.getDouble(4).toString)
+  }
+
   test("chiSquare: hand-computed 2x2 statistic") {
     import spark.implicits._
     val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++

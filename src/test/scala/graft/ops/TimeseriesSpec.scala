@@ -127,6 +127,25 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("transitionMatrix: lag pairs, row-normalized probabilities") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(1), 2L, "B"), (1L, ts(2), 3L, "A"),
+      (1L, ts(3), 4L, "B"),
+      (2L, ts(0), 5L, "A"), (2L, ts(1), 6L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Timeseries.transitionMatrix(events, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect()
+      .map { case (f, t, n, p) => (f, t) -> (n, p) }.toMap
+    // from A: A->B twice (u1), A->A once (u2) => p = 2/3, 1/3
+    assert(got(("A", "B")) == (2L, 0.666667))
+    assert(got(("A", "A")) == (1L, 0.333333))
+    // from B: B->A once => p = 1.0; no cross-user pair (u1 end -> u2 start)
+    assert(got(("B", "A")) == (1L, 1.0))
+    assert(got.size == 3)
+  }
+
   test("resampleDailyLocf: grid spans min..max, gaps carry forward") {
     import spark.implicits._
     def day(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
