@@ -210,6 +210,32 @@ object SourceQueries {
       graft.io.SkippingIndex.prunedRead(s, out, "doc_id", 100L, 199L)
     }),
 
+    "s33_incremental_agg" -> ((s, dir) => {
+      // incremental aggregate maintenance (r6): build the per-lang
+      // manifest, MERGE a change batch (every 10th doc's n_chars bumped
+      // by 1000, five new docs in a new lang=zz partition), refresh the
+      // manifest ONLY for the touched partitions, and answer from the
+      // manifest — the oracle's full recompute over the replayed final
+      // state must match bit for bit
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val out = Q.tempDir("graft_s33") + "/corpus"
+      val d = Tables.documents(s, dir)
+      graft.io.CorpusSink.writePartitioned(
+        d.select(col("doc_id"), col("lang"), col("n_chars")), out, "lang")
+      graft.io.AggManifest.build(s, out, "lang", "n_chars")
+      val updates = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000).as("n_chars"))
+        .unionByName(d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            lit("zz").as("lang"), lit(7L).as("n_chars")))
+      val touched = graft.io.CorpusSink.upsertPartitions(s, out, updates,
+        "doc_id", "lang")
+      graft.io.AggManifest.refresh(s, out, "lang", "n_chars", touched)
+      graft.io.AggManifest.read(s, out)
+        .select(col("lang"), col("n"), col("sum_v").cast("double").as("sum_v"))
+    }),
+
     "s31_merge_upsert" -> ((s, dir) => {
       // partition-scoped MERGE (r6): v1 corpus partitioned by lang;
       // the update batch rewrites every 10th doc as v2 and inserts five
@@ -273,6 +299,20 @@ object SourceQueries {
     "s32_skipping_index" -> """
       SELECT doc_id, lang, source FROM documents
       WHERE doc_id BETWEEN 100 AND 199""",
+    // s33: full recompute over the logically replayed final state —
+    // equality proves the incremental refresh path
+    "s33_incremental_agg" -> """
+      WITH final AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, 'zz', 7 FROM documents WHERE doc_id < 5)
+      SELECT lang, count(*) AS n,
+             CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+      FROM final GROUP BY lang""",
+
     "s31_merge_upsert" -> """
       SELECT doc_id, lang,
              CASE WHEN doc_id % 10 = 0 THEN 'v2' ELSE 'v1' END AS ver
