@@ -68,6 +68,19 @@ object AggManifest {
     fs.delete(bak, true)
   }
 
+  /** Build-or-refresh: the streaming entry point ([[graft.streaming.MatView]]
+    * calls this per micro-batch) — first batch builds the manifest,
+    * every later batch refreshes only its touched partitions. */
+  def maintain(spark: SparkSession, path: String, partitionCol: String,
+               valueCol: String, touched: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(new HPath(path).toUri,
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(new HPath(manifestPath(path))))
+      build(spark, path, partitionCol, valueCol)
+    else refresh(spark, path, partitionCol, valueCol, touched)
+  }
+
   /** Per-partition partials as a DataFrame. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(manifestPath(path))

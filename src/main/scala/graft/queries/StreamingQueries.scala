@@ -82,6 +82,45 @@ object StreamingQueries {
         threshold = 0.99, nprobe = 8).select("vec_id")
     }),
 
+    "st12_streaming_matview" -> ((s, dir) => {
+      // streaming materialized view (r6): a REAL two-file readStream
+      // appends partitioned data and incrementally maintains the
+      // AggManifest per micro-batch (batch 1 builds, batch 2 refreshes
+      // only its touched partitions). The oracle aggregates the
+      // replayed final dataset from scratch — equality proves the
+      // incremental path AND batch-boundary independence; the
+      // engine-side pin additionally checks manifest == direct scan.
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val b1 = docs.filter(col("doc_id") < 150)
+      val b2 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+      val root = Q.tempDir("graft_st12")
+      val srcDir = s"$root/src"
+      new java.io.File(srcDir).mkdirs()
+      for ((b, name, age) <- Seq((b1, "f1", 20000L), (b2, "f2", 10000L))) {
+        b.coalesce(1).write.parquet(s"$srcDir/$name")
+        val part = new java.io.File(s"$srcDir/$name").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$srcDir/$name"))
+        dst.setLastModified(System.currentTimeMillis() - age)
+      }
+      val out = s"$root/ds"
+      graft.streaming.MatView.start(s, srcDir, docs.schema,
+        graft.streaming.MatView.Config(out, "lang", "n_chars"),
+        s"$root/cp").awaitTermination()
+      val m = graft.io.AggManifest.read(s, out)
+      val scanAgg = s.read.parquet(out)
+        .groupBy(col("lang").cast("string").as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("decimal(28,6)")).as("sum_v"))
+      val eq = m.exceptAll(scanAgg).count() == 0 &&
+        scanAgg.exceptAll(m).count() == 0
+      m.select(col("lang"), col("n"), col("sum_v").cast("double").as("sum_v"))
+        .withColumn("manifest_equals_scan", lit(eq))
+    }),
+
     "st11_corpus_pipeline" -> ((s, dir) => {
       // END-TO-END streaming corpus pipeline (ingest-dedup -> bloom
       // decontamination -> quality gate -> partitioned sink), run as a
@@ -194,6 +233,14 @@ object StreamingQueries {
     // within-batch components; then exact shingle decontamination vs
     // docs 50..59 and the quality threshold. stream == batch is pinned
     // engine-side; this replay pins WHAT both compute.
+    // st12: from-scratch aggregate over the replayed ingested set —
+    // however the stream chopped it, the manifest cannot differ
+    "st12_streaming_matview" -> """
+      SELECT lang, count(*) AS n,
+             CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
+             true AS manifest_equals_scan
+      FROM documents WHERE doc_id < 300 GROUP BY lang""",
+
     "st11_corpus_pipeline" -> s"""
       WITH RECURSIVE corpus AS (
         SELECT doc_id, lang, text FROM documents WHERE doc_id < 200
