@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,46 @@ object Timeseries {
         max(unix_micros(col(tsCol))).as("end_us"),
         count(lit(1)).as("n_in_period"))
       .drop("__grp")
+  }
+
+  /** RFM (recency / frequency / monetary) segmentation: per entity, the
+    * three classic engagement metrics plus their quartile scores (1 =
+    * lowest..4 = highest under each metric's ascending order). Recency
+    * is whole days between the entity's last event and the GLOBAL
+    * latest event day (a 1-row broadcast anchor). Quartile assignment
+    * is WINDOW-FREE: global ranks ride [[Ordinals.withGlobalRank]]'s
+    * distributed prefix sum under (metric, entity) total orders, and
+    * quartile = floor((rank-1)*4/n)+1 — pure integer arithmetic,
+    * replayable, never a single-partition ntile funnel. Monetary sums
+    * DECIMAL (order-exact). */
+  def rfmSegments(df: DataFrame, entityCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val perUser = df.groupBy(col(entityCol))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double")
+          .as("monetary"))
+    val anchor = df.agg(max(to_date(col(tsCol))).as("__anchor"))
+    val base = perUser.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("__anchor"), col("__last")).cast("long"))
+      .drop("__last", "__anchor")
+    val n = base.count()
+    def quartile(rankCol: Column): Column =
+      (floor(((rankCol - lit(1)) * lit(4)) / lit(n)) + lit(1)).cast("int")
+    // low recency_days = MOST recent = best; rank descending so that
+    // score 4 = most recently active, matching the f/m orientation
+    val r1 = Ordinals.withGlobalRank(base,
+      Seq(col("recency_days").desc, col(entityCol).asc), "__rr")
+    val r2 = Ordinals.withGlobalRank(r1,
+      Seq(col("frequency").asc, col(entityCol).asc), "__rf")
+    val r3 = Ordinals.withGlobalRank(r2,
+      Seq(col("monetary").asc, col(entityCol).asc), "__rm")
+    r3.select(col(entityCol), col("recency_days"), col("frequency"),
+      round(col("monetary"), 4).as("monetary"),
+      quartile(col("__rr")).as("r_score"),
+      quartile(col("__rf")).as("f_score"),
+      quartile(col("__rm")).as("m_score"))
   }
 
   /** First-order Markov transition matrix over an event-type sequence:

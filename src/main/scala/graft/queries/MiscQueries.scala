@@ -184,6 +184,13 @@ object MiscQueries {
       graft.ops.Audit.welchT(Tables.events(s, dir), "event_type",
         "value", "click", "view")),
 
+    "q29_rfm" -> ((s, dir) =>
+      // RFM segmentation (r6): recency/frequency/monetary + quartile
+      // scores; ranks ride the RunningTotal prefix sum (window-free),
+      // quartile = floor((rank-1)*4/n)+1 in exact integer arithmetic
+      graft.ops.Timeseries.rfmSegments(Tables.events(s, dir),
+        "user_id", "ts", "value")),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -553,6 +560,31 @@ object MiscQueries {
                    / ((((va / na) * (va / na)) / (na - 1.0))
                       + (((vb / nb) * (vb / nb)) / (nb - 1.0))), 4) AS df
       FROM e""",
+
+    // q29: quartiles replayed as row_number under identical total
+    // orders; the recency rank is DESCENDING so score 4 = most recent
+    "q29_rfm" -> """
+      WITH u AS (
+        SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS frequency,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        FROM events GROUP BY 1),
+      a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+      b AS (
+        SELECT u.user_id, CAST(a.anchor - u.last_day AS BIGINT) AS recency_days,
+               u.frequency, u.monetary
+        FROM u CROSS JOIN a),
+      nn AS (SELECT count(*) AS n FROM b),
+      r AS (
+        SELECT b.*,
+               row_number() OVER (ORDER BY recency_days DESC, user_id) AS rr,
+               row_number() OVER (ORDER BY frequency, user_id) AS rf,
+               row_number() OVER (ORDER BY monetary, user_id) AS rm
+        FROM b)
+      SELECT user_id, recency_days, frequency, round(monetary, 4) AS monetary,
+             CAST(floor(((rr - 1) * 4) / nn.n) + 1 AS INT) AS r_score,
+             CAST(floor(((rf - 1) * 4) / nn.n) + 1 AS INT) AS f_score,
+             CAST(floor(((rm - 1) * 4) / nn.n) + 1 AS INT) AS m_score
+      FROM r CROSS JOIN nn""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """
