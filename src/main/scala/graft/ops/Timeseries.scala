@@ -88,6 +88,49 @@ object Timeseries {
       .drop("__grp")
   }
 
+  /** Time-weighted average (TWAP): per entity, each observation is
+    * weighted by how long it remained current (the gap to the NEXT
+    * event, from one lead over the entity-keyed window); the final
+    * observation carries no weight, and single-event entities drop
+    * (zero total weight). Weights are integer microseconds and the
+    * weighted sums run in DECIMAL — order-exact; the division is one
+    * fixed double tree. The difference from a plain mean matters
+    * whenever sampling is irregular (a price quoted for an hour counts
+    * an hour, not one tick). */
+  def twap(df: DataFrame, entityCol: String, tsCol: String,
+           ordCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(ordCol))
+    val ts = unix_micros(col(tsCol))
+    df.withColumn("__w", lead(ts, 1).over(w) - ts)
+      .filter(col("__w").isNotNull)
+      .groupBy(col(entityCol))
+      .agg(sum(col("__w")).as("total_us"),
+        sum(col(valueCol).cast("decimal(8,3)") *
+          col("__w").cast("decimal(20,0)")).cast("double").as("__vw"))
+      .filter(col("total_us") > 0)
+      .select(col(entityCol), col("total_us"),
+        round(col("__vw") / col("total_us").cast("double"), 6).as("twap"))
+  }
+
+  /** OHLC bars: per (entity, hour) — open/high/low/close/count, the
+    * candle aggregation. Open and close are min/max-struct argmins
+    * over (epoch-us, order col, value) — map-side combined, total
+    * order, no window scan of the raw rows; high/low/count ride the
+    * same single aggregate. */
+  def ohlcBars(df: DataFrame, entityCol: String, tsCol: String,
+               ordCol: String, valueCol: String): DataFrame = {
+    val ts = unix_micros(col(tsCol))
+    df.groupBy(col(entityCol),
+        date_trunc("hour", col(tsCol)).as("bar_start"))
+      .agg(
+        min(struct(ts, col(ordCol), col(valueCol))).getField(valueCol)
+          .as("open"),
+        max(col(valueCol)).as("high"), min(col(valueCol)).as("low"),
+        max(struct(ts, col(ordCol), col(valueCol))).getField(valueCol)
+          .as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** RFM (recency / frequency / monetary) segmentation: per entity, the
     * three classic engagement metrics plus their quartile scores (1 =
     * lowest..4 = highest under each metric's ascending order). Recency

@@ -191,6 +191,18 @@ object MiscQueries {
       graft.ops.Timeseries.rfmSegments(Tables.events(s, dir),
         "user_id", "ts", "value")),
 
+    "q30_twap" -> ((s, dir) =>
+      // time-weighted average (r6): one lead over the user-keyed
+      // window; integer-microsecond weights, DECIMAL weighted sums
+      graft.ops.Timeseries.twap(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value")),
+
+    "q31_ohlc" -> ((s, dir) =>
+      // hourly OHLC candles (r6): open/close as min/max-struct argmins
+      // under the (epoch, id) total order — one aggregate, no window
+      graft.ops.Timeseries.ohlcBars(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value")),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -585,6 +597,49 @@ object MiscQueries {
              CAST(floor(((rf - 1) * 4) / nn.n) + 1 AS INT) AS f_score,
              CAST(floor(((rm - 1) * 4) / nn.n) + 1 AS INT) AS m_score
       FROM r CROSS JOIN nn""",
+
+    // q30: same lead window; weights in BIGINT microseconds, weighted
+    // value sums in exact decimals (HUGEINT-backed product)
+    "q30_twap" -> """
+      WITH t AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - epoch_us(ts) AS w
+        FROM events),
+      g AS (
+        SELECT user_id, sum(w) AS total_us,
+               CAST(sum(CAST(value AS DECIMAL(8,3))
+                        * CAST(w AS DECIMAL(20,0))) AS DOUBLE) AS vw
+        FROM t WHERE w IS NOT NULL GROUP BY 1)
+      SELECT user_id, CAST(total_us AS BIGINT) AS total_us,
+             round(vw / CAST(total_us AS DOUBLE), 6) AS twap
+      FROM g WHERE total_us > 0""",
+
+    // q31: open/close replayed as rank-1 rows under the same
+    // (epoch, id) total order, ascending and descending
+    "q31_ohlc" -> """
+      WITH t AS (
+        SELECT user_id, date_trunc('hour', ts) AS bar_start,
+               epoch_us(ts) AS ts_us, event_id, value
+        FROM events),
+      r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id, bar_start
+                                  ORDER BY ts_us, event_id) AS ra,
+               row_number() OVER (PARTITION BY user_id, bar_start
+                                  ORDER BY ts_us DESC, event_id DESC) AS rd
+        FROM t),
+      agg AS (
+        SELECT user_id, bar_start, max(value) AS high, min(value) AS low,
+               count(*) AS n
+        FROM t GROUP BY 1, 2)
+      SELECT agg.user_id, agg.bar_start,
+             o.value AS open, agg.high, agg.low, c.value AS close, agg.n
+      FROM agg
+      JOIN r o ON o.user_id = agg.user_id AND o.bar_start = agg.bar_start
+              AND o.ra = 1
+      JOIN r c ON c.user_id = agg.user_id AND c.bar_start = agg.bar_start
+              AND c.rd = 1""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """

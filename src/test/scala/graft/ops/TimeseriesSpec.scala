@@ -146,6 +146,36 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("twap: duration weights, last observation unweighted, singletons drop") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: 10 held 10 min, 20 held 20 min, 40 unweighted
+      (1L, ts(0), 1L, 10.0), (1L, ts(10), 2L, 20.0), (1L, ts(30), 3L, 40.0),
+      // u2: single event -> zero weight -> absent
+      (2L, ts(5), 4L, 99.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Timeseries.twap(events, "user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, t, v) => u -> (t, v) }.toMap
+    // (10*10 + 20*20) / 30 = 500/30 = 16.666667
+    assert(got == Map(1L -> (30L * 60000000, 16.666667)))
+  }
+
+  test("ohlcBars: open/close by time order, high/low, per-hour bars") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(5), 1L, 5.0), (1L, ts(10), 2L, 9.0), (1L, ts(20), 3L, 1.0),
+      (1L, ts(50), 4L, 7.0),   // hour 0
+      (1L, ts(65), 5L, 3.0))   // hour 1
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Timeseries.ohlcBars(events, "user_id", "ts", "event_id", "value")
+      .as[(Long, Timestamp, Double, Double, Double, Double, Long)].collect()
+      .map { case (u, b, o, h, l, c, n) => (u, b.getTime / 3600000) -> (o, h, l, c, n) }
+      .toMap
+    assert(got((1L, 0L)) == (5.0, 9.0, 1.0, 7.0, 4L))
+    assert(got((1L, 1L)) == (3.0, 3.0, 3.0, 3.0, 1L))
+  }
+
   test("resampleDailyLocf: grid spans min..max, gaps carry forward") {
     import spark.implicits._
     def day(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
