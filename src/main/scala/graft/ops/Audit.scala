@@ -134,6 +134,35 @@ object Audit {
     * term (obs - exp)^2 / exp is rounded to 9 decimals and summed in
     * DECIMAL — order-independent, cross-engine exact. (The statistic
     * and dof are returned; p-value lookup is a driver-side concern.) */
+  /** Benford first-significant-digit audit: per digit 1..9, observed
+    * count, share, the Benford-law expectation log10(1 + 1/d), and the
+    * deviation — the classic fabricated-data / unit-mixup smell test.
+    * The digit is extracted through INTEGER cents and string formatting
+    * (round(v*100) -> BIGINT -> first character), never through
+    * floor(log10(v)) whose libm rounding at power-of-ten boundaries is
+    * not portable across engines; expectations are shared literals.
+    * One map-only projection + one 9-row aggregate. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val expected: Column = Seq(
+      "1" -> 0.301029996, "2" -> 0.176091259, "3" -> 0.124938737,
+      "4" -> 0.096910013, "5" -> 0.079181246, "6" -> 0.066946790,
+      "7" -> 0.057991947, "8" -> 0.051152522, "9" -> 0.045757491)
+      .foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+        when(col("digit") === d, p).otherwise(acc)
+      }
+    val digits = df.filter(col(valueCol) > 0)
+      .select(substring(round(col(valueCol) * 100, 0).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum("n_obs").as("__t"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_obs").cast("double") / col("__t").cast("double"), 6))
+      .withColumn("expected_share", expected)
+      .withColumn("deviation", round(col("share") - col("expected_share"), 6))
+      .drop("__t")
+  }
+
   /** Welch's two-sample t statistic between the `valueCol`
     * distributions of two groups: one row (n_a, n_b, mean_diff, t_stat,
     * df) with the Welch-Satterthwaite degrees of freedom. Sufficient

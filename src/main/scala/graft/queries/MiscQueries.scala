@@ -203,6 +203,13 @@ object MiscQueries {
       graft.ops.Timeseries.ohlcBars(Tables.events(s, dir),
         "user_id", "ts", "event_id", "value")),
 
+    "a26_benford" -> ((s, dir) =>
+      // Benford first-digit audit (r6): digits via integer cents +
+      // string head (portable — no floor(log10) libm hazard),
+      // expectations as shared literals
+      graft.ops.Audit.benfordAudit(Tables.lineitem(s, dir),
+        "l_extendedprice")),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -640,6 +647,32 @@ object MiscQueries {
               AND o.ra = 1
       JOIN r c ON c.user_id = agg.user_id AND c.bar_start = agg.bar_start
               AND c.rd = 1""",
+
+    // a26: identical digit extraction (integer cents -> string head)
+    // and identical expectation literals
+    "a26_benford" -> """
+      WITH d AS (
+        SELECT substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit
+        FROM lineitem WHERE l_extendedprice > 0),
+      c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+      t AS (SELECT sum(n_obs) AS tot FROM c)
+      SELECT c.digit, c.n_obs,
+             round(CAST(c.n_obs AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share,
+             CASE c.digit
+               WHEN '1' THEN 0.301029996 WHEN '2' THEN 0.176091259
+               WHEN '3' THEN 0.124938737 WHEN '4' THEN 0.096910013
+               WHEN '5' THEN 0.079181246 WHEN '6' THEN 0.066946790
+               WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522
+               WHEN '9' THEN 0.045757491 ELSE 0.0 END AS expected_share,
+             round(round(CAST(c.n_obs AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+                   - CASE c.digit
+                       WHEN '1' THEN 0.301029996 WHEN '2' THEN 0.176091259
+                       WHEN '3' THEN 0.124938737 WHEN '4' THEN 0.096910013
+                       WHEN '5' THEN 0.079181246 WHEN '6' THEN 0.066946790
+                       WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522
+                       WHEN '9' THEN 0.045757491 ELSE 0.0 END, 6) AS deviation
+      FROM c CROSS JOIN t""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """

@@ -207,4 +207,74 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val eventsGen: Gen[List[(Long, Long, Double, String)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 5000L),
+      Gen.choose(0.0, 100.0), Gen.oneOf("x", "y", "z")))
+
+  test("sessionize partitions the events: counts sum to n, durations bound gaps") {
+    for (data <- samples(eventsGen) if data.nonEmpty) {
+      import spark.implicits._
+      val gap = 300L * 1000000 // 5 min in us
+      val df = data.zipWithIndex.map { case ((u, sec, v, _), i) =>
+        (u, new java.sql.Timestamp(sec * 1000), i.toLong, v)
+      }.toDF("user_id", "ts", "event_id", "value")
+      val sess = Timeseries.sessionize(df, "user_id", "ts", "event_id", gap)
+        .collect()
+      assert(sess.map(_.getLong(2)).sum == df.count(),
+        "every event lands in exactly one session")
+      // a session's duration is at most (n_events - 1) * gap, by the
+      // gap rule; single-event sessions have zero duration
+      sess.foreach { r =>
+        val (n, dur) = (r.getLong(2), r.getLong(5))
+        assert(dur <= (n - 1) * gap, s"duration $dur exceeds rule for n=$n")
+        if (n == 1) assert(dur == 0)
+      }
+      // session ids are 1..k per user with no holes
+      sess.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val ids = rows.map(_.getLong(1)).sorted.toSeq
+        assert(ids == (1L to ids.size.toLong))
+      }
+    }
+  }
+
+  test("stateIslands covers every row once; merging islands replays the input runs") {
+    for (data <- samples(eventsGen) if data.nonEmpty) {
+      import spark.implicits._
+      val df = data.zipWithIndex.map { case ((u, sec, _, st), i) =>
+        (u, new java.sql.Timestamp(sec * 1000), i.toLong, st)
+      }.toDF("user_id", "ts", "event_id", "event_type")
+      val isl = Timeseries.stateIslands(df, "user_id", "ts", "event_id",
+        "event_type").collect()
+      assert(isl.map(_.getLong(4)).sum == df.count(), "islands cover all rows")
+      // islands of one user are ordered and non-overlapping (a shared
+      // boundary timestamp is possible only when the state flips
+      // between two equal-timestamp events)
+      isl.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r.getLong(2), r.getLong(3)))
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(a.getLong(3) <= b.getLong(2), "islands ordered, non-overlapping")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("twap lies within [min, max] of the entity's values") {
+    for (data <- samples(eventsGen) if data.nonEmpty) {
+      import spark.implicits._
+      val df = data.zipWithIndex.map { case ((u, sec, v, _), i) =>
+        (u, new java.sql.Timestamp(sec * 1000), i.toLong, math.rint(v * 1000) / 1000)
+      }.toDF("user_id", "ts", "event_id", "value")
+      val bounds = df.groupBy("user_id")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      val joined = Timeseries.twap(df, "user_id", "ts", "event_id", "value")
+        .join(bounds, "user_id").collect()
+      joined.foreach { r =>
+        val (t, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        assert(t >= lo - 1e-6 && t <= hi + 1e-6, s"twap $t outside [$lo, $hi]")
+      }
+    }
+  }
 }
