@@ -227,7 +227,7 @@ object SourceQueries {
         .select(col("doc_id"), col("lang"),
           (col("n_chars") + 1000).as("n_chars"))
         .unionByName(d.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
             lit("zz").as("lang"), lit(7L).as("n_chars")))
       val touched = graft.io.CorpusSink.upsertPartitions(s, out, updates,
         "doc_id", "lang")
@@ -250,7 +250,7 @@ object SourceQueries {
       val updates = d.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(col("doc_id"), col("lang"), lit("v2").as("ver"))
         .unionByName(d.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
             lit("zz").as("lang"), lit("v2").as("ver")))
       graft.io.CorpusSink.upsertPartitions(s, out, updates, "doc_id", "lang")
       s.read.parquet(out).select("doc_id", "lang", "ver")
@@ -308,7 +308,7 @@ object SourceQueries {
                     ELSE n_chars END AS n_chars
         FROM documents
         UNION ALL
-        SELECT doc_id + 100000, 'zz', 7 FROM documents WHERE doc_id < 5)
+        SELECT doc_id + 1000000000, 'zz', 7 FROM documents WHERE doc_id < 5)
       SELECT lang, count(*) AS n,
              CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
       FROM final GROUP BY lang""",
@@ -318,7 +318,7 @@ object SourceQueries {
              CASE WHEN doc_id % 10 = 0 THEN 'v2' ELSE 'v1' END AS ver
       FROM documents
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, 'zz' AS lang, 'v2' AS ver
+      SELECT doc_id + 1000000000 AS doc_id, 'zz' AS lang, 'v2' AS ver
       FROM documents WHERE doc_id < 5""",
     // all 64 interleave terms generated mechanically — pure BIGINT bit
     // arithmetic, engine-exact on both sides
