@@ -29,11 +29,15 @@ object Ridge {
     * Returns the input columns + prediction (rounded to `roundTo`). */
   def fitPredict(df: DataFrame, targetCol: String, featureCol: String,
                  lambda: Double, roundTo: Int = 4): DataFrame = {
-    val x = col(featureCol).cast("decimal(12,4)")
-    val y = col(targetCol).cast("decimal(8,3)")
+    // every sufficient statistic is computed over the SAME population —
+    // rows where BOTH columns are non-null — or mx=sx/n and the
+    // (co)variance terms would mix populations when only one column has
+    // a null (the fit would be OLS on no consistent subset)
+    val both = col(featureCol).isNotNull && col(targetCol).isNotNull
+    val x = when(both, col(featureCol)).cast("decimal(12,4)")
+    val y = when(both, col(targetCol)).cast("decimal(8,3)")
     val s = df.agg(
-      count(when(col(featureCol).isNotNull && col(targetCol).isNotNull, 1))
-        .cast("double").as("__n"),
+      count(when(both, 1)).cast("double").as("__n"),
       sum(x).cast("double").as("__sx"), sum(y).cast("double").as("__sy"),
       sum(x * y).cast("double").as("__sxy"), sum(x * x).cast("double").as("__sxx"))
     val n = col("__n")

@@ -127,13 +127,6 @@ object Audit {
       round((m4 / (m2 * m2)) - lit(3.0), 6).as("kurtosis"))
   }
 
-  /** Chi-square test of independence between two categoricals: returns
-    * one row (n, dof, chi2). The contingency table is one groupBy over
-    * the scan; marginals re-aggregate the CELLS (not the data), so
-    * everything past the first exchange is |A| x |B|-sized. Each cell
-    * term (obs - exp)^2 / exp is rounded to 9 decimals and summed in
-    * DECIMAL — order-independent, cross-engine exact. (The statistic
-    * and dof are returned; p-value lookup is a driver-side concern.) */
   /** Benford first-significant-digit audit: per digit 1..9, observed
     * count, share, the Benford-law expectation log10(1 + 1/d), and the
     * deviation — the classic fabricated-data / unit-mixup smell test.
@@ -259,6 +252,13 @@ object Audit {
         round(col("__mi"), 6).as("mi"))
   }
 
+  /** Chi-square test of independence between two categoricals: returns
+    * one row (n, dof, chi2). The contingency table is one groupBy over
+    * the scan; marginals re-aggregate the CELLS (not the data), so
+    * everything past the first exchange is |A| x |B|-sized. Each cell
+    * term (obs - exp)^2 / exp is rounded to 9 decimals and summed in
+    * DECIMAL — order-independent, cross-engine exact. (The statistic
+    * and dof are returned; p-value lookup is a driver-side concern.) */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))

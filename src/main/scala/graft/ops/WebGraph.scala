@@ -49,42 +49,6 @@ object WebGraph {
       .filter(col("src") =!= col("dst") && col("dst") =!= "")
       .distinct()
 
-  /** Integer-token PageRank over a host edge list.
-    *
-    * Every node starts with `seedTokens`. Per iteration, a node with
-    * out-degree d sends each out-neighbor
-    * `share = ((rank * dampNum) div dampDen) div d` tokens (integer
-    * division throughout); everything NOT delivered anywhere — flooring
-    * remainders plus the full rank of dangling nodes — forms the teleport
-    * pool T, and every node additionally receives `T div n`. The
-    * `T mod n` tail (< n tokens per iteration) evaporates: this is a
-    * RANKING, not a probability distribution, and the payoff for the
-    * leak is exact cross-engine replayability — all arithmetic is long
-    * division and order-independent long sums, so Spark, an SQL oracle,
-    * and a hand replay agree bit for bit (no float summation-order
-    * hazard, no retry nondeterminism).
-    *
-    * Overflow bound: rank*dampNum stays below 2^63 while
-    * n * seedTokens * dampNum < 2^63 — at the default seed of 1e9 that
-    * allows ~1e8 hosts even if ALL mass concentrates on one node
-    * (documented headroom; shrink seedTokens for larger graphs).
-    *
-    * Scale: per iteration ONE hash join (ranks into edges, keyed by src)
-    * and ONE map-side-combined sum (keyed by dst); the teleport pool is
-    * two scalar aggregates riding a 1-row broadcast.
-    *
-    * `checkpointEvery` (default 1) truncates lineage with an eager
-    * localCheckpoint of the edge/degree base ONCE and of the rank frame
-    * each Nth iteration. This is load-bearing, not hygiene: `ranks`
-    * feeds two branches per iteration (contributions + the teleport
-    * pool), so an unbroken lazy lineage DOUBLES per iteration — 2^K
-    * plan copies, each re-reading the sources — where the checkpointed
-    * loop computes every frame exactly once (the canonical iterative-
-    * Spark shape). 0 keeps the fully lazy plan for inspection/tests.
-    * At cluster scale prefer a reliable `sc.setCheckpointDir` checkpoint
-    * for the same truncation with executor-loss tolerance (localCheckpoint
-    * blocks die with their executor; documented trade).
-    */
   /** Global triangle count of the UNDIRECTED simple graph underlying an
     * edge list: one row (n_nodes, n_edges, triangles). Edges are
     * canonicalized to (min, max) and deduplicated (self-loops dropped),
@@ -146,6 +110,42 @@ object WebGraph {
           col("wedges").cast("double"), 6).as("coefficient"))
   }
 
+  /** Integer-token PageRank over a host edge list.
+    *
+    * Every node starts with `seedTokens`. Per iteration, a node with
+    * out-degree d sends each out-neighbor
+    * `share = ((rank * dampNum) div dampDen) div d` tokens (integer
+    * division throughout); everything NOT delivered anywhere — flooring
+    * remainders plus the full rank of dangling nodes — forms the teleport
+    * pool T, and every node additionally receives `T div n`. The
+    * `T mod n` tail (< n tokens per iteration) evaporates: this is a
+    * RANKING, not a probability distribution, and the payoff for the
+    * leak is exact cross-engine replayability — all arithmetic is long
+    * division and order-independent long sums, so Spark, an SQL oracle,
+    * and a hand replay agree bit for bit (no float summation-order
+    * hazard, no retry nondeterminism).
+    *
+    * Overflow bound: rank*dampNum stays below 2^63 while
+    * n * seedTokens * dampNum < 2^63 — at the default seed of 1e9 that
+    * allows ~1e8 hosts even if ALL mass concentrates on one node
+    * (documented headroom; shrink seedTokens for larger graphs).
+    *
+    * Scale: per iteration ONE hash join (ranks into edges, keyed by src)
+    * and ONE map-side-combined sum (keyed by dst); the teleport pool is
+    * two scalar aggregates riding a 1-row broadcast.
+    *
+    * `checkpointEvery` (default 1) truncates lineage with an eager
+    * localCheckpoint of the edge/degree base ONCE and of the rank frame
+    * each Nth iteration. This is load-bearing, not hygiene: `ranks`
+    * feeds two branches per iteration (contributions + the teleport
+    * pool), so an unbroken lazy lineage DOUBLES per iteration — 2^K
+    * plan copies, each re-reading the sources — where the checkpointed
+    * loop computes every frame exactly once (the canonical iterative-
+    * Spark shape). 0 keeps the fully lazy plan for inspection/tests.
+    * At cluster scale prefer a reliable `sc.setCheckpointDir` checkpoint
+    * for the same truncation with executor-loss tolerance (localCheckpoint
+    * blocks die with their executor; documented trade).
+    */
   def hostRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 5,
                dampNum: Long = 85L, dampDen: Long = 100L,

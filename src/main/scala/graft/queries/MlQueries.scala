@@ -640,16 +640,21 @@ object MlQueries {
     // trees for w and b (mx/my inlined as (sx/n), (sy/n) exactly as
     // Catalyst expands them)
     "m23_ridge" -> """
-      WITH s AS (
-        SELECT CAST(count(CASE WHEN l_extendedprice IS NOT NULL
-                               AND l_quantity IS NOT NULL THEN 1 END) AS DOUBLE) AS n,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(l_quantity AS DECIMAL(8,3))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-                        * CAST(l_quantity AS DECIMAL(8,3))) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-                        * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sxx
+      WITH b AS (
+        SELECT CASE WHEN l_extendedprice IS NOT NULL
+                    AND l_quantity IS NOT NULL THEN l_extendedprice END AS xe,
+               CASE WHEN l_extendedprice IS NOT NULL
+                    AND l_quantity IS NOT NULL THEN l_quantity END AS yq
         FROM lineitem),
+      s AS (
+        SELECT CAST(count(xe) AS DOUBLE) AS n,
+               CAST(sum(CAST(xe AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(yq AS DECIMAL(8,3))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(xe AS DECIMAL(20,4))
+                        * CAST(yq AS DECIMAL(8,3))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(xe AS DECIMAL(20,4))
+                        * CAST(xe AS DECIMAL(12,4))) AS DOUBLE) AS sxx
+        FROM b),
       f AS (
         SELECT ((sxy - (n * ((sx / n) * (sy / n))))
                 / ((sxx - (n * ((sx / n) * (sx / n)))) + (0.5 * n))) AS w,

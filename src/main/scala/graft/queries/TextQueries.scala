@@ -164,18 +164,29 @@ object TextQueries {
           graft.ops.Urls.urlHost(col("href")).as("host"))),
 
     "t48_host_rank" -> ((s, dir) => {
-      // integer-token PageRank (r6) over a deterministic host graph
-      // derived from doc_id arithmetic: sources h0..h16, destinations
-      // h0..h19 (h17-h19 dangling), with a hot-sink skew on h0..h4.
-      // All arithmetic is long division + order-independent long sums,
-      // so the 3-iteration oracle replays bit for bit.
+      // integer-token PageRank (r6, fixture de-saturated r7) over a
+      // deterministic host graph from doc_id arithmetic. The r6 fixture
+      // collapsed to a COMPLETE 17x20 bipartite graph after edge dedup,
+      // fixing every rank at the uniform seed — the oracle could not
+      // catch a wrong damping factor. Now each source h(s) links to a
+      // SMALL structured dst set — e1: three ring neighbors
+      // (s + doc_id%3) % 20, e2: the multiplicative shift 7s % 20,
+      // e3: hot sinks h0/h1 (every src links to both) — so in/out
+      // degrees vary, h17/h18 are dangling, and ranks spread across
+      // many distinct values. All arithmetic is long division +
+      // order-independent long sums; the 3-iteration oracle replays
+      // bit for bit.
       val d = Tables.documents(s, dir)
-      val src = concat(lit("h"), pmod(col("doc_id"), lit(17)))
+      val srcM = pmod(col("doc_id"), lit(17))
+      val src = concat(lit("h"), srcM)
       val e1 = d.select(src.as("src"),
-        concat(lit("h"), pmod(col("doc_id") * 7 + 3, lit(20))).as("dst"))
+        concat(lit("h"), pmod(srcM + pmod(col("doc_id"), lit(3)), lit(20)))
+          .as("dst"))
       val e2 = d.select(src.as("src"),
-        concat(lit("h"), pmod(col("doc_id"), lit(5))).as("dst"))
-      graft.ops.WebGraph.hostRank(e1.union(e2), iterations = 3)
+        concat(lit("h"), pmod(srcM * 7, lit(20))).as("dst"))
+      val e3 = d.select(src.as("src"),
+        concat(lit("h"), pmod(col("doc_id"), lit(2))).as("dst"))
+      graft.ops.WebGraph.hostRank(e1.union(e2).union(e3), iterations = 3)
     }),
 
     "t55_triangles" -> ((s, dir) => {
@@ -958,9 +969,12 @@ object TextQueries {
     "t48_host_rank" -> """
       WITH e AS (
         SELECT 'h' || (doc_id % 17) AS src,
-               'h' || ((doc_id * 7 + 3) % 20) AS dst FROM documents
+               'h' || ((doc_id % 17 + doc_id % 3) % 20) AS dst FROM documents
         UNION
-        SELECT 'h' || (doc_id % 17), 'h' || (doc_id % 5) FROM documents),
+        SELECT 'h' || (doc_id % 17), 'h' || ((doc_id % 17) * 7 % 20)
+        FROM documents
+        UNION
+        SELECT 'h' || (doc_id % 17), 'h' || (doc_id % 2) FROM documents),
       nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
       deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
       r0 AS (SELECT host, CAST(1000000000 AS BIGINT) AS r FROM nodes),
@@ -988,7 +1002,10 @@ object TextQueries {
                  - COALESCE((SELECT SUM(rc) FROM rc3), 0))
                 // (SELECT count(*) FROM nodes)) AS r
              FROM nodes n LEFT JOIN rc3 rc ON n.host = rc.host)
-      SELECT host, r AS rank_tokens FROM r3""",
+      -- CAST: DuckDB's integer SUM widens to HUGEINT (int128), which the
+      -- driver's hasher serializes differently from the engine's int64
+      -- even when every value is equal — route through BIGINT
+      SELECT host, CAST(r AS BIGINT) AS rank_tokens FROM r3""",
 
     // the t13 unigram-LM chain rolled up per SOURCE, then the DoReMi EG
     // update replayed with the engine's exact float trees: two-level
@@ -1017,7 +1034,9 @@ object TextQueries {
                     a0 * exp(1.0 * excess) * exp(1.0 * excess) AS a
              FROM b),
       n AS (SELECT sum(a) AS asum FROM st)
-      SELECT source, tokens, round(excess, 6) AS excess_loss,
+      -- CAST tokens: DuckDB HUGEINT SUM vs engine int64 (see t48)
+      SELECT source, CAST(tokens AS BIGINT) AS tokens,
+             round(excess, 6) AS excess_loss,
              round(0.99 * a / (SELECT asum FROM n)
                    + 0.01 / (SELECT nd FROM g), 6) AS weight
       FROM st""",
