@@ -88,6 +88,10 @@ object Bench {
         try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // progress to STDERR (the driver greps the stdout JSON line only):
+      // a hung/cliffed query at a new scale is identifiable mid-run
+      System.err.println(f"[bench] $name ${median(times)}%.2f s " +
+        times.map(t => f"$t%.2f").mkString("(", " ", ")"))
       name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HllDistinct(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "topk_pairs takes (dist, id, k)")
+        TopKPairs(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("z_order"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "z_order"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -483,8 +483,10 @@ object Corpus {
     * across steps — so the `steps` loop telescopes mathematically to a
     * single step at `steps * eta` (kept as a loop because that is the
     * seam where a real proxy-model eval plugs in, and the oracle
-    * replays the loop's exact float product). The update rule itself
-    * is the published one:
+    * replays the loop's exact float product). [[doremiWeightsKN]]
+    * upgrades the scorer side of that seam to the engine's Kneser-Ney
+    * bigram LM (a real sequence model; losses still fixed across EG
+    * steps). The update rule itself is the published one:
     * `alpha_d <- alpha_d * exp(eta * max(L_d - L_ref, 0))`,
     * `w = (1-smoothing) * alpha/sum(alpha) + smoothing/nDomains`,
     * starting from token-share alpha_0.
@@ -511,9 +513,18 @@ object Corpus {
       .agg(sum("c").as("tokens"),
         sum(col("c") * log(col("__ct").cast(DoubleType) / col("__tot")))
           .as("__lp"))
-    // reference loss + token share denominators from the SAME two-level
-    // sum shape the oracle uses (per-domain partials, then across
-    // domains) — one domains-sized aggregate on a 1-row broadcast
+    egReweight(dom, eta, steps, smoothing)
+  }
+
+  /** The DoReMi EG update over a per-domain (source, tokens, __lp)
+    * frame: reference loss + token-share denominators from the SAME
+    * two-level sum shape the oracle uses (per-domain partials, then
+    * across domains) — one domains-sized aggregate on a 1-row
+    * broadcast, zero exchanges in the step loop. Shared by the unigram
+    * stand-in ([[doremiWeights]]) and the bigram-KN proxy
+    * ([[doremiWeightsKN]]). */
+  private def egReweight(dom: DataFrame, eta: Double, steps: Int,
+                         smoothing: Double): DataFrame = {
     val globals = dom.agg(sum("tokens").as("__gtok"), sum("__lp").as("__glp"),
       count(lit(1)).as("__nd"))
     val based = dom.crossJoin(broadcast(globals))
@@ -531,5 +542,46 @@ object Corpus {
         round(col("excess_loss"), 6).as("excess_loss"),
         round(lit(1.0 - smoothing) * col("__alpha") / col("__asum") +
           lit(smoothing) / col("__nd"), 6).as("weight"))
+  }
+
+  /** DoReMi reweighting with a REAL proxy scorer: the per-domain loss is
+    * the engine's own Kneser-Ney bigram LM cross-entropy (the
+    * [[Lexicon.bigramLogProbKN]] machinery rolled up per SOURCE — the
+    * same KenLM/CCNet-class smoothing public corpus pipelines score
+    * with), closing [[doremiWeights]]'s documented fixed-unigram seam:
+    * a domain whose BIGRAM structure diverges from the corpus (rare
+    * continuations, out-of-distribution word order) now shows excess
+    * loss even when its unigram mix looks ordinary. The reference model
+    * is the all-corpus KN LM; the EG update, smoothing, and output shape
+    * are identical to [[doremiWeights]]. `tokens` counts scored bigrams
+    * (the loss denominator), so token-share alpha_0 is over the same
+    * units as the loss.
+    *
+    * Scale: the KN statistics are three aggregates over the bigram-type
+    * table (types, not occurrences — the t26 shape); the per-domain
+    * rollup is ONE more map-side-combined aggregate after a broadcast
+    * join of the type-level stats. Still zero exchanges in the EG loop. */
+  def doremiWeightsKN(df: DataFrame, textCol: String, idCol: String,
+                      sourceCol: String, eta: Double = 1.0, steps: Int = 2,
+                      smoothing: Double = 0.01,
+                      discount: Double = 0.75): DataFrame = {
+    require(steps >= 1 && eta > 0 && smoothing >= 0 && smoothing < 1)
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val db = Lexicon.docBigramCounts(df, textCol, idCol)
+    val cb = db.groupBy("v", "w").agg(sum("c").as("__cvw"))
+    val cv = cb.groupBy("v").agg(sum("__cvw").as("__cv"),
+      count(lit(1)).as("__n1v"))
+    val contW = cb.groupBy("w").agg(count(lit(1)).as("__ncw"))
+    val types = cb.agg(count(lit(1)).as("__types"))
+    val pKn =
+      (col("__cvw").cast(DoubleType) - lit(discount)) / col("__cv").cast(DoubleType) +
+        lit(discount) * (col("__n1v").cast(DoubleType) / col("__cv").cast(DoubleType)) *
+          (col("__ncw").cast(DoubleType) / col("__types").cast(DoubleType))
+    val dom = db.join(cb, Seq("v", "w")).join(cv, "v").join(contW, "w")
+      .crossJoin(broadcast(types))
+      .join(df.select(col(idCol).as("id"), col(sourceCol).as("source")), "id")
+      .groupBy("source")
+      .agg(sum("c").as("tokens"), sum(col("c") * log(pKn)).as("__lp"))
+    egReweight(dom, eta, steps, smoothing)
   }
 }

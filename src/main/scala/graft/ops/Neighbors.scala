@@ -88,11 +88,20 @@ object Neighbors {
       .withColumn("dist",
         sqrt(sqDistFlat(dims, n => col(n.replace("__f", "__lf")), n => col(n.replace("__f", "__rf")))))
       .select("l_id", "nbr_id", "dist")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_id").orderBy(asc("dist"), asc("nbr_id"))
-    cand.withColumn("nbr_rank", row_number().over(w))
-      .filter(col("nbr_rank") <= k)
-      .select("l_id", "nbr_id", "dist", "nbr_rank")
+    // k-smallest via the bounded-state topk_pairs AGGREGATE, not a
+    // row_number window: the window plans as WindowGroupLimit + a full
+    // external sort of EVERY candidate pair (measured at sf1: the SMOTE
+    // family's ~10^8-candidate streams spent minutes in spilling sorts);
+    // the aggregate truncates to k per l_id on the MAP side (each l_id
+    // lives in <= 9 probe partitions), shuffles k pairs per row, and
+    // never sorts the stream. Identical (dist asc, id asc) tie-break ->
+    // bit-identical output to the window plan.
+    cand.groupBy("l_id")
+      .agg(call_function("topk_pairs", col("dist"), col("nbr_id"), lit(k))
+        .as("__topk"))
+      .select(col("l_id"), posexplode(col("__topk")).as(Seq("__pos", "__nn")))
+      .select(col("l_id"), col("__nn.nbr_id").as("nbr_id"),
+        col("__nn.dist").as("dist"), (col("__pos") + 1).as("nbr_rank"))
   }
 
   /** Grid width for a bounded per-cell occupancy: on z-scaled (std=1)

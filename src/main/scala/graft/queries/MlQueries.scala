@@ -321,6 +321,31 @@ object MlQueries {
           round(col("expected_value"), 6).as("expected_value"))
     }),
 
+    "m24_kernel_shap" -> ((s, dir) => {
+      // Kernel SHAP (r7) — the model-AGNOSTIC explainer closing the
+      // reference's explainer menu (Tree m22 / Linear m20 / Kernel /
+      // Auto). Full-enumeration kernel WLS == exact Shapley, so the
+      // M=2 interaction model f = custkey*price/1e6 (where linear SHAP
+      // would be WRONG) has a closed-form oracle:
+      // phi_1 = -.5 v0 + .5 v1 + .5 v({1}) - .5 v({2}), with each v a
+      // round-9 DECIMAL-summed mean over a 20-row deterministic
+      // background panel. The engine runs the generic WLS machinery
+      // (KernelShapSpec pins it against brute-force Shapley); the
+      // oracle replays the closed form with the identical float trees.
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey").cast("double").as("x1"),
+        col("o_totalprice").cast("double").as("x2"))
+      val bg = graft.ml.KernelShap.panel(ord, Seq("x1", "x2"), "o_orderkey", 20)
+      val f = (c: Seq[org.apache.spark.sql.Column]) =>
+        c(0) * c(1) / lit(1000000.0)
+      graft.ml.KernelShap.explainExpr(
+          ord.filter(col("o_orderkey") % 400 === 0), Seq("x1", "x2"), f, bg)
+        .select(col("o_orderkey"),
+          round(col("phi_x1"), 6).as("phi_custkey"),
+          round(col("phi_x2"), 6).as("phi_price"),
+          round(col("expected_value"), 6).as("expected_value"))
+    }),
+
     "m19_text_classifier" -> ((s, dir) => {
       // fastText-style quality classifier: train on a seeded separable
       // labeling of the corpus (docs containing 'table' -> 1), score the
@@ -664,6 +689,41 @@ object MlQueries {
       SELECT l.l_orderkey, l.l_linenumber,
              round((g.w * l.l_extendedprice) + g.b, 4) AS pred
       FROM lineitem l CROSS JOIN g""",
+
+    // m24: closed-form exact-Shapley replay of the M=2 kernel WLS (the
+    // coefficients are EXACTLY +-0.5 in floating point: G = 1.0, w = 0.5).
+    // Every v is the engine's panelMean tree verbatim: each round-9 term
+    // converted to its exact scaled-long numerator (round(d*1e9) — within
+    // 0.22 of the integer, so exact in any engine), longs summed, then
+    // /1e9/20; phi trees keep the engine's parenthesization (base =
+    // c0*v0 + c1*v1, then += per coalition).
+    "m24_kernel_shap" -> """
+      WITH ord AS (SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS x1,
+                          CAST(o_totalprice AS DOUBLE) AS x2 FROM orders),
+      pan AS (SELECT x1 AS b1, x2 AS b2 FROM ord ORDER BY o_orderkey LIMIT 20),
+      v0 AS (SELECT CAST(sum(CAST(round(round(b1 * b2 / 1000000.0, 9)
+                                        * 1000000000.0, 0) AS BIGINT))
+                         AS DOUBLE) / 1000000000.0 / 20.0 AS v0
+             FROM pan),
+      ex AS (SELECT * FROM ord WHERE o_orderkey % 400 = 0),
+      vz AS (SELECT e.o_orderkey,
+                    CAST(sum(CAST(round(round(e.x1 * p.b2 / 1000000.0, 9)
+                                        * 1000000000.0, 0) AS BIGINT))
+                         AS DOUBLE) / 1000000000.0 / 20.0 AS v10,
+                    CAST(sum(CAST(round(round(p.b1 * e.x2 / 1000000.0, 9)
+                                        * 1000000000.0, 0) AS BIGINT))
+                         AS DOUBLE) / 1000000000.0 / 20.0 AS v01
+             FROM ex e CROSS JOIN pan p GROUP BY 1),
+      ph AS (SELECT e.o_orderkey,
+                    ((-0.5 * v0.v0) + (0.5 * (e.x1 * e.x2 / 1000000.0)))
+                      + (0.5 * vz.v10) + (-0.5 * vz.v01) AS phi1,
+                    ((-0.5 * v0.v0) + (0.5 * (e.x1 * e.x2 / 1000000.0)))
+                      + (-0.5 * vz.v10) + (0.5 * vz.v01) AS phi2,
+                    v0.v0 AS ev
+             FROM ex e JOIN vz USING (o_orderkey) CROSS JOIN v0)
+      SELECT o_orderkey, round(phi1, 6) AS phi_custkey,
+             round(phi2, 6) AS phi_price, round(ev, 6) AS expected_value
+      FROM ph""",
 
     "m21_robust_scale" -> """
       WITH v AS (SELECT l_quantity AS x FROM lineitem WHERE l_quantity IS NOT NULL),

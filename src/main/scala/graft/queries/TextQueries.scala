@@ -223,6 +223,16 @@ object TextQueries {
       Corpus.doremiWeights(Tables.documents(s, dir), "text", "doc_id",
         "source", eta = 1.0, steps = 2, smoothing = 0.01)),
 
+    "t49b_doremi_kn" -> ((s, dir) =>
+      // DoReMi with the REAL proxy scorer (r7): per-source Kneser-Ney
+      // bigram cross-entropy (the t26 KenLM-class formula rolled up by
+      // domain) replaces the fixed-unigram stand-in — a domain with
+      // out-of-distribution word ORDER now shows excess loss even with
+      // an ordinary unigram mix. Same EG update; oracle replays the t26
+      // integer-aggregate KN statistics + the t49 EG float trees.
+      Corpus.doremiWeightsKN(Tables.documents(s, dir), "text", "doc_id",
+        "source", eta = 1.0, steps = 2, smoothing = 0.01)),
+
     "t51_script_mix" -> ((s, dir) => {
       // Unicode script histogram (r6): per-doc counts over explicit
       // code-point ranges + dominant script — the pre-langid routing
@@ -1035,6 +1045,47 @@ object TextQueries {
              FROM b),
       n AS (SELECT sum(a) AS asum FROM st)
       -- CAST tokens: DuckDB HUGEINT SUM vs engine int64 (see t48)
+      SELECT source, CAST(tokens AS BIGINT) AS tokens,
+             round(excess, 6) AS excess_loss,
+             round(0.99 * a / (SELECT asum FROM n)
+                   + 0.01 / (SELECT nd FROM g), 6) AS weight
+      FROM st""",
+
+    // t49b: the t26 Kneser-Ney statistics (integer aggregates over the
+    // bigram-type table) rolled up per SOURCE, then the t49 EG trees
+    "t49b_doremi_kn" -> s"""
+      WITH tok AS (SELECT doc_id, $lowToksSql AS t FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                     i -> [t[i + 1], t[i + 2]])) AS p
+             FROM tok WHERE len(t) >= 2),
+      db AS (SELECT doc_id, p[1] AS v, p[2] AS w, count(*) AS c
+             FROM bg GROUP BY 1, 2, 3),
+      cb AS (SELECT v, w, sum(c) AS cvw FROM db GROUP BY 1, 2),
+      cv AS (SELECT v, sum(cvw) AS cv, count(*) AS n1v FROM cb GROUP BY 1),
+      cont AS (SELECT w, count(*) AS ncw FROM cb GROUP BY 1),
+      ty AS (SELECT count(*) AS types FROM cb),
+      dom AS (SELECT d.source, sum(db.c) AS tokens,
+                     sum(db.c * ln(
+                       (CAST(cvw AS DOUBLE) - 0.75) / CAST(cv AS DOUBLE) +
+                       0.75 * (CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)) *
+                              (CAST(ncw AS DOUBLE) / CAST(types AS DOUBLE))))
+                       AS lp
+              FROM db JOIN cb USING (v, w) JOIN cv USING (v)
+                   JOIN cont USING (w) CROSS JOIN ty
+                   JOIN documents d USING (doc_id)
+              GROUP BY 1),
+      g AS (SELECT sum(tokens) AS gtok, sum(lp) AS glp, count(*) AS nd
+            FROM dom),
+      b AS (SELECT source, tokens,
+                   CASE WHEN (-lp / tokens) - (SELECT -glp / gtok FROM g) > 0
+                        THEN (-lp / tokens) - (SELECT -glp / gtok FROM g)
+                        ELSE 0 END AS excess,
+                   CAST(tokens AS DOUBLE) / (SELECT gtok FROM g) AS a0
+            FROM dom),
+      st AS (SELECT source, tokens, excess,
+                    a0 * exp(1.0 * excess) * exp(1.0 * excess) AS a
+             FROM b),
+      n AS (SELECT sum(a) AS asum FROM st)
       SELECT source, CAST(tokens AS BIGINT) AS tokens,
              round(excess, 6) AS excess_loss,
              round(0.99 * a / (SELECT asum FROM n)

@@ -250,4 +250,37 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(w.view.mapValues(_._3).toMap == again, "bit-deterministic")
   }
+
+  test("doremiWeightsKN: a planted hard domain (scrambled word ORDER, identical unigrams) gains weight only under the KN proxy") {
+    import spark.implicits._
+    // "scrambled" has EXACTLY the unigram multiset of "common" but
+    // permuted order: the unigram stand-in sees zero excess loss, while
+    // the Kneser-Ney bigram proxy sees rare bigram types and reweights —
+    // the capability the real-proxy upgrade buys
+    val docs = (
+      (1 to 8).map(i =>
+        (i.toLong, "the quick brown fox jumps over the lazy dog", "common")) ++
+      Seq((9L, "dog lazy the over jumps fox brown quick the", "scrambled"),
+          (10L, "dog lazy the over jumps fox brown quick the", "scrambled")))
+      .toDF("doc_id", "text", "source")
+    def collectW(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val uni = collectW(Corpus.doremiWeights(docs, "text", "doc_id", "source",
+      eta = 1.0, steps = 2, smoothing = 0.01))
+    val kn = collectW(Corpus.doremiWeightsKN(docs, "text", "doc_id", "source",
+      eta = 1.0, steps = 2, smoothing = 0.01))
+    // unigram scorer is blind to word order: both domains have the same
+    // per-token distribution, so no domain shows (meaningful) excess
+    assert(uni("scrambled")._2 < 1e-9, s"unigram excess: $uni")
+    // KN scorer sees it: positive excess, weight ABOVE bigram share
+    assert(kn("scrambled")._2 > 0.01, s"KN excess too small: $kn")
+    val bigTotal = kn.values.map(_._1).sum.toDouble
+    assert(kn("scrambled")._3 > kn("scrambled")._1 / bigTotal, kn.toString)
+    assert(kn("common")._3 < kn("common")._1 / bigTotal, kn.toString)
+    assert(math.abs(kn.values.map(_._3).sum - 1.0) < 1e-6, "weights sum to 1")
+    val again = collectW(Corpus.doremiWeightsKN(docs, "text", "doc_id",
+      "source", eta = 1.0, steps = 2, smoothing = 0.01))
+    assert(kn == again, "bit-deterministic")
+  }
 }
