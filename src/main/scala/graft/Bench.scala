@@ -39,7 +39,13 @@ object Bench {
     "mm2_feature_extract",
     // r6 event-time / data-quality / linkage additions
     "q20_sessionize", "q22_rolling_range", "a19_quality_audit",
-    "a23_melt", "d24_entity_resolution")
+    "a23_melt", "d24_entity_resolution",
+    // r8: new operators enter the headline the round they land (r6 rule
+    // #8 — operators that never get timed regress silently): the
+    // Kneser-Ney and adaptive DoReMi loops, Kernel SHAP (full + budgeted
+    // coalitions), and the p=3 Gram ridge
+    "t49b_doremi_kn", "t49c_doremi_adaptive", "m24_kernel_shap",
+    "m24b_kernel_shap_budget", "m23b_ridge_gram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

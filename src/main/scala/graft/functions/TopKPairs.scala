@@ -135,7 +135,14 @@ object TopKPairs {
       if (n < k) n += 1
     }
 
-    private def lt(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
-      d1 < d2 || (d1 == d2 && i1 < i2)
+    // NaN-consistent total order matching Spark's sort semantics (NaN
+    // sorts after every real and equal to itself), so output stays
+    // bit-identical to an ORDER BY dist ASC, id ASC window even when
+    // distances contain NaN. Plain `<` would treat NaN as incomparable
+    // (both lt directions false), corrupting the sorted-buffer invariant.
+    private def lt(d1: Double, i1: Long, d2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(d1, d2)
+      c < 0 || (c == 0 && i1 < i2)
+    }
   }
 }

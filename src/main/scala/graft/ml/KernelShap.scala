@@ -95,17 +95,20 @@ object KernelShap {
   def kernelWeight(m: Int, s: Int): Double =
     (m - 1).toDouble / (choose(m, s).toDouble * s * (m - s))
 
-  /** phi_i = coefV0(i)*v(empty) + coefV1(i)*v(full) + sum_z coefVz(i)(z)*v(z). */
-  private[ml] case class Combination(coefV0: Array[Double],
-                                     coefV1: Array[Double],
-                                     coefVz: Array[Array[Double]])
+  /** phi_i = coefV0(i)*v(empty) + coefV1(i)*v(full) + sum_z coefVz(i)(z)*v(z).
+    * Public (not just private[ml]) so an oracle builder can inline the
+    * driver-constant coefficients as SQL literals — the coefficients
+    * depend only on the coalition SET, never on data. */
+  case class Combination(coefV0: Array[Double],
+                         coefV1: Array[Double],
+                         coefVz: Array[Array[Double]])
 
   /** Driver-side constrained-WLS solve (the shap-library reduction):
     * eliminate phi_m via the completeness constraint, solve the
     * (m-1)-dim normal equations by pivoted Gaussian elimination, fold
     * the constraint back. Cost: O(|Z| m^2 + m^3) on the driver — m is an
     * explainer feature count, never data-sized. */
-  private[ml] def wlsCombination(masks: Seq[Array[Boolean]], m: Int): Combination = {
+  def wlsCombination(masks: Seq[Array[Boolean]], m: Int): Combination = {
     require(masks.nonEmpty, "no coalitions")
     require(masks.forall(z => z.length == m && z.exists(identity) && !z.forall(identity)),
       "masks must be proper nonempty subsets")
@@ -212,7 +215,8 @@ object KernelShap {
     * key is replayable; a random one is not). */
   def panel(df: DataFrame, features: Seq[String], orderCol: String,
             k: Int): Seq[Seq[Double]] =
-    df.select((orderCol +: features).map(col): _*)
+    df.select(col(orderCol) +: features.map(f => col(f).cast("double")): _*)
+      .na.drop(features) // a null feature cannot be a background value
       .orderBy(col(orderCol)).limit(k)
       .collect().map(r => features.indices.map(i => r.getDouble(i + 1)).toSeq)
       .toSeq

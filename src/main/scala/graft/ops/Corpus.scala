@@ -544,6 +544,83 @@ object Corpus {
           lit(smoothing) / col("__nd"), 6).as("weight"))
   }
 
+  /** DoReMi with PER-STEP proxy re-evaluation — the published
+    * algorithm's actual loop (Xie et al. 2023, Algorithm 1), closing the
+    * telescoping-fixed-loss seam both [[doremiWeights]] and
+    * [[doremiWeightsKN]] document: their losses are fixed across EG
+    * steps, so `steps` steps collapse mathematically to one step at
+    * `steps * eta`. Here the proxy model is RE-TRAINED on the current
+    * mixture every step, so step 2's excess losses differ from step 1's
+    * and the step count genuinely matters (t49c's spec pins
+    * steps=2, eta=1 != steps=1, eta=2).
+    *
+    * The count-based instantiation is exact, not a heuristic: "training
+    * a unigram LM on mixture w" has the closed form
+    * p_w(t) = sum_d w_d * c_{d,t} / tokens_d (domain-conditional term
+    * distributions mixed by the current weights), so each EG step
+    * evaluates the true loss of the true mixture-trained proxy — the
+    * seam the fixed-loss variants left open. Per Algorithm 1, alpha_0 is
+    * UNIFORM and the reference model is fixed: the token-share (corpus)
+    * unigram LM, i.e. the baseline-mixture-trained reference. Excess for
+    * domain d at step t = max(0, L_d(proxy_t) - L_d(ref)), both
+    * cross-entropies evaluated ON domain d.
+    *
+    * Returns one row per source: (source, tokens, excess_loss = the
+    * LAST step's, weight) — same shape as [[doremiWeights]].
+    *
+    * Scale: the corpus is touched ONCE, to build the (source, term)
+    * count table (the t12 occurrence-collapse shape), which is
+    * localCheckpointed; every EG step is then two map-side-combined
+    * aggregates over that |domains| x |vocab| sufficient-statistics
+    * table (one keyed by term for the mixture LM, one keyed by source
+    * for the losses) with the domains-sized weight frame riding a
+    * broadcast — per-step cost scales with the vocabulary, never with
+    * the corpus. */
+  def doremiWeightsAdaptive(df: DataFrame, textCol: String, idCol: String,
+                            sourceCol: String, eta: Double = 1.0,
+                            steps: Int = 2,
+                            smoothing: Double = 0.01): DataFrame = {
+    require(steps >= 1 && eta > 0 && smoothing >= 0 && smoothing < 1)
+    val st = Lexicon.docTermCounts(df, textCol, idCol)
+      .join(df.select(col(idCol).as("id"), col(sourceCol).as("source")), "id")
+      .groupBy("source", "term").agg(sum("c").as("c"))
+      .localCheckpoint(true) // cut the corpus out of every step's plan
+    val tok = st.groupBy("source").agg(sum("c").as("tokens"))
+    val ct = st.groupBy("term").agg(sum("c").as("__ct"))
+    val g = tok.agg(sum("tokens").as("__gtok"), count(lit(1)).as("__nd"))
+    // fixed reference: the corpus (token-share-mixture) unigram LM
+    val lref = st.join(ct, "term").crossJoin(broadcast(g))
+      .groupBy("source")
+      .agg(sum(col("c") * log(col("__ct").cast(DoubleType) / col("__gtok")))
+        .as("__lpref"))
+    var w: DataFrame = tok.join(lref, "source").crossJoin(broadcast(g))
+      .select(col("source"), col("tokens"), col("__lpref"), col("__nd"),
+        (lit(1.0) / col("__nd")).as("__alpha"))
+    for (_ <- 1 to steps) {
+      val asum = w.agg(sum("__alpha").as("__as"))
+      // proxy trained on the current mixture: p_w(t) = sum_d w_d c_dt/tok_d
+      val coef = w.crossJoin(broadcast(asum)).select(col("source"),
+        ((col("__alpha") / col("__as")) / col("tokens")).as("__coef"))
+      val pm = st.join(broadcast(coef), "source")
+        .groupBy("term").agg(sum(col("c") * col("__coef")).as("__pm"))
+      val ld = st.join(pm, "term").groupBy("source")
+        .agg(sum(col("c") * log(col("__pm"))).as("__lp"))
+      w = w.join(ld, "source")
+        .withColumn("excess_loss",
+          greatest(lit(0.0),
+            (-col("__lp") / col("tokens")) - (-col("__lpref") / col("tokens"))))
+        .withColumn("__alpha",
+          col("__alpha") * exp(lit(eta) * col("excess_loss")))
+        .drop("__lp")
+    }
+    val norm = w.agg(sum("__alpha").as("__asum"))
+    w.crossJoin(broadcast(norm))
+      .select(col("source"), col("tokens"),
+        round(col("excess_loss"), 6).as("excess_loss"),
+        round(lit(1.0 - smoothing) * col("__alpha") / col("__asum") +
+          lit(smoothing) / col("__nd"), 6).as("weight"))
+  }
+
   /** DoReMi reweighting with a REAL proxy scorer: the per-domain loss is
     * the engine's own Kneser-Ney bigram LM cross-entropy (the
     * [[Lexicon.bigramLogProbKN]] machinery rolled up per SOURCE — the

@@ -95,7 +95,15 @@ object Neighbors {
     // the aggregate truncates to k per l_id on the MAP side (each l_id
     // lives in <= 9 probe partitions), shuffles k pairs per row, and
     // never sorts the stream. Identical (dist asc, id asc) tie-break ->
-    // bit-identical output to the window plan.
+    // bit-identical output to the window plan, with one EXPLICIT
+    // divergence: null distances (null feature values) are SKIPPED by
+    // topk_pairs.update, whereas an asc("dist") window would rank nulls
+    // FIRST. A null distance is never a meaningful nearest neighbor, so
+    // the aggregate's skip-null semantics are the contract
+    // (TopKPairsSpec pins them). No explicit isNotNull pre-filter: on
+    // the self-join path (i5/i6) the pushed-down predicate trips a
+    // Catalyst ATTRIBUTE_NOT_FOUND in column pruning, and the aggregate
+    // already enforces the same semantics.
     cand.groupBy("l_id")
       .agg(call_function("topk_pairs", col("dist"), col("nbr_id"), lit(k))
         .as("__topk"))

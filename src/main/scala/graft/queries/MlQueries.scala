@@ -39,6 +39,89 @@ object MlQueries {
   private def r(x: Double, digits: Int): Double =
     BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  // ---- m24b: budgeted Kernel SHAP fixture (M=6 linear model) ----
+  // Feature transforms are exact in both engines (integer mod, one
+  // double division); the model is linear so the budgeted
+  // symmetric-complete-level estimator is EXACT (spec-pinned).
+  private[queries] val m24bFeatures = Seq("x1", "x2", "x3", "x4", "x5", "x6")
+  private[queries] val m24bWeights = Seq(0.5, 1.25, 2.0, -1.5, 0.75, 3.0)
+  private[queries] val m24bMasks = graft.ml.KernelShap.budgetedCoalitions(6, 50)
+  private def m24bFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey").cast("double").as("x1"),
+      (col("o_totalprice").cast("double") / lit(1000.0)).as("x2"),
+      pmod(col("o_orderkey"), lit(97)).cast("double").as("x3"),
+      pmod(col("o_orderkey"), lit(89)).cast("double").as("x4"),
+      pmod(col("o_orderkey"), lit(83)).cast("double").as("x5"),
+      pmod(col("o_orderkey"), lit(79)).cast("double").as("x6"))
+  private def m24bF(c: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    c.zip(m24bWeights).map { case (ci, wi) => ci * lit(wi) }
+      .reduce(_ + _) / lit(10.0)
+
+  /** Generated oracle for m24b: the engine's WLS-combination expression
+    * tree transcribed to SQL with the driver-constant coefficients
+    * inlined as literals (Double.toString round-trips exactly; the
+    * coefficients depend only on the coalition set, never on data). */
+  private lazy val m24bOracleSql: String = {
+    val comb = graft.ml.KernelShap.wlsCombination(m24bMasks, 6)
+    // E-notation forces DuckDB to parse the literal as DOUBLE: a plain
+    // 18-digit decimal literal becomes DECIMAL(19,18), whose
+    // hugeint/10^18 conversion to double is NOT correctly rounded (off
+    // by 1 ulp — observed on 0.041666666666666644), breaking the
+    // bit-for-bit coefficient round-trip.
+    def dbl(d: Double): String = {
+      val s = d.toString
+      if (s.contains('e') || s.contains('E')) s else s + "e0"
+    }
+    // f's fold: ((((((v1*w1) + (v2*w2)) + ... ) + (v6*w6)) / 10.0)
+    def fExpr(v: Int => String): String = {
+      val terms = m24bWeights.zipWithIndex.map { case (w, i) =>
+        s"(${v(i)} * $w)"
+      }
+      "(" + terms.tail.foldLeft(terms.head)((a, t) => s"($a + $t)") + " / 10.0)"
+    }
+    // panelMean: per-eval round-9 scaled-long, BIGINT sum, /1e9/|panel|
+    def panelSum(fe: String): String =
+      s"(CAST(sum(CAST(round(round($fe, 9) * 1000000000.0, 0) AS BIGINT)) " +
+        s"AS DOUBLE) / 1000000000.0 / 10.0)"
+    val vzCols = m24bMasks.zipWithIndex.map { case (z, zi) =>
+      panelSum(fExpr(i => if (z(i)) s"e.x${i + 1}" else s"p.b${i + 1}")) +
+        s" AS vz$zi"
+    }.mkString(",\n                    ")
+    def phi(i: Int): String = {
+      val base = s"((${dbl(comb.coefV0(i))} * v0) + (${dbl(comb.coefV1(i))} * v1))"
+      m24bMasks.indices.foldLeft(base)((acc, zi) =>
+        s"($acc + (${dbl(comb.coefVz(i)(zi))} * vz$zi))")
+    }
+    val phiCols = (0 until 6).map(i =>
+      s"round(${phi(i)}, 6) AS phi_x${i + 1}").mkString(",\n             ")
+    s"""
+      WITH ord AS (SELECT o_orderkey,
+              CAST(o_custkey AS DOUBLE) AS x1,
+              (CAST(o_totalprice AS DOUBLE) / 1000.0) AS x2,
+              CAST(o_orderkey % 97 AS DOUBLE) AS x3,
+              CAST(o_orderkey % 89 AS DOUBLE) AS x4,
+              CAST(o_orderkey % 83 AS DOUBLE) AS x5,
+              CAST(o_orderkey % 79 AS DOUBLE) AS x6
+            FROM orders),
+      pan AS (SELECT x1 AS b1, x2 AS b2, x3 AS b3, x4 AS b4, x5 AS b5,
+                     x6 AS b6
+              FROM ord ORDER BY o_orderkey LIMIT 10),
+      v0t AS (SELECT ${panelSum(fExpr(i => s"b${i + 1}"))} AS v0 FROM pan),
+      ex AS (SELECT * FROM ord WHERE o_orderkey % 400 = 0),
+      vz AS (SELECT e.o_orderkey,
+                    $vzCols
+             FROM ex e CROSS JOIN pan p GROUP BY 1),
+      ph AS (SELECT e.o_orderkey,
+                    ${fExpr(i => s"e.x${i + 1}")} AS v1,
+                    vz.* EXCLUDE (o_orderkey), v0t.v0
+             FROM ex e JOIN vz USING (o_orderkey) CROSS JOIN v0t)
+      SELECT o_orderkey,
+             $phiCols,
+             round(v0, 6) AS expected_value
+      FROM ph"""
+  }
+
   // ---- decimal-exact OLS machinery (the m11 recipe, shared by the
   // ---- promoted search/compare oracles): all SUMS are DECIMAL (order-
   // ---- exact across partitions), all scalar math is double with an
@@ -319,6 +402,36 @@ object MlQueries {
           round(col("phi_o_custkey"), 6).as("phi_custkey"),
           round(col("phi_o_totalprice"), 6).as("phi_price"),
           round(col("expected_value"), 6).as("expected_value"))
+    }),
+
+    "m23b_ridge_gram" -> ((s, dir) =>
+      // multi-feature ridge (r8): the Gram-matrix generalization of m23
+      // — p=3 centered system solved by Cramer's rule as one closed-form
+      // expression tree, so DuckDB replays the coefficients and the
+      // map-only predict bit-for-bit from the same exact decimal(18,6)
+      // sufficient statistics. RidgeSpec pins the general p-feature
+      // driver solve (fitPredictGram) against this tree.
+      graft.ml.Ridge.fitPredict3(Tables.lineitem(s, dir), "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", lambda = 0.5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("pred"))),
+
+    "m24b_kernel_shap_budget" -> ((s, dir) => {
+      // BUDGETED Kernel SHAP (r8): M=6 features, budget=50 keeps the
+      // complete coalition levels {1,5} (12 masks) and {2,4} (30 masks)
+      // = 42 coalitions, a PROPER subset of the 62 full enumeration
+      // (KernelShapSpec pins 42 != 62 and the linear-model exactness).
+      // The oracle replays the WLS machinery verbatim: the
+      // driver-constant coefficients depend only on the coalition SET,
+      // so they are inlined as SQL literals; every v_z is the round-9
+      // scaled-long panel mean over the 10-row deterministic panel.
+      val ord = m24bFrame(s, dir)
+      val bg = graft.ml.KernelShap.panel(ord, m24bFeatures, "o_orderkey", 10)
+      graft.ml.KernelShap.explainExpr(
+          ord.filter(col("o_orderkey") % 400 === 0), m24bFeatures, m24bF,
+          bg, masks = Some(m24bMasks))
+        .select(col("o_orderkey") +:
+          m24bFeatures.map(f => round(col(s"phi_$f"), 6).as(s"phi_$f")) :+
+          round(col("expected_value"), 6).as("expected_value"): _*)
     }),
 
     "m24_kernel_shap" -> ((s, dir) => {
@@ -689,6 +802,87 @@ object MlQueries {
       SELECT l.l_orderkey, l.l_linenumber,
              round((g.w * l.l_extendedprice) + g.b, 4) AS pred
       FROM lineitem l CROSS JOIN g""",
+
+    // m23b: the p=3 Gram system — same exact decimal(18,6) sufficient
+    // statistics as the engine, Cramer's rule with the engine's cofactor
+    // parenthesization token-for-token (see Ridge.fitPredict3)
+    "m23b_ridge_gram" -> """
+      WITH b AS (
+        SELECT CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                    AND l_tax IS NOT NULL AND l_quantity IS NOT NULL
+                    THEN l_extendedprice END AS x1,
+               CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                    AND l_tax IS NOT NULL AND l_quantity IS NOT NULL
+                    THEN l_discount END AS x2,
+               CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                    AND l_tax IS NOT NULL AND l_quantity IS NOT NULL
+                    THEN l_tax END AS x3,
+               CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                    AND l_tax IS NOT NULL AND l_quantity IS NOT NULL
+                    THEN l_quantity END AS y
+        FROM lineitem),
+      -- DECIMAL(19,6), not (18,6): the engine's decimal(18,6) products
+      -- are exact BigDecimals, but DuckDB multiplies DECIMAL(18) pairs
+      -- in int64 and overflows; width 19 forces hugeint arithmetic and
+      -- the (19,6)x(19,6) -> (38,12) product stays exact
+      c AS (SELECT CAST(x1 AS DECIMAL(19,6)) AS x1,
+                   CAST(x2 AS DECIMAL(19,6)) AS x2,
+                   CAST(x3 AS DECIMAL(19,6)) AS x3,
+                   CAST(y AS DECIMAL(19,6)) AS y
+            FROM b),
+      s AS (SELECT CAST(count(x1) AS DOUBLE) AS n,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x1) AS DOUBLE) AS s0,
+                   CAST(sum(x2) AS DOUBLE) AS s1,
+                   CAST(sum(x3) AS DOUBLE) AS s2,
+                   CAST(sum(x1 * x1) AS DOUBLE) AS s00,
+                   CAST(sum(x1 * x2) AS DOUBLE) AS s01,
+                   CAST(sum(x1 * x3) AS DOUBLE) AS s02,
+                   CAST(sum(x2 * x2) AS DOUBLE) AS s11,
+                   CAST(sum(x2 * x3) AS DOUBLE) AS s12,
+                   CAST(sum(x3 * x3) AS DOUBLE) AS s22,
+                   CAST(sum(x1 * y) AS DOUBLE) AS s0y,
+                   CAST(sum(x2 * y) AS DOUBLE) AS s1y,
+                   CAST(sum(x3 * y) AS DOUBLE) AS s2y
+            FROM c),
+      a AS (SELECT *,
+              ((s00 - (n * ((s0 / n) * (s0 / n)))) + (0.5 * n)) AS a11,
+              (s01 - (n * ((s0 / n) * (s1 / n)))) AS a12,
+              (s02 - (n * ((s0 / n) * (s2 / n)))) AS a13,
+              ((s11 - (n * ((s1 / n) * (s1 / n)))) + (0.5 * n)) AS a22,
+              (s12 - (n * ((s1 / n) * (s2 / n)))) AS a23,
+              ((s22 - (n * ((s2 / n) * (s2 / n)))) + (0.5 * n)) AS a33,
+              (s0y - (n * ((s0 / n) * (sy / n)))) AS r1,
+              (s1y - (n * ((s1 / n) * (sy / n)))) AS r2,
+              (s2y - (n * ((s2 / n) * (sy / n)))) AS r3
+            FROM s),
+      d AS (SELECT *,
+              (((a11 * ((a22 * a33) - (a23 * a23)))
+                - (a12 * ((a12 * a33) - (a23 * a13))))
+               + (a13 * ((a12 * a23) - (a22 * a13)))) AS det,
+              (((r1 * ((a22 * a33) - (a23 * a23)))
+                - (a12 * ((r2 * a33) - (a23 * r3))))
+               + (a13 * ((r2 * a23) - (a22 * r3)))) AS dw1,
+              (((a11 * ((r2 * a33) - (a23 * r3)))
+                - (r1 * ((a12 * a33) - (a23 * a13))))
+               + (a13 * ((a12 * r3) - (r2 * a13)))) AS dw2,
+              (((a11 * ((a22 * r3) - (r2 * a23)))
+                - (a12 * ((a12 * r3) - (r2 * a13))))
+               + (r1 * ((a12 * a23) - (a22 * a13)))) AS dw3
+            FROM a),
+      w AS (SELECT (dw1 / det) AS w1, (dw2 / det) AS w2, (dw3 / det) AS w3,
+                   n, s0, s1, s2, sy
+            FROM d),
+      f AS (SELECT w1, w2, w3,
+                   ((sy / n) - (((w1 * (s0 / n)) + (w2 * (s1 / n)))
+                                + (w3 * (s2 / n)))) AS b
+            FROM w)
+      SELECT l.l_orderkey, l.l_linenumber,
+             round((((f.w1 * l.l_extendedprice) + (f.w2 * l.l_discount))
+                    + (f.w3 * l.l_tax)) + f.b, 4) AS pred
+      FROM lineitem l CROSS JOIN f""",
+
+    "m24b_kernel_shap_budget" -> m24bOracleSql,
 
     // m24: closed-form exact-Shapley replay of the M=2 kernel WLS (the
     // coefficients are EXACTLY +-0.5 in floating point: G = 1.0, w = 0.5).

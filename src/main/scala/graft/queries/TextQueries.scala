@@ -233,6 +233,16 @@ object TextQueries {
       Corpus.doremiWeightsKN(Tables.documents(s, dir), "text", "doc_id",
         "source", eta = 1.0, steps = 2, smoothing = 0.01)),
 
+    "t49c_doremi_adaptive" -> ((s, dir) =>
+      // DoReMi with PER-STEP proxy re-evaluation (r8): the proxy unigram
+      // LM is re-TRAINED on the current mixture each EG step (closed
+      // form: p_w(t) = sum_d w_d c_dt/tok_d), so step 2's excess losses
+      // differ from step 1's and the steps loop no longer telescopes —
+      // DoremiSpec pins steps=2,eta=1 != steps=1,eta=2. Oracle: the
+      // 2-step loop unrolled as CTEs with the identical float trees.
+      Corpus.doremiWeightsAdaptive(Tables.documents(s, dir), "text",
+        "doc_id", "source", eta = 1.0, steps = 2, smoothing = 0.01)),
+
     "t51_script_mix" -> ((s, dir) => {
       // Unicode script histogram (r6): per-doc counts over explicit
       // code-point ranges + dominant script — the pre-langid routing
@@ -1050,6 +1060,76 @@ object TextQueries {
              round(0.99 * a / (SELECT asum FROM n)
                    + 0.01 / (SELECT nd FROM g), 6) AS weight
       FROM st""",
+
+    // t49c: the adaptive loop unrolled — alpha_0 uniform, reference =
+    // corpus unigram LM (fixed), per-step proxy = the mixture-trained
+    // unigram LM p_w(t) = sum_d w_d c_dt/tok_d recomputed from the
+    // CURRENT weights. Every float tree (coef, mixture log-prob, excess,
+    // EG product) mirrors the engine's parenthesization exactly.
+    "t49c_doremi_adaptive" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> ''
+             GROUP BY 1, 2),
+      stc AS (SELECT d.source, t.term, sum(t.c) AS c
+              FROM dt t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      tokd AS (SELECT source, sum(c) AS tokens FROM stc GROUP BY 1),
+      ct AS (SELECT term, sum(c) AS ct FROM stc GROUP BY 1),
+      g AS (SELECT sum(tokens) AS gtok, count(*) AS nd FROM tokd),
+      lref AS (SELECT s.source,
+                      sum(s.c * ln(CAST(c2.ct AS DOUBLE)
+                                   / (SELECT gtok FROM g))) AS lpref
+               FROM stc s JOIN ct c2 USING (term) GROUP BY 1),
+      w0 AS (SELECT t.source, t.tokens, l.lpref,
+                    1.0 / (SELECT nd FROM g) AS alpha
+             FROM tokd t JOIN lref l USING (source)),
+      n0 AS (SELECT sum(alpha) AS asum FROM w0),
+      c1 AS (SELECT source,
+                    ((alpha / (SELECT asum FROM n0)) / tokens) AS coef
+             FROM w0),
+      pm1 AS (SELECT term, sum(s.c * c1.coef) AS pm
+              FROM stc s JOIN c1 USING (source) GROUP BY 1),
+      ld1 AS (SELECT s.source, sum(s.c * ln(pm1.pm)) AS lp
+              FROM stc s JOIN pm1 USING (term) GROUP BY 1),
+      w1 AS (SELECT w0.source, w0.tokens, w0.lpref,
+                    CASE WHEN ((-ld1.lp / w0.tokens)
+                               - (-w0.lpref / w0.tokens)) > 0.0
+                         THEN ((-ld1.lp / w0.tokens)
+                               - (-w0.lpref / w0.tokens))
+                         ELSE 0.0 END AS excess,
+                    w0.alpha * exp(1.0 *
+                      CASE WHEN ((-ld1.lp / w0.tokens)
+                                 - (-w0.lpref / w0.tokens)) > 0.0
+                           THEN ((-ld1.lp / w0.tokens)
+                                 - (-w0.lpref / w0.tokens))
+                           ELSE 0.0 END) AS alpha
+             FROM w0 JOIN ld1 USING (source)),
+      n1 AS (SELECT sum(alpha) AS asum FROM w1),
+      c2s AS (SELECT source,
+                     ((alpha / (SELECT asum FROM n1)) / tokens) AS coef
+              FROM w1),
+      pm2 AS (SELECT term, sum(s.c * c2s.coef) AS pm
+              FROM stc s JOIN c2s USING (source) GROUP BY 1),
+      ld2 AS (SELECT s.source, sum(s.c * ln(pm2.pm)) AS lp
+              FROM stc s JOIN pm2 USING (term) GROUP BY 1),
+      w2 AS (SELECT w1.source, w1.tokens,
+                    CASE WHEN ((-ld2.lp / w1.tokens)
+                               - (-w1.lpref / w1.tokens)) > 0.0
+                         THEN ((-ld2.lp / w1.tokens)
+                               - (-w1.lpref / w1.tokens))
+                         ELSE 0.0 END AS excess,
+                    w1.alpha * exp(1.0 *
+                      CASE WHEN ((-ld2.lp / w1.tokens)
+                                 - (-w1.lpref / w1.tokens)) > 0.0
+                           THEN ((-ld2.lp / w1.tokens)
+                                 - (-w1.lpref / w1.tokens))
+                           ELSE 0.0 END) AS alpha
+             FROM w1 JOIN ld2 USING (source)),
+      n2 AS (SELECT sum(alpha) AS asum FROM w2)
+      SELECT source, CAST(tokens AS BIGINT) AS tokens,
+             round(excess, 6) AS excess_loss,
+             round(0.99 * alpha / (SELECT asum FROM n2)
+                   + 0.01 / (SELECT nd FROM g), 6) AS weight
+      FROM w2""",
 
     // t49b: the t26 Kneser-Ney statistics (integer aggregates over the
     // bigram-type table) rolled up per SOURCE, then the t49 EG trees

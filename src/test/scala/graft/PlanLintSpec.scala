@@ -2,16 +2,25 @@ package graft
 
 import graft.SparkSpec
 
-/** Plan lint over the whole bench headline: no query may plan an
-  * interpreted array higher-order function (ArrayAggregate / ZipWith /
-  * ArrayTransform / ArrayFilter — the ~100x path), a Scala UDF, or a
-  * non-broadcast cartesian product. This is the durable regression gate
-  * for the engine's codegen story — a new operator that sneaks a lambda
-  * or UDF onto a scale path fails here, not in a 100 TB run.
+/** Plan lint over the ENTIRE query board (r8 — previously only the bench
+  * headline): no query may plan an interpreted array higher-order
+  * function (ArrayAggregate / ZipWith / ArrayTransform / ArrayFilter —
+  * the ~100x path), a Scala UDF, or a non-broadcast cartesian product.
+  * This is the durable regression gate for the engine's codegen story —
+  * a new operator that sneaks a lambda or UDF onto a scale path fails
+  * here, not in a 100 TB run. Queries are PLANNED (optimizedPlan), not
+  * executed; construction-time side effects run at sf0.001, and every
+  * query is planned exactly once for all three lints.
   *
-  * (Known justified UDF OUTSIDE the headline: `Hashing.CountMinFreq`
-  * closes over a driver-built mergeable sketch — no column-expression
-  * equivalent exists.)
+  * Justified exceptions:
+  *  - h6_countmin: `Hashing.CountMinFreq` closes over a driver-built
+  *    mergeable sketch — no column-expression equivalent exists (all
+  *    markers exempt; documented at Hashing.scala).
+  *  - the MLlib-model queries below: VectorAssembler / vector_to_array /
+  *    model.transform plan as UDFs INSIDE Spark MLlib — library
+  *    internals, not engine-authored lambdas. Only the UDF marker is
+  *    exempt for them; a cartesian or interpreted array lambda in those
+  *    queries still fails the lint.
   */
 class PlanLintSpec extends SparkSpec {
 
@@ -23,34 +32,56 @@ class PlanLintSpec extends SparkSpec {
     "UDF(" -> "Scala UDF",
     "CartesianProduct" -> "non-broadcast cartesian product")
 
-  test("no headline query plans an interpreted lambda, UDF, or cartesian product") {
+  /** name -> fully exempt (planned side effects or driver-sketch UDF). */
+  private val skip: Set[String] = Set("h6_countmin")
+
+  /** MLlib-model queries: the UDF marker alone is exempt. */
+  private val mllibUdfOk: Set[String] = Set(
+    "d11_semdedup", "i9_model_impute", "m19_text_classifier",
+    "s17_ann_graph", "s18_ann_two_phase", "s19_pca_whiten",
+    "s20_diversity_sample", "s21_outlier_score", "s3_ann_ivf_kmeans")
+
+  private lazy val plans: Seq[(String, Either[String,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = {
     val all = SparkEntry.queries
-    val issues = Bench.headline.filter(all.contains).flatMap { name =>
-      val plan =
-        try all(name)(spark, sf).queryExecution.optimizedPlan.toString
-        catch { case e: Throwable => s"<failed to plan: ${e.getMessage}>" }
-      banned.collect {
-        case (marker, why) if plan.contains(marker) => s"$name: $why ($marker)"
-      }
+    all.keys.toSeq.sorted.filterNot(skip.contains).map { name =>
+      name -> (
+        try Right(all(name)(spark, sf).queryExecution.optimizedPlan)
+        catch { case e: Throwable => Left(s"failed to plan: ${e.getMessage}") })
+    }
+  }
+
+  test("every board query plans successfully") {
+    val broken = plans.collect { case (n, Left(err)) => s"$n: $err" }
+    assert(broken.isEmpty, broken.mkString("\n"))
+  }
+
+  test("no board query plans an interpreted lambda, UDF, or cartesian product") {
+    val issues = plans.flatMap {
+      case (name, Right(plan)) =>
+        val s = plan.toString
+        banned.collect {
+          case (marker, why) if s.contains(marker) &&
+            !(marker == "UDF(" && mllibUdfOk.contains(name)) =>
+            s"$name: $why ($marker)"
+        }
+      case _ => Nil
     }
     assert(issues.isEmpty, issues.mkString("\n"))
   }
 
-  test("no headline query plans a KEYLESS window (single-partition funnel)") {
+  test("no board query plans a KEYLESS window (single-partition funnel)") {
     // Ordinals used to push its dictionary-sized offsets cumsum through
-    // one deliberate keyless window; the thousands of benign WindowExec
-    // warnings it emitted drowned the signal. Now that the cumsum rides
-    // RunningTotal, ANY keyless window in a headline plan is a
-    // regression — this pin keeps the count at zero.
+    // one deliberate keyless window; now that the cumsum rides
+    // RunningTotal, ANY keyless window in a board plan is a regression.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val all = SparkEntry.queries
-    val offenders = Bench.headline.filter(all.contains).flatMap { name =>
-      val keyless =
-        try all(name)(spark, sf).queryExecution.optimizedPlan.collect {
+    val offenders = plans.flatMap {
+      case (name, Right(plan)) =>
+        val keyless = plan.collect {
           case w: LWindow if w.partitionSpec.isEmpty => w
         }.size
-        catch { case _: Throwable => 0 }
-      if (keyless > 0) Some(s"$name: $keyless keyless window(s)") else None
+        if (keyless > 0) Some(s"$name: $keyless keyless window(s)") else None
+      case _ => None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }

@@ -47,6 +47,38 @@ class KernelShapSpec extends SparkSpec {
     assert(small.map(_.toSeq) == KernelShap.budgetedCoalitions(m, 13).map(_.toSeq))
   }
 
+  test("BUDGETED coalitions (m24b shape): proper subset of full enumeration, yet exact on a linear model") {
+    import spark.implicits._
+    val m = 6
+    val masks = KernelShap.budgetedCoalitions(m, 50)
+    // the m24b query's budget keeps levels {1,5} (12) and {2,4} (30)
+    assert(masks.length == 42, masks.length)
+    assert(masks.length < (1 << m) - 2, "budget must NOT reach full enumeration")
+    assert(masks.forall(z => Set(1, 2, 4, 5).contains(z.count(identity))))
+    val w = Seq(0.5, 1.25, 2.0, -1.5, 0.75, 3.0)
+    val f = (c: Seq[org.apache.spark.sql.Column]) =>
+      c.zip(w).map { case (ci, wi) => ci * lit(wi) }.reduce(_ + _) / lit(10.0)
+    val rows = (1 to 8).map(i => (i.toLong, (i % 7).toDouble,
+      (i % 5).toDouble, (i % 3).toDouble, (i * 2 % 9).toDouble,
+      (i * 3 % 11).toDouble, (i * 5 % 13).toDouble))
+    val df = rows.toDF("id", "x1", "x2", "x3", "x4", "x5", "x6")
+    val feats = (1 to 6).map(i => s"x$i")
+    val bg = KernelShap.panel(df, feats, "id", 4)
+    val got = KernelShap.explainExpr(df, feats, f, bg, Some(masks))
+    // on a LINEAR model every symmetric-complete-level estimator is
+    // exact: phi_i = (w_i/10) * (x_i - mean_b(x_i)) (panel means are
+    // round-9'd by panelMean, so compare at 1e-6)
+    val mu = (0 until 6).map(i => bg.map(_(i)).sum / bg.size)
+    got.collect().foreach { r =>
+      (0 until 6).foreach { i =>
+        val want = w(i) / 10.0 *
+          (r.getDouble(r.fieldIndex(s"x${i + 1}")) - mu(i))
+        val phi = r.getDouble(r.fieldIndex(s"phi_x${i + 1}"))
+        assert(math.abs(phi - want) < 1e-6, s"feature ${i + 1}: $phi vs $want")
+      }
+    }
+  }
+
   test("explainExpr on a linear model matches exact linear SHAP; completeness holds per row") {
     import spark.implicits._
     val df = Seq(

@@ -27,4 +27,64 @@ class RidgeSpec extends SparkSpec {
     val (w1, b1) = wb(1.0)
     assert(math.abs(w1 - 1.4) < 1e-6 && math.abs(b1 - 2.3) < 1e-6, (w1, b1))
   }
+
+  // deterministic multi-feature fixture: y is an exact linear function of
+  // four integer-derived features (noiseless), so lambda=0 OLS recovers
+  // the planted coefficients and predictions equal y exactly
+  private def planted = {
+    import spark.implicits._
+    (1 to 200).map { i =>
+      val (x1, x2, x3, x4) =
+        (i % 7.0, i % 11.0, i % 13.0, (i * i) % 17.0)
+      (x1, x2, x3, x4, 2.0 * x1 - 1.5 * x2 + 0.5 * x3 + 3.0 * x4 + 4.0)
+    }.toDF("x1", "x2", "x3", "x4", "y")
+  }
+
+  test("fitPredictGram p=1 matches the closed-form single-feature fit") {
+    val d = planted
+    val a = Ridge.fitPredict(d, "y", "x1", lambda = 0.7, roundTo = 9)
+      .select("x1", "pred").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val b = Ridge.fitPredictGram(d, "y", Seq("x1"), lambda = 0.7, roundTo = 9)
+      .select("x1", "pred").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    a.zip(b).foreach { case ((_, pa), (_, pb)) =>
+      assert(math.abs(pa - pb) < 1e-6, (pa, pb))
+    }
+  }
+
+  test("fitPredictGram p=3 matches fitPredict3's Cramer tree") {
+    val d = planted
+    val a = Ridge.fitPredict3(d, "y", "x1", "x2", "x3", lambda = 0.3,
+        roundTo = 9).select("pred").collect().map(_.getDouble(0))
+    val b = Ridge.fitPredictGram(d, "y", Seq("x1", "x2", "x3"), lambda = 0.3,
+        roundTo = 9).select("pred").collect().map(_.getDouble(0))
+    a.zip(b).foreach { case (pa, pb) =>
+      assert(math.abs(pa - pb) < 1e-6, (pa, pb))
+    }
+  }
+
+  test("fitPredictGram p=4, lambda=0 recovers a noiseless linear model") {
+    val d = planted
+    val out = Ridge.fitPredictGram(d, "y", Seq("x1", "x2", "x3", "x4"),
+      lambda = 0.0, roundTo = 6)
+    val bad = out.filter(abs(col("pred") - col("y")) > 1e-4).count()
+    assert(bad == 0, s"$bad rows off the planted plane")
+  }
+
+  test("fitPredictGram nulls: fit uses the all-non-null population only") {
+    import spark.implicits._
+    val d = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 2.0, 5.0), (2.0, 1.0, 6.0), (3.0, 3.0, 10.0), (4.0, 1.0, 10.0),
+      (null, 9.0, 999.0), (5.0, null, -999.0))
+      .toDF("x1", "x2", "y")
+    // the two null-bearing rows would wreck the fit if they leaked in;
+    // y = 2*x1 + x2 + 1 on the clean rows (noiseless, lambda=0)
+    val out = Ridge.fitPredictGram(d, "y", Seq("x1", "x2"), lambda = 0.0,
+      roundTo = 6)
+    val clean = out.filter(col("x1").isNotNull && col("x2").isNotNull &&
+      col("y") > -100 && col("y") < 100)
+    clean.select("x1", "x2", "pred").collect().foreach { r =>
+      val want = 2.0 * r.getDouble(0) + r.getDouble(1) + 1.0
+      assert(math.abs(r.getDouble(2) - want) < 1e-4, (r, want))
+    }
+  }
 }

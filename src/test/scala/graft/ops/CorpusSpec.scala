@@ -283,4 +283,40 @@ class CorpusSpec extends SparkSpec {
       "source", eta = 1.0, steps = 2, smoothing = 0.01))
     assert(kn == again, "bit-deterministic")
   }
+
+  test("doremiWeightsAdaptive: per-step proxy re-evaluation — 2 steps at eta provably != 1 step at 2*eta") {
+    import spark.implicits._
+    // a big domain and two small ones with partly-disjoint vocabularies:
+    // under the UNIFORM step-1 mixture the big domain's tokens are
+    // under-weighted relative to the corpus-trained reference, so it
+    // shows excess and gains weight; the step-2 proxy (retrained on the
+    // shifted mixture) then fits it better, so step 2's excess differs
+    // from step 1's — the telescoping the fixed-loss variants exhibit
+    // cannot happen
+    val docs = (
+      (1 to 12).map(i =>
+        (i.toLong, "alpha beta gamma delta alpha beta gamma", "big")) ++
+      (13 to 14).map(i => (i.toLong, "epsilon zeta eta theta", "small1")) ++
+      Seq((15L, "iota kappa lambda mu nu xi", "small2")))
+      .toDF("doc_id", "text", "source")
+    def run(eta: Double, steps: Int) =
+      Corpus.doremiWeightsAdaptive(docs, "text", "doc_id", "source",
+        eta = eta, steps = steps, smoothing = 0.01)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val two = run(1.0, 2)
+    val oneDouble = run(2.0, 1)
+    assert(math.abs(two.values.map(_._3).sum - 1.0) < 1e-6, "weights sum to 1")
+    // the seam-closing property: a fixed-loss EG loop telescopes
+    // (2 steps at eta == 1 step at 2*eta); the adaptive loop must not
+    val maxDiff = two.keys.map(k =>
+      math.abs(two(k)._3 - oneDouble(k)._3)).max
+    assert(maxDiff > 1e-6,
+      s"adaptive loop telescoped: $two vs $oneDouble")
+    // step-1 direction: the big (reference-favored) domain shows excess
+    // under the uniform-mixture proxy
+    assert(two("big")._2 >= 0.0 && two.values.map(_._2).max > 0.0, two.toString)
+    val again = run(1.0, 2)
+    assert(two == again, "bit-deterministic")
+  }
 }

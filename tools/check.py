@@ -69,11 +69,17 @@ def main(sf_dir, out_dir):
         ecols = sorted((r[1], r[2]) for r in ei)
         if [c for c, _ in gcols] != [c for c, _ in ecols]:
             return False, 0, f"columns {[c for c,_ in gcols]} != {[c for c,_ in ecols]}"
-        sel = ", ".join(
-            f'round(CAST("{c}" AS DOUBLE), 9) AS "{c}"'
-            if t.upper() in ("DOUBLE", "FLOAT", "REAL")
-            or t.upper().startswith("DECIMAL")
-            else f'"{c}"' for c, t in gcols)
+        # Floats: round-9 on DOUBLE (canon() parity). DECIMALs: cast to a
+        # WIDE decimal with scale 9 — exact integer arithmetic up to 29
+        # integer digits, so a wrong total beyond 2^53 still fails (a
+        # DOUBLE cast would compare lossily there).
+        def _sel(c, t):
+            if t.upper() in ("DOUBLE", "FLOAT", "REAL"):
+                return f'round(CAST("{c}" AS DOUBLE), 9) AS "{c}"'
+            if t.upper().startswith("DECIMAL"):
+                return f'CAST("{c}" AS DECIMAL(38, 9)) AS "{c}"'
+            return f'"{c}"'
+        sel = ", ".join(_sel(c, t) for c, t in gcols)
         n1 = con.execute(f"SELECT count(*) FROM (SELECT {sel} FROM __got EXCEPT ALL SELECT {sel} FROM __exp)").fetchone()[0]
         n2 = con.execute(f"SELECT count(*) FROM (SELECT {sel} FROM __exp EXCEPT ALL SELECT {sel} FROM __got)").fetchone()[0]
         ng = con.execute("SELECT count(*) FROM __got").fetchone()[0]
