@@ -21,6 +21,17 @@ object Sessions {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.ui.enabled", "false")
+    // TypedImperativeAggregates (topk_pairs and friends) plan as
+    // ObjectHashAggregate, which silently FALLS BACK to sort-based
+    // aggregation after 128 distinct keys per partition (the default
+    // fallback threshold) — re-introducing exactly the external sort of
+    // the candidate stream that the bounded-state aggregate exists to
+    // avoid (measured: b10_smote_enn 484 s at sf1 with the fallback vs
+    // map-side hash truncation without). The engine's object-aggregate
+    // buffers are all O(k) (k = a neighbor/explainer count), so a
+    // million hashed keys per partition is ~100 MB, not a spill risk.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "1048576")
     .config("spark.sql.parquet.compression.codec", "zstd")
     // pyarrow-written TIMESTAMP(NANOS) columns (events.ts) are otherwise
     // unreadable; Tables.events converts the long back to a timestamp.

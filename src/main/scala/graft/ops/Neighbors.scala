@@ -66,12 +66,23 @@ object Neighbors {
   def knnJoin(left: DataFrame, right: DataFrame, idCol: String, k: Int,
               width: Double, seed: Long = 42L): DataFrame = {
     val dims = left.columns.count(_.startsWith("__f")) - (if (left.columns.contains("__fv")) 1 else 0)
+    // Occupancy-adaptive refinement of the caller's width: global
+    // z-scale predicts ~64 rows/cell only on UNIMODAL data. Real key
+    // spaces are clumpy (tenant-prefixed ids, replicated shards, time
+    // gaps): the between-clump spread inflates the std, the bulk
+    // collapses into a few cells, and the candidate join goes quadratic
+    // — measured at sf1 on the 10x replica: 1.5M rows in 55 cells =
+    // 6.3e11 candidate pairs, b10_smote_enn 484 s and a disk-filling
+    // spill. adaptiveWidth rescales by the MEASURED row-weighted
+    // occupancy (one cheap aggregate per iteration, <= 3 iterations),
+    // restoring linear candidate counts on any density shape.
+    val w = if (width <= 0) width else adaptiveWidth(right, dims, width)
     def cells(f: String => Column): (Column, Column) =
-      if (width <= 0) (lit(0L), lit(0L))
-      else (floor(f("__f0") / width).cast(LongType),
-            if (dims > 1) floor(f("__f1") / width).cast(LongType) else lit(0L))
+      if (w <= 0) (lit(0L), lit(0L))
+      else (floor(f("__f0") / w).cast(LongType),
+            if (dims > 1) floor(f("__f1") / w).cast(LongType) else lit(0L))
     val (b1, b2) = cells(col)
-    val probeOffsets = if (width <= 0) Seq((0, 0))
+    val probeOffsets = if (w <= 0) Seq((0, 0))
       else for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
     val l = left
       .select((col(idCol).as("l_id") +: b1.as("__c1") +: b2.as("__c2") +:
@@ -83,7 +94,24 @@ object Neighbors {
         (0 until dims).map(i => col(s"__lf$i"))): _*)
     val r = right.select((col(idCol).as("nbr_id") +: b1.as("__b1") +: b2.as("__b2") +:
       (0 until dims).map(i => col(s"__f$i").as(s"__rf$i"))): _*)
-    val cand = l.join(r, Seq("__b1", "__b2"))
+    // Exact mode (width <= 0) joins on a CONSTANT cell key: as a shuffle
+    // join every row lands in one partition — a single-task quadratic
+    // scan (i6 measured 332 s at sf1). Broadcasting the LEFT side turns
+    // it into a parallel nested-loop with the identical candidate set,
+    // and the RIGHT side is explicitly repartitioned: the donor scan is
+    // otherwise a single 50 MB parquet split, so even the broadcast join
+    // would run in one task. Contract: exact mode's left side is the
+    // SMALL probe set (the imputers' null rows; specs' small frames) —
+    // the scale path is width > 0.
+    // explicit N: AQE would coalesce the (byte-small) donor shuffle back
+    // to one partition — it sizes by input bytes and cannot see that the
+    // constant-key join EXPLODES each row |l|-fold downstream
+    val lSide = if (w <= 0) broadcast(l) else l
+    val rSide = if (w <= 0)
+      r.repartition(right.sparkSession.sessionState.conf.numShufflePartitions,
+        col("nbr_id"))
+    else r
+    val cand = lSide.join(rSide, Seq("__b1", "__b2"))
       .filter(col("l_id") =!= col("nbr_id"))
       .withColumn("dist",
         sqrt(sqDistFlat(dims, n => col(n.replace("__f", "__lf")), n => col(n.replace("__f", "__rf")))))
@@ -122,6 +150,47 @@ object Neighbors {
   def autoWidth(n: Long, targetPerCell: Int = 64): Double =
     if (n <= 0) 0.25
     else math.min(1.0, 6.0 * math.sqrt(targetPerCell.toDouble / n))
+
+  /** MEASURED-occupancy refinement of a starting grid width, for data
+    * whose density [[autoWidth]]'s unimodal-spread assumption misreads
+    * (clumpy key spaces, multi-tenant ids, replicated shards). The
+    * relevant statistic is the ROW-WEIGHTED mean occupancy
+    * E[rows-in-my-cell] = sum(occ^2)/n — candidate pairs are exactly
+    * 9 * sum(occ^2), so bounding it bounds the join. Each iteration is
+    * one map-side-combined aggregate over the grid histogram (never the
+    * pair space); local density is ~uniform inside clumps, so occupancy
+    * falls ~quadratically in width and 1-2 iterations converge. The
+    * refinement is a deterministic function of the data (exact integer
+    * counts), so results stay reproducible across runs and partitionings. */
+  def adaptiveWidth(scaled: DataFrame, dims: Int, start: Double,
+                    targetPerCell: Int = 64, maxIter: Int = 5): Double = {
+    var w = start
+    var prev = Double.MaxValue
+    var iter = 0
+    while (iter < maxIter) {
+      val row = scaled.select(
+          floor(col("__f0") / w).cast(LongType).as("__c1"),
+          (if (dims > 1) floor(col("__f1") / w).cast(LongType)
+           else lit(0L)).as("__c2"))
+        .groupBy("__c1", "__c2").count()
+        .agg((sum(col("count") * col("count")) / sum(col("count")))
+          .as("__occ"))
+        .head()
+      if (row.isNullAt(0)) return w // empty frame: nothing to size for
+      val occ = row.getDouble(0)
+      if (occ <= 4.0 * targetPerCell) return w
+      // occupancy ~ density * w^2 while the cell is SMALLER than the
+      // clump, so the sqrt rescale converges in one step there. When the
+      // cell is still WIDER than a clump, shrinking barely moves the
+      // occupancy (the whole clump rides in one cell whatever w is) —
+      // detect the stall and escalate geometrically instead of crawling.
+      val shrink = math.sqrt(occ / targetPerCell)
+      w = if (occ > prev * 0.5) w / math.max(shrink, 16.0) else w / shrink
+      prev = occ
+      iter += 1
+    }
+    w
+  }
 
   /** Deterministic uniform in [0,1) from columns — the seeded "random"
     * stream every synthesis step uses (reproducible across runs/engines). */
