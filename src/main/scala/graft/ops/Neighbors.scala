@@ -107,10 +107,15 @@ object Neighbors {
     // to one partition — it sizes by input bytes and cannot see that the
     // constant-key join EXPLODES each row |l|-fold downstream
     val lSide = if (w <= 0) broadcast(l) else l
-    val rSide = if (w <= 0)
-      r.repartition(right.sparkSession.sessionState.conf.numShufflePartitions,
-        col("nbr_id"))
-    else r
+    val nPart = right.sparkSession.sessionState.conf.numShufflePartitions
+    // Grid mode pins the cell-key partitioning with an explicit N for the
+    // same reason: AQE coalesces the (byte-small) join input shuffles and
+    // the |cell|^2 pair expansion then runs on 1-4 tasks (b7_adasyn at
+    // sf0.1: 122 s mostly idle, 2 running tasks in thread dumps). The
+    // join reuses this partitioning, so no exchange is added — only the
+    // coalesce is suppressed.
+    val rSide = if (w <= 0) r.repartition(nPart, col("nbr_id"))
+                else r.repartition(nPart, col("__b1"), col("__b2"))
     val cand = lSide.join(rSide, Seq("__b1", "__b2"))
       .filter(col("l_id") =!= col("nbr_id"))
       .withColumn("dist",
