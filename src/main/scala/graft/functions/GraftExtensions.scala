@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKPairs(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("topk_pairs_tag"),
+      new ExpressionInfo(classOf[TopKPairsTag].getName, "topk_pairs_tag"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 4, "topk_pairs_tag takes (dist, id, tag, k)")
+        TopKPairsTag(children.head, children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("z_order"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "z_order"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

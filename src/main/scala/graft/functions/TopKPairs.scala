@@ -114,14 +114,20 @@ case class TopKPairs(dist: Expression, id: Expression, kExpr: Expression,
 }
 
 object TopKPairs {
-  /** Sorted-ascending bounded buffer of (dist, id); insertion keeps the
-    * k smallest under (dist, id) lexicographic order. */
+  /** Sorted-ascending bounded buffer of (dist, id[, tag]); insertion
+    * keeps the k smallest under (dist, id) lexicographic order. The tag
+    * is a PAYLOAD rider (never part of the order) so aggregates can
+    * carry one extra column — e.g. the IVF cell a candidate came from —
+    * through the truncation without a recovery join. */
   final class Buffer(k: Int) {
     var n: Int = 0
     val ds = new Array[Double](k)
     val ids = new Array[Long](k)
+    val tags = new Array[Long](k)
 
-    def insert(d: Double, i: Long): Unit = {
+    def insert(d: Double, i: Long): Unit = insert(d, i, 0L)
+
+    def insert(d: Double, i: Long, t: Long): Unit = {
       if (n == k && !lt(d, i, ds(n - 1), ids(n - 1))) return
       // find insertion point (linear from the tail — k is small)
       var p = math.min(n, k - 1)
@@ -130,8 +136,10 @@ object TopKPairs {
       // shift right, dropping the overflow
       val last = math.min(n, k - 1)
       var q = last
-      while (q > p) { ds(q) = ds(q - 1); ids(q) = ids(q - 1); q -= 1 }
-      ds(p) = d; ids(p) = i
+      while (q > p) {
+        ds(q) = ds(q - 1); ids(q) = ids(q - 1); tags(q) = tags(q - 1); q -= 1
+      }
+      ds(p) = d; ids(p) = i; tags(p) = t
       if (n < k) n += 1
     }
 
@@ -145,4 +153,110 @@ object TopKPairs {
       c < 0 || (c == 0 && i1 < i2)
     }
   }
+}
+
+/** [[TopKPairs]] with a payload column: `topk_pairs_tag(dist, id, tag,
+  * k)` keeps the k smallest (dist, id) pairs per group — same (dist asc,
+  * id asc) total order, same O(k) bounded state and map-side truncation
+  * — while carrying `tag` (any integral column) alongside each winner,
+  * returned as `array<struct<dist double, nbr_id bigint, tag bigint>>`.
+  *
+  * This exists for top-k reductions whose consumers need one more
+  * column than (dist, id): the ANN scoring paths rank (query, corpus)
+  * candidates but must keep the IVF cell each winner came from
+  * ([[graft.ops.AnnIndex]]'s two-phase probing feeds winners' cells
+  * back into expansion). Without the rider the alternatives are a
+  * window over the full candidate stream (external sort of data-sized
+  * input) or a recovery join against the candidate stream (re-shuffles
+  * what the truncation just avoided shuffling). The tag takes no part
+  * in ordering or tie-breaks, so ranking is bit-identical to
+  * `topk_pairs`.
+  */
+case class TopKPairsTag(dist: Expression, id: Expression, tag: Expression,
+                        kExpr: Expression,
+                        override val mutableAggBufferOffset: Int = 0,
+                        override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKPairs.Buffer] {
+
+  private lazy val k: Int = kExpr.eval(null).asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (dist.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure("topk_pairs_tag needs a double dist")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure("topk_pairs_tag needs a long id")
+    else if (tag.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure("topk_pairs_tag needs a long tag")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("k must be an integer literal")
+    else if (kExpr.eval(null).asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("k must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("nbr_id", LongType, nullable = false),
+    StructField("tag", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_pairs_tag"
+  override def children: Seq[Expression] = Seq(dist, id, tag, kExpr)
+
+  override def createAggregationBuffer(): TopKPairs.Buffer =
+    new TopKPairs.Buffer(k)
+
+  override def update(buf: TopKPairs.Buffer, input: InternalRow): TopKPairs.Buffer = {
+    val d = dist.eval(input)
+    val i = id.eval(input)
+    val t = tag.eval(input)
+    if (d != null && i != null && t != null)
+      buf.insert(d.asInstanceOf[Double], i.asInstanceOf[Long],
+        t.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKPairs.Buffer, b: TopKPairs.Buffer): TopKPairs.Buffer = {
+    var j = 0
+    while (j < b.n) { a.insert(b.ds(j), b.ids(j), b.tags(j)); j += 1 }
+    a
+  }
+
+  override def eval(buf: TopKPairs.Buffer): Any = {
+    val rows = new Array[Any](buf.n)
+    var j = 0
+    while (j < buf.n) {
+      rows(j) = new GenericInternalRow(
+        Array[Any](buf.ds(j), buf.ids(j), buf.tags(j)))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKPairs.Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 24)
+    bb.putInt(buf.n)
+    var j = 0
+    while (j < buf.n) {
+      bb.putDouble(buf.ds(j)); bb.putLong(buf.ids(j)); bb.putLong(buf.tags(j))
+      j += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairs.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKPairs.Buffer(k)
+    var j = 0
+    while (j < n) { buf.insert(bb.getDouble, bb.getLong, bb.getLong); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKPairsTag =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKPairsTag =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairsTag =
+    copy(dist = newChildren(0), id = newChildren(1), tag = newChildren(2),
+      kExpr = newChildren(3))
 }

@@ -102,6 +102,20 @@ object AnnIndex {
         (dp(col("qv"), col("qv")) - lit(2.0) * dp(col("qv"), col("__cv")) +
           dp(col("__cv"), col("__cv"))).as("__d2"))
 
+  /** The n nearest cells per query by a score column (asc, cell-id
+    * tie-break) — the probe-selection reduction, routed through the
+    * bounded-state [[Similarity.topKPerQuery]] aggregate rather than a
+    * `row_number` window: the per-query stream is nlist rows (index
+    * metadata, not corpus data), but the aggregate still truncates to
+    * nprobe per query before the shuffle — nlist/nprobe (often 64x)
+    * fewer shuffled rows, and no per-group sort. */
+  private def nearestCells(qCells: DataFrame, n: Int,
+                           score: String = "__d2"): DataFrame =
+    Similarity.topKPerQuery(
+      qCells.select(col("query_id"), col("cell").as("corpus_id"), col(score)),
+      n, score = score, smallerIsBetter = true)
+      .select(col("query_id"), col("corpus_id").as("cell"))
+
   /** Exact cosine re-rank of the probed cells — shared scoring tail: a
     * broadcast probe join into the cells (DPP-pruned on a loaded
     * index), codegen dot products, salted top-k. */
@@ -126,11 +140,7 @@ object AnnIndex {
            k: Int, nprobe: Int = 2): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(asc("__d2"), asc("cell"))
-    val probes = queryCellDistances(index, q)
-      .withColumn("__pr", row_number().over(wProbe))
-      .filter(col("__pr") <= nprobe).select("query_id", "cell")
+    val probes = nearestCells(queryCellDistances(index, q), nprobe)
     scoreProbes(index, q, probes, k).drop("__cell")
   }
 
@@ -182,30 +192,25 @@ object AnnIndex {
     * centroid ranks far. */
   private[ops] def graphProbes(index: Index, q: DataFrame, nprobe: Int,
                                degree: Int, expandSlots: Int = -1): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(asc("__d2"), asc("cell"))
     val qCells = queryCellDistances(index, q)
-    val ranked = qCells.withColumn("__pr", row_number().over(w))
     val expand = if (expandSlots >= 0) math.min(expandSlots, nprobe - 1)
                  else if (nprobe >= 3) 1 else 0
     val p1 = math.max(1, nprobe - expand)
-    val seeds = ranked.filter(col("__pr") <= p1).select("query_id", "cell")
+    val seeds = nearestCells(qCells, p1)
     if (nprobe - p1 <= 0) seeds
     else {
       // neighbor cells of the seed set that are NOT themselves seeds,
       // ranked by surface distance; the budget remainder goes to the
       // best of them
-      val wSurf = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(asc("__surf"), asc("cell"))
-      val nbrs = seeds.join(broadcast(centroidGraph(index, degree)), "cell")
-        .select(col("query_id"), col("nbr").as("cell")).distinct()
-        .join(seeds, Seq("query_id", "cell"), "left_anti")
-        .join(qCells, Seq("query_id", "cell"))
-        .join(broadcast(cellRadii(index)), "cell")
-        .withColumn("__surf", greatest(lit(0.0), sqrt(col("__d2")) - col("__radius")))
-        .withColumn("__pr", row_number().over(wSurf))
-        .filter(col("__pr") <= nprobe - p1)
-        .select("query_id", "cell")
+      val nbrs = nearestCells(
+        seeds.join(broadcast(centroidGraph(index, degree)), "cell")
+          .select(col("query_id"), col("nbr").as("cell")).distinct()
+          .join(seeds, Seq("query_id", "cell"), "left_anti")
+          .join(qCells, Seq("query_id", "cell"))
+          .join(broadcast(cellRadii(index)), "cell")
+          .withColumn("__surf",
+            greatest(lit(0.0), sqrt(col("__d2")) - col("__radius"))),
+        nprobe - p1, score = "__surf")
       seeds.unionByName(nbrs)
     }
   }
@@ -239,18 +244,16 @@ object AnnIndex {
   private[ops] def feedbackProbes(index: Index, qCells: DataFrame,
                                   phase1: DataFrame, seeds: DataFrame,
                                   degree: Int, expand: Int): DataFrame = {
-    val wSurf = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(asc("__surf"), asc("cell"))
-    phase1.select(col("query_id"), col("__cell").as("cell")).distinct()
-      .join(broadcast(centroidGraph(index, degree)), "cell")
-      .select(col("query_id"), col("nbr").as("cell")).distinct()
-      .join(seeds, Seq("query_id", "cell"), "left_anti")
-      .join(qCells, Seq("query_id", "cell"))
-      .join(broadcast(cellRadii(index)), "cell")
-      .withColumn("__surf", greatest(lit(0.0), sqrt(col("__d2")) - col("__radius")))
-      .withColumn("__pr", row_number().over(wSurf))
-      .filter(col("__pr") <= expand)
-      .select("query_id", "cell")
+    nearestCells(
+      phase1.select(col("query_id"), col("__cell").as("cell")).distinct()
+        .join(broadcast(centroidGraph(index, degree)), "cell")
+        .select(col("query_id"), col("nbr").as("cell")).distinct()
+        .join(seeds, Seq("query_id", "cell"), "left_anti")
+        .join(qCells, Seq("query_id", "cell"))
+        .join(broadcast(cellRadii(index)), "cell")
+        .withColumn("__surf",
+          greatest(lit(0.0), sqrt(col("__d2")) - col("__radius"))),
+      expand, score = "__surf")
   }
 
   /** Candidate-feedback two-phase probing at the SAME total budget as
@@ -282,11 +285,8 @@ object AnnIndex {
       col(vecCol).cast("array<double>").as("qv"))
     val expand = math.min(math.max(expandSlots, 0), nprobe - 1)
     val p1 = nprobe - expand
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(asc("__d2"), asc("cell"))
     val qCells = queryCellDistances(index, q)
-    val seeds = qCells.withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") <= p1).select("query_id", "cell")
+    val seeds = nearestCells(qCells, p1)
     val phase1 = scoreProbes(index, q, seeds, k)
     if (expand == 0) phase1
     else {

@@ -83,7 +83,7 @@ object Pq {
       .select(col("query_id"), col("corpus_id"),
         call_function("pq_adc", col("codes"), col("__lut")).as("adc_d2"))
     Similarity.topKPerQuery(scored, k,
-      order = Seq(asc("adc_d2"), asc("corpus_id")))
+      score = "adc_d2", smallerIsBetter = true)
   }
 
   /** ADC shortlist + exact re-rank (the production IVFADC tail, Jégou
@@ -109,7 +109,7 @@ object Pq {
         (dp(col("cv"), col("cv")) - lit(2.0) * dp(col("cv"), col("qv")) +
           dp(col("qv"), col("qv"))).as("d2"))
     Similarity.topKPerQuery(scored, k,
-      order = Seq(asc("d2"), asc("corpus_id")))
+      score = "d2", smallerIsBetter = true)
   }
 
   /** Persisted PQ index: codes + full vectors + the flat codebook.
@@ -176,7 +176,7 @@ object Pq {
       .select(col("query_id"), col("corpus_id"),
         call_function("pq_adc", col("codes"), col("__lut")).as("adc_d2"))
     val cand = Similarity.topKPerQuery(scored, r,
-      order = Seq(asc("adc_d2"), asc("corpus_id"))).select("query_id", "corpus_id")
+      score = "adc_d2", smallerIsBetter = true).select("query_id", "corpus_id")
     val dp = (a: Column, b: Column) => call_function("dot_product", a, b)
     val cv = ix.vectors.withColumnRenamed(idName, "corpus_id")
       .withColumnRenamed("v", "cv")
@@ -186,7 +186,7 @@ object Pq {
         (dp(col("cv"), col("cv")) - lit(2.0) * dp(col("cv"), col("qv")) +
           dp(col("qv"), col("qv"))).as("d2"))
     Similarity.topKPerQuery(rescored, k,
-      order = Seq(asc("d2"), asc("corpus_id")))
+      score = "d2", smallerIsBetter = true)
   }
 
   /** IVFADC (Jégou et al. 2011 §V: coarse quantizer + PQ codes): the
@@ -248,7 +248,7 @@ object Pq {
     val probes = Similarity.topKPerQuery(
         qc.select(col("query_id"), col("corpus_id"),
           col("__d2").as("adc_d2")), nprobe,
-        order = Seq(asc("adc_d2"), asc("corpus_id")))
+        score = "adc_d2", smallerIsBetter = true)
       .select(col("query_id"), col("corpus_id").as("cell"))
     val qp = q.select("query_id", "__lut").join(probes, "query_id")
     val scored = ix.codes.join(broadcast(qp), "cell")
@@ -256,7 +256,7 @@ object Pq {
       .select(col("query_id"), col("corpus_id"), col("cell"),
         call_function("pq_adc", col("codes"), col("__lut")).as("adc_d2"))
     val cand = Similarity.topKPerQuery(scored, r,
-        order = Seq(asc("adc_d2"), asc("corpus_id")))
+        score = "adc_d2", smallerIsBetter = true)
       .select("query_id", "corpus_id", "cell")
     val rescored = cand.join(ix.vectors, Seq("cell", "corpus_id"))
       .join(broadcast(q.select("query_id", "qv")), "query_id")
@@ -264,7 +264,7 @@ object Pq {
         (dp(col("cv"), col("cv")) - lit(2.0) * dp(col("cv"), col("qv")) +
           dp(col("qv"), col("qv"))).as("d2"))
     Similarity.topKPerQuery(rescored, k,
-      order = Seq(asc("d2"), asc("corpus_id")))
+      score = "d2", smallerIsBetter = true)
   }
 
   /** Exact squared-L2 top-k (the recall reference for [[adcTopK]]):
@@ -282,6 +282,6 @@ object Pq {
         (dp(col("cv"), col("cv")) - lit(2.0) * dp(col("cv"), col("qv")) +
           dp(col("qv"), col("qv"))).as("d2"))
     Similarity.topKPerQuery(scored, k,
-      order = Seq(asc("d2"), asc("corpus_id")))
+      score = "d2", smallerIsBetter = true)
   }
 }

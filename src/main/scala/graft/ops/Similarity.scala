@@ -82,22 +82,75 @@ object Similarity {
   private[ops] def dp(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
-  /** Salted two-phase per-query top-k: a plain
-    * `Window.partitionBy(query)` sends EVERY candidate of a query
-    * through one reducer (the whole corpus, for brute force). Phase 1
-    * ranks within (query, salt-of-corpus_id) — bounded slices; phase 2
-    * ranks the <= salts*k survivors per query. Any true top-k row is in
-    * its salt group's top-k, so the result is exactly the global rank. */
-  private[ops] def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 16,
-      order: Seq[Column] = Seq(desc("cosine"), asc("corpus_id"))): DataFrame = {
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"), pmod(xxhash64(col("corpus_id")), lit(salts)))
-      .orderBy(order: _*)
-    val local = scored.withColumn("__lr", row_number().over(w1))
-      .filter(col("__lr") <= k).drop("__lr")
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(order: _*)
-    local.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  /** Per-query top-k of a scored candidate frame via the bounded-state
+    * `topk_pairs_tag` aggregate ([[graft.functions.TopKPairsTag]]):
+    * candidates truncate to k per query on the MAP side — in the same
+    * partitions the (usually broadcast-join-born) candidates are
+    * produced in — so the shuffle carries k rows per query, never the
+    * data-sized candidate stream. The previous shape (a salted
+    * two-phase `row_number` window) bounded reducer SKEW but still
+    * externally SORTED and shuffled every candidate; at 100 TB the
+    * stream for one query is nprobe·(corpus/nlist) rows, and for the
+    * brute-force panel the corpus itself.
+    *
+    * `scored` must carry `query_id`, `corpus_id`, the `score` column,
+    * and at most one extra integral column (e.g. the IVF `cell` a
+    * candidate came from — it rides through the aggregate as the tag).
+    * Ordering is (score asc|desc, corpus_id asc), bit-identical to the
+    * window plan's, with two deliberate divergences the window had
+    * wrong anyway: NULL scores/ids are dropped (the window ranked NULL
+    * scores FIRST under asc — a null distance is never a best match)
+    * and NaN scores rank last under BOTH directions (the desc window
+    * put NaN first). Output = the input columns plus `rank` (1-based).
+    *
+    * Frames whose ids/extras aren't integral fall back to the salted
+    * two-phase window (same result, reducer-skew-bounded). */
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int,
+      score: String = "cosine", smallerIsBetter: Boolean = false): DataFrame = {
+    val fields = scored.schema.fields.map(f => f.name -> f.dataType).toMap
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val extras = scored.columns.toSeq
+      .filterNot(Set("query_id", "corpus_id", score).contains)
+    val fastPath = integral(fields("corpus_id")) &&
+      fields(score) == DoubleType &&
+      extras.size <= 1 && extras.forall(e => integral(fields(e)))
+    if (fastPath) {
+      val d = if (smallerIsBetter) col(score) else negate(col(score))
+      val tag = extras.headOption.map(e => col(e).cast(LongType))
+        .getOrElse(lit(0L))
+      val pair = col("__p")
+      val back: Seq[Column] = scored.columns.toSeq.map {
+        case "corpus_id" => pair("nbr_id").cast(fields("corpus_id")).as("corpus_id")
+        case `score` =>
+          (if (smallerIsBetter) pair("dist") else negate(pair("dist"))).as(score)
+        case "query_id" => col("query_id")
+        case e => pair("tag").cast(fields(e)).as(e)
+      }
+      scored.groupBy("query_id")
+        .agg(call_function("topk_pairs_tag", d,
+          col("corpus_id").cast(LongType), tag, lit(k)).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__p")))
+        .select(back :+ (col("__pos") + 1).as("rank"): _*)
+    } else {
+      // Salted two-phase window fallback: phase 1 ranks within
+      // (query, salt-of-corpus_id) — bounded slices; phase 2 ranks the
+      // <= salts*k survivors per query. Any true top-k row is in its
+      // salt group's top-k, so the result is exactly the global rank.
+      val salts = 16
+      val order = Seq(
+        if (smallerIsBetter) asc(score) else desc(score), asc("corpus_id"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), pmod(xxhash64(col("corpus_id")), lit(salts)))
+        .orderBy(order: _*)
+      val local = scored.withColumn("__lr", row_number().over(w1))
+        .filter(col("__lr") <= k).drop("__lr")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(order: _*)
+      local.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    }
   }
 
   /** Scale-path pairwise cosine: for a (id_a, id_b) candidate frame,

@@ -75,4 +75,30 @@ class TopKPairsSpec extends SparkSpec {
       .map(r => (r.getDouble(1), r.getLong(2)))
     assert(got.toSeq == Seq((1.0, 3L), (2.0, 2L)), got.toSeq)
   }
+
+  test("topk_pairs_tag: tag rides along, never affects ordering; ranking == topk_pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ties on dist across DIFFERENT tags: order must follow (dist, id)
+    // only, and each winner must keep ITS OWN tag
+    val df = Seq(
+      (1L, 1.0, 10L, 100L), (1L, 1.0, 11L, 200L), (1L, 0.5, 12L, 300L),
+      (1L, 2.0, 13L, 400L), (2L, 3.0, 14L, 500L))
+      .toDF("g", "d", "i", "t")
+    val tagged = df.groupBy("g")
+      .agg(call_function("topk_pairs_tag",
+        col("d"), col("i"), col("t"), lit(2)).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("p", "pair")))
+      .select(col("g"), col("pair.dist"), col("pair.nbr_id"), col("pair.tag"))
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(tagged == Set(
+      (1L, 0.5, 12L, 300L), (1L, 1.0, 10L, 100L), (2L, 3.0, 14L, 500L)))
+    // ranking identical to plain topk_pairs on the same input
+    val plain = df.groupBy("g")
+      .agg(call_function("topk_pairs", col("d"), col("i"), lit(2)).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("p", "pair")))
+      .select(col("g"), col("pair.dist"), col("pair.nbr_id"))
+      .as[(Long, Double, Long)].collect().toSet
+    assert(tagged.map { case (g, d, i, _) => (g, d, i) } == plain)
+  }
 }

@@ -111,4 +111,58 @@ class SimilaritySpec extends SparkSpec {
       .filter($"la" =!= $"lp" || $"la" === $"ln")
     assert(bad.count() == 0)
   }
+
+  test("topKPerQuery: aggregate fast path == salted window on random ties") {
+    import spark.implicits._
+    // deterministic pseudo-random scores with PLANTED TIES (score values
+    // quantized to multiples of 0.25) so the (score, corpus_id) tie-break
+    // is genuinely exercised; several queries, skewed candidate counts
+    val rows = for {
+      q <- 1 to 5
+      c <- 1 to (20 * q)
+      if c != q
+    } yield (q.toLong, c.toLong,
+      ((q * 31 + c * 17) % 8) * 0.25, ((q + c) % 7).toLong)
+    val scored = rows.toDF("query_id", "corpus_id", "cosine", "cell")
+    val byAgg = Similarity.topKPerQuery(scored, 4)
+    // the reference plan: a global per-query window (small data, exact)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    val byWin = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+    assert(byAgg.collect().toSet == byWin.collect().toSet)
+    assert(byAgg.columns.toSeq ==
+      Seq("query_id", "corpus_id", "cosine", "cell", "rank"))
+    // asc direction (distance semantics) agrees too
+    val byAggAsc = Similarity.topKPerQuery(
+      scored.withColumnRenamed("cosine", "d2").drop("cell"), 4,
+      score = "d2", smallerIsBetter = true)
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(asc("d2"), asc("corpus_id"))
+    val byWinAsc = scored.withColumnRenamed("cosine", "d2").drop("cell")
+      .withColumn("rank", row_number().over(wAsc)).filter(col("rank") <= 4)
+    assert(byAggAsc.collect().toSet == byWinAsc.collect().toSet)
+  }
+
+  test("topKPerQuery: non-integral ids fall back to the window path, same answer") {
+    import spark.implicits._
+    val scored = Seq(
+      ("q1", "ca", 0.9), ("q1", "cb", 0.7), ("q1", "cc", 0.9),
+      ("q2", "ca", 0.1)).toDF("query_id", "corpus_id", "cosine")
+    val got = Similarity.topKPerQuery(scored, 2)
+      .select("query_id", "corpus_id", "rank").as[(String, String, Int)]
+      .collect().toSet
+    assert(got == Set(("q1", "ca", 1), ("q1", "cc", 2), ("q2", "ca", 1)))
+  }
+
+  test("topKPerQuery: no window/sort of the candidate stream in the fast-path plan") {
+    import spark.implicits._
+    val scored = Seq((1L, 2L, 0.5), (1L, 3L, 0.25))
+      .toDF("query_id", "corpus_id", "cosine")
+    val plan = Similarity.topKPerQuery(scored, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"fast path planned a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"fast path should plan topk_pairs_tag as ObjectHashAggregate:\n$plan")
+  }
 }
