@@ -241,12 +241,23 @@ object Smote {
                           seed: Long = 42L) extends graft.pipeline.TableOp {
     def describe = s"SMOTE-Tomek resample classes of $target"
     def apply(df: DataFrame): DataFrame = {
-      val smoted = SmoteOp(target, k, width, seed)(df)
+      // Materialize the SMOTE pass ONCE: the link phase traverses its
+      // output many times (scaleParams collect, adaptiveWidth probes,
+      // BOTH sides of the 1-NN self-join, the nn1 a/b self-join, the
+      // final anti-join), and smoted's lineage contains SMOTE's own kNN
+      // join + synthesis — without the checkpoint each traversal re-runs
+      // it (measured at sf1: the b9/b10 tail). Same eager-localCheckpoint
+      // precedent as Dedup.components; the stored frame is the op's own
+      // output size (~2n), strictly cheaper than 5+ recomputes.
+      val smoted = SmoteOp(target, k, width, seed)(df).localCheckpoint()
       val (base, feats, _) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
+      // nn1 feeds BOTH sides of the mutual-link self-join below; without
+      // materialization the kNN join (the expensive stage) runs twice.
+      // The frame is (2n x 2 longs) — trivial to store, k=1 pairs only.
       val nn1 = Neighbors.knnJoin(all, all, "__id", 1, width, seed)
-        .select(col("l_id"), col("nbr_id"))
+        .select(col("l_id"), col("nbr_id")).localCheckpoint()
       val cls = all.select(col("__id"), col(target))
       val links = nn1.as("a").join(nn1.as("b"),
           col("a.l_id") === col("b.nbr_id") && col("a.nbr_id") === col("b.l_id") &&
@@ -269,7 +280,10 @@ object Smote {
       extends graft.pipeline.TableOp {
     def describe = s"SMOTE-ENN resample classes of $target"
     def apply(df: DataFrame): DataFrame = {
-      val smoted = SmoteOp(target, k, width, seed)(df)
+      // Same single-materialization contract as SmoteTomekOp above: the
+      // ENN phase traverses the SMOTE output from adaptiveWidth, both
+      // knnJoin sides, the class lookup, and the final vote join.
+      val smoted = SmoteOp(target, k, width, seed)(df).localCheckpoint()
       val (base, feats, _) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
