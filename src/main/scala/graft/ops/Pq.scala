@@ -43,13 +43,25 @@ object Pq {
             k: Int = 16, sampleRows: Int = 10000, seed: Long = 42L): Codebooks = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // The sample feeds every Lloyd iteration of every subspace fit —
+    // uncached, each of the m fits re-runs the TakeOrdered scan of the
+    // corpus. Materialize it once (10k rows — trivial executor storage).
     val sample = df.orderBy(col(idCol)).limit(sampleRows)
       .select(col(vecCol).cast("array<double>").as("cv"))
+      .persist()
     val dim = sample.select(size(col("cv"))).head.getInt(0)
     require(dim % m == 0, s"pq: dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val cents = new Array[Double](m * k * dsub)
-    (0 until m).foreach { s =>
+    // The m subspace fits are independent (disjoint output regions,
+    // per-subspace seeds): submit them as CONCURRENT Spark jobs — each
+    // fit's jobs are tiny (a 10k-row sample = 1-2 tasks), so serial
+    // fits left the cluster idle. Deterministic: same seeds, same
+    // sample, no shared state.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = (0 until m).map { s => Future {
       val feat = sample
         .select(array_to_vector(slice(col("cv"), s * dsub + 1, dsub)).as("__fv"))
       val km = new KMeans().setK(k).setSeed(seed + s)
@@ -57,7 +69,9 @@ object Pq {
       km.clusterCenters.zipWithIndex.foreach { case (cent, c) =>
         System.arraycopy(cent.toArray, 0, cents, (s * k + c) * dsub, dsub)
       }
-    }
+    } }
+    Await.result(Future.sequence(fits), Duration.Inf)
+    sample.unpersist()
     Codebooks(m, k, dim, cents)
   }
 
