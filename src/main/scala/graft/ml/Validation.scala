@@ -16,6 +16,24 @@ import graft.ml.Models.{Task, Classification, Regression}
   */
 object Validation {
 
+  /** Run independent seeded fit/score closures as CONCURRENT Spark
+    * jobs. MLlib fits spend much of their wall in serial driver phases
+    * (tree induction bookkeeping, L-BFGS steps), so sequential fold/
+    * trial loops leave the cluster mostly idle; submitted together the
+    * data-parallel stages interleave. Determinism is untouched: every
+    * closure carries its own seed and inputs, nothing shared mutates,
+    * and results return in input order. */
+  private def inParallel[A](xs: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{blocking, Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // blocking{}: nested uses (search trials -> CV folds) await from
+    // INSIDE pool threads; the marker lets the global pool grow instead
+    // of starving when every thread is parked on an inner Await
+    val fs = xs.map(f => Future(f()))
+    blocking { Await.result(Future.sequence(fs), Duration.Inf) }
+  }
+
   /** Stratified fold assignment: per-class rank over `orderCols` mod k.
     * With orderCols empty the order is seeded-random. The rank comes
     * from `Ordinals.withPerKeyRank` (range-sorted global index minus the
@@ -35,7 +53,7 @@ object Validation {
                     metric: String = "f1", seed: Long = 42L,
                     orderCols: Seq[String] = Nil): Seq[(Int, Double)] = {
     val folded = withFold(df, labelCol, k, orderCols, seed).persist()
-    val scores = (0 until k).map { i =>
+    val scores = inParallel((0 until k).map { i => () =>
       val train = folded.filter(col("fold") =!= i).drop("fold")
       val test = folded.filter(col("fold") === i).drop("fold")
       val m = Models.fit(train, labelCol, model, task, params, seed)
@@ -47,7 +65,7 @@ object Validation {
           Metrics.regressionMetrics(pred, "label", "prediction")(metric)
       }
       i -> score
-    }
+    })
     folded.unpersist()
     scores
   }
@@ -58,7 +76,7 @@ object Validation {
                        seed: Long = 42L,
                        orderCols: Seq[String] = Nil): Seq[(Int, Map[String, Double])] = {
     val folded = withFold(df, labelCol, k, orderCols, seed).persist()
-    val scores = (0 until k).map { i =>
+    val scores = inParallel((0 until k).map { i => () =>
       val train = folded.filter(col("fold") =!= i).drop("fold")
       val test = folded.filter(col("fold") === i).drop("fold")
       val m = Models.fit(train, labelCol, model, task, params, seed)
@@ -68,7 +86,7 @@ object Validation {
         case Regression => Metrics.regressionMetrics(pred, "label", "prediction")
       }
       i -> all
-    }
+    })
     folded.unpersist()
     scores
   }
@@ -88,8 +106,13 @@ object Validation {
                    orderCols: Seq[String] = Nil): Seq[Trial] = {
     val rng = new scala.util.Random(seed)
     val higherIsBetter = Metrics.higherIsBetter(metric)
-    val trials = (1 to nTrials).map { _ =>
-      val draw: Models.Params = space.map { case (k2, vs) => k2 -> vs(rng.nextInt(vs.size)) }
+    // draws come off the shared rng SEQUENTIALLY (identical param
+    // sequence to the old interleaved loop — scoring never consumes
+    // rng), then the independent trial scorings run concurrently
+    val draws = (1 to nTrials).map { _ =>
+      space.map { case (k2, vs) => k2 -> vs(rng.nextInt(vs.size)) }: Models.Params
+    }
+    val trials = inParallel(draws.map { draw => () =>
       val perFold = crossValidateAll(df, labelCol, model, task, k, draw, seed, orderCols)
       val metricNames = perFold.head._2.keySet
       val means = metricNames.map(mn =>
@@ -98,7 +121,7 @@ object Validation {
       val mean = means(metric)
       val std = math.sqrt(scores.map(s => (s - mean) * (s - mean)).sum / scores.size)
       Trial(draw, mean, std, means)
-    }
+    })
     trials.sortBy(t => if (higherIsBetter) -t.mean else t.mean)
   }
 
@@ -255,7 +278,7 @@ object Validation {
     val ranked = if (orderCols.isEmpty) None else Some((
       graft.ops.Ordinals.withGlobalRank(train, orderCols.map(col(_).asc), "__rk"),
       train.count()))
-    fractions.map { f =>
+    inParallel(fractions.map { f => () =>
       val sub =
         if (f >= 1.0) train
         else ranked match {
@@ -271,6 +294,6 @@ object Validation {
         }
       }
       CurvePoint(f, score(sub), score(test))
-    }
+    })
   }
 }
