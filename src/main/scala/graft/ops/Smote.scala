@@ -122,8 +122,15 @@ object Smote {
             .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
             .groupBy(col("l_id").as("__id"))
             .agg(avg((col("__nbr_cls") =!= cls).cast(DoubleType)).as("__w"))
+          // Materialize the difficulty weights ONCE: weighted's lineage
+          // holds the full-frame kNN above, and the quota arithmetic
+          // traverses it repeatedly (totW agg, shortfall agg, the
+          // global-rank top-up, the synthesis joins) — uncheckpointed,
+          // each traversal re-ran the kNN (the dominant b7 cost at sf1).
+          // Minority-sized rows, same precedent as SmoteEnn/Tomek.
           val weighted = minority.join(nn, Seq("__id"), "left")
             .withColumn("__w", coalesce(col("__w"), lit(0.0)))
+            .localCheckpoint()
           // quota proportional to weight, exact total = deficit:
           // floor share + largest-remainder top-up (the floor alone
           // under-fills by up to n-1 — r2 VERDICT item 5)
@@ -179,12 +186,16 @@ object Smote {
       val synthParts = counts.toSeq.sortBy(_._1).collect {
         case (cls, n) if n < majority =>
           val minority = all.filter(col(target) === cls)
+          // Materialize the danger ids ONCE (ids only — tiny): the
+          // isEmpty probe below plus synthesize's count/rank/join
+          // traversals would otherwise each re-run the full-frame kNN.
           val danger = Neighbors.knnJoin(minority, all, "__id", k, width, seed)
             .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
             .groupBy(col("l_id").as("__id"))
             .agg(avg((col("__nbr_cls") =!= cls).cast(DoubleType)).as("__share"))
             .filter(col("__share") >= 0.5 && col("__share") < 1.0)
             .select("__id")
+            .localCheckpoint()
           val dangerRows = minority.join(danger, "__id")
           val src = if (dangerRows.isEmpty) minority else dangerRows
           synthesize(src, feats, k, width, seed + cls.hashCode, majority - n)
