@@ -225,8 +225,12 @@ object Smote {
         if (n <= minCount) dropInternal(clsRows)
         else {
           val others = all.filter(col(target) === minorityCls)
+          // Materialized ONCE (ids + one double): withGlobalRank's
+          // zipWithIndex evaluates its input twice and the keep filter a
+          // third time — uncheckpointed, each evaluation re-ran the kNN.
           val meanDist = Neighbors.knnJoin(clsRows, others, "__id", nNeighbors, width, seed)
             .groupBy(col("l_id").as("__id")).agg(avg("dist").as("__md"))
+            .localCheckpoint()
           // left join: rows with no approximate-kNN candidate rank last
           // (infinite distance) instead of vanishing — class size stays
           // exactly minCount. Global rank via zipWithIndex, not the
