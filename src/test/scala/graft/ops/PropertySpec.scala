@@ -277,4 +277,39 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val pairsGen: Gen[List[(Long, Double, Long, Long)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0L, 5L),
+      // coarse-quantized dists plant plenty of TIES; a sprinkle of the
+      // same id under different dists exercises the (dist, id) tie-break
+      Gen.choose(0, 7).map(_ * 0.5), Gen.choose(0L, 25L), Gen.choose(0L, 9L)))
+
+  test("topk_pairs / topk_pairs_tag == sorted-take reference on random tied streams") {
+    for (data <- samples(pairsGen) if data.nonEmpty) {
+      import spark.implicits._
+      val k = 4
+      // one deterministic tag per (g, dist, id) — duplicate (dist, id)
+      // inserts occupy separate buffer slots by design, so the property
+      // feeds unique keys and checks ordering + tag transport
+      val rows = data.groupBy(r => (r._1, r._2, r._3))
+        .map { case ((g, d, i), dup) => (g, d, i, dup.map(_._4).min) }.toList
+      val df = rows.toDF("g", "d", "i", "t")
+      val viaTag = df.groupBy("g")
+        .agg(call_function("topk_pairs_tag", col("d"), col("i"), col("t"), lit(k)).as("tk"))
+        .select(col("g"), explode(col("tk")).as("p"))
+        .select(col("g"), col("p.dist"), col("p.nbr_id"), col("p.tag"))
+        .as[(Long, Double, Long, Long)].collect().toSet
+      val viaPlain = df.groupBy("g")
+        .agg(call_function("topk_pairs", col("d"), col("i"), lit(k)).as("tk"))
+        .select(col("g"), explode(col("tk")).as("p"))
+        .select(col("g"), col("p.dist"), col("p.nbr_id"))
+        .as[(Long, Double, Long)].collect().toSet
+      val expect = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        grp.sortBy { case (_, d, i, _) => (d, i) }.take(k)
+      }.toSet
+      assert(viaTag == expect, "tagged mismatch vs sorted-take reference")
+      assert(viaPlain == expect.map { case (g, d, i, _) => (g, d, i) },
+        "plain/tagged ranking diverged")
+    }
+  }
 }
