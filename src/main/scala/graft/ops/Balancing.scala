@@ -198,24 +198,35 @@ object Balancing {
       val minCount = counts.values.min
       val assembler = new VectorAssembler().setInputCols(features.toArray)
         .setOutputCol("__v").setHandleInvalid("skip")
-      val parts = counts.toSeq.sortBy(_._1.toString).map { case (cls, n) =>
-        val sub = df.filter(col(target) <=> lit(cls))
-        if (n <= minCount) sub.select((features.map(c => col(c).cast("double").as(c)) :+
-          col(target)): _*)
-        else {
-          val km = new KMeans().setK(minCount.toInt).setSeed(seed).setMaxIter(maxIter)
-            .setFeaturesCol("__v")
-          val model = km.fit(assembler.transform(sub))
-          val rows = model.clusterCenters.toSeq.map(v =>
-            org.apache.spark.sql.Row.fromSeq(v.toArray.toSeq :+ cls))
-          val schema = org.apache.spark.sql.types.StructType(
-            features.map(c => org.apache.spark.sql.types.StructField(c,
-              org.apache.spark.sql.types.DoubleType)) :+
-              df.schema(target))
-          df.sparkSession.createDataFrame(
-            df.sparkSession.sparkContext.parallelize(rows, 1), schema)
+      // One seeded k-means per over-represented class, independent fits
+      // with long serial driver phases — submitted as CONCURRENT Spark
+      // jobs (same pattern as Validation.inParallel / Pq.train) so the
+      // Lloyd iterations of the classes interleave. Deterministic:
+      // per-class inputs, shared fixed seed, results ordered by class.
+      import scala.concurrent.{blocking, Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futureParts = counts.toSeq.sortBy(_._1.toString).map { case (cls, n) =>
+        Future {
+          val sub = df.filter(col(target) <=> lit(cls))
+          if (n <= minCount) sub.select((features.map(c => col(c).cast("double").as(c)) :+
+            col(target)): _*)
+          else {
+            val km = new KMeans().setK(minCount.toInt).setSeed(seed).setMaxIter(maxIter)
+              .setFeaturesCol("__v")
+            val model = km.fit(assembler.transform(sub))
+            val rows = model.clusterCenters.toSeq.map(v =>
+              org.apache.spark.sql.Row.fromSeq(v.toArray.toSeq :+ cls))
+            val schema = org.apache.spark.sql.types.StructType(
+              features.map(c => org.apache.spark.sql.types.StructField(c,
+                org.apache.spark.sql.types.DoubleType)) :+
+                df.schema(target))
+            df.sparkSession.createDataFrame(
+              df.sparkSession.sparkContext.parallelize(rows, 1), schema)
+          }
         }
       }
+      val parts = blocking { Await.result(Future.sequence(futureParts), Duration.Inf) }
       parts.reduce(_ unionByName _)
     }
   }
