@@ -152,8 +152,13 @@ object Corpus {
     * millions), so every dictionary is broadcast-sized. */
   def qualityGate(df: DataFrame, textCol: String, idCol: String,
                   sourceCol: String): DataFrame = {
+    // Materialized ONCE (id, source, one double — op-output-sized): the
+    // rank/count/median/gate phases traverse q four-plus times, and its
+    // lineage holds the quality-score text kernel over every document —
+    // lazily, each traversal re-scanned and re-scored the corpus.
     val q = df.select(col(idCol), col(sourceCol),
       Text.qualityScore(col(textCol)).as("__q"))
+      .localCheckpoint()
     val ranked = Ordinals.withPerKeyRank(q, sourceCol,
       Seq(col("__q").asc, col(idCol).asc), "__rk")
     val counts = q.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
@@ -186,8 +191,11 @@ object Corpus {
       s"percentiles must lie in (0,1], got $ps")
     require(ps.map(p => math.round(p * 100)).distinct.size == ps.size,
       s"percentiles collide after rounding to whole percent (column names p<NN>): $ps")
+    // materialized once — rank + counts + the percentile join traverse
+    // t repeatedly, and its lineage holds the token-count text kernel
     val t = df.select(col(sourceCol), col(idCol),
       Text.tokenCount(col(textCol)).as("__tok"))
+      .localCheckpoint()
     val ranked = Ordinals.withPerKeyRank(t, sourceCol,
       Seq(col("__tok").asc, col(idCol).asc), "__rk")
     val counts = t.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
@@ -383,7 +391,10 @@ object Corpus {
                         scorer: (DataFrame, String, String) => DataFrame =
                           Lexicon.unigramLogProb): DataFrame = {
     val lm = scorer(df, textCol, idCol).select(col(idCol), col("mean_logprob"))
+    // materialized once — the rank and counts phases traverse scored
+    // repeatedly, and its lineage holds the LM build + scoring pass
     val scored = df.select(col(idCol), col(sourceCol)).join(lm, idCol)
+      .localCheckpoint()
     val ranked = Ordinals.withPerKeyRank(scored, sourceCol,
       Seq(col("mean_logprob").desc, col(idCol).asc), "__rk")
     val counts = scored.groupBy(sourceCol).agg(count(lit(1)).as("__n"))

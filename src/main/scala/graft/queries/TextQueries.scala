@@ -319,10 +319,14 @@ object TextQueries {
       // Gopher panel verdict (r6): 3 Newton steps, each one distributed
       // aggregate of five sufficient statistics; the oracle unrolls the
       // identical float trees (iteration 1 is exact — sigmoid(0)=0.5)
+      // materialized once (three narrow columns): plattFit's Newton
+      // steps aggregate this frame per iteration, and its lineage holds
+      // BOTH text kernels — uncheckpointed, each step re-scored the corpus
       val d = Tables.documents(s, dir).select(col("doc_id"),
         Text.qualityScore(col("text")).as("q"),
         Text.gopherRules(col("text")).getField("passes")
           .cast("double").as("y"))
+        .localCheckpoint()
       val (a, b) = graft.ml.Calibration.plattFit(d, "q", "y", iterations = 3)
       d.agg(count(lit(1)).as("n_docs")).select(col("n_docs"),
         round(lit(a), 6).as("platt_a"), round(lit(b), 6).as("platt_b"),
