@@ -267,8 +267,11 @@ object DedupQueries {
       // through planted near-dup pairs — the number a leakage audit
       // reports before anyone trains on the split
       val corpus = nearCorpus(s, dir)
+      // pair list materialized once (a few hundred rows): the router
+      // consumes it AND the audit joins it four times — lazily each
+      // consumer re-ran the whole inverted-index pairs stage
       val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3,
-        threshold = 0.7)
+        threshold = 0.7).localCheckpoint()
       val safe = graft.ops.Balancing.groupSplit(corpus, "doc_id", pairs,
         testFraction = 0.3, seed = 42L)
       val naive = corpus.withColumn("split",
