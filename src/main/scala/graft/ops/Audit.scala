@@ -259,6 +259,102 @@ object Audit {
     * term (obs - exp)^2 / exp is rounded to 9 decimals and summed in
     * DECIMAL — order-independent, cross-engine exact. (The statistic
     * and dof are returned; p-value lookup is a driver-side concern.) */
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of slices `aVal` and `bVal` of `groupCol`: one row
+    * (n_a, n_b, d_num, ks_stat) where ks_stat = D = sup_x |F_a - F_b|.
+    *
+    * Distribution-drift check a pipeline runs between a reference drop
+    * and a candidate drop before admitting it (the continuous-column
+    * counterpart of [[chiSquare]]). The reference surface eyeballs
+    * drift through its histogram report (A9); this makes it a number.
+    *
+    * Scale shape: per-VALUE counts first (one map-side-combined
+    * aggregate — the frame after it is distinct-values-sized), then the
+    * two CDFs ride [[Ordinals.withRunningTotal]]'s range-partitioned
+    * distributed prefix sum — never a keyless window funnel, so the
+    * sup evaluates at any scale. Exactness: D's numerator is the
+    * integer max |cum_a*n_b - cum_b*n_a| (cumulative counts are exact
+    * integers), so the statistic is a deterministic ratio of longs —
+    * bit-replayable in any engine regardless of float summation order.
+    * Grouping by value first also lands tied observations in one row,
+    * so the CDF steps past ties atomically (the textbook tie rule). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             aVal: String, bVal: String): DataFrame = {
+    val per = df
+      .filter(col(groupCol).isin(aVal, bVal) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(when(col(groupCol) === aVal, 1)).as("__na"),
+        count(when(col(groupCol) === bVal, 1)).as("__nb"))
+    val cum = Ordinals.withRunningTotal(
+      Ordinals.withRunningTotal(per, Seq(col("__v").asc), "__na", "__ca"),
+      Seq(col("__v").asc), "__nb", "__cb")
+    val tot = per.agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__ta"), col("__tb"),
+        abs((col("__ca").cast("long") * col("__tb"))
+          - (col("__cb").cast("long") * col("__ta"))).as("__d"))
+      .groupBy(col("__ta").as("n_a"), col("__tb").as("n_b"))
+      .agg(max("__d").as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("ks_stat"))
+  }
+
+  /** Population Stability Index report between a reference slice and a
+    * current slice of `groupCol`: one row per bin (bin, n_ref, n_cur,
+    * psi_term), bins = equi-depth deciles OF THE REFERENCE slice (the
+    * standard PSI convention — drift is measured against where the
+    * reference mass sits). PSI = sum of psi_term; > 0.25 is the usual
+    * "population shifted" alarm.
+    *
+    * Scale shape: cut points are the (b*n/bins)-th smallest reference
+    * values selected by [[Ordinals.withGlobalRank]]'s distributed rank
+    * (never a single-partition ntile), collected as bins-1 driver
+    * doubles; bucket assignment is then a map-only comparison chain and
+    * the bin counts for BOTH slices fold into one aggregate pass.
+    * Exactness: cut ranks use integer arithmetic (b*n/bins in long
+    * division); equal-to-cut values land in the lower bin on both
+    * engines; Laplace smoothing (+0.5 per bin) keeps empty-bin terms
+    * finite and deterministic. Cut-rank MULTIPLICITY is preserved: if
+    * two decile boundaries select the same value (a heavy atom), values
+    * above it skip the emptied bin on both engines. */
+  def psiReport(df: DataFrame, groupCol: String, valueCol: String,
+                refVal: String, curVal: String, bins: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val ref = df.filter(col(groupCol) === refVal && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val nRef = ref.count()
+    require(nRef >= bins.toLong,
+      s"reference slice has $nRef rows; need >= $bins for $bins bins")
+    val ranks = (1 until bins).map(b => b.toLong * nRef / bins)
+    val cutByRank = Ordinals.withGlobalRank(ref, Seq(col("__v").asc), "__r")
+      .filter(col("__r").isin(ranks.distinct: _*))
+      .select(col("__r"), col("__v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cuts = ranks.map(cutByRank) // bins-1 doubles, multiplicity kept
+    val bucket = cuts.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col("__v") > lit(c), 1L).otherwise(0L) }
+    val counts = df
+      .filter(col(groupCol).isin(refVal, curVal) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .withColumn("__bin", bucket)
+      .groupBy("__bin")
+      .agg(count(when(col("__g") === refVal, 1)).as("n_ref"),
+        count(when(col("__g") === curVal, 1)).as("n_cur"))
+    val spine = spark.range(1, bins + 1).select(col("id").as("__bin"))
+    val tot = counts.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val pRef = (col("n_ref").cast("double") + lit(0.5)) /
+      (col("__tr").cast("double") + lit(0.5 * bins))
+    val pCur = (col("n_cur").cast("double") + lit(0.5)) /
+      (col("__tc").cast("double") + lit(0.5 * bins))
+    spine.join(counts, Seq("__bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(tot))
+      .select(col("__bin").as("bin"), col("n_ref"), col("n_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+  }
+
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))

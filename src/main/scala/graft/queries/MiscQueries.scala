@@ -210,6 +210,21 @@ object MiscQueries {
       graft.ops.Audit.benfordAudit(Tables.lineitem(s, dir),
         "l_extendedprice")),
 
+    "a28_ks_drift" -> ((s, dir) =>
+      // two-sample KS drift check (r8): click-vs-view value CDFs; the
+      // sup|F_a - F_b| numerator is an exact integer max over the
+      // RunningTotal distributed CDF, so the statistic is a ratio of
+      // longs — no float summation order anywhere
+      graft.ops.Audit.ksTest(Tables.events(s, dir), "event_type",
+        "value", "click", "view")),
+
+    "a27_psi" -> ((s, dir) =>
+      // PSI drift report (r8): reference-decile bins from distributed
+      // rank selection (integer cut ranks, lower-bin tie rule), one
+      // counting pass for both slices, Laplace-smoothed terms
+      graft.ops.Audit.psiReport(Tables.events(s, dir), "event_type",
+        "value", "click", "view", bins = 10)),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -673,6 +688,72 @@ object MiscQueries {
                        WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522
                        WHEN '9' THEN 0.045757491 ELSE 0.0 END, 6) AS deviation
       FROM c CROSS JOIN t""",
+
+    // a28: per-value counts, then peer-inclusive cumulative sums (the
+    // default RANGE frame steps ties atomically, matching the engine's
+    // group-by-value CDF); D's numerator is an exact integer max
+    "a28_ks_drift" -> """
+      WITH g AS (
+        SELECT value AS v,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS nb
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        GROUP BY 1),
+      c AS (
+        SELECT sum(na) OVER (ORDER BY v) AS ca,
+               sum(nb) OVER (ORDER BY v) AS cb
+        FROM g),
+      t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM g)
+      SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+             CAST(max(abs((c.ca * t.tb) - (c.cb * t.ta))) AS BIGINT) AS d_num,
+             round(CAST(max(abs((c.ca * t.tb) - (c.cb * t.ta))) AS DOUBLE)
+                   / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)), 6)
+               AS ks_stat
+      FROM c CROSS JOIN t GROUP BY t.ta, t.tb""",
+
+    // a27: cut ranks replayed with row_number + integer division
+    // (b*n)//10; equal-to-cut goes to the LOWER bin (cut < v strict);
+    // smoothing and term trees token-identical to the engine
+    "a27_psi" -> """
+      WITH ref AS (
+        SELECT value AS v FROM events
+        WHERE event_type = 'click' AND value IS NOT NULL),
+      nr AS (SELECT count(*) AS n FROM ref),
+      rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ref),
+      bs AS (SELECT unnest(generate_series(1, 9)) AS b),
+      cuts AS (
+        SELECT bs.b, rk.v AS cut
+        FROM bs CROSS JOIN nr
+        JOIN rk ON rk.rn = (bs.b * nr.n) // 10),
+      sl AS (
+        SELECT event_type AS g, value AS v FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      bkt AS (
+        SELECT g, 1 + (SELECT count(*) FROM cuts c WHERE c.cut < t.v) AS bin
+        FROM sl t),
+      cnt AS (
+        SELECT bin, count(CASE WHEN g = 'click' THEN 1 END) AS n_ref,
+               count(CASE WHEN g = 'view' THEN 1 END) AS n_cur
+        FROM bkt GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(1, 10)) AS bin),
+      f AS (
+        SELECT spine.bin, coalesce(cnt.n_ref, 0) AS n_ref,
+               coalesce(cnt.n_cur, 0) AS n_cur
+        FROM spine LEFT JOIN cnt USING (bin)),
+      t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM f)
+      SELECT CAST(f.bin AS BIGINT) AS bin,
+             CAST(f.n_ref AS BIGINT) AS n_ref,
+             CAST(f.n_cur AS BIGINT) AS n_cur,
+             round((((CAST(f.n_cur AS DOUBLE) + 0.5)
+                     / (CAST(t.tc AS DOUBLE) + 5.0))
+                    - ((CAST(f.n_ref AS DOUBLE) + 0.5)
+                       / (CAST(t.tr AS DOUBLE) + 5.0)))
+                   * ln(((CAST(f.n_cur AS DOUBLE) + 0.5)
+                         / (CAST(t.tc AS DOUBLE) + 5.0))
+                        / ((CAST(f.n_ref AS DOUBLE) + 0.5)
+                           / (CAST(t.tr AS DOUBLE) + 5.0))), 6) AS psi_term
+      FROM f CROSS JOIN t""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """

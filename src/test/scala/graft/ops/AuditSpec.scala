@@ -57,6 +57,61 @@ class AuditSpec extends SparkSpec {
     assert(r.getDouble(3) < 0.01 * r.getDouble(1))
   }
 
+  test("ksTest: hand-computed two-sample D on overlapping supports") {
+    import spark.implicits._
+    val rows = Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(3, 4, 5, 6).map(v => ("b", v.toDouble))
+    val Array(r) = Audit.ksTest(rows.toDF("g", "v"), "g", "v", "a", "b")
+      .collect()
+    assert((r.getLong(0), r.getLong(1)) == (4L, 4L))
+    assert(r.getLong(2) == 8L)          // max |ca*nb - cb*na| at v=2..4
+    assert(r.getDouble(3) == 0.5)       // F_a(2)=0.5 vs F_b(2)=0
+  }
+
+  test("ksTest: ties step the CDF atomically; identical samples give 0") {
+    import spark.implicits._
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0),
+      ("b", 1.0), ("b", 2.0), ("b", 2.0))
+    val Array(t) = Audit.ksTest(tied.toDF("g", "v"), "g", "v", "a", "b")
+      .collect()
+    assert(t.getLong(2) == 3L && t.getDouble(3) == 0.333333) // D = 1/3
+    val same = Seq("a", "b").flatMap(g => (1 to 9).map(v => (g, v * 1.0)))
+    val Array(z) = Audit.ksTest(same.toDF("g", "v"), "g", "v", "a", "b")
+      .collect()
+    assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0)
+  }
+
+  test("psiReport: hand-computed terms under a full shift") {
+    import spark.implicits._
+    val rows = (1 to 8).map(v => ("ref", v.toDouble)) ++
+      Seq(7, 8, 9, 10).map(v => ("cur", v.toDouble))
+    val got = Audit.psiReport(rows.toDF("g", "v"), "g", "v", "ref", "cur",
+        bins = 4).collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == (2L, 0L, 0.183102))  // (1/12-1/4)*ln((1/12)/(1/4))
+    assert(got(2L) == (2L, 0L, 0.183102))
+    assert(got(3L) == (2L, 0L, 0.183102))
+    assert(got(4L) == (2L, 4L, 0.549306))  // (3/4-1/4)*ln(3)
+  }
+
+  test("psiReport: heavy atom keeps cut multiplicity; no drift is zero") {
+    import spark.implicits._
+    val atom = Seq.fill(4)(("ref", 1.0)) ++ Seq.fill(4)(("ref", 5.0)) ++
+      Seq(("cur", 1.0), ("cur", 6.0))
+    val got = Audit.psiReport(atom.toDF("g", "v"), "g", "v", "ref", "cur",
+        bins = 4).collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // ranks 2,4,6 all select cut values (1,1,5): bin 2 is emptied on
+    // both slices, values in (1,5] skip to bin 3
+    assert(got(2L) == (0L, 0L))
+    assert(got(1L) == (4L, 1L) && got(3L) == (4L, 0L) && got(4L) == (0L, 1L))
+    val same = Seq("ref", "cur").flatMap(g => (1 to 20).map(v => (g, v * 1.0)))
+    val zero = Audit.psiReport(same.toDF("g", "v"), "g", "v", "ref", "cur",
+      bins = 5)
+    assert(zero.collect().forall(_.getDouble(3) == 0.0))
+  }
+
   test("madOutliers: hand-computed median/MAD and robust verdict") {
     import spark.implicits._
     val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v")
