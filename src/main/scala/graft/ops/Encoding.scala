@@ -172,4 +172,38 @@ object Encoding {
   /** The reference's 6 accepted date formats — single source of truth in
     * [[graft.core.SchemaProfiler.DateFormats]]. */
   val referenceDateFormats: Seq[String] = graft.core.SchemaProfiler.DateFormats
+
+  /** E8 — equi-depth (quantile) discretization: appends `<c>_bin` in
+    * 1..k where each bin holds floor(n/k)..ceil(n/k) rows — the
+    * QuantileDiscretizer/pd.qcut analogue, but EXACT: bin =
+    * floor((rank-1)*k/n)+1 under the (value, tieCols...) total order,
+    * the same integer formula as q29's quartile scores.
+    *
+    * Scale shape: the rank rides [[Ordinals.withGlobalRank]]'s
+    * range-partitioned distributed prefix sum — never a
+    * single-partition ntile window — and the bucket arithmetic is
+    * map-only, so the op is one range sort at any scale. Rows with a
+    * null value pass through with a null bin (matching pd.qcut). The
+    * tie columns must complete a total order or ranks (and bins, at
+    * bucket boundaries) would be nondeterministic under re-partitioning. */
+  case class QuantileBin(c: String, k: Int, tieCols: Seq[String])
+      extends TableOp {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    def describe = s"equi-depth $k-bin of $c"
+    def apply(df: DataFrame): DataFrame = {
+      val out = s"${c}_bin"
+      val nn = df.filter(col(c).isNotNull)
+      val n = nn.count()
+      require(n > 0, s"no non-null values in $c")
+      val sort = col(c).asc +: tieCols.map(col(_).asc)
+      val binned = Ordinals.withGlobalRank(nn, sort, "__qb_r")
+        .withColumn(out,
+          (floor(((col("__qb_r") - lit(1)) * lit(k)) / lit(n)) + lit(1))
+            .cast(IntegerType))
+        .drop("__qb_r")
+      df.filter(col(c).isNull)
+        .withColumn(out, lit(null).cast(IntegerType))
+        .unionByName(binned)
+    }
+  }
 }

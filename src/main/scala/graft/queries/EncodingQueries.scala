@@ -42,6 +42,16 @@ object EncodingQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(col("l_returnflag_encoded"), 6).as("l_returnflag_encoded"))),
 
+    "e8_quantile_bin" -> ((s, dir) =>
+      // equi-depth 8-bin discretization (r8): exact rank-based buckets
+      // via the distributed global rank — never a single-partition
+      // ntile; (value, orderkey, linenumber) is a total order so every
+      // row's bin is deterministic
+      Encoding.QuantileBin("l_extendedprice", k = 8,
+          tieCols = Seq("l_orderkey", "l_linenumber"))(Tables.lineitem(s, dir))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_extendedprice_bin")),
+
     "e4_freq_encode" -> ((s, dir) =>
       Encoding.FrequencyEncode("c_mktsegment")(Tables.customer(s, dir))
         .select(col("c_custkey"), col("c_mktsegment"),
@@ -123,6 +133,23 @@ object EncodingQueries {
       SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
              round((d.s + 10.0 * g.gm) / (d.n + 10.0), 6) AS l_returnflag_encoded
       FROM lineitem l JOIN d USING (l_returnflag), g""",
+
+    // e8: rank replayed with row_number under the same total order;
+    // bucket formula token-identical to the engine (and to q29's)
+    "e8_quantile_bin" -> """
+      WITH nn AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      n AS (SELECT count(*) AS n FROM nn),
+      r AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rn
+        FROM nn)
+      SELECT r.l_orderkey, r.l_linenumber, r.l_extendedprice,
+             CAST(floor(((rn - 1) * 8) / n.n) + 1 AS INT)
+               AS l_extendedprice_bin
+      FROM r CROSS JOIN n""",
 
     "e3_target_encode" -> """
       SELECT o_orderkey, o_orderpriority,

@@ -45,6 +45,37 @@ class EncodingSpec extends SparkSpec {
       "date" -> 3L, "elder" -> 4L))
   }
 
+  test("QuantileBin: equal-depth bins, nulls pass through unbinned") {
+    import spark.implicits._
+    val df = (Seq(Some(10.0), Some(40.0), Some(20.0), Some(30.0),
+      Some(80.0), Some(60.0), Some(50.0), Some(70.0), None))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Encoding.QuantileBin("v", k = 4, tieCols = Seq("id"))(df)
+      .collect().map(r => Option(r.get(1)).map(_.toString.toDouble) ->
+        Option(r.get(2)).map(_.asInstanceOf[Int]))
+      .toMap
+    assert(got(Some(10.0)) == Some(1) && got(Some(20.0)) == Some(1))
+    assert(got(Some(30.0)) == Some(2) && got(Some(40.0)) == Some(2))
+    assert(got(Some(50.0)) == Some(3) && got(Some(60.0)) == Some(3))
+    assert(got(Some(70.0)) == Some(4) && got(Some(80.0)) == Some(4))
+    assert(got(None).isEmpty)           // null value -> null bin
+  }
+
+  test("QuantileBin: deterministic under repartitioning; ties broken by id") {
+    import spark.implicits._
+    val rows = (1 to 97).map(i => (i.toLong, (i % 7).toDouble))
+    val a = Encoding.QuantileBin("v", 5, Seq("id"))(
+      rows.toDF("id", "v").repartition(1)).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val b = Encoding.QuantileBin("v", 5, Seq("id"))(
+      rows.toDF("id", "v").repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a == b)
+    // depths differ by at most 1
+    val depths = a.values.groupBy(identity).map(_._2.size)
+    assert(depths.max - depths.min <= 1)
+  }
+
   test("FrequencyEncode: per-category frequency = count/total; fact rows preserved") {
     val out = Encoding.FrequencyEncode("fruit")(frame)
     assert(out.count() == 8)
