@@ -1,0 +1,81 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ordinals
+
+/** Split conformal prediction — distribution-free prediction intervals
+  * with finite-sample marginal coverage (Vovk et al.; Lei et al. 2018,
+  * "Distribution-Free Predictive Inference for Regression"): fit on a
+  * train split, take the ceil(level*(n_cal+1))-th smallest absolute
+  * residual on a held-out calibration split as the radius q̂, and emit
+  * [pred - q̂, pred + q̂] on the test split. The reference surface stops
+  * at point predictions (M12/M16); any pipeline gating data or model
+  * admission on uncertainty needs the interval, so this is the natural
+  * extension next to m23's ridge.
+  *
+  * Scale shape: the fit is [[Ridge]]'s one-aggregate sufficient-
+  * statistics pass restricted to the train split (one exchange of ONE
+  * row); predictions are map-only; the calibration quantile is an exact
+  * rank selection on [[Ordinals.withGlobalRank]]'s distributed rank
+  * (never a value collect or a single-partition sort) — q̂ is one
+  * driver double. Nothing anywhere is sized by the data except the
+  * test-split output itself.
+  *
+  * Exactness contract: identical to m23 — decimal(12,4)/(8,3) sufficient
+  * sums (order-independent), one fixed double tree for (w, b), per-row
+  * residuals one fixed tree, and the quantile INDEX uses the literal
+  * `level` double so ceil(level * (n_cal + 1.0)) is the same IEEE
+  * product in any engine. Residual ties at the quantile rank are
+  * harmless: the tie-broken rank picks one row but every tied row
+  * carries the same score value.
+  */
+object Conformal {
+
+  /** Interval rows for the test split: idCols ++ (pred, lo, hi), rounded
+    * to `roundTo`. `splitCol` must evaluate to 0 (train), 1 (calibration)
+    * or 2 (test) — a deterministic function of the row, e.g. a key
+    * modulus, so the split is replayable. */
+  def splitConformal(df: DataFrame, targetCol: String, featureCol: String,
+                     splitCol: Column, idCols: Seq[String],
+                     lambda: Double, level: Double = 0.9,
+                     roundTo: Int = 4): DataFrame = {
+    val both = col(featureCol).isNotNull && col(targetCol).isNotNull
+    val tagged = df.withColumn("__split", splitCol)
+    // ridge sufficient statistics over the TRAIN split only (m23's
+    // exact-decimal contract; see Ridge for the casts' rationale)
+    val inTrain = both && (col("__split") === 0)
+    val x = when(inTrain, col(featureCol)).cast("decimal(12,4)")
+    val y = when(inTrain, col(targetCol)).cast("decimal(8,3)")
+    val s = tagged.agg(
+      count(when(inTrain, 1)).cast("double").as("__n"),
+      sum(x).cast("double").as("__sx"), sum(y).cast("double").as("__sy"),
+      sum(x * y).cast("double").as("__sxy"),
+      sum(x * x).cast("double").as("__sxx"))
+    val n = col("__n")
+    val mx = col("__sx") / n
+    val my = col("__sy") / n
+    val w = (col("__sxy") - (n * (mx * my))) /
+      ((col("__sxx") - (n * (mx * mx))) + (lit(lambda) * n))
+    val b = my - (w * mx)
+    val scored = tagged
+      .crossJoin(broadcast(s.select(w.as("__w"), b.as("__b"))))
+      .withColumn("__pred", (col("__w") * col(featureCol)) + col("__b"))
+    val cal = scored.filter(both && (col("__split") === 1))
+      .select(idCols.map(col) :+
+        abs(col(targetCol) - col("__pred")).as("__score"): _*)
+    val nCal = cal.count()
+    require(nCal > 0, "empty calibration split")
+    val qRank = math.min(math.ceil(level * (nCal + 1.0)).toLong, nCal)
+    val qHat = Ordinals.withGlobalRank(cal,
+        col("__score").asc +: idCols.map(col(_).asc), "__r")
+      .filter(col("__r") === qRank)
+      .select("__score").head().getDouble(0)
+    scored.filter(col(featureCol).isNotNull && (col("__split") === 2))
+      .select(idCols.map(col) ++ Seq(
+        round(col("__pred"), roundTo).as("pred"),
+        round(col("__pred") - lit(qHat), roundTo).as("lo"),
+        round(col("__pred") + lit(qHat), roundTo).as("hi")): _*)
+  }
+}

@@ -348,6 +348,17 @@ object MlQueries {
         "l_quantity", "l_extendedprice", lambda = 0.5)
         .select(col("l_orderkey"), col("l_linenumber"), col("pred"))),
 
+    "m26_conformal" -> ((s, dir) =>
+      // split conformal intervals (r8): ridge fit on orderkey%10 in
+      // 0-5, calibration radius = rank-selected absolute residual on
+      // 6-7, intervals emitted map-only on 8-9 — every statistic a
+      // fixed tree over the m23 decimal sums, so DuckDB replays it
+      graft.ml.Conformal.splitConformal(Tables.lineitem(s, dir),
+        "l_quantity", "l_extendedprice",
+        splitCol = when(col("l_orderkey") % 10 < 6, 0)
+          .when(col("l_orderkey") % 10 < 8, 1).otherwise(2),
+        idCols = Seq("l_orderkey", "l_linenumber"), lambda = 0.5)),
+
     "m21_robust_scale" -> ((s, dir) =>
       // robust scaling of the quantity column: (x - exact median) / IQR
       // — every statistic a rank selection, so the per-row doubles are
@@ -791,6 +802,60 @@ object MlQueries {
     // m23: identical decimal sufficient statistics, identical double
     // trees for w and b (mx/my inlined as (sx/n), (sy/n) exactly as
     // Catalyst expands them)
+    // m26: m23's ridge CTEs filtered to the train split; the quantile
+    // rank replays ceil(0.9*(n+1)) with the same double literal and the
+    // same (score, orderkey, linenumber) tie-break
+    "m26_conformal" -> """
+      WITH sp AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+               (l_orderkey % 10) AS md
+        FROM lineitem),
+      b AS (
+        SELECT CASE WHEN l_extendedprice IS NOT NULL
+                    AND l_quantity IS NOT NULL AND md < 6
+                    THEN l_extendedprice END AS xe,
+               CASE WHEN l_extendedprice IS NOT NULL
+                    AND l_quantity IS NOT NULL AND md < 6
+                    THEN l_quantity END AS yq
+        FROM sp),
+      s AS (
+        SELECT CAST(count(xe) AS DOUBLE) AS n,
+               CAST(sum(CAST(xe AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(yq AS DECIMAL(8,3))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(xe AS DECIMAL(20,4))
+                        * CAST(yq AS DECIMAL(8,3))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(xe AS DECIMAL(20,4))
+                        * CAST(xe AS DECIMAL(12,4))) AS DOUBLE) AS sxx
+        FROM b),
+      f AS (
+        SELECT ((sxy - (n * ((sx / n) * (sy / n))))
+                / ((sxx - (n * ((sx / n) * (sx / n)))) + (0.5 * n))) AS w,
+               n, sx, sy
+        FROM s),
+      g AS (SELECT w, ((sy / n) - (w * (sx / n))) AS b FROM f),
+      cal AS (
+        SELECT sp.l_orderkey, sp.l_linenumber,
+               abs(sp.l_quantity - ((g.w * sp.l_extendedprice) + g.b))
+                 AS score
+        FROM sp CROSS JOIN g
+        WHERE sp.md IN (6, 7) AND sp.l_extendedprice IS NOT NULL
+          AND sp.l_quantity IS NOT NULL),
+      nc AS (SELECT count(*) AS n FROM cal),
+      rk AS (
+        SELECT score, row_number() OVER (ORDER BY score, l_orderkey,
+                                         l_linenumber) AS rn
+        FROM cal),
+      q AS (
+        SELECT rk.score AS qhat
+        FROM rk CROSS JOIN nc
+        WHERE rk.rn = least(CAST(ceil(0.9 * (nc.n + 1.0)) AS BIGINT), nc.n))
+      SELECT sp.l_orderkey, sp.l_linenumber,
+             round((g.w * sp.l_extendedprice) + g.b, 4) AS pred,
+             round(((g.w * sp.l_extendedprice) + g.b) - q.qhat, 4) AS lo,
+             round(((g.w * sp.l_extendedprice) + g.b) + q.qhat, 4) AS hi
+      FROM sp CROSS JOIN g CROSS JOIN q
+      WHERE sp.md >= 8 AND sp.l_extendedprice IS NOT NULL""",
+
     "m23_ridge" -> """
       WITH b AS (
         SELECT CASE WHEN l_extendedprice IS NOT NULL
