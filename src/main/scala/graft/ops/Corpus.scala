@@ -314,6 +314,60 @@ object Corpus {
     mixSources(df, sourceCol, idCol,
       temperatureWeights(df, sourceCol, temperature), totalRows)
 
+  /** UniMax domain allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): given a token budget and a per-domain repetition
+    * cap of `maxEpochs`, allocate the budget as UNIFORMLY as possible —
+    * every domain gets min(cap_d, λ) where the water level λ solves
+    * Σ min(cap_d, λ) = budget. Small domains saturate their epoch cap;
+    * large domains share the remainder evenly — the fairness fix over
+    * proportional ([[mixSources]]) and temperature ([[mixSourcesTemperature]])
+    * sampling, which both let head domains dominate.
+    *
+    * Returns one row per domain: (domain, size_n, cap, alloc, epochs)
+    * with size_n = Σ sizeCol, cap = floor(size_n * maxEpochs), alloc
+    * the waterfilled budget share and epochs = alloc / size_n. The
+    * budget is floor(budgetEpochs * Σ size_n).
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus; the
+    * waterfilling then runs on the domains-sized frame through the
+    * distributed rank/prefix-sum (no keyless window, no driver loop —
+    * the closed form max{j : prefix_{j-1} + cap_j*(m-j+1) ≤ B} replaces
+    * the iterative water-level search; that expression is nondecreasing
+    * in j for caps sorted ascending, so one max aggregate finds j*).
+    * Exactness: sizes, caps, prefix sums and the saturation condition
+    * are all integer arithmetic; λ and the epoch ratios are single
+    * fixed double trees — bit-replayable in SQL. */
+  def unimaxAllocation(df: DataFrame, domainCol: String, sizeCol: String,
+                       budgetEpochs: Double, maxEpochs: Double): DataFrame = {
+    val d = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(sizeCol)).cast(LongType).as("size_n"))
+      .withColumn("cap",
+        floor(col("size_n").cast(DoubleType) * lit(maxEpochs)).cast(LongType))
+    val tot = d.agg(sum("size_n").cast(LongType).as("__ts"),
+      count(lit(1)).as("__m"))
+    val sort = Seq(col("cap").asc, col("domain").asc)
+    val ranked = Ordinals.withRunningTotal(
+      Ordinals.withGlobalRank(d, sort, "__j"), sort, "cap", "__pc")
+      .withColumn("__pc", col("__pc").cast(LongType))
+      .crossJoin(broadcast(tot))
+      .withColumn("__bud",
+        floor(col("__ts").cast(DoubleType) * lit(budgetEpochs)).cast(LongType))
+    val cond = ((col("__pc") - col("cap")) +
+      (col("cap") * ((col("__m") - col("__j")) + 1))) <= col("__bud")
+    val sel = ranked.agg(
+      coalesce(max(when(cond, col("__j"))), lit(0L)).as("__jstar"),
+      coalesce(max(when(cond, col("__pc"))), lit(0L)).as("__pstar"))
+    val lambda = (col("__bud").cast(DoubleType) - col("__pstar").cast(DoubleType)) /
+      (col("__m").cast(DoubleType) - col("__jstar").cast(DoubleType))
+    val alloc = when(col("__j") <= col("__jstar"), col("cap").cast(DoubleType))
+      .otherwise(least(col("cap").cast(DoubleType), lambda))
+    ranked.crossJoin(broadcast(sel))
+      .select(col("domain"), col("size_n"), col("cap"),
+        round(alloc, 4).as("alloc"),
+        round(alloc / col("size_n").cast(DoubleType), 6).as("epochs"))
+  }
+
   /** Sentence-aware chunking: like [[chunkDocs]] but cuts only at
     * sentence boundaries, so no chunk ever starts or ends mid-sentence
     * (the property RAG retrieval and span-sensitive training care

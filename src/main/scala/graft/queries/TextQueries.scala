@@ -591,6 +591,14 @@ object TextQueries {
         "doc_id", temperature = 2.0, totalRows = 40)
         .select("doc_id", "source")),
 
+    "t57_unimax" -> ((s, dir) =>
+      // UniMax budget allocation (r8): 1.8-epoch char budget, 2-epoch
+      // per-source cap — small sources saturate the cap, large ones
+      // share the water level; integer waterfilling on the domains
+      // frame, one corpus aggregate
+      graft.ops.Corpus.unimaxAllocation(Tables.documents(s, dir),
+        "source", "n_chars", budgetEpochs = 1.8, maxEpochs = 2.0)),
+
     "t10_quality_gate" -> ((s, dir) =>
       // per-source exact-median quality gate (rank selection, no value
       // buffering) — the self-calibrating form of C4-style filtering
@@ -1546,6 +1554,47 @@ object TextQueries {
 
     // exclusive per-source running token total under the seeded-hash
     // order must stay below the source's budget
+    // t57: the waterfilling replayed on the per-source frame — integer
+    // prefix sums and saturation condition, λ/alloc/epochs trees
+    // token-identical to the engine
+    "t57_unimax" -> """
+      WITH d AS (
+        SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS size_n
+        FROM documents GROUP BY 1),
+      c AS (
+        SELECT domain, size_n,
+               CAST(floor(CAST(size_n AS DOUBLE) * 2.0) AS BIGINT) AS cap
+        FROM d),
+      t AS (SELECT CAST(sum(size_n) AS BIGINT) AS ts, count(*) AS m FROM c),
+      r AS (
+        SELECT c.*, row_number() OVER (ORDER BY cap, domain) AS j,
+               CAST(sum(cap) OVER (ORDER BY cap, domain
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS pc
+        FROM c),
+      g AS (
+        SELECT r.*, t.m,
+               CAST(floor(CAST(t.ts AS DOUBLE) * 1.8) AS BIGINT) AS bud
+        FROM r CROSS JOIN t),
+      s AS (
+        SELECT coalesce(max(CASE WHEN ((pc - cap) + (cap * ((m - j) + 1)))
+                                      <= bud THEN j END), 0) AS jstar,
+               coalesce(max(CASE WHEN ((pc - cap) + (cap * ((m - j) + 1)))
+                                      <= bud THEN pc END), 0) AS pstar
+        FROM g)
+      SELECT g.domain, g.size_n, g.cap,
+             round(CASE WHEN g.j <= s.jstar THEN CAST(g.cap AS DOUBLE)
+                   ELSE least(CAST(g.cap AS DOUBLE),
+                     (CAST(g.bud AS DOUBLE) - CAST(s.pstar AS DOUBLE))
+                     / (CAST(g.m AS DOUBLE) - CAST(s.jstar AS DOUBLE))) END,
+               4) AS alloc,
+             round((CASE WHEN g.j <= s.jstar THEN CAST(g.cap AS DOUBLE)
+                    ELSE least(CAST(g.cap AS DOUBLE),
+                      (CAST(g.bud AS DOUBLE) - CAST(s.pstar AS DOUBLE))
+                      / (CAST(g.m AS DOUBLE) - CAST(s.jstar AS DOUBLE))) END)
+                   / CAST(g.size_n AS DOUBLE), 6) AS epochs
+      FROM g CROSS JOIN s""",
+
     "t38_token_budget_mix" -> """
       WITH t AS (SELECT doc_id, source,
                    len(string_split_regex(trim(text), '\s+')) AS n_tok,

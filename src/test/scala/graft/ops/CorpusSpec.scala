@@ -319,4 +319,46 @@ class CorpusSpec extends SparkSpec {
     val again = run(1.0, 2)
     assert(two == again, "bit-deterministic")
   }
+
+  test("unimaxAllocation: hand-computed waterfilling on three domains") {
+    import spark.implicits._
+    // per-domain sizes 10 / 20 / 100 arrive split across rows
+    val df = Seq(("a", 4L), ("a", 6L), ("b", 20L), ("c", 60L), ("c", 40L))
+      .toDF("src", "n")
+    def run(budgetEpochs: Double) =
+      Corpus.unimaxAllocation(df, "src", "n", budgetEpochs, maxEpochs = 2.0)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // B = 130: a and b saturate their 2-epoch caps, c gets the level
+    val mid = run(1.0)
+    assert(mid("a") == (10L, 20L, 20.0, 2.0))
+    assert(mid("b") == (20L, 40L, 40.0, 2.0))
+    assert(mid("c") == (100L, 200L, 70.0, 0.7))   // λ = (130-60)/1
+    // B = 390 > Σcap = 260: everyone saturates
+    val rich = run(3.0)
+    assert(Seq("a", "b", "c").forall(d => rich(d)._3 == rich(d)._2.toDouble))
+    // B = 13 < m * min cap: nobody saturates, pure uniform level
+    val poor = run(0.1)
+    assert(poor.values.forall(_._3 == 4.3333))    // λ = 13/3
+    assert(poor("c")._4 == 0.043333)
+  }
+
+  test("unimaxAllocation: Σalloc == min(budget, Σcap) under random sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 30).map(i => (s"d$i", 1L + rnd.nextInt(5000)))
+    val df = rows.toDF("src", "n")
+    for (be <- Seq(0.3, 1.0, 1.7, 2.5)) {
+      val out = Corpus.unimaxAllocation(df, "src", "n", be, maxEpochs = 2.0)
+        .collect()
+      val total = rows.map(_._2).sum
+      val sumCap = out.map(_.getLong(2)).sum
+      val expect = math.min(math.floor(total * be), sumCap.toDouble)
+      val got = out.map(_.getDouble(3)).sum
+      assert(math.abs(got - expect) < 0.01 * out.length,
+        s"budgetEpochs=$be: alloc sum $got vs $expect")
+      // caps never exceeded
+      assert(out.forall(r => r.getDouble(3) <= r.getLong(2) + 1e-9))
+    }
+  }
 }
