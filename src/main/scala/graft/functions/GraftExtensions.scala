@@ -75,6 +75,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKPairsTag(children.head, children(1), children(2), children(3))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "misra_gries takes (col, k)")
+        MisraGries(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("z_order"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "z_order"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -58,6 +58,42 @@ object Lexicon {
     else counts.orderBy(col("n").desc, col("term").asc).limit(topK)
   }
 
+  /** Heavy-hitter terms: EXACT counts of every term occurring in more
+    * than 1/`reportDiv` of all token occurrences, found by the two-pass
+    * sketch-prefilter + exact-confirm pattern. Pass 1 folds the token
+    * stream into ONE row: the total count and a k-counter
+    * [[graft.functions.MisraGries]] summary whose retained set provably
+    * contains every item with frequency > n/(sketchK+1) — a superset of
+    * the report set whenever sketchK >= reportDiv. Pass 2 recounts ONLY
+    * the <= sketchK candidates (the isin filter drops everything else
+    * map-side, so the confirm groupBy shuffles candidate partials, not
+    * the vocabulary) and keeps cnt * reportDiv > n — pure integer
+    * arithmetic, so the result is exact and oracle-checkable.
+    *
+    * Scale: the naive one-pass alternative (groupBy every distinct
+    * token, filter) shuffles the WHOLE vocabulary; here the shuffled
+    * state is O(sketchK) per map partition in pass 1 and O(sketchK)
+    * rows in pass 2. The token stream is scanned twice — the standard
+    * trade, and the scans are map-only. */
+  def heavyHitters(df: DataFrame, textCol: String, idCol: String,
+                   reportDiv: Int = 16, sketchK: Int = 64): DataFrame = {
+    require(sketchK >= reportDiv,
+      s"sketchK=$sketchK must be >= reportDiv=$reportDiv or the " +
+        "Misra-Gries bound n/(sketchK+1) cannot cover the n/reportDiv report threshold")
+    val toks = tokenRows(df, textCol, idCol).select("term")
+    val first = toks.agg(count(lit(1)).as("__n"),
+        call_function("misra_gries", col("term"), lit(sketchK)).as("__cand"))
+      .head()
+    val n = first.getLong(0)
+    val cands = first.getSeq[String](1)
+    if (cands.isEmpty)
+      toks.filter(lit(false)).groupBy("term").agg(count(lit(1)).as("cnt"))
+    else
+      toks.filter(col("term").isin(cands: _*))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .filter((col("cnt") * lit(reportDiv.toLong)) > lit(n))
+  }
+
   /** Per-document top-`k` TF-IDF keywords: tf = occurrences / doc length,
     * idf = ln(N / df_t) with N = docs having >= 1 token and df_t = docs
     * containing the term. Returns (id, term, tfidf) with tfidf ROUNDED

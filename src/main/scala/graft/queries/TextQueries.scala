@@ -654,6 +654,17 @@ object TextQueries {
         "text", "doc_id", k = 50, buckets = 512)
     }),
 
+    "t58_heavy_hitters" -> ((s, dir) =>
+      // Misra-Gries two-pass heavy hitters (r8): a per-doc rare token
+      // ('zzN') widens the vocabulary past the 64-counter sketch so the
+      // eviction path actually runs; the confirm pass makes the >n/32
+      // counts exact — strict integer threshold, oracle-replayable
+      graft.ops.Lexicon.heavyHitters(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" zz"),
+            (col("doc_id") % 1000).cast("string")).as("text")),
+        "text", "doc_id", reportDiv = 32, sketchK = 64)),
+
     "t11_vocab" -> ((s, dir) =>
       // vocabulary building: top-50 terms with >= 2 occurrences
       Lexicon.vocabulary(Tables.documents(s, dir), "text", "doc_id",
@@ -1695,6 +1706,21 @@ object TextQueries {
       m AS (SELECT source, quantile_cont(q, 0.5) AS med FROM q GROUP BY source)
       SELECT q.doc_id, q.source, round(q.q, 6) AS quality
       FROM q JOIN m USING (source) WHERE q.q >= m.med""",
+
+    // t58: the sketch is only a pruner — the report set and counts are
+    // exact, so the oracle is the plain HAVING over the same fixture
+    "t58_heavy_hitters" -> """
+      WITH d AS (
+        SELECT text || ' zz' || CAST(doc_id % 1000 AS VARCHAR) AS text
+        FROM documents),
+      tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                AS term FROM d),
+      t AS (SELECT term FROM tok WHERE term <> ''),
+      n AS (SELECT count(*) AS n FROM t)
+      SELECT t.term, count(*) AS cnt
+      FROM t CROSS JOIN n
+      GROUP BY t.term, n.n
+      HAVING (count(*) * 32) > n.n""",
 
     "t11_vocab" -> s"""
       WITH tok AS (SELECT unnest($lowToksSql) AS term FROM documents),

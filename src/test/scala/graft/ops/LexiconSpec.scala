@@ -217,4 +217,22 @@ class LexiconSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == expected && got.nonEmpty && got.size < texts.length)
   }
+
+  test("heavyHitters: exact counts, strict threshold, eviction-forcing vocab") {
+    import spark.implicits._
+    // 200 tokens: a x50, b x40, 110 unique rares; n/5 threshold = 40,
+    // vocab 112 >> sketchK 8 so the sketch evicts constantly
+    val toks = new scala.util.Random(3).shuffle(
+      Seq.fill(50)("a") ++ Seq.fill(40)("b") ++ (1 to 110).map(i => s"r$i"))
+    val docs = toks.grouped(20).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(4)
+    val got = Lexicon.heavyHitters(docs, "text", "doc_id",
+        reportDiv = 5, sketchK = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 50L))    // b: 40*5 == 200 fails the STRICT >
+    intercept[IllegalArgumentException] {
+      Lexicon.heavyHitters(docs, "text", "doc_id", reportDiv = 9, sketchK = 8)
+    }
+  }
 }
