@@ -45,7 +45,11 @@ object Bench {
     // Kneser-Ney and adaptive DoReMi loops, Kernel SHAP (full + budgeted
     // coalitions), and the p=3 Gram ridge
     "t49b_doremi_kn", "t49c_doremi_adaptive", "m24_kernel_shap",
-    "m24b_kernel_shap_budget", "m23b_ridge_gram")
+    "m24b_kernel_shap_budget", "m23b_ridge_gram",
+    // r8 second batch: drift checks, conformal intervals, quantile
+    // binning, UniMax allocation, Misra-Gries heavy hitters
+    "a27_psi", "a28_ks_drift", "e8_quantile_bin", "m26_conformal",
+    "t57_unimax", "t58_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
