@@ -49,4 +49,45 @@ object Calibration {
   /** The fitted calibrator as a map-only column. */
   def plattApply(score: Column, ab: (Double, Double)): Column =
     lit(1.0) / (lit(1.0) + exp(-(lit(ab._1) * score + lit(ab._2))))
+
+  /** Reliability diagram + Murphy Brier decomposition: cut `probCol`
+    * (a probability in [0,1]) into `bins` fixed-width bins and report
+    * per observed bin (bin, n, avg_prob, frac_pos, rel_term, res_term).
+    * Σ rel_term − Σ res_term + base·(1−base) = the Brier score — the
+    * standard answer to "is this calibrated?" that [[plattFit]] only
+    * assumes. rel_term = n·(avg_prob − frac_pos)²/N (calibration gap),
+    * res_term = n·(frac_pos − base)²/N (sharpness).
+    *
+    * Scale shape: the bin cut is map-only (floor(p·bins), top edge
+    * clamped into the last bin), ONE map-side-combined aggregate
+    * produces per-bin (n, Σp, n_pos), and everything after is
+    * bins-sized. Exactness: Σp sums round-9 DECIMAL terms
+    * (order-independent); the reported ratios are fixed double trees
+    * over those sums and exact longs, rounded to 6. Empty bins are
+    * omitted (a reliability curve has no point there). */
+  def reliability(pred: DataFrame, probCol: String, pos: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val p = col(probCol).cast(DoubleType)
+    val per = pred.filter(p.isNotNull)
+      .withColumn("bin",
+        least(floor(p * lit(bins)) + lit(1), lit(bins.toLong)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(round(p, 9).cast("decimal(28,9)")).as("__sp"),
+        count(when(pos, 1)).as("n_pos"))
+    val tot = per.agg(sum("n").as("__t"), sum("n_pos").as("__p"))
+    val base = col("__p").cast("double") / col("__t").cast("double")
+    val nD = col("n").cast("double")
+    val avgP = col("__sp").cast("double") / nD
+    val fPos = col("n_pos").cast("double") / nD
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        round(avgP, 6).as("avg_prob"),
+        round(fPos, 6).as("frac_pos"),
+        round((nD * ((avgP - fPos) * (avgP - fPos)))
+          / col("__t").cast("double"), 6).as("rel_term"),
+        round((nD * ((fPos - base) * (fPos - base)))
+          / col("__t").cast("double"), 6).as("res_term"))
+  }
 }

@@ -355,6 +355,114 @@ object Audit {
         round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
   }
 
+  /** One-way ANOVA F statistic for `valueCol` across the levels of
+    * `groupCol`: one row (n, k, ss_between, ss_within, f_stat) — does
+    * the mean differ across slices? The k-sample generalisation of
+    * [[welchT]] (classic fixed-effects, equal-variance form), the test
+    * a pipeline runs to ask "does quality differ by source?" before
+    * reweighting a mixture.
+    *
+    * Scale shape: ONE map-side-combined aggregate produces per-group
+    * (n_g, Σv, Σv²) in exact integer-thousandths DECIMAL (the
+    * [[momentStats]] trick); everything after it is k-rows-sized. The
+    * between-group term Σ s1_g²/n_g sums k per-group doubles — each
+    * rounded to 9 and DECIMAL-summed, so the statistic is
+    * order-independent and cross-engine exact. SS columns are reported
+    * in the original units (thousandths² scaled back by 1e6). */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val m = round(col(valueCol) * lit(1000), 0).cast("decimal(19,0)")
+    val per = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(m).as("__ng"), sum(m).as("__s1"), sum(m * m).as("__s2"))
+    val ng = col("__ng").cast("double")
+    val s1 = col("__s1").cast("double")
+    val between = (s1 * s1) / ng // per-group contribution to Σ s1²/n
+    val tot = per.agg(
+      sum(col("__ng")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__k"),
+      sum(col("__s1")).cast("double").as("__t1"),
+      sum(col("__s2")).cast("double").as("__t2"),
+      sum(round(between, 9).cast("decimal(28,9)")).cast("double").as("__b"))
+    val n = col("__n")
+    val k = col("__k")
+    val ssb = col("__b") - ((col("__t1") * col("__t1")) / n)
+    val ssw = col("__t2") - col("__b")
+    val f = (ssb / (k - lit(1.0))) / (ssw / (n - k))
+    tot.select(n.cast("long").as("n"), k.cast("long").as("k"),
+      round(ssb / lit(1000000.0), 6).as("ss_between"),
+      round(ssw / lit(1000000.0), 6).as("ss_within"),
+      round(f, 6).as("f_stat"))
+  }
+
+  /** Weight-of-evidence / information-value report for a categorical
+    * feature against a binary outcome: one row per category
+    * (category, n_pos, n_neg, woe, iv_term), IV = Σ iv_term. The credit
+    * -scoring staple a feature pipeline runs to rank candidate
+    * categoricals by predictive strength (IV < 0.02 useless, > 0.5
+    * suspicious) — the binary-target counterpart of [[mutualInformation]].
+    *
+    * Scale shape: the contingency rows come from ONE map-side-combined
+    * aggregate over the scan (categories-sized after it); totals
+    * re-aggregate the CELLS. Exactness: Laplace smoothing (+0.5 per
+    * class cell, +0.5·k on the totals — the [[psiReport]] convention)
+    * keeps empty cells finite and deterministic; woe/iv trees are fixed
+    * double expressions over exact integer counts, rounded to 6. */
+  def woeIv(df: DataFrame, featureCol: String, pos: Column): DataFrame = {
+    val cells = df.filter(col(featureCol).isNotNull)
+      .groupBy(col(featureCol).as("category"))
+      .agg(count(when(pos, 1)).as("n_pos"),
+        count(when(!pos, 1)).as("n_neg"))
+    val tot = cells.agg(sum("n_pos").as("__tp"), sum("n_neg").as("__tn"),
+      count(lit(1)).as("__k"))
+    val kHalf = col("__k").cast("double") * lit(0.5)
+    val pPos = (col("n_pos").cast("double") + lit(0.5)) /
+      (col("__tp").cast("double") + kHalf)
+    val pNeg = (col("n_neg").cast("double") + lit(0.5)) /
+      (col("__tn").cast("double") + kHalf)
+    val woe = log(pPos / pNeg)
+    cells.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_pos"), col("n_neg"),
+        round(woe, 6).as("woe"),
+        round((pPos - pNeg) * woe, 6).as("iv_term"))
+  }
+
+  /** Jensen–Shannon divergence (nats) between the `keyCol` category
+    * distributions of slices `aVal` and `bVal` of `groupCol`: one row
+    * (n_a, n_b, js_div). The symmetric, bounded (≤ ln 2) drift measure
+    * for CATEGORICAL columns — the companion to [[ksTest]] (numeric
+    * CDFs) and [[psiReport]] (binned numeric): JS never blows up on a
+    * category present in one slice only, where raw KL is infinite.
+    *
+    * Scale shape: per-category counts for both slices in ONE
+    * map-side-combined aggregate; everything after is
+    * categories-sized. Exactness: each side's terms (p·ln(2p/(p+q)),
+    * with 0·ln0 = 0 handled by a count>0 guard) are fixed double trees
+    * over exact integer counts, rounded to 9 and DECIMAL-summed —
+    * order-independent, bit-replayable. */
+  def jsDrift(df: DataFrame, groupCol: String, keyCol: String,
+              aVal: String, bVal: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isin(aVal, bVal) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__key"))
+      .agg(count(when(col(groupCol) === aVal, 1)).as("__na"),
+        count(when(col(groupCol) === bVal, 1)).as("__nb"))
+    val tot = cells.agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
+    val p = col("__na").cast("double") / col("__ta").cast("double")
+    val q = col("__nb").cast("double") / col("__tb").cast("double")
+    val termA = when(col("__na") > 0,
+      p * log((lit(2.0) * p) / (p + q))).otherwise(lit(0.0))
+    val termB = when(col("__nb") > 0,
+      q * log((lit(2.0) * q) / (p + q))).otherwise(lit(0.0))
+    cells.crossJoin(broadcast(tot))
+      .groupBy(col("__ta").cast("long").as("n_a"),
+        col("__tb").cast("long").as("n_b"))
+      .agg(sum(round(termA, 9).cast("decimal(28,9)")).as("__ja"),
+        sum(round(termB, 9).cast("decimal(28,9)")).as("__jb"))
+      .select(col("n_a"), col("n_b"),
+        round((col("__ja").cast("double") + col("__jb").cast("double"))
+          * lit(0.5), 6).as("js_div"))
+  }
+
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))

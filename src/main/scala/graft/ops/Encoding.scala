@@ -206,4 +206,54 @@ object Encoding {
         .unionByName(binned)
     }
   }
+
+  /** Out-of-fold (leakage-safe) target encoding — the cross-fitting
+    * form of [[SmoothedTargetEncode]]: each row's encoding is the
+    * m-smoothed category mean computed WITHOUT the row's own fold, so
+    * the encoded feature never sees the row's own target (the leak that
+    * makes naive target encoding overfit, and the reason sklearn's
+    * TargetEncoder cross-fits by default). Folds are the deterministic
+    * m5 rule: global rank over `tieCols` (a total order) mod k.
+    *
+    * Scale shape: one range-sorted rank pass assigns folds, ONE
+    * map-side-combined aggregate produces the (category, fold) cell
+    * stats — (k·|categories|)-sized after it — category totals
+    * re-aggregate the CELLS, and the encoding dictionary broadcasts
+    * back onto the frame. No per-fold scan: the complement stats are
+    * total − own-cell. Exactness: target sums accumulate in
+    * DECIMAL(18,6) (order-independent); the encoded value and the
+    * global-mean prior are fixed double trees over those exact sums,
+    * so the column replays bit-for-bit. Rows whose category never
+    * appears with a non-null target get the global mean. */
+  case class OofTargetEncode(c: String, target: String, k: Int,
+                             tieCols: Seq[String], m: Double = 10.0)
+      extends TableOp {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    require(m >= 0, s"prior pseudo-count m must be >= 0, got $m")
+    def describe = s"out-of-fold target encode $c by $target (k=$k, m=$m)"
+    def apply(df: DataFrame): DataFrame = {
+      val out = s"${c}_oof_encoded"
+      val t = col(target).cast("decimal(18,6)")
+      val folded = Ordinals.withGlobalRank(
+          df, tieCols.map(col(_).asc), "__oof_r")
+        .withColumn("__oof_f", pmod(col("__oof_r"), lit(k)).cast("int"))
+        .drop("__oof_r")
+      val cells = folded.groupBy(col(c).as("__cat"), col("__oof_f"))
+        .agg(sum(t).as("__s"), count(t).as("__n"))
+      val catTot = cells.groupBy("__cat")
+        .agg(sum("__s").as("__cs"), sum("__n").as("__cn"))
+      val tot = catTot.agg(sum("__cs").as("__ts"), sum("__cn").as("__tn"))
+      val g = col("__ts").cast("double") / col("__tn").cast("double")
+      val dict = cells.join(broadcast(catTot), "__cat")
+        .crossJoin(broadcast(tot))
+        .select(col("__cat"), col("__oof_f").as("__dict_f"),
+          (((col("__cs") - col("__s")).cast("double") + (lit(m) * g))
+            / ((col("__cn") - col("__n")).cast("double") + lit(m)))
+            .as(out))
+      folded.join(broadcast(dict),
+          folded(c) <=> dict("__cat") && col("__oof_f") === col("__dict_f"),
+          "left")
+        .drop("__cat", "__dict_f", "__oof_f")
+    }
+  }
 }

@@ -52,6 +52,17 @@ object EncodingQueries {
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
           "l_extendedprice_bin")),
 
+    "e9_oof_target_encode" -> ((s, dir) =>
+      // out-of-fold target encoding (r8): each row's encoding excludes
+      // its own fold's targets (the leakage-safe cross-fitting form);
+      // folds = m5's rank-mod rule under the (orderkey, linenumber)
+      // total order, stats from ONE (category, fold) cell aggregate
+      Encoding.OofTargetEncode("l_returnflag", "l_quantity", k = 5,
+          tieCols = Seq("l_orderkey", "l_linenumber"))(Tables.lineitem(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_returnflag_oof_encoded"), 6)
+            .as("l_returnflag_oof_encoded"))),
+
     "e4_freq_encode" -> ((s, dir) =>
       Encoding.FrequencyEncode("c_mktsegment")(Tables.customer(s, dir))
         .select(col("c_custkey"), col("c_mktsegment"),
@@ -150,6 +161,33 @@ object EncodingQueries {
              CAST(floor(((rn - 1) * 8) / n.n) + 1 AS INT)
                AS l_extendedprice_bin
       FROM r CROSS JOIN n""",
+
+    // e9: folds replayed with the m5 row_number-mod rule under the same
+    // total order; cell/category/global sums in DECIMAL(18,6) exactly
+    // as the engine accumulates them; the encoded tree
+    // ((cs-s)+m*(ts/tn))/((cn-n)+m) token-identical, global mean a
+    // column (not a driver constant) on both sides
+    "e9_oof_target_encode" -> """
+      WITH f AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CAST(l_quantity AS DECIMAL(18,6)) AS t,
+               CAST((row_number() OVER (ORDER BY l_orderkey, l_linenumber))
+                    % 5 AS INT) AS fold
+        FROM lineitem),
+      cells AS (
+        SELECT l_returnflag AS cat, fold, sum(t) AS s, count(t) AS n
+        FROM f GROUP BY 1, 2),
+      ct AS (SELECT cat, sum(s) AS cs, sum(n) AS cn FROM cells GROUP BY 1),
+      tot AS (SELECT sum(cs) AS ts, sum(cn) AS tn FROM ct),
+      dict AS (
+        SELECT cells.cat, cells.fold,
+               ((CAST(ct.cs - cells.s AS DOUBLE)
+                 + (10.0 * (CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE))))
+                / (CAST(ct.cn - cells.n AS DOUBLE) + 10.0)) AS enc
+        FROM cells JOIN ct USING (cat) CROSS JOIN tot)
+      SELECT f.l_orderkey, f.l_linenumber, f.l_returnflag,
+             round(dict.enc, 6) AS l_returnflag_oof_encoded
+      FROM f JOIN dict ON f.l_returnflag = dict.cat AND f.fold = dict.fold""",
 
     "e3_target_encode" -> """
       SELECT o_orderkey, o_orderpriority,

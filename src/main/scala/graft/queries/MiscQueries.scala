@@ -225,6 +225,28 @@ object MiscQueries {
       graft.ops.Audit.psiReport(Tables.events(s, dir), "event_type",
         "value", "click", "view", bins = 10)),
 
+    "a29_woe_iv" -> ((s, dir) =>
+      // weight-of-evidence / information-value report (r8): per
+      // event_type, how predictive is it of a high-value event? One
+      // contingency aggregate; Laplace-smoothed fixed double trees
+      graft.ops.Audit.woeIv(Tables.events(s, dir), "event_type",
+        col("value") >= 100)),
+
+    "a30_js_drift" -> ((s, dir) =>
+      // Jensen-Shannon drift between the value-band distributions of
+      // clicks vs views (r8) — the categorical companion to a28/a27;
+      // bands are a map-only integer cut, terms DECIMAL-summed
+      graft.ops.Audit.jsDrift(
+        Tables.events(s, dir)
+          .withColumn("vband", floor(col("value") / lit(50.0)).cast("int")),
+        "event_type", "vband", "click", "view")),
+
+    "a31_anova_f" -> ((s, dir) =>
+      // one-way ANOVA F across event types (r8): does mean value differ
+      // by type? One integer-thousandths aggregate, k-rows after it
+      graft.ops.Audit.anovaF(Tables.events(s, dir), "event_type",
+        "value")),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -754,6 +776,98 @@ object MiscQueries {
                         / ((CAST(f.n_ref AS DOUBLE) + 0.5)
                            / (CAST(t.tr AS DOUBLE) + 5.0))), 6) AS psi_term
       FROM f CROSS JOIN t""",
+
+    // a29: contingency cells then Laplace-smoothed woe/iv trees,
+    // token-identical to the engine ((n+0.5)/(T+k*0.5) and
+    // (pPos-pNeg)*ln(pPos/pNeg)); iv_term uses the UNROUNDED woe
+    "a29_woe_iv" -> """
+      WITH cells AS (
+        SELECT event_type AS category,
+               count(CASE WHEN value >= 100 THEN 1 END) AS n_pos,
+               count(CASE WHEN NOT (value >= 100) THEN 1 END) AS n_neg
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn,
+                   count(*) AS k FROM cells)
+      SELECT category, n_pos, n_neg,
+             round(ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                       / (CAST(t.tp AS DOUBLE) + (CAST(t.k AS DOUBLE) * 0.5)))
+                      / ((CAST(n_neg AS DOUBLE) + 0.5)
+                         / (CAST(t.tn AS DOUBLE)
+                            + (CAST(t.k AS DOUBLE) * 0.5)))), 6) AS woe,
+             round((((CAST(n_pos AS DOUBLE) + 0.5)
+                     / (CAST(t.tp AS DOUBLE) + (CAST(t.k AS DOUBLE) * 0.5)))
+                    - ((CAST(n_neg AS DOUBLE) + 0.5)
+                       / (CAST(t.tn AS DOUBLE) + (CAST(t.k AS DOUBLE) * 0.5))))
+                   * ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                         / (CAST(t.tp AS DOUBLE)
+                            + (CAST(t.k AS DOUBLE) * 0.5)))
+                        / ((CAST(n_neg AS DOUBLE) + 0.5)
+                           / (CAST(t.tn AS DOUBLE)
+                              + (CAST(t.k AS DOUBLE) * 0.5)))), 6) AS iv_term
+      FROM cells CROSS JOIN t""",
+
+    // a30: per-band counts for both slices, 0*ln0 guarded by count>0,
+    // terms rounded to 9 and DECIMAL-summed exactly like the engine
+    "a30_js_drift" -> """
+      WITH cells AS (
+        SELECT CAST(floor(value / 50.0) AS INT) AS key,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS nb
+        FROM events
+        WHERE event_type IN ('click', 'view')
+          AND CAST(floor(value / 50.0) AS INT) IS NOT NULL
+        GROUP BY 1),
+      t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM cells),
+      terms AS (
+        SELECT
+          CASE WHEN na > 0 THEN
+            (CAST(na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+            * ln((2.0 * (CAST(na AS DOUBLE) / CAST(t.ta AS DOUBLE)))
+                 / ((CAST(na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+                    + (CAST(nb AS DOUBLE) / CAST(t.tb AS DOUBLE))))
+          ELSE 0.0 END AS term_a,
+          CASE WHEN nb > 0 THEN
+            (CAST(nb AS DOUBLE) / CAST(t.tb AS DOUBLE))
+            * ln((2.0 * (CAST(nb AS DOUBLE) / CAST(t.tb AS DOUBLE)))
+                 / ((CAST(na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+                    + (CAST(nb AS DOUBLE) / CAST(t.tb AS DOUBLE))))
+          ELSE 0.0 END AS term_b,
+          t.ta, t.tb
+        FROM cells CROSS JOIN t)
+      SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+             round((CAST(sum(CAST(round(term_a, 9) AS DECIMAL(28,9)))
+                         AS DOUBLE)
+                    + CAST(sum(CAST(round(term_b, 9) AS DECIMAL(28,9)))
+                           AS DOUBLE)) * 0.5, 6) AS js_div
+      FROM terms GROUP BY ta, tb""",
+
+    // a31: per-group integer-thousandths sums, between-term
+    // s1^2/n rounded to 9 and DECIMAL-summed; F tree token-identical
+    "a31_anova_f" -> """
+      WITH per AS (
+        SELECT event_type AS g,
+               count(*) AS ng,
+               sum(CAST(round(value * 1000, 0) AS DECIMAL(19,0))) AS s1,
+               sum(CAST(round(value * 1000, 0) AS DECIMAL(19,0))
+                   * CAST(round(value * 1000, 0) AS DECIMAL(19,0))) AS s2
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(ng) AS DOUBLE) AS n,
+               CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(s1) AS DOUBLE) AS t1,
+               CAST(sum(s2) AS DOUBLE) AS t2,
+               CAST(sum(CAST(round((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                   / CAST(ng AS DOUBLE), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS b
+        FROM per)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             round((b - ((t1 * t1) / n)) / 1000000.0, 6) AS ss_between,
+             round((t2 - b) / 1000000.0, 6) AS ss_within,
+             round(((b - ((t1 * t1) / n)) / (k - 1.0))
+                   / ((t2 - b) / (n - k)), 6) AS f_stat
+      FROM tot""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """

@@ -359,6 +359,24 @@ object MlQueries {
           .when(col("l_orderkey") % 10 < 8, 1).otherwise(2),
         idCols = Seq("l_orderkey", "l_linenumber"), lambda = 0.5)),
 
+    "m27_lift_gains" -> ((s, dir) =>
+      // decile lift / cumulative gains (r8): rank by value desc under
+      // the (value, event_id) total order via the distributed global
+      // rank, e8's integer bucket cut, cumulatives over the 10-row
+      // bucket frame — every ratio a fixed tree over exact longs
+      Metrics.liftGains(Tables.events(s, dir), "value",
+        col("event_type") === "click", tieCols = Seq("event_id"))),
+
+    "m28_reliability" -> ((s, dir) =>
+      // reliability diagram + Brier decomposition (r8): probability is
+      // a map-only piecewise-linear link (least(value,200)/200 — pure
+      // IEEE arithmetic, no libm), label = click; per-bin Σp sums
+      // round-9 DECIMALs so the curve replays bit-for-bit
+      graft.ml.Calibration.reliability(
+        Tables.events(s, dir)
+          .withColumn("p", least(col("value"), lit(200.0)) / lit(200.0)),
+        "p", col("event_type") === "click")),
+
     "m21_robust_scale" -> ((s, dir) =>
       // robust scaling of the quantity column: (x - exact median) / IQR
       // — every statistic a rank selection, so the per-row doubles are
@@ -855,6 +873,73 @@ object MlQueries {
              round(((g.w * sp.l_extendedprice) + g.b) + q.qhat, 4) AS hi
       FROM sp CROSS JOIN g CROSS JOIN q
       WHERE sp.md >= 8 AND sp.l_extendedprice IS NOT NULL""",
+
+    // m27: rank replayed under the same (value DESC, event_id) total
+    // order, e8's bucket formula, 10-row cumulative window; every
+    // reported ratio the same double tree over exact longs
+    "m27_lift_gains" -> """
+      WITH nn AS (
+        SELECT event_id, value, event_type FROM events
+        WHERE value IS NOT NULL),
+      n AS (SELECT count(*) AS n FROM nn),
+      r AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY value DESC, event_id) AS rn
+        FROM nn),
+      per AS (
+        SELECT CAST(floor(((rn - 1) * 10) / n.n) + 1 AS INT) AS bucket,
+               count(*) AS n_rows,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_pos
+        FROM r CROSS JOIN n GROUP BY 1),
+      cum AS (
+        SELECT bucket, n_rows, n_pos,
+               sum(n_pos) OVER (ORDER BY bucket) AS cum_pos,
+               sum(n_rows) OVER (ORDER BY bucket) AS cum_rows
+        FROM per),
+      t AS (SELECT sum(n_rows) AS tt, sum(n_pos) AS tp FROM per)
+      SELECT bucket, n_rows, n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+             round((CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                   / (CAST(t.tp AS DOUBLE) / CAST(t.tt AS DOUBLE)), 6)
+               AS lift,
+             round(CAST(cum_pos AS DOUBLE) / CAST(t.tp AS DOUBLE), 6)
+               AS cum_gain,
+             round((CAST(cum_pos AS DOUBLE) / CAST(cum_rows AS DOUBLE))
+                   / (CAST(t.tp AS DOUBLE) / CAST(t.tt AS DOUBLE)), 6)
+               AS cum_lift
+      FROM cum CROSS JOIN t""",
+
+    // m28: the same piecewise-linear probability link, the same
+    // floor(p*10)+1 top-clamped cut, Σp as round-9 DECIMAL sums,
+    // Brier terms token-identical to the engine
+    "m28_reliability" -> """
+      WITH pr AS (
+        SELECT least(value, 200.0) / 200.0 AS p,
+               event_type FROM events
+        WHERE least(value, 200.0) / 200.0 IS NOT NULL),
+      per AS (
+        SELECT CAST(least(floor(p * 10) + 1, 10) AS INT) AS bin,
+               count(*) AS n,
+               sum(CAST(round(p, 9) AS DECIMAL(28,9))) AS sp,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_pos
+        FROM pr GROUP BY 1),
+      t AS (SELECT sum(n) AS tt, sum(n_pos) AS tp FROM per)
+      SELECT bin, n,
+             round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_prob,
+             round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS frac_pos,
+             round((CAST(n AS DOUBLE)
+                    * (((CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                        - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * ((CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                          - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   / CAST(t.tt AS DOUBLE), 6) AS rel_term,
+             round((CAST(n AS DOUBLE)
+                    * (((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                        - (CAST(t.tp AS DOUBLE) / CAST(t.tt AS DOUBLE)))
+                       * ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                          - (CAST(t.tp AS DOUBLE) / CAST(t.tt AS DOUBLE)))))
+                   / CAST(t.tt AS DOUBLE), 6) AS res_term
+      FROM per CROSS JOIN t""",
 
     "m23_ridge" -> """
       WITH b AS (

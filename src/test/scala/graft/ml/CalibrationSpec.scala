@@ -37,4 +37,34 @@ class CalibrationSpec extends SparkSpec {
     assert(ps.sameElements(ps.sorted), "calibrated probs must be monotone")
     assert(ps.forall(p => p > 0 && p < 1))
   }
+
+  test("reliability: hand-computed bins, Brier terms, edge clamping") {
+    import spark.implicits._
+    // 4 rows at p=0.1 (1 pos), 4 at p=0.9 (3 pos); N=8, base=0.5
+    val df = (Seq.fill(1)((0.1, 1)) ++ Seq.fill(3)((0.1, 0)) ++
+      Seq.fill(3)((0.9, 1)) ++ Seq.fill(1)((0.9, 0))).toDF("p", "y")
+    val out = Calibration.reliability(df, "p", col("y") === 1)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set(2, 10)) // floor(.1*10)+1=2, floor(.9*10)+1=10
+    assert(out(2) == ((4L, 0.1, 0.25, 0.01125, 0.03125)), out(2).toString)
+    assert(out(10) == ((4L, 0.9, 0.75, 0.01125, 0.03125)))
+
+    // p = 0 lands in bin 1; p = 1.0 clamps into the top bin
+    val edges = Seq((0.0, 0), (1.0, 1)).toDF("p", "y")
+    val bins = Calibration.reliability(edges, "p", col("y") === 1, bins = 10)
+      .collect().map(_.getInt(0)).sorted
+    assert(bins.sameElements(Array(1, 10)))
+  }
+
+  test("reliability is partitioning-invariant") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => ((i % 97) / 100.0, i % 3 == 0))
+      .toDF("p", "y")
+    val a = Calibration.reliability(df, "p", col("y")).collect().toSet
+    val b = Calibration.reliability(df.repartition(13), "p", col("y"))
+      .collect().toSet
+    assert(a == b)
+  }
 }

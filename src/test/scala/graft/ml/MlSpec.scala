@@ -259,4 +259,35 @@ class MlSpec extends SparkSpec {
     // numbering resumed from the existing log (load_if_exists contract)
     assert(graft.io.TrialLog.read(log).map(_.number) == Seq(0, 1, 2))
   }
+
+  test("liftGains: perfect ranking gives top-bucket lift = 1/base") {
+    import spark.implicits._
+    // scores 20..1, positives are the top half: each of buckets 1-5
+    // holds 2 positives, 6-10 none; base rate 0.5
+    val df = (1 to 20).map(i => (i.toLong, 21.0 - i, i <= 10))
+      .toDF("id", "score", "y")
+    val out = Metrics.liftGains(df, "score", col("y"), Seq("id"), 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet == (1 to 10).toSet)
+    assert(out(1) == ((2L, 2L, 2L, 2.0, 0.2, 2.0)), out(1).toString)
+    assert(out(5) == ((2L, 2L, 10L, 2.0, 1.0, 2.0)))
+    assert(out(6) == ((2L, 0L, 10L, 0.0, 1.0, 1.666667)))
+    assert(out(10) == ((2L, 0L, 10L, 0.0, 1.0, 1.0)))
+  }
+
+  test("liftGains: uneven n leaves bucket depths within one row; " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    val df = (1 to 23).map(i => (i.toLong, i.toDouble, i % 2 == 0))
+      .toDF("id", "score", "y")
+    val rows = Metrics.liftGains(df, "score", col("y"), Seq("id"), 10)
+      .collect()
+    val depths = rows.map(_.getLong(1))
+    assert(depths.sum == 23L && depths.forall(d => d == 2L || d == 3L))
+    val again = Metrics.liftGains(df.repartition(7), "score", col("y"),
+      Seq("id"), 10).collect().toSet
+    assert(rows.toSet == again)
+  }
 }

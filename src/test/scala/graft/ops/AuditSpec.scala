@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 class AuditSpec extends SparkSpec {
@@ -147,5 +148,52 @@ class AuditSpec extends SparkSpec {
     assert(r.getLong(1) == 1L)
     // 4/12 + 4/18 + 4/28 + 4/42 = 0.793651 (rounded to 6)
     assert(r.getDouble(2) == 0.793651)
+  }
+
+  test("anovaF: hand-computed k-sample statistic; equal groups give F=0") {
+    import spark.implicits._
+    // a = {1,2,3} mean 2, b = {2,4,6} mean 4, grand 3
+    // SSB = 3*1 + 3*1 = 6; SSW = 2 + 8 = 10; F = (6/1)/(10/4) = 2.4
+    val rows = Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("b", _))
+    val Array(r) = Audit.anovaF(rows.toDF("g", "v"), "g", "v").collect()
+    assert((r.getLong(0), r.getLong(1)) == (6L, 2L))
+    assert(r.getDouble(2) == 6.0, "ss_between")
+    assert(r.getDouble(3) == 10.0, "ss_within")
+    assert(r.getDouble(4) == 2.4, "f_stat")
+
+    val same = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("b", _))).toDF("g", "v")
+    val Array(r2) = Audit.anovaF(same, "g", "v").collect()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(4) == 0.0)
+  }
+
+  test("woeIv: hand-computed smoothed WOE, symmetric categories mirror") {
+    import spark.implicits._
+    // x: 3 pos / 1 neg; y: 1 pos / 3 neg; tp = tn = 4, k = 2
+    // pPos_x = 3.5/5 = 0.7, pNeg_x = 1.5/5 = 0.3 -> woe = ln(7/3)
+    val rows = Seq.fill(3)(("x", 1)) ++ Seq(("x", 0)) ++
+      Seq(("y", 1)) ++ Seq.fill(3)(("y", 0))
+    val out = Audit.woeIv(rows.toDF("f", "y"), "f", col("y") === 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("x")._1 == 3L && out("x")._2 == 1L)
+    assert(out("x")._3 == 0.847298)  // ln(7/3)
+    assert(out("x")._4 == 0.338919)  // 0.4 * ln(7/3)
+    assert(out("y")._3 == -0.847298 && out("y")._4 == 0.338919)
+  }
+
+  test("jsDrift: identical slices give 0, disjoint give ln 2") {
+    import spark.implicits._
+    val same = (Seq.fill(5)(("a", "k1")) ++ Seq.fill(3)(("a", "k2")) ++
+      Seq.fill(5)(("b", "k1")) ++ Seq.fill(3)(("b", "k2"))).toDF("g", "k")
+    val Array(r) = Audit.jsDrift(same, "g", "k", "a", "b").collect()
+    assert((r.getLong(0), r.getLong(1)) == (8L, 8L))
+    assert(r.getDouble(2) == 0.0)
+
+    val disjoint = (Seq.fill(4)(("a", "k1")) ++ Seq.fill(4)(("b", "k2")))
+      .toDF("g", "k")
+    val Array(r2) = Audit.jsDrift(disjoint, "g", "k", "a", "b").collect()
+    assert(r2.getDouble(2) == 0.693147)  // ln 2 — JS's upper bound
   }
 }

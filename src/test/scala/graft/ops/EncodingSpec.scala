@@ -84,4 +84,36 @@ class EncodingSpec extends SparkSpec {
     assert(freqs == Map("apple" -> 0.375, "banana" -> 0.25, "cherry" -> 0.125,
       "date" -> 0.125, "elder" -> 0.125))
   }
+
+  test("OofTargetEncode: each row's encoding excludes its own fold") {
+    import spark.implicits._
+    // one category, targets 1..4; folds by rank(id) mod 2:
+    // ranks 1,2,3,4 -> folds 1,0,1,0 — so ids 1,3 (targets 1,3) see the
+    // complement {2,4}, ids 2,4 (targets 2,4) see {1,3}
+    val df = (1 to 4).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("id", "cat", "t")
+    val out = Encoding.OofTargetEncode("cat", "t", k = 2, Seq("id"), m = 0.0)(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 3.0 && out(3L) == 3.0, out.toString) // mean{2,4}
+    assert(out(2L) == 2.0 && out(4L) == 2.0)               // mean{1,3}
+  }
+
+  test("OofTargetEncode: m-smoothing shrinks to the global mean; " +
+    "single-fold categories fall back to it; repartition-invariant") {
+    import spark.implicits._
+    // cat a: 4 rows as above (global over all 5 rows: (1+2+3+4+10)/5 = 4)
+    // cat b: one row (target 10) — its complement cell is empty
+    val df = ((1 to 4).map(i => (i.toLong, "a", i.toDouble)) :+
+      ((5L, "b", 10.0))).toDF("id", "cat", "t")
+    val out = Encoding.OofTargetEncode("cat", "t", k = 2, Seq("id"), m = 2.0)(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // id 5 (cat b): (0 + 2*4) / (0 + 2) = 4 — the global mean
+    assert(out(5L) == 4.0, out.toString)
+    // id 1 (cat a, fold of ranks {1,3}): ((2+4) + 2*4) / (2 + 2) = 3.5
+    assert(out(1L) == 3.5)
+    val again = Encoding.OofTargetEncode("cat", "t", k = 2, Seq("id"),
+      m = 2.0)(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == again)
+  }
 }
