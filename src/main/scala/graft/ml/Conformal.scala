@@ -3,8 +3,6 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Ordinals
-
 /** Split conformal prediction — distribution-free prediction intervals
   * with finite-sample marginal coverage (Vovk et al.; Lei et al. 2018,
   * "Distribution-Free Predictive Inference for Regression"): fit on a
@@ -18,10 +16,10 @@ import graft.ops.Ordinals
   * Scale shape: the fit is [[Ridge]]'s one-aggregate sufficient-
   * statistics pass restricted to the train split (one exchange of ONE
   * row); predictions are map-only; the calibration quantile is an exact
-  * rank selection on [[Ordinals.withGlobalRank]]'s distributed rank
-  * (never a value collect or a single-partition sort) — q̂ is one
-  * driver double. Nothing anywhere is sized by the data except the
-  * test-split output itself.
+  * order statistic from [[graft.ops.Relational.exactValuesAtRanks]]'
+  * histogram-refinement selection (never a value collect, a range sort,
+  * or a single-partition window) — q̂ is one driver double. Nothing
+  * anywhere is sized by the data except the test-split output itself.
   *
   * Exactness contract: identical to m23 — decimal(12,4)/(8,3) sufficient
   * sums (order-independent), one fixed double tree for (w, b), per-row
@@ -63,15 +61,19 @@ object Conformal {
       .crossJoin(broadcast(s.select(w.as("__w"), b.as("__b"))))
       .withColumn("__pred", (col("__w") * col(featureCol)) + col("__b"))
     val cal = scored.filter(both && (col("__split") === 1))
-      .select(idCols.map(col) :+
-        abs(col(targetCol) - col("__pred")).as("__score"): _*)
-    val nCal = cal.count()
-    require(nCal > 0, "empty calibration split")
-    val qRank = math.min(math.ceil(level * (nCal + 1.0)).toLong, nCal)
-    val qHat = Ordinals.withGlobalRank(cal,
-        col("__score").asc +: idCols.map(col(_).asc), "__r")
-      .filter(col("__r") === qRank)
-      .select("__score").head().getDouble(0)
+      .select(abs(col(targetCol) - col("__pred")).as("__score"))
+    // r8: the radius is an ORDER STATISTIC of the scores, so the
+    // tie-broken row-rank selection and the histogram-refinement value
+    // selection pick the identical double — ties at the quantile rank
+    // all carry the same score. ~4 map-side scans, no range sort.
+    var qRank = 0L
+    val byRank = graft.ops.Relational.exactValuesAtRanks(cal, Seq("__score"),
+      (_, nCal) => {
+        require(nCal > 0, "empty calibration split")
+        qRank = math.min(math.ceil(level * (nCal + 1.0)).toLong, nCal)
+        Seq(qRank)
+      })("__score")
+    val qHat = byRank(qRank)
     scored.filter(col(featureCol).isNotNull && (col("__split") === 2))
       .select(idCols.map(col) ++ Seq(
         round(col("__pred"), roundTo).as("pred"),

@@ -309,8 +309,9 @@ object Audit {
     * "population shifted" alarm.
     *
     * Scale shape: cut points are the (b*n/bins)-th smallest reference
-    * values selected by [[Ordinals.withGlobalRank]]'s distributed rank
-    * (never a single-partition ntile), collected as bins-1 driver
+    * values selected by [[Relational.exactValuesAtRanks]]' shared
+    * histogram refinement (never a single-partition ntile, and — r8 —
+    * no longer a range sort of the slice), collected as bins-1 driver
     * doubles; bucket assignment is then a map-only comparison chain and
     * the bin counts for BOTH slices fold into one aggregate pass.
     * Exactness: cut ranks use integer arithmetic (b*n/bins in long
@@ -324,14 +325,17 @@ object Audit {
     val spark = df.sparkSession
     val ref = df.filter(col(groupCol) === refVal && col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__v"))
-    val nRef = ref.count()
-    require(nRef >= bins.toLong,
-      s"reference slice has $nRef rows; need >= $bins for $bins bins")
-    val ranks = (1 until bins).map(b => b.toLong * nRef / bins)
-    val cutByRank = Ordinals.withGlobalRank(ref, Seq(col("__v").asc), "__r")
-      .filter(col("__r").isin(ranks.distinct: _*))
-      .select(col("__r"), col("__v")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r8: cut values via the shared histogram-refinement selection —
+    // identical order statistics to a range sort, but ~4 map-side scans
+    // of the reference slice instead of shuffling every row of it
+    var ranks: Seq[Long] = Nil
+    val cutByRank = Relational.exactValuesAtRanks(ref, Seq("__v"),
+      (_, nRef) => {
+        require(nRef >= bins.toLong,
+          s"reference slice has $nRef rows; need >= $bins for $bins bins")
+        ranks = (1 until bins).map(b => b.toLong * nRef / bins)
+        ranks.distinct
+      })("__v")
     val cuts = ranks.map(cutByRank) // bins-1 doubles, multiplicity kept
     val bucket = cuts.foldLeft(lit(1L)) { (acc, c) =>
       acc + when(col("__v") > lit(c), 1L).otherwise(0L) }

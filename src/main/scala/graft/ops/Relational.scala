@@ -191,13 +191,15 @@ object Relational {
     require(0 < loPct && loPct < hiPct && hiPct <= 100,
       s"need 0 < loPct < hiPct <= 100, got ($loPct, $hiPct)")
     val vals = df.filter(col(c).isNotNull).select(col(c).cast("double").as("__v"))
-    val n = vals.count()
-    require(n > 0, s"winsorize: no non-null values in $c")
-    def rank(p: Int): Long = math.max(1L, (n * p + 99) / 100)
-    val rows = Ordinals.rowsAtRanks(vals, Seq(col("__v").asc),
-        _ => Seq(rank(loPct), rank(hiPct)))
-      .collect().map(_.getDouble(0)).sorted
-    (rows.head, rows.last)
+    // r8: histogram-refinement selection (shared scans, no range sort)
+    var rLo = 0L; var rHi = 0L
+    val byRank = exactValuesAtRanks(vals, Seq("__v"), (_, n) => {
+      require(n > 0, s"winsorize: no non-null values in $c")
+      def rank(p: Int): Long = math.max(1L, (n * p + 99) / 100)
+      rLo = rank(loPct); rHi = rank(hiPct)
+      Seq(rLo, rHi).distinct
+    })("__v")
+    (byRank(rLo), byRank(rHi))
   }
 
   /** Clip `c` into [lo, hi] (nulls pass through) — the map-only half of
@@ -226,19 +228,20 @@ object Relational {
     * Fit = two rank-selection jobs; transform = map-only. */
   def robustScale(df: DataFrame, c: String, out: String): DataFrame = {
     val vals = df.filter(col(c).isNotNull).select(col(c).cast(DoubleType).as("__v"))
-    val n = vals.count()
-    require(n > 0, s"robustScale: no non-null values in $c")
-    // all four order statistics (median pair + both quartiles) from ONE
-    // rank-selection sort; ranks sorted ascending map to values sorted
-    // ascending, so the zip recovers which value sits at which rank
-    def pct(p: Int): Long = math.max(1L, (n * p + 99) / 100)
-    val medRanks = Seq((n + 1) / 2, n / 2 + 1)
-    val wanted = (medRanks ++ Seq(pct(25), pct(75))).distinct.sorted
-    val got = Ordinals.rowsAtRanks(vals, Seq(col("__v").asc), _ => wanted)
-      .collect().map(_.getDouble(0)).sorted
-    val byRank = wanted.zip(got).toMap
+    // all four order statistics (median pair + both quartiles) from the
+    // shared histogram-refinement batch (r8: replaced the range sort —
+    // same selected values, ~4 map-side scans instead of a full shuffle)
+    var medRanks: Seq[Long] = Nil
+    var q1r = 0L; var q3r = 0L
+    val byRank = exactValuesAtRanks(vals, Seq("__v"), (_, n) => {
+      require(n > 0, s"robustScale: no non-null values in $c")
+      def pct(p: Int): Long = math.max(1L, (n * p + 99) / 100)
+      medRanks = Seq((n + 1) / 2, n / 2 + 1).distinct
+      q1r = pct(25); q3r = pct(75)
+      (medRanks ++ Seq(q1r, q3r)).distinct
+    })("__v")
     val med = medRanks.map(byRank).sum / medRanks.size
-    val (q1, q3) = (byRank(pct(25)), byRank(pct(75)))
+    val (q1, q3) = (byRank(q1r), byRank(q3r))
     val iqr = if (q3 > q1) q3 - q1 else 1.0
     df.withColumn(out, (col(c).cast(DoubleType) - med) / iqr)
   }
@@ -278,6 +281,38 @@ object Relational {
     * path (unbinnable range). */
   def exactMedians(df: DataFrame, cols: Seq[String], bins: Int = 4096,
                    collectLimit: Long = 65536): Map[String, Option[Double]] = {
+    val got = exactValuesAtRanks(df, cols,
+      (_, n) => Seq((n + 1) / 2, n / 2 + 1).distinct, bins, collectLimit)
+    cols.map { c =>
+      val byRank = got(c)
+      c -> (if (byRank.isEmpty) None
+            else Some(byRank.values.sum / byRank.size))
+    }.toMap
+  }
+
+  /** EXACT order statistics at ARBITRARY ranks of SEVERAL columns in a
+    * HANDFUL of shared aggregate scans — the generalized engine behind
+    * [[exactMedians]] (r8; same histogram-refinement loop, the rank
+    * seeds now caller-chosen). `ranksOf(c, n)` receives each column's
+    * non-null/non-NaN count and returns the wanted 1-based ascending
+    * ranks (out-of-range ranks are dropped); the result maps each
+    * column to rank -> value (empty for an empty column).
+    *
+    * This is what decile cuts (a27's PSI bins), quantile fences
+    * (winsorize/robust-scale), and conformal calibration radii should
+    * ride at 100 TB: ~4 map-side-combined SCANS total for any number of
+    * (column, rank) targets, instead of a full range SORT of the data
+    * per call — the sort shuffles every row; the histogram shuffles
+    * `bins` counters per target. NaN is treated as missing (excluded,
+    * like null); ±Inf columns fall back to the range-sort path
+    * (unbinnable range). Identical selections to the sort path by
+    * construction — both return THE value at the requested rank of the
+    * ascending order. */
+  def exactValuesAtRanks(df: DataFrame, cols: Seq[String],
+                         ranksOf: (String, Long) => Seq[Long],
+                         bins: Int = 4096,
+                         collectLimit: Long = 65536)
+      : Map[String, Map[Long, Double]] = {
     if (cols.isEmpty) return Map.empty
     def d(c: String) = col(c).cast(DoubleType)
     // pass 0: per-column non-null/non-NaN count + min/max
@@ -288,20 +323,29 @@ object Relational {
     val stats = df.agg(statAggs.head, statAggs.tail: _*).head()
     // a target = one rank of one column, refined within [lo, hi]
     // (both inclusive); rank is LOCAL to the interval
-    final case class Target(c: String, var rank: Long, var lo: Double,
-                            var hi: Double, var done: Option[Double] = None)
+    final case class Target(c: String, val wanted: Long, var rank: Long,
+                            var lo: Double, var hi: Double,
+                            var done: Option[Double] = None)
     val targets = scala.collection.mutable.ArrayBuffer.empty[Target]
-    val result = scala.collection.mutable.Map.empty[String, Option[Double]]
+    val result = scala.collection.mutable.Map.empty[String, Map[Long, Double]]
     cols.zipWithIndex.foreach { case (c, i) =>
       val n = stats.getLong(i * 3)
-      if (n == 0) result(c) = None
+      val ranks = ranksOf(c, n).distinct.filter(r => r >= 1 && r <= n)
+      if (ranks.isEmpty) result(c) = Map.empty
       else {
         val lo = stats.getDouble(i * 3 + 1); val hi = stats.getDouble(i * 3 + 2)
-        if (lo.isInfinite || hi.isInfinite) result(c) = exactMedian(df, c)
-        else if (lo == hi) result(c) = Some(lo)
-        else Seq((n + 1) / 2, n / 2 + 1).distinct.foreach { r =>
-          targets += Target(c, r, lo, hi)
+        if (lo.isInfinite || hi.isInfinite) {
+          // unbinnable range: one range-sorted selection for this column
+          val vals = df.select(d(c).as("__v"))
+            .filter(col("__v").isNotNull && !isnan(col("__v")))
+          val sortedRanks = ranks.sorted
+          val got = Ordinals.rowsAtRanks(vals, Seq(col("__v").asc),
+              _ => sortedRanks)
+            .collect().map(_.getDouble(0)).sorted
+          result(c) = sortedRanks.zip(got).toMap
         }
+        else if (lo == hi) result(c) = ranks.map(_ -> lo).toMap
+        else ranks.foreach { r => targets += Target(c, r, r, lo, hi) }
       }
     }
     var guard = 0
@@ -346,10 +390,9 @@ object Relational {
       }
     }
     require(targets.forall(_.done.isDefined),
-      s"exactMedians failed to converge in $guard rounds")
+      s"exactValuesAtRanks failed to converge in $guard rounds")
     targets.groupBy(_.c).foreach { case (c, ts) =>
-      val vals = ts.map(_.done.get)
-      result(c) = Some(vals.sum / vals.length)
+      result(c) = ts.map(t => t.wanted -> t.done.get).toMap
     }
     result.toMap
   }

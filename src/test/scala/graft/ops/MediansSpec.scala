@@ -61,4 +61,28 @@ class MediansSpec extends SparkSpec {
     assert(stats("a") == 500.5)
     assert(stats("b") == 6.0)
   }
+
+  test("exactValuesAtRanks == sort-based selection at arbitrary rank sets " +
+    "(r8 generalization)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 997).map(_ => (rng.nextGaussian() * 500,
+      rng.nextInt(25).toDouble))
+    val df = rows.toDF("cont", "dups")
+    // deciles + extremes + a middle run, per column
+    val wanted = Seq(1L, 99L, 100L, 101L, 250L, 500L, 750L, 997L)
+    val fast = Relational.exactValuesAtRanks(df, Seq("cont", "dups"),
+      (_, n) => wanted, bins = 16, collectLimit = 8)
+    for (c <- Seq("cont", "dups")) {
+      val sorted = rows.map(r => if (c == "cont") r._1 else r._2).sorted
+      val expect = wanted.map(r => r -> sorted((r - 1).toInt)).toMap
+      assert(fast(c) == expect, s"col $c diverged from the sorted oracle")
+    }
+    // out-of-range ranks drop; empty column gives an empty map
+    val edge = Relational.exactValuesAtRanks(df.select(col("cont"),
+        lit(null).cast("double").as("empty")), Seq("cont", "empty"),
+      (c, n) => Seq(0L, 1L, n + 5), bins = 16, collectLimit = 8)
+    assert(edge("cont") == Map(1L -> rows.map(_._1).min))
+    assert(edge("empty").isEmpty)
+  }
 }
