@@ -52,6 +52,49 @@ object Ridge {
       .drop("__w", "__b")
   }
 
+  /** Classical OLS inference panel for a single-feature fit: one row
+    * (n, slope, intercept, se_slope, se_intercept, t_slope, r2) — the
+    * standard-error / t-statistic summary every stats package prints
+    * next to the coefficients, answering "is this slope real or noise?"
+    * where [[fitPredict]] only answers "what is it?". Unregularized
+    * (lambda = 0): the inference formulas assume the OLS estimator.
+    *
+    * Scale shape: ONE aggregate pass of six exact-decimal sufficient
+    * statistics (adds Σy² to the m23 five), one row ever after.
+    * Exactness: the same decimal(12,4)/(8,3) casts as [[fitPredict]];
+    * every reported statistic is a fixed double tree over the exact
+    * sums (sqrt is IEEE-exact), rounded to 6. */
+  def olsInference(df: DataFrame, targetCol: String,
+                   featureCol: String): DataFrame = {
+    val both = col(featureCol).isNotNull && col(targetCol).isNotNull
+    val x = when(both, col(featureCol)).cast("decimal(12,4)")
+    val y = when(both, col(targetCol)).cast("decimal(8,3)")
+    val s = df.agg(
+      count(when(both, 1)).cast("double").as("__n"),
+      sum(x).cast("double").as("__sx"), sum(y).cast("double").as("__sy"),
+      sum(x * y).cast("double").as("__sxy"),
+      sum(x * x).cast("double").as("__sxx"),
+      sum(y * y).cast("double").as("__syy"))
+    val n = col("__n")
+    val mx = col("__sx") / n
+    val my = col("__sy") / n
+    val cxx = col("__sxx") - (n * (mx * mx))
+    val cxy = col("__sxy") - (n * (mx * my))
+    val cyy = col("__syy") - (n * (my * my))
+    val slope = cxy / cxx
+    val sse = cyy - (slope * cxy)
+    val sigma2 = sse / (n - lit(2.0))
+    val seSlope = sqrt(sigma2 / cxx)
+    s.select(n.cast("long").as("n"),
+      round(slope, 6).as("slope"),
+      round(my - (slope * mx), 6).as("intercept"),
+      round(seSlope, 6).as("se_slope"),
+      round(sqrt(sigma2 * ((lit(1.0) / n) + ((mx * mx) / cxx))), 6)
+        .as("se_intercept"),
+      round(slope / seSlope, 6).as("t_slope"),
+      round(lit(1.0) - (sse / cyy), 6).as("r2"))
+  }
+
   /** Exact-decimal Gram sufficient statistics for a p-feature ridge fit
     * over the both-non-null population: ONE aggregate row holding n,
     * sum(x_i), sum(y), sum(x_i*x_j) for i<=j, and sum(x_i*y) — every sum

@@ -467,6 +467,87 @@ object Audit {
           * lit(0.5), 6).as("js_div"))
   }
 
+  /** Delete-one-block jackknife standard error of the mean of
+    * `valueCol`: one row (n, k, mean, jackknife_se). The
+    * distribution-free uncertainty estimate for a pipeline-level
+    * metric ("the corpus mean quality is 0.73 ± what?") — blocks are
+    * the deterministic residues of `idCol` mod k, so the estimate is
+    * replayable; leave-one-out means come from complement-of-block
+    * sums, so no per-block pass exists.
+    *
+    * Scale shape: ONE map-side-combined aggregate produces the k block
+    * (count, sum) cells; everything after is k-rows-sized. Exactness:
+    * block sums accumulate in DECIMAL(18,6); the k leave-one-out means
+    * and their squared deviations are fixed double trees, each rounded
+    * to 9 and DECIMAL-summed — order-independent, bit-replayable.
+    * Blocks with no non-null value still count as draws (their
+    * leave-one-out mean is the full mean); only residues absent from
+    * the data entirely reduce the effective k. */
+  def jackknifeSe(df: DataFrame, valueCol: String, idCol: String,
+                  k: Int = 10): DataFrame = {
+    require(k >= 2, s"need at least 2 blocks, got $k")
+    val v = col(valueCol).cast("decimal(18,6)")
+    val cells = df.groupBy(pmod(col(idCol), lit(k)).as("__b"))
+      .agg(count(v).as("__nb"), sum(v).as("__sb"))
+    val tot = cells.agg(sum("__nb").as("__n"), sum("__sb").as("__s"),
+      count(lit(1)).as("__k"))
+    val looMean = (col("__s") - coalesce(col("__sb"), lit(0))).cast("double") /
+      (col("__n") - col("__nb")).cast("double")
+    val withTot = cells.crossJoin(broadcast(tot))
+    val thetaBar = withTot
+      .agg(first(col("__n")).as("__n"), first(col("__s")).as("__s"),
+        first(col("__k")).as("__k"),
+        (sum(round(looMean, 9).cast("decimal(28,9)")).cast("double")
+          / first(col("__k")).cast("double")).as("__tbar"))
+    val dev = looMean - col("__tbar")
+    val kD = col("__k").cast("double")
+    cells.crossJoin(broadcast(thetaBar))
+      .groupBy(col("__n"), col("__k"), col("__s"), col("__tbar"))
+      .agg(sum(round(dev * dev, 9).cast("decimal(28,9)")).cast("double")
+        .as("__ss"))
+      .select(col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("k"),
+        round(col("__s").cast("double") / col("__n").cast("double"), 6)
+          .as("mean"),
+        round(sqrt(((kD - lit(1.0)) / kD) * col("__ss")), 6)
+          .as("jackknife_se"))
+  }
+
+  /** Gini concentration coefficient of a non-negative `valueCol`: one
+    * row (n, total, gini) with G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)
+    * over the ascending order — "how concentrated is the corpus across
+    * documents/sources?" (G=0 everyone equal, G→1 one row holds
+    * everything). The Lorenz-curve number behind the a1/a3 frequency
+    * reports.
+    *
+    * Scale shape: the global rank rides [[Ordinals.withGlobalRank]]'s
+    * range-partitioned prefix sum (the one sort a total order needs —
+    * same budget as [[ksTest]]'s CDFs), then ONE aggregate folds the
+    * rank-weighted sum. Exactness: values enter as integer thousandths
+    * and rank·x products stay in DECIMAL(38,0), so both sums are exact
+    * integers under any partitioning; ties are rank-order invariant
+    * (equal x at any permutation of adjacent ranks gives the same
+    * Σ rank·x). `tieCols` must complete a total order for deterministic
+    * ranks. */
+  def gini(df: DataFrame, valueCol: String, tieCols: Seq[String]): DataFrame = {
+    val m = round(col(valueCol) * lit(1000), 0).cast("decimal(19,0)")
+    val sortAliases = (col(valueCol).cast("double") +: tieCols.map(col))
+      .zipWithIndex.map { case (c, i) => c.as(s"__t$i") }
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(m.as("__m") +: sortAliases: _*)
+    val ranked = Ordinals.withGlobalRank(vals,
+      (0 to tieCols.size).map(i => col(s"__t$i").asc), "__r")
+    ranked.agg(count(lit(1)).as("__n"), sum(col("__m")).as("__sx"),
+        sum(col("__r").cast("decimal(19,0)") * col("__m")).as("__srx"))
+      .select(col("__n").cast("long").as("n"),
+        round(col("__sx").cast("double") / lit(1000.0), 6).as("total"),
+        round(((lit(2.0) * col("__srx").cast("double"))
+          - ((col("__n").cast("double") + lit(1.0))
+            * col("__sx").cast("double")))
+          / (col("__n").cast("double") * col("__sx").cast("double")), 6)
+          .as("gini"))
+  }
+
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))

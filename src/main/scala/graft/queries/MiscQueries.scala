@@ -247,6 +247,19 @@ object MiscQueries {
       graft.ops.Audit.anovaF(Tables.events(s, dir), "event_type",
         "value")),
 
+    "a32_jackknife_se" -> ((s, dir) =>
+      // delete-one-block jackknife SE of the mean (r8): deterministic
+      // event_id-residue blocks, complement-of-block leave-one-out
+      // means, k-rows after one aggregate
+      graft.ops.Audit.jackknifeSe(Tables.events(s, dir), "value",
+        "event_id", k = 10)),
+
+    "a33_gini" -> ((s, dir) =>
+      // Gini concentration of line revenue (r8): exact integer rank
+      // and thousandths sums over the distributed global rank
+      graft.ops.Audit.gini(Tables.lineitem(s, dir), "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"))),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -868,6 +881,56 @@ object MiscQueries {
              round(((b - ((t1 * t1) / n)) / (k - 1.0))
                    / ((t2 - b) / (n - k)), 6) AS f_stat
       FROM tot""",
+
+    // a32: blocks by event_id % 10, DECIMAL(18,6) block sums, the
+    // leave-one-out mean / deviation trees token-identical, both
+    // reductions over the k cells round-9 DECIMAL-summed
+    "a32_jackknife_se" -> """
+      WITH cells AS (
+        SELECT event_id % 10 AS b,
+               count(CAST(value AS DECIMAL(18,6))) AS nb,
+               sum(CAST(value AS DECIMAL(18,6))) AS sb
+        FROM events GROUP BY 1),
+      t AS (SELECT sum(nb) AS n, sum(sb) AS s, count(*) AS k FROM cells),
+      loo AS (
+        SELECT CAST(t.s - coalesce(cells.sb, 0) AS DOUBLE)
+               / CAST(t.n - cells.nb AS DOUBLE) AS theta, t.n, t.s, t.k
+        FROM cells CROSS JOIN t),
+      tb AS (
+        SELECT n, s, k,
+               CAST(sum(CAST(round(theta, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / CAST(k AS DOUBLE) AS tbar
+        FROM loo GROUP BY n, s, k),
+      ss AS (
+        SELECT tb.n, tb.k, tb.s,
+               CAST(sum(CAST(round(
+                 (loo.theta - tb.tbar) * (loo.theta - tb.tbar), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS ssd
+        FROM loo CROSS JOIN tb GROUP BY tb.n, tb.k, tb.s)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+             round(sqrt(((CAST(k AS DOUBLE) - 1.0) / CAST(k AS DOUBLE))
+                        * ssd), 6) AS jackknife_se
+      FROM ss""",
+
+    // a33: rank replayed under the same (value, orderkey, linenumber)
+    // total order; rank*thousandths products exact DECIMAL integers
+    "a33_gini" -> """
+      WITH v AS (
+        SELECT CAST(round(l_extendedprice * 1000, 0) AS DECIMAL(19,0)) AS m,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rn
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      s AS (
+        SELECT count(*) AS n, sum(m) AS sx,
+               sum(CAST(rn AS DECIMAL(19,0)) * m) AS srx
+        FROM v)
+      SELECT CAST(n AS BIGINT) AS n,
+             round(CAST(sx AS DOUBLE) / 1000.0, 6) AS total,
+             round(((2.0 * CAST(srx AS DOUBLE))
+                    - ((CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)))
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+      FROM s""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """

@@ -359,6 +359,13 @@ object MlQueries {
           .when(col("l_orderkey") % 10 < 8, 1).otherwise(2),
         idCols = Seq("l_orderkey", "l_linenumber"), lambda = 0.5)),
 
+    "m29_ols_inference" -> ((s, dir) =>
+      // OLS inference panel (r8): slope/intercept with standard
+      // errors, t statistic and R² from ONE exact-decimal aggregate —
+      // the "is the slope real?" summary next to m23's point fit
+      graft.ml.Ridge.olsInference(Tables.lineitem(s, dir),
+        "l_quantity", "l_extendedprice")),
+
     "m27_lift_gains" -> ((s, dir) =>
       // decile lift / cumulative gains (r8): rank by value desc under
       // the (value, event_id) total order via the distributed global
@@ -873,6 +880,50 @@ object MlQueries {
              round(((g.w * sp.l_extendedprice) + g.b) + q.qhat, 4) AS hi
       FROM sp CROSS JOIN g CROSS JOIN q
       WHERE sp.md >= 8 AND sp.l_extendedprice IS NOT NULL""",
+
+    // m29: the m23 sufficient-statistics CTE plus Σy² (DuckDB keeps
+    // operand width on decimal multiply, so the wide first-operand
+    // casts reproduce Spark's product values); every inference formula
+    // the same double tree over the same exact sums
+    "m29_ols_inference" -> """
+      WITH b AS (
+        SELECT CASE WHEN l_extendedprice IS NOT NULL
+                    AND l_quantity IS NOT NULL THEN l_extendedprice END AS xe,
+               CASE WHEN l_extendedprice IS NOT NULL
+                    AND l_quantity IS NOT NULL THEN l_quantity END AS yq
+        FROM lineitem),
+      s AS (
+        SELECT CAST(count(xe) AS DOUBLE) AS n,
+               CAST(sum(CAST(xe AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(yq AS DECIMAL(8,3))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(xe AS DECIMAL(20,4))
+                        * CAST(yq AS DECIMAL(8,3))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(xe AS DECIMAL(20,4))
+                        * CAST(xe AS DECIMAL(12,4))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(yq AS DECIMAL(16,3))
+                        * CAST(yq AS DECIMAL(8,3))) AS DOUBLE) AS syy
+        FROM b),
+      f AS (
+        SELECT n,
+               (sx / n) AS mx, (sy / n) AS my,
+               (sxx - (n * ((sx / n) * (sx / n)))) AS cxx,
+               (sxy - (n * ((sx / n) * (sy / n)))) AS cxy,
+               (syy - (n * ((sy / n) * (sy / n)))) AS cyy
+        FROM s),
+      g AS (
+        SELECT n, mx, my, cxx, cxy, cyy, (cxy / cxx) AS slope,
+               (cyy - ((cxy / cxx) * cxy)) AS sse
+        FROM f)
+      SELECT CAST(n AS BIGINT) AS n,
+             round(slope, 6) AS slope,
+             round(my - (slope * mx), 6) AS intercept,
+             round(sqrt((sse / (n - 2.0)) / cxx), 6) AS se_slope,
+             round(sqrt((sse / (n - 2.0))
+                        * ((1.0 / n) + ((mx * mx) / cxx))), 6)
+               AS se_intercept,
+             round(slope / sqrt((sse / (n - 2.0)) / cxx), 6) AS t_slope,
+             round(1.0 - (sse / cyy), 6) AS r2
+      FROM g""",
 
     // m27: rank replayed under the same (value DESC, event_id) total
     // order, e8's bucket formula, 10-row cumulative window; every

@@ -87,4 +87,29 @@ class RidgeSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - want) < 1e-4, (r, want))
     }
   }
+
+  test("olsInference: hand-computed panel on a 4-point fit") {
+    import spark.implicits._
+    // x = 1..4, y = (2,4,5,7): slope 1.6, intercept 0.5, SSE 0.2,
+    // se_slope = sqrt(0.1/5), t = slope/se, r2 = 1 - 0.2/13
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, 7.0))
+      .toDF("x", "y")
+    val Array(r) = Ridge.olsInference(df, "y", "x").collect()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 1.6, "slope")
+    assert(r.getDouble(2) == 0.5, "intercept")
+    assert(r.getDouble(3) == 0.141421, "se_slope")
+    assert(r.getDouble(4) == 0.387298, "se_intercept")
+    assert(r.getDouble(5) == 11.313708, "t_slope")
+    assert(r.getDouble(6) == 0.984615, "r2")
+  }
+
+  test("olsInference nulls: both-non-null population, like fitPredict") {
+    import spark.implicits._
+    val d = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, 7.0),
+      (null, 999.0), (99.0, null)).toDF("x", "y")
+    val Array(r) = Ridge.olsInference(d, "y", "x").collect()
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 1.6)
+  }
 }

@@ -183,6 +183,34 @@ class AuditSpec extends SparkSpec {
     assert(out("y")._3 == -0.847298 && out("y")._4 == 0.338919)
   }
 
+  test("jackknifeSe: hand-computed leave-one-out blocks") {
+    import spark.implicits._
+    // ids 1..10, values 1..10, k=2: odd block sums 25, even 30;
+    // theta = {5, 6}, tbar 5.5, SE = sqrt((1/2)*0.5) = 0.5
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val Array(r) = Audit.jackknifeSe(df, "v", "id", k = 2).collect()
+    assert((r.getLong(0), r.getLong(1)) == (10L, 2L))
+    assert(r.getDouble(2) == 5.5)
+    assert(r.getDouble(3) == 0.5)
+    // partitioning-invariant (DECIMAL block sums, round-9 reductions)
+    val Array(r2) = Audit.jackknifeSe(df.repartition(7), "v", "id", k = 2)
+      .collect()
+    assert(r.toSeq == r2.toSeq)
+  }
+
+  test("gini: equal values give 0, single holder gives 1 - 1/n") {
+    import spark.implicits._
+    val equal = (1 to 8).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val Array(r) = Audit.gini(equal, "v", Seq("id")).collect()
+    assert(r.getLong(0) == 8L && r.getDouble(2) == 0.0)
+
+    val oneHolder = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 10.0))
+      .toDF("id", "v")
+    val Array(r2) = Audit.gini(oneHolder, "v", Seq("id")).collect()
+    assert(r2.getDouble(1) == 10.0)    // total
+    assert(r2.getDouble(2) == 0.75)    // 1 - 1/4
+  }
+
   test("jsDrift: identical slices give 0, disjoint give ln 2") {
     import spark.implicits._
     val same = (Seq.fill(5)(("a", "k1")) ++ Seq.fill(3)(("a", "k2")) ++
