@@ -50,6 +50,64 @@ object Calibration {
   def plattApply(score: Column, ab: (Double, Double)): Column =
     lit(1.0) / (lit(1.0) + exp(-(lit(ab._1) * score + lit(ab._2))))
 
+  /** Isotonic calibration by EXACT pool-adjacent-violators on a bounded
+    * bucket domain: per observed value of `bucketCol` (an ordered
+    * integer cut of the raw score — the m28 fixed-width rule, or any
+    * deterministic monotone binning), returns (bucket, n, n_pos,
+    * fitted) where `fitted` is the L2-optimal monotone non-decreasing
+    * fit to the per-bucket positive rates — the nonparametric
+    * counterpart of [[plattFit]] (no sigmoid shape assumed), the other
+    * standard answer to a bent reliability curve.
+    *
+    * Scale shape: ONE map-side-combined aggregate reduces the data to
+    * (bucket, count, positives) — buckets-sized — and PAV runs on the
+    * driver over those cells (the dictionary-bounded collect pattern;
+    * the score domain is bucketed precisely so this is O(buckets), the
+    * same budget [[plattFit]] spends per Newton step). Exactness: PAV
+    * pools with LONG cross-multiplication compares (s1·n2 vs s2·n1 —
+    * never a float ratio), so the merged blocks are the mathematically
+    * exact PAV solution; each fitted value is one double division of
+    * exact longs. Replayable via the minimax identity
+    * fitted_i = max_{k<=i} min_{j>=i} mean(y[k..j]). */
+  def isotonicFit(pred: DataFrame, bucketCol: String, pos: Column): DataFrame = {
+    val spark = pred.sparkSession
+    val cells = pred.filter(col(bucketCol).isNotNull)
+      .groupBy(col(bucketCol).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"), count(when(pos, 1)).as("n_pos"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(cells.nonEmpty, "isotonicFit: no non-null buckets")
+    // PAV: stack of blocks (firstIdx, n, s); merge while the top block's
+    // mean is BELOW its predecessor's (violates non-decreasing order)
+    final case class Block(var first: Int, var n: Long, var s: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    cells.zipWithIndex.foreach { case ((_, n, s), i) =>
+      stack += Block(i, n, s)
+      // s_prev/n_prev > s_top/n_top  <=>  s_prev*n_top > s_top*n_prev
+      while (stack.length >= 2 &&
+        stack(stack.length - 2).s * stack.last.n >
+          stack.last.s * stack(stack.length - 2).n) {
+        val top = stack.remove(stack.length - 1)
+        stack.last.n += top.n
+        stack.last.s += top.s
+      }
+    }
+    val fitted = new Array[Double](cells.length)
+    stack.zipWithIndex.foreach { case (b, bi) =>
+      val until = if (bi + 1 < stack.length) stack(bi + 1).first
+                  else cells.length
+      (b.first until until).foreach { i =>
+        fitted(i) = b.s.toDouble / b.n.toDouble
+      }
+    }
+    import spark.implicits._
+    cells.zipWithIndex.map { case ((bucket, n, s), i) =>
+      (bucket, n, s, fitted(i))
+    }.toSeq.toDF("bucket", "n", "n_pos", "fitted")
+      // Spark's HALF_UP round, matching every oracle's round() exactly
+      .withColumn("fitted", round(col("fitted"), 6))
+  }
+
   /** Reliability diagram + Murphy Brier decomposition: cut `probCol`
     * (a probability in [0,1]) into `bins` fixed-width bins and report
     * per observed bin (bin, n, avg_prob, frac_pos, rel_term, res_term).

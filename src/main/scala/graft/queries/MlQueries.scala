@@ -359,6 +359,17 @@ object MlQueries {
           .when(col("l_orderkey") % 10 < 8, 1).otherwise(2),
         idCols = Seq("l_orderkey", "l_linenumber"), lambda = 0.5)),
 
+    "m30_isotonic" -> ((s, dir) =>
+      // isotonic calibration (r8): exact PAV over the m28 score cut at
+      // 20 buckets — long cross-multiplication pooling on the driver
+      // over one buckets-sized aggregate; DuckDB replays it through the
+      // minimax identity fitted_i = max_{k<=i} min_{j>=i} mean(k..j)
+      graft.ml.Calibration.isotonicFit(
+        Tables.events(s, dir).withColumn("bucket",
+          least(floor((least(col("value"), lit(200.0)) / lit(200.0))
+            * lit(20)) + lit(1), lit(20L)).cast("int")),
+        "bucket", col("event_type") === "click")),
+
     "m29_ols_inference" -> ((s, dir) =>
       // OLS inference panel (r8): slope/intercept with standard
       // errors, t statistic and R² from ONE exact-decimal aggregate —
@@ -880,6 +891,34 @@ object MlQueries {
              round(((g.w * sp.l_extendedprice) + g.b) + q.qhat, 4) AS hi
       FROM sp CROSS JOIN g CROSS JOIN q
       WHERE sp.md >= 8 AND sp.l_extendedprice IS NOT NULL""",
+
+    // m30: the same bucket cut, then PAV replayed via the minimax
+    // identity over prefix sums — the winning segment is exactly the
+    // engine's pooled block, so the fitted double is the same division
+    "m30_isotonic" -> """
+      WITH pr AS (
+        SELECT CAST(least(floor((least(value, 200.0) / 200.0) * 20) + 1,
+                          20) AS INT) AS b,
+               event_type
+        FROM events WHERE value IS NOT NULL),
+      agg AS (
+        SELECT b, count(*) AS n,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS s
+        FROM pr GROUP BY 1),
+      pre AS (
+        SELECT b, n, s, sum(n) OVER (ORDER BY b) AS cn,
+               sum(s) OVER (ORDER BY b) AS cs
+        FROM agg),
+      seg AS (
+        SELECT i.b AS bi, k.b AS bk,
+               min(CAST(j.cs - k.cs + k.s AS DOUBLE)
+                   / CAST(j.cn - k.cn + k.n AS DOUBLE)) AS mn
+        FROM pre i JOIN pre k ON k.b <= i.b JOIN pre j ON j.b >= i.b
+        GROUP BY 1, 2),
+      fit AS (SELECT bi AS b, max(mn) AS fitted FROM seg GROUP BY 1)
+      SELECT agg.b AS bucket, agg.n, agg.s AS n_pos,
+             round(fit.fitted, 6) AS fitted
+      FROM agg JOIN fit ON agg.b = fit.b""",
 
     // m29: the m23 sufficient-statistics CTE plus Σy² (DuckDB keeps
     // operand width on decimal multiply, so the wide first-operand

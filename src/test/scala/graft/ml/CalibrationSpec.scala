@@ -38,6 +38,50 @@ class CalibrationSpec extends SparkSpec {
     assert(ps.forall(p => p > 0 && p < 1))
   }
 
+  test("isotonicFit: pools violators exactly, preserves monotone input") {
+    import spark.implicits._
+    // bucket rates (0.5, 0.2, 0.8): PAV pools 1+2 to 2/7, leaves 3
+    val df = (Seq.fill(1)((1, 1)) ++ Seq.fill(1)((1, 0)) ++
+      Seq.fill(1)((2, 1)) ++ Seq.fill(4)((2, 0)) ++
+      Seq.fill(4)((3, 1)) ++ Seq.fill(1)((3, 0))).toDF("b", "y")
+    val out = Calibration.isotonicFit(df, "b", col("y") === 1)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1) == ((2L, 1L, 0.285714)), out.toString) // 2/7
+    assert(out(2) == ((5L, 1L, 0.285714)))
+    assert(out(3) == ((5L, 4L, 0.8)))
+
+    // already-monotone input is returned unchanged
+    val mono = (Seq.fill(9)((1, 0)) ++ Seq.fill(1)((1, 1)) ++
+      Seq.fill(5)((2, 0)) ++ Seq.fill(5)((2, 1)) ++
+      Seq.fill(1)((3, 0)) ++ Seq.fill(9)((3, 1))).toDF("b", "y")
+    val fit = Calibration.isotonicFit(mono, "b", col("y") === 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(fit == Map(1 -> 0.1, 2 -> 0.5, 3 -> 0.9))
+  }
+
+  test("isotonicFit: cascade pooling, monotone output, mass preserved") {
+    import spark.implicits._
+    // strictly DECREASING rates force a full cascade into one block
+    val df = (Seq.fill(9)((1, 1)) ++ Seq.fill(1)((1, 0)) ++
+      Seq.fill(5)((2, 1)) ++ Seq.fill(5)((2, 0)) ++
+      Seq.fill(1)((3, 1)) ++ Seq.fill(9)((3, 0))).toDF("b", "y")
+    val rows = Calibration.isotonicFit(df, "b", col("y") === 1).collect()
+    assert(rows.forall(_.getDouble(3) == 0.5), rows.mkString(","))
+    // weighted fitted mass equals the positive count (PAV invariant)
+    val mass = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(mass - 15.0) < 1e-6)
+    // output is monotone under any random rates
+    val rng = new scala.util.Random(3)
+    val noisy = (1 to 2000).map { _ =>
+      val b = rng.nextInt(15) + 1
+      (b, if (rng.nextDouble() < (15 - b) / 20.0) 1 else 0)
+    }.toDF("b", "y")
+    val fs = Calibration.isotonicFit(noisy, "b", col("y") === 1)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(3))
+    assert(fs.zip(fs.tail).forall { case (a, b) => a <= b })
+  }
+
   test("reliability: hand-computed bins, Brier terms, edge clamping") {
     import spark.implicits._
     // 4 rows at p=0.1 (1 pos), 4 at p=0.9 (3 pos); N=8, base=0.5
