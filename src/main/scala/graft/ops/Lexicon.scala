@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -389,5 +389,46 @@ object Lexicon {
         round(sum(col("c") * log(col("__ct").cast(DoubleType) / col("__tot"))) /
           sum("c"), 6).as("mean_logprob"))
       .withColumnRenamed("id", idCol)
+  }
+
+  /** Zipf-law fit over the token frequency spectrum: OLS of ln(count)
+    * on ln(rank) across the top `topK` vocabulary terms, returned as
+    * one row (v, zipf_exponent, intercept, r2) with exponent = −slope.
+    * The corpus-linguistics health check a pipeline runs per source:
+    * natural text sits near exponent 1; template/spam-heavy or
+    * boilerplate-stripped slices drift visibly (Zipf 1949; Piantadosi
+    * 2014 review).
+    *
+    * Scale shape: term counts are one map-side-combined aggregate; the
+    * rank is [[Ordinals.withGlobalRank]] over the VOCABULARY frame
+    * (distinct terms, not tokens) under the (count desc, term) total
+    * order; the regression is one aggregate over topK rows. Exactness:
+    * each point's ln trees are fixed doubles over exact integer
+    * (rank, count), rounded to 9 and DECIMAL-summed, so the fit is
+    * order-independent; the OLS formulas are the m29 trees. */
+  def zipfFit(df: DataFrame, textCol: String, idCol: String,
+              topK: Int = 500): DataFrame = {
+    val counts = vocabulary(df, textCol, idCol)
+    val ranked = Ordinals.withGlobalRank(counts,
+        Seq(col("n").desc, col("term").asc), "__r")
+      .filter(col("__r") <= topK)
+    val lx = log(col("__r").cast(DoubleType))
+    val ly = log(col("n").cast(DoubleType))
+    def dsum(c: Column) = sum(round(c, 9).cast("decimal(28,9)")).cast(DoubleType)
+    val s = ranked.agg(count(lit(1)).cast(DoubleType).as("__v"),
+      dsum(lx).as("__sx"), dsum(ly).as("__sy"),
+      dsum(lx * ly).as("__sxy"), dsum(lx * lx).as("__sxx"),
+      dsum(ly * ly).as("__syy"))
+    val v = col("__v")
+    val mx = col("__sx") / v
+    val my = col("__sy") / v
+    val cxx = col("__sxx") - (v * (mx * mx))
+    val cxy = col("__sxy") - (v * (mx * my))
+    val cyy = col("__syy") - (v * (my * my))
+    val slope = cxy / cxx
+    s.select(v.cast("long").as("v"),
+      round(lit(0.0) - slope, 6).as("zipf_exponent"),
+      round(my - (slope * mx), 6).as("intercept"),
+      round(lit(1.0) - ((cyy - (slope * cxy)) / cyy), 6).as("r2"))
   }
 }

@@ -670,6 +670,13 @@ object TextQueries {
       Lexicon.vocabulary(Tables.documents(s, dir), "text", "doc_id",
         minCount = 2L, topK = 50)),
 
+    "t59_zipf" -> ((s, dir) =>
+      // Zipf-law fit (r8): OLS of ln(count) on ln(rank) over the top
+      // 300 vocabulary terms — the corpus-health exponent; the rank
+      // sort covers the vocabulary frame, never the token stream
+      Lexicon.zipfFit(Tables.documents(s, dir), "text", "doc_id",
+        topK = 300)),
+
     "t12_tfidf" -> ((s, dir) =>
       // per-doc top-3 TF-IDF keywords, rank-stable via pre-rank rounding;
       // vocab mode is ADAPTIVE: the small corpus vocabulary auto-selects
@@ -1727,6 +1734,46 @@ object TextQueries {
       c AS (SELECT term, count(*) AS n FROM tok WHERE term <> '' GROUP BY term)
       SELECT term, n FROM c WHERE n >= 2
       QUALIFY row_number() OVER (ORDER BY n DESC, term) <= 50""",
+
+    // t59: same tokenization, ranks under the same (n DESC, term) total
+    // order, each point's ln trees rounded to 9 and DECIMAL-summed, the
+    // m29 OLS trees over those sums
+    "t59_zipf" -> s"""
+      WITH tok AS (SELECT unnest($lowToksSql) AS term FROM documents),
+      c AS (SELECT term, count(*) AS n FROM tok WHERE term <> ''
+            GROUP BY term),
+      r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rn
+        FROM c QUALIFY rn <= 300),
+      s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS v,
+               CAST(sum(CAST(round(ln(CAST(rn AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(round(ln(CAST(n AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(ln(CAST(rn AS DOUBLE))
+                                   * ln(CAST(n AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(round(ln(CAST(rn AS DOUBLE))
+                                   * ln(CAST(rn AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(round(ln(CAST(n AS DOUBLE))
+                                   * ln(CAST(n AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS syy
+        FROM r),
+      f AS (
+        SELECT v,
+               (sx / v) AS mx, (sy / v) AS my,
+               (sxx - (v * ((sx / v) * (sx / v)))) AS cxx,
+               (sxy - (v * ((sx / v) * (sy / v)))) AS cxy,
+               (syy - (v * ((sy / v) * (sy / v)))) AS cyy
+        FROM s),
+      g AS (SELECT v, mx, my, cxx, cxy, cyy, (cxy / cxx) AS slope FROM f)
+      SELECT CAST(v AS BIGINT) AS v,
+             round(0.0 - slope, 6) AS zipf_exponent,
+             round(my - (slope * mx), 6) AS intercept,
+             round(1.0 - ((cyy - (slope * cxy)) / cyy), 6) AS r2
+      FROM g""",
 
     // tfidf is rounded to 6 digits BEFORE the per-doc rank on both sides,
     // so a last-ulp ln() difference cannot flip near-ties

@@ -235,4 +235,26 @@ class LexiconSpec extends SparkSpec {
       Lexicon.heavyHitters(docs, "text", "doc_id", reportDiv = 9, sketchK = 8)
     }
   }
+
+  test("zipfFit: exact power law recovers exponent 1 with r2 ~ 1") {
+    import spark.implicits._
+    // counts 2520/r for ranks 1..4: ln n = ln 2520 - 1 * ln r exactly
+    val toks = Seq.fill(2520)("aa") ++ Seq.fill(1260)("bb") ++
+      Seq.fill(840)("cc") ++ Seq.fill(630)("dd")
+    val docs = toks.grouped(100).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(5)
+    val Array(r) = Lexicon.zipfFit(docs, "text", "doc_id", topK = 10)
+      .collect()
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-6, s"exponent ${r.getDouble(1)}")
+    assert(r.getDouble(3) > 0.999999, s"r2 ${r.getDouble(3)}")
+
+    // steeper spectrum (counts 1000/r^2) -> exponent 2
+    val steep = Seq.fill(1000)("aa") ++ Seq.fill(250)("bb") ++
+      Seq.fill(111)("cc")  // 1000/9 rounded: near-2 exponent, r2 high
+    val sd = Seq((1L, steep.mkString(" "))).toDF("doc_id", "text")
+    val Array(r2row) = Lexicon.zipfFit(sd, "text", "doc_id").collect()
+    assert(math.abs(r2row.getDouble(1) - 2.0) < 0.01)
+  }
 }
