@@ -27,6 +27,15 @@ object StreamingQueries {
       Streams.withProps(Tables.events(s, dir))
         .groupBy("event_type").agg(sum("k").as("sum_k"), count(lit(1)).as("n"))),
 
+    "st13_window_drift" -> ((s, dir) =>
+      // streaming drift monitor (r8), batch path: per-hour chi-square
+      // of the value-band histogram vs a closed-form reference
+      // (q_b = (b+1)/55 over bands 0..9) through TWO chained windowed
+      // aggregations; StreamingSpec proves the same transform on a
+      // real watermark+append stream
+      Streams.windowDrift(Tables.events(s, dir),
+        (col("band").cast("double") + lit(1.0)) / lit(55.0))),
+
     "st5_big_spender" -> ((s, dir) =>
       graft.streaming.Stateful.bigSpenderBatch(Tables.events(s, dir), threshold = 500.0)),
 
@@ -203,6 +212,27 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // st13: hour windows = epoch-aligned date_trunc; the n²/q terms
+    // (q = (band+1)/55) rounded to 9 and DECIMAL-summed per window,
+    // chi2 = S2/N − N with the engine's exact tree
+    "st13_window_drift" -> """
+      WITH b AS (
+        SELECT date_trunc('hour', ts) AS ws,
+               CAST(floor(value / 50.0) AS INT) AS band
+        FROM events WHERE value IS NOT NULL),
+      c AS (SELECT ws, band, count(*) AS n FROM b GROUP BY 1, 2),
+      w AS (
+        SELECT ws, sum(n) AS nw,
+               CAST(sum(CAST(round(
+                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / ((CAST(band AS DOUBLE) + 1.0) / 55.0), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS s2
+        FROM c GROUP BY 1)
+      SELECT ws AS window_start, CAST(nw AS BIGINT) AS n,
+             round((s2 / CAST(nw AS DOUBLE)) - CAST(nw AS DOUBLE), 6)
+               AS chi2_ref
+      FROM w""",
+
     "st10_stream_static_join" -> """
       SELECT e.event_type, c.c_mktsegment, count(*) AS n,
              round(sum(e.value), 4) AS sum_value

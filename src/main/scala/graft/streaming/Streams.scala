@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
@@ -46,6 +46,41 @@ object Streams {
   /** JSON property extraction from the props column (scalar map pass). */
   def withProps(events: DataFrame): DataFrame =
     events.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+
+  /** Per-window distribution-drift monitor: chi-square statistic of
+    * each 1h window's value-band histogram against a reference
+    * distribution, per window — the continuous-ingestion counterpart of
+    * the batch a27/a28/a30 drift checks ("alert when an hour of intake
+    * stops looking like the reference"). `refProb` is an expression
+    * giving the reference probability of `band` (literals or a closed
+    * form — it must be row-local so the plan stays streamable).
+    *
+    * Identity: χ² = Σ_b (n_b − N·q_b)²/(N·q_b) = (Σ_b n_b²/q_b)/N − N,
+    * so the statistic needs only per-band counts and two window-level
+    * sums — which makes it expressible as TWO CHAINED windowed
+    * aggregations (Spark's multiple-stateful-operator support: the
+    * second groupBy re-windows on the first's window column), where
+    * JS/PSI would need the window total BEFORE the per-band terms.
+    * State is bounded by the watermark in stream mode; in batch the
+    * same plan is two hash aggregates. Exactness: n are exact longs,
+    * each n²/q term is a fixed double tree rounded to 9 and
+    * DECIMAL-summed — order-independent, oracle-replayable. */
+  def windowDrift(events: DataFrame, refProb: Column,
+                  watermark: Boolean = false): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "2 hours") else events
+    val counts = src.filter(col("value").isNotNull)
+      .withColumn("band", floor(col("value") / lit(50.0)).cast("int"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val term = (col("n").cast("double") * col("n").cast("double")) / refProb
+    counts.groupBy(window(col("w"), "1 hour").as("w2"))
+      .agg(sum("n").as("nw"),
+        sum(round(term, 9).cast("decimal(28,9)")).as("__s2"))
+      .select(col("w2.start").as("window_start"),
+        col("nw").cast("long").as("n"),
+        round((col("__s2").cast("double") / col("nw").cast("double"))
+          - col("nw").cast("double"), 6).as("chi2_ref"))
+  }
 
   /** Streaming exact dedup for continuous ingestion (the training-data
     * pipeline's "don't index the same document twice" step): in stream

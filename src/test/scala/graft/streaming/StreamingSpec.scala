@@ -166,4 +166,31 @@ class StreamingSpec extends SparkSpec {
     // batch path of the same call site agrees on the kept key set
     assert(Streams.dedupByKey(doubled, Seq("event_id")).count() == distinctIds)
   }
+
+  test("windowDrift: chained stateful aggregations on a real append stream " +
+    "equal batch on every watermark-finalized window") {
+    import org.apache.spark.sql.functions._
+    val ref = (col("band").cast("double") + lit(1.0)) / lit(55.0)
+    val batch = Streams.windowDrift(Tables.events(spark, sf), ref)
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val q = Streams.runFileStream(spark, eventsDir,
+      Tables.events(spark, sf).schema,
+      Streams.windowDrift(_, ref, watermark = true), "drift_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(180000)
+    val got = spark.table("drift_sink")
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // append mode emits a window only once the watermark passes it; the
+    // final ~3h of event time stays in state at AvailableNow end-of-input
+    assert(got.nonEmpty, "no finalized windows emitted")
+    got.foreach { case (w, v) =>
+      assert(batch.get(w).contains(v), s"window $w: stream $v vs ${batch.get(w)}")
+    }
+    // everything except the un-finalized tail must have emitted
+    val horizon = got.keys.max
+    val missing = batch.keys.filter(w => w.before(horizon)) .filterNot(got.contains)
+    assert(missing.isEmpty, s"finalized windows missing from the stream: $missing")
+  }
 }
