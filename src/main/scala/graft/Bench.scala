@@ -49,7 +49,13 @@ object Bench {
     // r8 second batch: drift checks, conformal intervals, quantile
     // binning, UniMax allocation, Misra-Gries heavy hitters
     "a27_psi", "a28_ks_drift", "e8_quantile_bin", "m26_conformal",
-    "t57_unimax", "t58_heavy_hitters")
+    "t57_unimax", "t58_heavy_hitters",
+    // r8 third batch: the statistics/evaluation layer, leakage-safe
+    // encoding, Zipf fit, and the chained-agg streaming drift monitor
+    "a29_woe_iv", "a30_js_drift", "a31_anova_f", "a32_jackknife_se",
+    "a33_gini", "m27_lift_gains", "m28_reliability", "m29_ols_inference",
+    "m30_isotonic", "e9_oof_target_encode", "t59_zipf",
+    "st13_window_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
