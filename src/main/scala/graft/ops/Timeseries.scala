@@ -265,4 +265,96 @@ object Timeseries {
       .withColumn("is_gap", col("__day_value").isNull)
       .drop("__day_value")
   }
+
+  /** The hourly total-value series (hour, y) with y an exact
+    * DECIMAL(18,6) sum — the shared base of [[acf]] and
+    * [[seasonalNaiveMase]]. One aggregate over the scan; the series
+    * frame is TIME-SPAN-sized (hours of history), not data-sized, so
+    * everything downstream of it is driver-broadcastable at any data
+    * volume. Hours with no events are absent (gappy series — lag pairs
+    * across gaps are skipped by the equi-join, the standard
+    * missing-data convention). */
+  private def hourlySeries(df: DataFrame, tsCol: String,
+                           valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__y"))
+
+  /** Autocorrelation function of the hourly total-value series at lags
+    * 1..maxLag: (lag, n_pairs, acf) per lag, acf_l =
+    * Σ(y_t−ȳ)(y_{t−l}−ȳ) / Σ(y_t−ȳ)² — the seasonality/persistence
+    * diagnostic (a 24h intake cycle shows as a spike at lag 24) behind
+    * choosing the [[seasonalNaiveMase]] season.
+    *
+    * Scale shape: after [[hourlySeries]], every join/aggregate runs on
+    * the span-sized series (lag pairs via an exact hour-arithmetic
+    * equi-join against a lag spine — no window, no cartesian).
+    * Exactness: ȳ and the denominator come from exact decimal sums;
+    * per-pair products are fixed double trees rounded to 9 and
+    * DECIMAL-summed. */
+  def acf(df: DataFrame, tsCol: String, valueCol: String,
+          maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val spark = df.sparkSession
+    val series = hourlySeries(df, tsCol, valueCol)
+    val stats = series.agg(count(lit(1)).as("__n"),
+      sum("__y").as("__sy"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    // ȳ and Σ(y−ȳ)² as one fixed tree over exact decimal sums
+    val nD = col("__n").cast("double")
+    val mean = col("__sy").cast("double") / nD
+    val denom = col("__syy").cast("double") - (nD * (mean * mean))
+    val lags = spark.range(1, maxLag + 1).select(col("id").cast("int").as("lag"))
+    val a = series.select(unix_micros(col("__h")).as("__ha"),
+      col("__y").as("__ya"))
+    val b = series.select(unix_micros(col("__h")).as("__hb"),
+      col("__y").as("__yb"))
+    val pairs = a.crossJoin(broadcast(lags))
+      .join(b, col("__hb") ===
+        (col("__ha") - (col("lag").cast("long") * lit(3600000000L))), "inner")
+    val term = (col("__ya").cast("double") - col("__m")) *
+      (col("__yb").cast("double") - col("__m"))
+    pairs.crossJoin(broadcast(stats.select(mean.as("__m"), denom.as("__d"))))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(round(term, 9).cast("decimal(28,9)")).cast("double")
+          / first(col("__d"))).as("__acf"))
+      .select(col("lag"), col("n_pairs"), round(col("__acf"), 6).as("acf"))
+  }
+
+  /** Seasonal-naive forecast quality on the hourly total-value series:
+    * one row (n_naive, mae_naive, n_seasonal, mae_seasonal, mase) where
+    * mae_naive is the lag-1 in-sample naive MAE, mae_seasonal the
+    * lag-`season` one, and mase = mae_seasonal / mae_naive — the
+    * scale-free "is there usable seasonality?" number (MASE < 1: the
+    * seasonal carry-forward beats last-hour). Hyndman & Koehler 2006.
+    *
+    * Scale shape: two exact-hour equi-joins on the span-sized series.
+    * Exactness: |y_t − y_{t−l}| stays in DECIMAL end-to-end (the series
+    * values are exact decimals), so both MAEs are one double division
+    * of exact decimal sums — no float summation anywhere. */
+  def seasonalNaiveMase(df: DataFrame, tsCol: String, valueCol: String,
+                        season: Int = 24): DataFrame = {
+    require(season >= 2, s"need season >= 2, got $season")
+    val series = hourlySeries(df, tsCol, valueCol)
+    def lagMae(lag: Int, tag: String): DataFrame = {
+      val a = series.select(unix_micros(col("__h")).as("__ha"),
+        col("__y").as("__ya"))
+      val b = series.select(unix_micros(col("__h")).as("__hb"),
+        col("__y").as("__yb"))
+      a.join(b, col("__hb") ===
+          (col("__ha") - lit(lag.toLong * 3600000000L)), "inner")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(abs(col("__ya") - col("__yb"))).as(s"__sad_$tag"))
+    }
+    val naive = lagMae(1, "naive")
+    val seas = lagMae(season, "seasonal")
+    val maeN = col("__sad_naive").cast("double") / col("n_naive").cast("double")
+    val maeS = col("__sad_seasonal").cast("double") /
+      col("n_seasonal").cast("double")
+    naive.crossJoin(seas)
+      .select(col("n_naive"), round(maeN, 6).as("mae_naive"),
+        col("n_seasonal"), round(maeS, 6).as("mae_seasonal"),
+        round(maeS / maeN, 6).as("mase"))
+  }
 }

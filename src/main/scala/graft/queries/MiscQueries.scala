@@ -260,6 +260,18 @@ object MiscQueries {
       graft.ops.Audit.gini(Tables.lineitem(s, dir), "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"))),
 
+    "q32_acf" -> ((s, dir) =>
+      // autocorrelation of the hourly intake series at lags 1..12 (r8):
+      // span-sized series, exact-micros lag equi-join, decimal sums
+      graft.ops.Timeseries.acf(Tables.events(s, dir), "ts", "value",
+        maxLag = 12)),
+
+    "q33_mase" -> ((s, dir) =>
+      // seasonal-naive MASE at season 24h (r8): |y_t - y_{t-l}| stays
+      // DECIMAL end-to-end, both MAEs exact until the final division
+      graft.ops.Timeseries.seasonalNaiveMase(Tables.events(s, dir),
+        "ts", "value", season = 24)),
+
     "q12_window_analytics" -> ((s, dir) => {
       // analytic-window surface over the events stream table: per-user
       // event sequence number, previous value (lag), and a 3-row moving
@@ -931,6 +943,62 @@ object MiscQueries {
                     - ((CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)))
                    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
       FROM s""",
+
+    // q32: hourly DECIMAL(18,6) sums, lag pairs via the same exact
+    // epoch-micros arithmetic, mean/denominator trees and round-9
+    // DECIMAL-summed products token-identical to the engine
+    "q32_acf" -> """
+      WITH s AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS h,
+               sum(CAST(value AS DECIMAL(18,6))) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS sy,
+               sum(y * y) AS syy
+        FROM s),
+      m AS (
+        SELECT (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS mean,
+               (CAST(syy AS DOUBLE)
+                - (CAST(n AS DOUBLE)
+                   * ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))) AS d
+        FROM st),
+      lags AS (SELECT unnest(generate_series(1, 12)) AS lag),
+      p AS (
+        SELECT lags.lag,
+               (CAST(a.y AS DOUBLE) - m.mean)
+               * (CAST(b.y AS DOUBLE) - m.mean) AS term
+        FROM s a CROSS JOIN lags
+        JOIN s b ON b.h = a.h - (CAST(lag AS BIGINT) * 3600000000)
+        CROSS JOIN m)
+      SELECT CAST(lag AS INT) AS lag, count(*) AS n_pairs,
+             round(CAST(sum(CAST(round(term, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) / (SELECT d FROM m), 6) AS acf
+      FROM p GROUP BY lag""",
+
+    // q33: |y_t - y_{t-l}| in DECIMAL end-to-end; the MASE tree is one
+    // double division of exact sums on both engines
+    "q33_mase" -> """
+      WITH s AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS h,
+               sum(CAST(value AS DECIMAL(18,6))) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      nv AS (
+        SELECT count(*) AS n_naive, sum(abs(a.y - b.y)) AS sad
+        FROM s a JOIN s b ON b.h = a.h - 3600000000),
+      se AS (
+        SELECT count(*) AS n_seasonal, sum(abs(a.y - b.y)) AS sad
+        FROM s a JOIN s b ON b.h = a.h - 86400000000)
+      SELECT nv.n_naive,
+             round(CAST(nv.sad AS DOUBLE) / CAST(nv.n_naive AS DOUBLE), 6)
+               AS mae_naive,
+             se.n_seasonal,
+             round(CAST(se.sad AS DOUBLE) / CAST(se.n_seasonal AS DOUBLE), 6)
+               AS mae_seasonal,
+             round((CAST(se.sad AS DOUBLE) / CAST(se.n_seasonal AS DOUBLE))
+                   / (CAST(nv.sad AS DOUBLE) / CAST(nv.n_naive AS DOUBLE)), 6)
+               AS mase
+      FROM nv CROSS JOIN se""",
 
     // q22: RANGE frame over epoch microseconds; DECIMAL window sum
     "q22_rolling_range" -> """

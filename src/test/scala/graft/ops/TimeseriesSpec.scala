@@ -195,4 +195,33 @@ class TimeseriesSpec extends SparkSpec {
     assert(got((1L, "2024-01-04")) == (7.0, false))
     assert(got((2L, "2024-01-10")) == (3.25, false))
   }
+
+  test("acf: alternating hourly series gives -1-ish at lag 1, +1-ish at lag 2") {
+    import spark.implicits._
+    // 48 hours alternating 10/20: mean 15, denom 48*25;
+    // lag1 = 47*(-25)/1200, lag2 = 46*25/1200
+    val events = (0 until 48).map(h =>
+      (new Timestamp(h * 3600000L), if (h % 2 == 0) 10.0 else 20.0))
+      .toDF("ts", "value")
+    val got = Timeseries.acf(events, "ts", "value", maxLag = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1) == ((47L, -0.979167)), got.toString)
+    assert(got(2) == ((46L, 0.958333)))
+    assert(got(3)._2 == -0.9375) // 45*(-25)/1200
+  }
+
+  test("seasonalNaiveMase: exactly periodic series gives mase 0; " +
+    "gappy hours skip pairs") {
+    import spark.implicits._
+    // 72 hours, perfect 24h period (value = hour-of-day), hour 50 missing
+    val events = (0 until 72).filter(_ != 50).map(h =>
+      (new Timestamp(h * 3600000L), (h % 24).toDouble)).toDF("ts", "value")
+    val Array(r) = Timeseries.seasonalNaiveMase(events, "ts", "value",
+      season = 24).collect()
+    // naive pairs: 71 candidate t's minus t=50 (missing) and t=51
+    // (predecessor missing) = 69; seasonal: t in 24..71 minus t=50 = 47
+    assert(r.getLong(0) == 69L, s"n_naive ${r.getLong(0)}")
+    assert(r.getLong(2) == 47L, s"n_seasonal ${r.getLong(2)}")
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0) // mae_seasonal, mase
+  }
 }
