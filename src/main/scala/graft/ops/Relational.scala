@@ -261,6 +261,37 @@ object Relational {
     if (mids.isEmpty) None else Some(mids.sum / mids.length)
   }
 
+  /** Weighted (lower) median: one row (n, total_weight, weighted_median)
+    * where the median is the smallest value whose INCLUSIVE cumulative
+    * weight reaches half the total — the row-weight generalization of
+    * [[exactMedian]] (a token-weighted "median document length", a
+    * quantity-weighted "median price"). `tieCols` must complete a total
+    * order.
+    *
+    * Scale shape: the cumulative weight rides [[Ordinals
+    * .withRunningTotal]]'s range-partitioned prefix sum (the one sort a
+    * weighted order statistic needs); the qualifying rows are a suffix
+    * of that order, so the answer is a plain min aggregate — no second
+    * sort, no collect. Exactness: the threshold compare (2·cumw ≥ W)
+    * is exact for integer-valued (or dyadic) weights, whose double
+    * sums are exact below 2^53 — the contract the oracle replays. */
+  def weightedMedian(df: DataFrame, c: String, w: String,
+                     tieCols: Seq[String]): DataFrame = {
+    val vals = df.filter(col(c).isNotNull && col(w).isNotNull)
+      .select(col(c).cast(DoubleType).as("__v") +:
+        col(w).cast(DoubleType).as("__wt") +: tieCols.map(col): _*)
+    val cum = Ordinals.withRunningTotal(vals,
+      col("__v").asc +: tieCols.map(col(_).asc), "__wt", "__cw")
+    val tot = vals.agg(count(lit(1)).as("__n"), sum("__wt").as("__tw"))
+    cum.crossJoin(broadcast(tot))
+      .filter((col("__cw") * lit(2.0)) >= col("__tw"))
+      .groupBy(col("__n"), col("__tw"))
+      .agg(min("__v").as("__m"))
+      .select(col("__n").cast("long").as("n"),
+        round(col("__tw"), 6).as("total_weight"),
+        round(col("__m"), 6).as("weighted_median"))
+  }
+
   /** EXACT medians of SEVERAL columns in a HANDFUL of shared aggregate
     * scans — no per-column sort. Histogram-refinement rank selection:
     * every active (column, rank) target bins its candidate interval into

@@ -280,6 +280,56 @@ object Timeseries {
       .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
       .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__y"))
 
+  /** Kaplan–Meier product-limit survival estimator over per-entity
+    * lifetimes: one row per distinct lifetime
+    * (t_us, n_risk, n_events, n_censored, survival) — the standard
+    * churn/retention curve with right-censoring. An entity's lifetime
+    * is last_ts − first_ts; it counts as an EVENT (churn observed) when
+    * its last activity ends ≥ `horizonHours` before the dataset's
+    * maximum timestamp, and as CENSORED otherwise (still alive at the
+    * observation edge). Ties follow the standard convention: entities
+    * censored AT t are still at risk for the deaths at t.
+    *
+    * Scale shape: one per-entity aggregate (keyed shuffle), one
+    * distinct-lifetime aggregate (entities-sized), then the at-risk
+    * counts and the log-survival prefix ride [[Ordinals
+    * .withRunningTotal]] over the LIFETIMES frame. Exactness: risk
+    * arithmetic is all exact integers; each ln(1 − d/n) term is rounded
+    * to 9 and carried as a SCALED INTEGER double (×1e9 — exact below
+    * 2^53), so the prefix sum is exact under any partitioning and
+    * survival = exp(cum/1e9) is one deterministic double; a
+    * greatest(·, 1e-300) floor keeps the d = n endpoint finite (its
+    * exp underflows to exactly 0 on both engines). */
+  def kaplanMeier(df: DataFrame, entityCol: String, tsCol: String,
+                  horizonHours: Int = 24): DataFrame = {
+    val perEntity = df.groupBy(col(entityCol))
+      .agg(min(unix_micros(col(tsCol))).as("__first"),
+        max(unix_micros(col(tsCol))).as("__last"))
+    val edge = df.agg(max(unix_micros(col(tsCol))).as("__edge"))
+    val lives = perEntity.crossJoin(broadcast(edge))
+      .select((col("__last") - col("__first")).as("__t"),
+        when(col("__last") <= col("__edge")
+          - lit(horizonHours.toLong * 3600000000L), 1L).otherwise(0L)
+          .as("__ev"))
+    val times = lives.groupBy("__t")
+      .agg(count(lit(1)).as("__all"), sum("__ev").as("__d"))
+    val tot = lives.agg(count(lit(1)).as("__N"))
+    val cum = Ordinals.withRunningTotal(times, Seq(col("__t").asc),
+      "__all", "__ca")
+    val withRisk = cum.crossJoin(broadcast(tot))
+      .withColumn("__n_risk",
+        (col("__N") - (col("__ca").cast("long") - col("__all"))))
+    val term = round(log(greatest(
+      lit(1.0) - (col("__d").cast("double") / col("__n_risk").cast("double")),
+      lit(1e-300))), 9) * lit(1e9)
+    Ordinals.withRunningTotal(withRisk.withColumn("__lt", term),
+        Seq(col("__t").asc), "__lt", "__cl")
+      .select(col("__t").as("t_us"), col("__n_risk").as("n_risk"),
+        col("__d").as("n_events"),
+        (col("__all") - col("__d")).as("n_censored"),
+        round(exp(col("__cl") / lit(1e9)), 6).as("survival"))
+  }
+
   /** Autocorrelation function of the hourly total-value series at lags
     * 1..maxLag: (lag, n_pairs, acf) per lag, acf_l =
     * Σ(y_t−ȳ)(y_{t−l}−ȳ) / Σ(y_t−ȳ)² — the seasonality/persistence

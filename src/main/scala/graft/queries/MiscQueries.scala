@@ -260,6 +260,20 @@ object MiscQueries {
       graft.ops.Audit.gini(Tables.lineitem(s, dir), "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"))),
 
+    "a34_kaplan_meier" -> ((s, dir) =>
+      // Kaplan-Meier churn curve (r8): per-user lifetimes, 24h-edge
+      // right-censoring, exact integer risk arithmetic, scaled-integer
+      // log-survival prefix on the RunningTotal operator
+      graft.ops.Timeseries.kaplanMeier(Tables.events(s, dir), "user_id",
+        "ts", horizonHours = 24)),
+
+    "q34_weighted_median" -> ((s, dir) =>
+      // quantity-weighted median price (r8): inclusive cumulative
+      // weight on the distributed prefix sum, suffix-min retrieval
+      graft.ops.Relational.weightedMedian(Tables.lineitem(s, dir),
+        "l_extendedprice", "l_quantity",
+        Seq("l_orderkey", "l_linenumber"))),
+
     "q32_acf" -> ((s, dir) =>
       // autocorrelation of the hourly intake series at lags 1..12 (r8):
       // span-sized series, exact-micros lag equi-join, decimal sums
@@ -943,6 +957,59 @@ object MiscQueries {
                     - ((CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)))
                    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
       FROM s""",
+
+    // a34: lifetimes/censor rule in exact epoch micros; at-risk counts
+    // all integers; log-survival terms round-9 then SCALED to integer
+    // doubles (x1e9), so both prefix sums are exact window/RunningTotal
+    // sums and survival is one deterministic exp
+    "a34_kaplan_meier" -> """
+      WITH pe AS (
+        SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+        FROM events GROUP BY 1),
+      e AS (SELECT max(epoch_us(ts)) AS edge FROM events),
+      lv AS (
+        SELECT (l - f) AS t,
+               CASE WHEN l <= e.edge - 86400000000 THEN 1 ELSE 0 END AS ev
+        FROM pe CROSS JOIN e),
+      tm AS (SELECT t, count(*) AS alln, sum(ev) AS d FROM lv GROUP BY 1),
+      n AS (SELECT count(*) AS nn FROM lv),
+      c AS (
+        SELECT t, alln, d, sum(alln) OVER (ORDER BY t) AS ca
+        FROM tm),
+      r AS (
+        SELECT t, alln, d, (n.nn - (ca - alln)) AS n_risk
+        FROM c CROSS JOIN n),
+      s AS (
+        SELECT t, n_risk, d, alln,
+               sum(round(ln(greatest(
+                 1.0 - (CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)),
+                 1e-300)), 9) * 1e9) OVER (ORDER BY t) AS cl
+        FROM r)
+      SELECT t AS t_us, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(d AS BIGINT) AS n_events,
+             CAST(alln - d AS BIGINT) AS n_censored,
+             round(exp(cl / 1e9), 6) AS survival
+      FROM s""",
+
+    // q34: inclusive cumulative weight under the same total order
+    // (unique tie-break, so RANGE peers == ROWS); integer-valued weight
+    // sums are exact doubles on both engines
+    "q34_weighted_median" -> """
+      WITH v AS (
+        SELECT l_extendedprice AS v, CAST(l_quantity AS DOUBLE) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      t AS (SELECT count(*) AS n, sum(wt) AS tw FROM v),
+      c AS (
+        SELECT v, sum(wt) OVER (ORDER BY v, l_orderkey, l_linenumber)
+                 AS cw
+        FROM v)
+      SELECT t.n AS n, round(t.tw, 6) AS total_weight,
+             round(min(c.v), 6) AS weighted_median
+      FROM c CROSS JOIN t
+      WHERE (c.cw * 2.0) >= t.tw
+      GROUP BY t.n, t.tw""",
 
     // q32: hourly DECIMAL(18,6) sums, lag pairs via the same exact
     // epoch-micros arithmetic, mean/denominator trees and round-9

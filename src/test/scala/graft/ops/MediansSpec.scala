@@ -62,6 +62,26 @@ class MediansSpec extends SparkSpec {
     assert(stats("b") == 6.0)
   }
 
+  test("weightedMedian: heavy weight pulls the median; unit weights " +
+    "degrade to the lower median; repartition-invariant") {
+    import spark.implicits._
+    val heavy = Seq((1L, 1.0, 1.0), (2L, 2.0, 1.0), (3L, 3.0, 1.0),
+      (4L, 4.0, 10.0)).toDF("id", "v", "w")
+    val Array(r) = Relational.weightedMedian(heavy, "v", "w", Seq("id"))
+      .collect()
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2)) == ((4L, 13.0, 4.0)))
+
+    val unit = Seq((1L, 1.0, 1.0), (2L, 2.0, 1.0), (3L, 3.0, 1.0),
+      (4L, 4.0, 1.0)).toDF("id", "v", "w")
+    val Array(r2) = Relational.weightedMedian(unit, "v", "w", Seq("id"))
+      .collect()
+    assert(r2.getDouble(2) == 2.0) // lower median of 1..4
+
+    val Array(r3) = Relational.weightedMedian(heavy.repartition(5),
+      "v", "w", Seq("id")).collect()
+    assert(r.toSeq == r3.toSeq)
+  }
+
   test("exactValuesAtRanks == sort-based selection at arbitrary rank sets " +
     "(r8 generalization)") {
     import spark.implicits._

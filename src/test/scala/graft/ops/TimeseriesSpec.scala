@@ -196,6 +196,30 @@ class TimeseriesSpec extends SparkSpec {
     assert(got((2L, "2024-01-10")) == (3.25, false))
   }
 
+  test("kaplanMeier: hand-computed curve with censoring and tied deaths") {
+    import spark.implicits._
+    def h(hours: Long) = new Timestamp(hours * 3600000L)
+    // u1,u2: 10h lifetimes (churned); u3: 20h (churned); u4: 90h but
+    // last event inside the 24h edge -> censored; u5: single event at
+    // the edge -> 0h lifetime, censored
+    val events = Seq(
+      (1L, h(0)), (1L, h(10)), (2L, h(0)), (2L, h(10)),
+      (3L, h(0)), (3L, h(20)), (4L, h(5)), (4L, h(95)), (5L, h(100)))
+      .toDF("user_id", "ts")
+    val got = Timeseries.kaplanMeier(events, "user_id", "ts", 24)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val H = 3600000000L
+    assert(got(0L) == ((5L, 0L, 1L, 1.0)), got.toString)
+    assert(got(10 * H) == ((4L, 2L, 0L, 0.5)))   // 1 * (1 - 2/4)
+    assert(got(20 * H) == ((2L, 1L, 0L, 0.25)))  // 0.5 * (1 - 1/2)
+    assert(got(90 * H) == ((1L, 0L, 1L, 0.25)))  // censoring: no drop
+    // partitioning invariance (scaled-integer log prefix is exact)
+    val again = Timeseries.kaplanMeier(events.repartition(7), "user_id",
+      "ts", 24).collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(again == got.map { case (k, v) => k -> v._4 })
+  }
+
   test("acf: alternating hourly series gives -1-ish at lag 1, +1-ish at lag 2") {
     import spark.implicits._
     // 48 hours alternating 10/20: mean 15, denom 48*25;
