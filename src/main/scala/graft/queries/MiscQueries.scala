@@ -260,6 +260,13 @@ object MiscQueries {
       graft.ops.Audit.gini(Tables.lineitem(s, dir), "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"))),
 
+    "a35_pair_rules" -> ((s, dir) =>
+      // market-basket pair rules (r8): parts ordered together, apriori
+      // item prune before the within-order self-join, explicit
+      // mega-basket cap, TakeOrdered top-50 by co-occurrence
+      graft.ops.Basket.pairRules(Tables.lineitem(s, dir), "l_orderkey",
+        "l_partkey", minSupport = 2L, topK = 50)),
+
     "a34_kaplan_meier" -> ((s, dir) =>
       // Kaplan-Meier churn curve (r8): per-user lifetimes, 24h-edge
       // right-censoring, exact integer risk arithmetic, scaled-integer
@@ -957,6 +964,41 @@ object MiscQueries {
                     - ((CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)))
                    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
       FROM s""",
+
+    // a35: same apriori order — distinct items, size cap, item prune,
+    // pair counts, strict unordered (a < b) pairing; top-50 under the
+    // same (n_ab DESC, a, b) total order
+    "a35_pair_rules" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      sized AS (
+        SELECT b FROM items GROUP BY b HAVING count(*) <= 1000),
+      kept AS (SELECT items.* FROM items JOIN sized USING (b)),
+      nb AS (SELECT count(*) AS n FROM sized),
+      freq AS (
+        SELECT i, count(*) AS ni FROM kept GROUP BY i
+        HAVING count(*) >= 2),
+      f AS (SELECT kept.b, kept.i, freq.ni FROM kept JOIN freq USING (i)),
+      p AS (
+        SELECT a.i AS item_a, a.ni AS n_a, c.i AS item_b, c.ni AS n_b,
+               count(*) AS n_ab
+        FROM f a JOIN f c ON a.b = c.b AND a.i < c.i
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= 2)
+      SELECT item_a, item_b, n_a, n_b, n_ab,
+             round(CAST(n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE), 6)
+               AS support,
+             round(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+               AS conf_a_b,
+             round(CAST(n_ab AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+               AS conf_b_a,
+             round((CAST(nb.n AS DOUBLE) * CAST(n_ab AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+               AS lift
+      FROM p CROSS JOIN nb
+      QUALIFY row_number() OVER (ORDER BY n_ab DESC, item_a, item_b) <= 50""",
 
     // a34: lifetimes/censor rule in exact epoch micros; at-risk counts
     // all integers; log-survival terms round-9 then SCALED to integer
