@@ -260,6 +260,15 @@ object MiscQueries {
       graft.ops.Audit.gini(Tables.lineitem(s, dir), "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"))),
 
+    "a36_psi_panel" -> ((s, dir) =>
+      // whole-feature-table PSI (r8): all four numeric lineitem columns
+      // drift-checked between returned (R) and accepted (A) lines in
+      // ~5 shared passes — ONE exactValuesAtRanks batch for every
+      // column's decile cuts + ONE exploded counting scan
+      graft.ops.Audit.psiPanel(Tables.lineitem(s, dir), "l_returnflag",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        refVal = "A", curVal = "R", bins = 10)),
+
     "a35_pair_rules" -> ((s, dir) =>
       // market-basket pair rules (r8): parts ordered together, apriori
       // item prune before the within-order self-join, explicit
@@ -373,7 +382,58 @@ object MiscQueries {
         .map { case (c, d) => (c, d) }.toDF("column_name", "description")
     }))
 
+  /** a36: the a27 oracle replayed PER COLUMN (suffixed CTEs) and
+    * UNION ALL'd — cuts via row_number + integer division, lower-bin
+    * strict ties, the identical Laplace/ln term trees. */
+  private val psiPanelSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val ctes = cols.zipWithIndex.map { case (c, i) => s"""
+      ref$i AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem
+                WHERE l_returnflag = 'A' AND $c IS NOT NULL),
+      nr$i AS (SELECT count(*) AS n FROM ref$i),
+      rk$i AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ref$i),
+      bs$i AS (SELECT unnest(generate_series(1, 9)) AS b),
+      cuts$i AS (
+        SELECT bs$i.b, rk$i.v AS cut
+        FROM bs$i CROSS JOIN nr$i
+        JOIN rk$i ON rk$i.rn = (bs$i.b * nr$i.n) // 10),
+      sl$i AS (
+        SELECT l_returnflag AS g, CAST($c AS DOUBLE) AS v FROM lineitem
+        WHERE l_returnflag IN ('A', 'R') AND $c IS NOT NULL),
+      bkt$i AS (
+        SELECT g, 1 + (SELECT count(*) FROM cuts$i cc WHERE cc.cut < t.v)
+                 AS bin
+        FROM sl$i t),
+      cnt$i AS (
+        SELECT bin, count(CASE WHEN g = 'A' THEN 1 END) AS n_ref,
+               count(CASE WHEN g = 'R' THEN 1 END) AS n_cur
+        FROM bkt$i GROUP BY 1),
+      spine$i AS (SELECT unnest(generate_series(1, 10)) AS bin),
+      f$i AS (
+        SELECT spine$i.bin, coalesce(cnt$i.n_ref, 0) AS n_ref,
+               coalesce(cnt$i.n_cur, 0) AS n_cur
+        FROM spine$i LEFT JOIN cnt$i USING (bin)),
+      t$i AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM f$i)"""
+    }.mkString(",")
+    val selects = cols.zipWithIndex.map { case (c, i) => s"""
+      SELECT '$c' AS "column", CAST(f$i.bin AS BIGINT) AS bin,
+             CAST(f$i.n_ref AS BIGINT) AS n_ref,
+             CAST(f$i.n_cur AS BIGINT) AS n_cur,
+             round((((CAST(f$i.n_cur AS DOUBLE) + 0.5)
+                     / (CAST(t$i.tc AS DOUBLE) + 5.0))
+                    - ((CAST(f$i.n_ref AS DOUBLE) + 0.5)
+                       / (CAST(t$i.tr AS DOUBLE) + 5.0)))
+                   * ln(((CAST(f$i.n_cur AS DOUBLE) + 0.5)
+                         / (CAST(t$i.tc AS DOUBLE) + 5.0))
+                        / ((CAST(f$i.n_ref AS DOUBLE) + 0.5)
+                           / (CAST(t$i.tr AS DOUBLE) + 5.0))), 6) AS psi_term
+      FROM f$i CROSS JOIN t$i"""
+    }.mkString(" UNION ALL ")
+    "WITH " + ctes + selects
+  }
+
   val oracles: Map[String, String] = Map(
+    "a36_psi_panel" -> psiPanelSql,
     // earliest-anchored windowFunnel replay: per-step min epoch-us
     // chained through user-keyed joins; strictly-increasing + 7-day
     // window vs the first view — all integer comparisons

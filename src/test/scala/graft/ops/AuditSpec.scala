@@ -183,6 +183,30 @@ class AuditSpec extends SparkSpec {
     assert(out("y")._3 == -0.847298 && out("y")._4 == 0.338919)
   }
 
+  test("psiPanel == per-column psiReport on every (bin, counts, term)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (1 to 400).map { i =>
+      (if (i % 2 == 0) "ref" else "cur",
+        i.toDouble,
+        if (i % 11 == 0) None else Some(rng.nextInt(50).toDouble))
+    }.toDF("g", "v1", "v2")
+    val panel = Audit.psiPanel(df, "g", Seq("v1", "v2"), "ref", "cur")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    for (c <- Seq("v1", "v2")) {
+      val single = Audit.psiReport(df, "g", c, "ref", "cur")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+      single.foreach { case (bin, v) =>
+        assert(panel((c, bin)) == v, s"$c bin $bin: ${panel((c, bin))} vs $v")
+      }
+    }
+    assert(panel.size == 20)
+  }
+
   test("jackknifeSe: hand-computed leave-one-out blocks") {
     import spark.implicits._
     // ids 1..10, values 1..10, k=2: odd block sums 25, even 30;
