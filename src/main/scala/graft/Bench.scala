@@ -56,7 +56,8 @@ object Bench {
     "a33_gini", "m27_lift_gains", "m28_reliability", "m29_ols_inference",
     "m30_isotonic", "e9_oof_target_encode", "t59_zipf",
     "st13_window_drift", "q32_acf", "q33_mase", "a34_kaplan_meier",
-    "q34_weighted_median", "a35_pair_rules", "a36_psi_panel")
+    "q34_weighted_median", "a35_pair_rules", "a36_psi_panel",
+    "a37_two_proportion", "a38_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

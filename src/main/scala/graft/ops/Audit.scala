@@ -548,6 +548,72 @@ object Audit {
           .as("gini"))
   }
 
+  /** Two-proportion z-test between the success RATES of two slices:
+    * one row (n_a, k_a, n_b, k_b, rate_diff, z_stat) with the pooled
+    * standard error — the conversion-rate A/B companion to [[welchT]]
+    * (means) and [[chiSquare]] (independence): "did segment B purchase
+    * at a different rate than segment A?". One aggregate of four exact
+    * longs; z is a fixed double tree over them, so it replays
+    * bit-for-bit. (p-value lookup is driver-side, as everywhere.) */
+  def twoProportionZ(df: DataFrame, groupCol: String, success: Column,
+                     aVal: String, bVal: String): DataFrame = {
+    val s = df.agg(
+      count(when(col(groupCol) === aVal, 1)).as("n_a"),
+      count(when(col(groupCol) === aVal && success, 1)).as("k_a"),
+      count(when(col(groupCol) === bVal, 1)).as("n_b"),
+      count(when(col(groupCol) === bVal && success, 1)).as("k_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("k_a").cast("double") / na
+    val pb = col("k_b").cast("double") / nb
+    val pool = (col("k_a") + col("k_b")).cast("double") / (na + nb)
+    val se = sqrt((pool * (lit(1.0) - pool)) *
+      ((lit(1.0) / na) + (lit(1.0) / nb)))
+    s.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      round(pa - pb, 6).as("rate_diff"),
+      round((pa - pb) / se, 6).as("z_stat"))
+  }
+
+  /** CUSUM changepoint scan over the hourly total-value series: one row
+    * (n_hours, changepoint_us, max_abs_cusum, cusum_share) locating
+    * where the cumulative deviation from the global mean peaks — the
+    * classic "when did the level shift?" estimator (the argmax of
+    * |Σ_{i≤t}(y_i − ȳ)| is the maximum-likelihood single changepoint
+    * under a mean-shift model). The retrospective companion to the
+    * streaming [[graft.streaming.Streams.windowDrift]] monitor.
+    *
+    * Scale shape: the series is span-sized; its prefix sum rides
+    * [[Ordinals.withRunningTotal]]. Exactness: y enters as integer
+    * thousandths (exact doubles below 2^53), so the prefix is exact
+    * and CUSUM_t = P_t − t·(S/N) is one fixed tree; the argmax picks
+    * by (|cusum| desc, hour asc) — a total order. cusum_share =
+    * max|CUSUM| / Σ|y − ȳ| is the scale-free strength in [0, 1]. */
+  def cusumChangepoint(df: DataFrame, tsCol: String,
+                       valueCol: String): DataFrame = {
+    val hourly = df.filter(col(valueCol).isNotNull)
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(sum(round(col(valueCol) * lit(1000), 0).cast("decimal(19,0)"))
+        .as("__ym"))
+    val series = hourly.select(unix_micros(col("__h")).as("__hu"),
+      col("__ym").cast("double").as("__y"))
+    val cum = Ordinals.withRunningTotal(series, Seq(col("__hu").asc),
+      "__y", "__p")
+    val tot = series.agg(count(lit(1)).as("__n"), sum("__y").as("__s"))
+    val withIdx = Ordinals.withGlobalRank(cum, Seq(col("__hu").asc), "__t")
+    val mean = col("__s") / col("__n").cast("double")
+    val cusum = col("__p") - (col("__t").cast("double") * mean)
+    val dev = abs(col("__y") - mean)
+    val scored = withIdx.crossJoin(broadcast(tot))
+      .select(col("__hu"), abs(cusum).as("__a"),
+        round(dev, 9).cast("decimal(28,9)").as("__d"), col("__n"))
+    scored.groupBy(col("__n").cast("long").as("n_hours"))
+      .agg(max(struct(col("__a"), (-col("__hu")).as("__nh"))).as("__best"),
+        sum("__d").cast("double").as("__td"))
+      .select(col("n_hours"), (-col("__best.__nh")).as("changepoint_us"),
+        round(col("__best.__a") / lit(1000.0), 6).as("max_abs_cusum"),
+        round(col("__best.__a") / col("__td"), 6).as("cusum_share"))
+  }
+
   /** PSI drift for MANY feature columns in one shared batch: one row
     * per (column, bin) — (column, bin, n_ref, n_cur, psi_term) — with
     * the exact [[psiReport]] semantics per column (reference-decile

@@ -260,6 +260,21 @@ object MiscQueries {
       graft.ops.Audit.gini(Tables.lineitem(s, dir), "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"))),
 
+    "a37_two_proportion" -> ((s, dir) =>
+      // two-proportion z (r8): purchase rate, even- vs odd-id user
+      // segments; one aggregate of four exact longs, fixed z tree
+      graft.ops.Audit.twoProportionZ(
+        Tables.events(s, dir).withColumn("seg",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd")),
+        "seg", col("event_type") === "purchase", "even", "odd")),
+
+    "a38_cusum" -> ((s, dir) =>
+      // CUSUM changepoint scan (r8): where does the hourly intake's
+      // cumulative deviation peak? Exact thousandths prefix on the
+      // RunningTotal operator, argmax under a total order
+      graft.ops.Audit.cusumChangepoint(Tables.events(s, dir), "ts",
+        "value")),
+
     "a36_psi_panel" -> ((s, dir) =>
       // whole-feature-table PSI (r8): all four numeric lineitem columns
       // drift-checked between returned (R) and accepted (A) lines in
@@ -1024,6 +1039,60 @@ object MiscQueries {
                     - ((CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)))
                    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
       FROM s""",
+
+    // a37: four exact longs, the same pooled-SE z tree
+    "a37_two_proportion" -> """
+      WITH s AS (
+        SELECT
+          count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+          count(CASE WHEN user_id % 2 = 0
+                     AND event_type = 'purchase' THEN 1 END) AS k_a,
+          count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b,
+          count(CASE WHEN user_id % 2 <> 0
+                     AND event_type = 'purchase' THEN 1 END) AS k_b
+        FROM events)
+      SELECT n_a, k_a, n_b, k_b,
+             round((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                   - (CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)), 6)
+               AS rate_diff,
+             round(((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                    - (CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                   / sqrt(((CAST(k_a + k_b AS DOUBLE)
+                            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                           * (1.0 - (CAST(k_a + k_b AS DOUBLE)
+                                     / (CAST(n_a AS DOUBLE)
+                                        + CAST(n_b AS DOUBLE)))))
+                          * ((1.0 / CAST(n_a AS DOUBLE))
+                             + (1.0 / CAST(n_b AS DOUBLE)))), 6) AS z_stat
+      FROM s""",
+
+    // a38: integer-thousandths hourly sums (exact double prefix), the
+    // same cusum tree, argmax by (|cusum| DESC, hour) total order
+    "a38_cusum" -> """
+      WITH h AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS hu,
+               CAST(sum(CAST(round(value * 1000, 0) AS DECIMAL(19,0)))
+                    AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      t AS (SELECT count(*) AS n, sum(y) AS s FROM h),
+      c AS (
+        SELECT hu, y, sum(y) OVER (ORDER BY hu) AS p,
+               row_number() OVER (ORDER BY hu) AS rn
+        FROM h),
+      sc AS (
+        SELECT hu,
+               abs(p - (CAST(rn AS DOUBLE)
+                        * (t.s / CAST(t.n AS DOUBLE)))) AS a,
+               CAST(round(abs(y - (t.s / CAST(t.n AS DOUBLE))), 9)
+                    AS DECIMAL(28,9)) AS d,
+               t.n
+        FROM c CROSS JOIN t)
+      SELECT CAST(max(n) AS BIGINT) AS n_hours,
+             (SELECT hu FROM sc ORDER BY a DESC, hu LIMIT 1)
+               AS changepoint_us,
+             round(max(a) / 1000.0, 6) AS max_abs_cusum,
+             round(max(a) / CAST(sum(d) AS DOUBLE), 6) AS cusum_share
+      FROM sc""",
 
     // a35: same apriori order — distinct items, size cap, item prune,
     // pair counts, strict unordered (a < b) pairing; top-50 under the

@@ -183,6 +183,37 @@ class AuditSpec extends SparkSpec {
     assert(out("y")._3 == -0.847298 && out("y")._4 == 0.338919)
   }
 
+  test("twoProportionZ: hand-computed pooled z") {
+    import spark.implicits._
+    // a: 4/10, b: 2/10 -> pool 0.3, se = sqrt(0.3*0.7*0.2), z = 0.9759
+    val rows = (1 to 10).map(i => ("a", i <= 4)) ++
+      (1 to 10).map(i => ("b", i <= 2))
+    val Array(r) = Audit.twoProportionZ(rows.toDF("g", "s"), "g",
+      col("s"), "a", "b").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 4L, 10L, 2L)))
+    assert(r.getDouble(4) == 0.2)
+    assert(r.getDouble(5) == 0.9759, r.getDouble(5).toString)
+  }
+
+  test("cusumChangepoint: planted level shift located exactly") {
+    import spark.implicits._
+    // 10 hours at 10.0 then 10 at 30.0: cusum peaks at the boundary
+    // (hour index 9), max |cusum| = 10*|10-20| = 100, share = 0.5
+    val events = (0 until 20).map(h =>
+      (new java.sql.Timestamp(h * 3600000L),
+        if (h < 10) 10.0 else 30.0)).toDF("ts", "v")
+    val Array(r) = Audit.cusumChangepoint(events, "ts", "v").collect()
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == 9L * 3600000000L, s"changepoint ${r.getLong(1)}")
+    assert(r.getDouble(2) == 100.0)
+    assert(r.getDouble(3) == 0.5)
+    // partitioning invariance (integer-thousandths prefix is exact)
+    val Array(r2) = Audit.cusumChangepoint(events.repartition(7), "ts", "v")
+      .collect()
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("psiPanel == per-column psiReport on every (bin, counts, term)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
