@@ -122,6 +122,24 @@ object DedupQueries {
         .select("doc_id", "canonical_url")
     }),
 
+    "d25_jw_scores" -> ((s, dir) => {
+      // native jaro_winkler expression (r8) over the d24 dirty-name
+      // fixture: per corruption class, the score distribution of the
+      // TRUE pairs — map-only, whole-stage codegen, verified bit-equal
+      // to DuckDB's jaro_winkler_similarity (oracle replays it raw)
+      val part = Tables.part(s, dir)
+      val dirtyName = when(pmod(col("p_partkey"), lit(3)) === 0,
+          concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)")))
+        .when(pmod(col("p_partkey"), lit(3)) === 1,
+          concat(lit("x"), expr("substring(p_name, 2)")))
+        .otherwise(col("p_name"))
+      part.select(pmod(col("p_partkey"), lit(3)).as("cls"),
+          dirtyName.as("d_name"), col("p_name"))
+        .select(col("cls"),
+          round(expr("jaro_winkler(d_name, p_name)"), 6).as("jw"))
+        .groupBy("cls", "jw").agg(count(lit(1)).as("n"))
+    }),
+
     "d24_entity_resolution" -> ((s, dir) => {
       // record linkage (r6): a deterministically dirtied copy of part
       // (key%3==0 drops the 3rd name char, ==1 replaces the 1st) is
@@ -960,6 +978,22 @@ object DedupQueries {
     // with an empty normalized form is its own partition)
     // d24: same dirtying, same block join, same Levenshtein metric;
     // best match replayed as row_number over (dist, id)
+    // d25: DuckDB's jaro_winkler_similarity IS the engine expression's
+    // verified-equal reference — replayed raw, no tolerance
+    "d25_jw_scores" -> """
+      WITH d AS (
+        SELECT p_partkey % 3 AS cls,
+               CASE WHEN p_partkey % 3 = 0
+                      THEN substr(p_name, 1, 2) || substr(p_name, 4)
+                    WHEN p_partkey % 3 = 1
+                      THEN 'x' || substr(p_name, 2)
+                    ELSE p_name END AS d_name,
+               p_name
+        FROM part)
+      SELECT cls, round(jaro_winkler_similarity(d_name, p_name), 6) AS jw,
+             count(*) AS n
+      FROM d GROUP BY 1, 2""",
+
     "d24_entity_resolution" -> """
       WITH dirty AS (
         SELECT p_partkey AS d_id,
