@@ -382,13 +382,21 @@ object Relational {
     var guard = 0
     while (targets.exists(_.done.isEmpty) && guard < 64) {
       guard += 1
-      val active = targets.filter(_.done.isEmpty).toSeq
-      val entries = active.zipWithIndex.map { case (t, i) =>
-        val x = d(t.c)
-        val w = (t.hi - t.lo) / bins
+      // DEDUPE histograms by (column, interval): many ranks of one
+      // column start from the identical [lo, hi] (all nine decile cuts
+      // in round 1; adjacent cuts that landed in the same bucket
+      // later), and a histogram depends only on the interval — so each
+      // distinct interval is scanned/emitted ONCE and every rank of it
+      // walks the same collected rows. Cuts the explode fan-out from
+      // O(active targets) to O(distinct intervals) per row.
+      val groups = targets.filter(_.done.isEmpty).toSeq
+        .groupBy(t => (t.c, t.lo, t.hi)).toSeq
+      val entries = groups.zipWithIndex.map { case (((c, lo, hi), _), i) =>
+        val x = d(c)
+        val w = (hi - lo) / bins
         val bin = least(lit(bins - 1),
-          floor((x - lit(t.lo)) / lit(w)).cast("int"))
-        when(x.isNotNull && !isnan(x) && x >= lit(t.lo) && x <= lit(t.hi),
+          floor((x - lit(lo)) / lit(w)).cast("int"))
+        when(x.isNotNull && !isnan(x) && x >= lit(lo) && x <= lit(hi),
           struct(lit(i).as("t"), bin.as("b"), x.as("x")))
       }
       val hist = df.select(explode(array(entries: _*)).as("e"))
@@ -397,26 +405,34 @@ object Relational {
         .agg(count(lit(1)).as("n"), min("e.x").as("mn"), max("e.x").as("mx"))
         .collect()
         .groupBy(_.getInt(0))
-      active.zipWithIndex.foreach { case (t, i) =>
+      // leaf-collect memo: targets finishing in the same tiny bucket
+      // share one collect of its values
+      val leafVals = scala.collection.mutable
+        .Map.empty[(String, Double, Double), Array[Double]]
+      groups.zipWithIndex.foreach { case (((c, _, _), ts), i) =>
         val rows = hist.getOrElse(i, Array.empty).sortBy(_.getInt(1))
-        var r = t.rank
-        var picked: org.apache.spark.sql.Row = null
-        val it = rows.iterator
-        while (picked == null && it.hasNext) {
-          val row = it.next()
-          if (r <= row.getLong(2)) picked = row else r -= row.getLong(2)
-        }
-        require(picked != null, s"rank ${t.rank} fell off the histogram of ${t.c}")
-        val cnt = picked.getLong(2)
-        val mn = picked.getDouble(3)
-        val mx = picked.getDouble(4)
-        t.rank = r; t.lo = mn; t.hi = mx
-        if (mn == mx) t.done = Some(mn)
-        else if (cnt <= collectLimit) {
-          val vals = df.select(d(t.c).as("__v"))
-            .filter(col("__v") >= mn && col("__v") <= mx)
-            .collect().map(_.getDouble(0)).sorted
-          t.done = Some(vals((r - 1).toInt))
+        ts.foreach { t =>
+          var r = t.rank
+          var picked: org.apache.spark.sql.Row = null
+          val it = rows.iterator
+          while (picked == null && it.hasNext) {
+            val row = it.next()
+            if (r <= row.getLong(2)) picked = row else r -= row.getLong(2)
+          }
+          require(picked != null,
+            s"rank ${t.rank} fell off the histogram of ${t.c}")
+          val cnt = picked.getLong(2)
+          val mn = picked.getDouble(3)
+          val mx = picked.getDouble(4)
+          t.rank = r; t.lo = mn; t.hi = mx
+          if (mn == mx) t.done = Some(mn)
+          else if (cnt <= collectLimit) {
+            val vals = leafVals.getOrElseUpdate((c, mn, mx),
+              df.select(d(c).as("__v"))
+                .filter(col("__v") >= mn && col("__v") <= mx)
+                .collect().map(_.getDouble(0)).sorted)
+            t.done = Some(vals((r - 1).toInt))
+          }
         }
       }
     }
