@@ -57,7 +57,8 @@ object Bench {
     "m30_isotonic", "e9_oof_target_encode", "t59_zipf",
     "st13_window_drift", "q32_acf", "q33_mase", "a34_kaplan_meier",
     "q34_weighted_median", "a35_pair_rules", "a36_psi_panel",
-    "a37_two_proportion", "a38_cusum", "d25_jw_scores")
+    "a37_two_proportion", "a38_cusum", "d25_jw_scores",
+    "d26_dl_distance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

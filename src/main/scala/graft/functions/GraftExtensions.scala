@@ -33,6 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinkler(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "damerau_levenshtein takes exactly two arguments")
+        DamerauLevenshtein(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

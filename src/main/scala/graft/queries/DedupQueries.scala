@@ -122,6 +122,29 @@ object DedupQueries {
         .select("doc_id", "canonical_url")
     }),
 
+    "d26_dl_distance" -> ((s, dir) => {
+      // native unrestricted Damerau-Levenshtein (r8): a planted
+      // TRANSPOSITION class (chars 3<->4 swapped) costs 1 under DL but
+      // 2 under plain Levenshtein — the per-class (dl, lev) histogram
+      // exposes exactly that gap; both distances integer, map-only
+      val part = Tables.part(s, dir)
+      val dirtyName = when(pmod(col("p_partkey"), lit(4)) === 0,
+          concat(substring(col("p_name"), 1, 2),
+            substring(col("p_name"), 4, 1), substring(col("p_name"), 3, 1),
+            expr("substring(p_name, 5)")))
+        .when(pmod(col("p_partkey"), lit(4)) === 1,
+          concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)")))
+        .when(pmod(col("p_partkey"), lit(4)) === 2,
+          concat(lit("x"), expr("substring(p_name, 2)")))
+        .otherwise(col("p_name"))
+      part.select(pmod(col("p_partkey"), lit(4)).as("cls"),
+          dirtyName.as("d_name"), col("p_name"))
+        .select(col("cls"),
+          expr("damerau_levenshtein(d_name, p_name)").as("dl"),
+          levenshtein(col("d_name"), col("p_name")).as("lev"))
+        .groupBy("cls", "dl", "lev").agg(count(lit(1)).as("n"))
+    }),
+
     "d25_jw_scores" -> ((s, dir) => {
       // native jaro_winkler expression (r8) over the d24 dirty-name
       // fixture: per corruption class, the score distribution of the
@@ -978,6 +1001,26 @@ object DedupQueries {
     // with an empty normalized form is its own partition)
     // d24: same dirtying, same block join, same Levenshtein metric;
     // best match replayed as row_number over (dist, id)
+    // d26: both engines' builtins replayed raw — integer distances,
+    // zero tolerance; the transposed class (cls 0) shows dl=1, lev=2
+    "d26_dl_distance" -> """
+      WITH d AS (
+        SELECT p_partkey % 4 AS cls,
+               CASE WHEN p_partkey % 4 = 0
+                      THEN substr(p_name, 1, 2) || substr(p_name, 4, 1)
+                           || substr(p_name, 3, 1) || substr(p_name, 5)
+                    WHEN p_partkey % 4 = 1
+                      THEN substr(p_name, 1, 2) || substr(p_name, 4)
+                    WHEN p_partkey % 4 = 2
+                      THEN 'x' || substr(p_name, 2)
+                    ELSE p_name END AS d_name,
+               p_name
+        FROM part)
+      SELECT cls, CAST(damerau_levenshtein(d_name, p_name) AS INT) AS dl,
+             CAST(levenshtein(d_name, p_name) AS INT) AS lev,
+             count(*) AS n
+      FROM d GROUP BY 1, 2, 3""",
+
     // d25: DuckDB's jaro_winkler_similarity IS the engine expression's
     // verified-equal reference — replayed raw, no tolerance
     "d25_jw_scores" -> """

@@ -36,4 +36,29 @@ class JaroWinklerSpec extends SparkSpec {
       .selectExpr("jaro_winkler(b, a) AS s").collect()
     assert(sym(0).getDouble(0) == got(0).getDouble(0))
   }
+
+  private def dl(a: String, b: String): Int =
+    DamerauLevenshtein.distance(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("DamerauLevenshtein: unrestricted semantics, classic references") {
+    assert(dl("CA", "ABC") == 2)      // UNRESTRICTED: OSA would give 3
+    assert(dl("ab", "ba") == 1)       // adjacent transposition costs 1
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("abcdef", "abcfed") == 2)
+    assert(dl("", "") == 0 && dl("a", "") == 1 && dl("", "ab") == 2)
+    assert(dl("same", "same") == 0)
+  }
+
+  test("damerau_levenshtein SQL: transposition beats plain levenshtein") {
+    import spark.implicits._
+    val df = Seq(("jhon", "john"), ("smith", "smiht"),
+      (null.asInstanceOf[String], "x")).toDF("a", "b")
+    val got = df.selectExpr("damerau_levenshtein(a, b) AS d",
+      "levenshtein(a, b) AS l").collect()
+    assert(got(0).getInt(0) == 1 && got(0).getInt(1) == 2)
+    assert(got(1).getInt(0) == 1 && got(1).getInt(1) == 2)
+    assert(got(2).isNullAt(0))
+  }
 }
