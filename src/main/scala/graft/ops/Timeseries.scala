@@ -302,6 +302,24 @@ object Timeseries {
     * exp underflows to exactly 0 on both engines). */
   def kaplanMeier(df: DataFrame, entityCol: String, tsCol: String,
                   horizonHours: Int = 24): DataFrame = {
+    val withRisk = survivalTable(df, entityCol, tsCol, horizonHours)
+    val term = round(log(greatest(
+      lit(1.0) - (col("__d").cast("double") / col("__n_risk").cast("double")),
+      lit(1e-300))), 9) * lit(1e9)
+    Ordinals.withRunningTotal(withRisk.withColumn("__lt", term),
+        Seq(col("__t").asc), "__lt", "__cl")
+      .select(col("__t").as("t_us"), col("__n_risk").as("n_risk"),
+        col("__d").as("n_events"),
+        (col("__all") - col("__d")).as("n_censored"),
+        round(exp(col("__cl") / lit(1e9)), 6).as("survival"))
+  }
+
+  /** The shared risk table behind [[kaplanMeier]] and [[nelsonAalen]]:
+    * per distinct lifetime, (__t, __all, __d, __n_risk) with the
+    * at-risk counts from one exact integer prefix over the
+    * lifetimes frame. */
+  private def survivalTable(df: DataFrame, entityCol: String,
+                            tsCol: String, horizonHours: Int): DataFrame = {
     val perEntity = df.groupBy(col(entityCol))
       .agg(min(unix_micros(col(tsCol))).as("__first"),
         max(unix_micros(col(tsCol))).as("__last"))
@@ -314,20 +332,35 @@ object Timeseries {
     val times = lives.groupBy("__t")
       .agg(count(lit(1)).as("__all"), sum("__ev").as("__d"))
     val tot = lives.agg(count(lit(1)).as("__N"))
-    val cum = Ordinals.withRunningTotal(times, Seq(col("__t").asc),
-      "__all", "__ca")
-    val withRisk = cum.crossJoin(broadcast(tot))
+    Ordinals.withRunningTotal(times, Seq(col("__t").asc), "__all", "__ca")
+      .crossJoin(broadcast(tot))
       .withColumn("__n_risk",
         (col("__N") - (col("__ca").cast("long") - col("__all"))))
-    val term = round(log(greatest(
-      lit(1.0) - (col("__d").cast("double") / col("__n_risk").cast("double")),
-      lit(1e-300))), 9) * lit(1e9)
-    Ordinals.withRunningTotal(withRisk.withColumn("__lt", term),
-        Seq(col("__t").asc), "__lt", "__cl")
+  }
+
+  /** Nelson–Aalen cumulative hazard: one row per distinct lifetime
+    * (t_us, n_risk, n_events, cum_hazard, hazard_var) with
+    * H(t) = Σ_{t_i≤t} d_i/n_i and the standard variance estimate
+    * Σ d_i/n_i² — the hazard-scale companion of [[kaplanMeier]] (the
+    * estimator of choice when comparing hazard SHAPES or feeding a
+    * proportional-hazards check). Same scale/exactness contract: all
+    * risk arithmetic exact integers, each term rounded to 9 and
+    * carried as a scaled-integer double on the RunningTotal prefix. */
+  def nelsonAalen(df: DataFrame, entityCol: String, tsCol: String,
+                  horizonHours: Int = 24): DataFrame = {
+    val withRisk = survivalTable(df, entityCol, tsCol, horizonHours)
+    val nD = col("__n_risk").cast("double")
+    val h = round(col("__d").cast("double") / nD, 9) * lit(1e9)
+    val v = round(col("__d").cast("double") / (nD * nD), 9) * lit(1e9)
+    Ordinals.withRunningTotal(
+        Ordinals.withRunningTotal(
+          withRisk.withColumn("__ht", h).withColumn("__vt", v),
+          Seq(col("__t").asc), "__ht", "__ch"),
+        Seq(col("__t").asc), "__vt", "__cv")
       .select(col("__t").as("t_us"), col("__n_risk").as("n_risk"),
         col("__d").as("n_events"),
-        (col("__all") - col("__d")).as("n_censored"),
-        round(exp(col("__cl") / lit(1e9)), 6).as("survival"))
+        round(col("__ch") / lit(1e9), 6).as("cum_hazard"),
+        round(col("__cv") / lit(1e9), 6).as("hazard_var"))
   }
 
   /** Autocorrelation function of the hourly total-value series at lags

@@ -260,6 +260,12 @@ object MiscQueries {
       graft.ops.Audit.gini(Tables.lineitem(s, dir), "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"))),
 
+    "a39_nelson_aalen" -> ((s, dir) =>
+      // Nelson-Aalen cumulative hazard (r8): the a34 risk table with
+      // d/n and d/n² scaled-integer prefixes — hazard-scale churn
+      graft.ops.Timeseries.nelsonAalen(Tables.events(s, dir), "user_id",
+        "ts", horizonHours = 24)),
+
     "a37_two_proportion" -> ((s, dir) =>
       // two-proportion z (r8): purchase rate, even- vs odd-id user
       // segments; one aggregate of four exact longs, fixed z tree
@@ -1038,6 +1044,40 @@ object MiscQueries {
              round(((2.0 * CAST(srx AS DOUBLE))
                     - ((CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)))
                    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+      FROM s""",
+
+    // a39: the a34 CTE chain with d/n and d/n² terms, round-9 scaled
+    // to integer doubles so both prefixes are exact window sums
+    "a39_nelson_aalen" -> """
+      WITH pe AS (
+        SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+        FROM events GROUP BY 1),
+      e AS (SELECT max(epoch_us(ts)) AS edge FROM events),
+      lv AS (
+        SELECT (l - f) AS t,
+               CASE WHEN l <= e.edge - 86400000000 THEN 1 ELSE 0 END AS ev
+        FROM pe CROSS JOIN e),
+      tm AS (SELECT t, count(*) AS alln, sum(ev) AS d FROM lv GROUP BY 1),
+      n AS (SELECT count(*) AS nn FROM lv),
+      c AS (
+        SELECT t, alln, d, sum(alln) OVER (ORDER BY t) AS ca
+        FROM tm),
+      r AS (
+        SELECT t, alln, d, (n.nn - (ca - alln)) AS n_risk
+        FROM c CROSS JOIN n),
+      s AS (
+        SELECT t, n_risk, d,
+               sum(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 9)
+                   * 1e9) OVER (ORDER BY t) AS ch,
+               sum(round(CAST(d AS DOUBLE)
+                         / (CAST(n_risk AS DOUBLE)
+                            * CAST(n_risk AS DOUBLE)), 9)
+                   * 1e9) OVER (ORDER BY t) AS cv
+        FROM r)
+      SELECT t AS t_us, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(d AS BIGINT) AS n_events,
+             round(ch / 1e9, 6) AS cum_hazard,
+             round(cv / 1e9, 6) AS hazard_var
       FROM s""",
 
     // a37: four exact longs, the same pooled-SE z tree

@@ -220,6 +220,23 @@ class TimeseriesSpec extends SparkSpec {
     assert(again == got.map { case (k, v) => k -> v._4 })
   }
 
+  test("nelsonAalen: hand-computed hazard on the KM fixture") {
+    import spark.implicits._
+    def h(hours: Long) = new Timestamp(hours * 3600000L)
+    val events = Seq(
+      (1L, h(0)), (1L, h(10)), (2L, h(0)), (2L, h(10)),
+      (3L, h(0)), (3L, h(20)), (4L, h(5)), (4L, h(95)), (5L, h(100)))
+      .toDF("user_id", "ts")
+    val got = Timeseries.nelsonAalen(events, "user_id", "ts", 24)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val H = 3600000000L
+    assert(got(0L) == ((0.0, 0.0)))
+    assert(got(10 * H) == ((0.5, 0.125)))      // 2/4, 2/16
+    assert(got(20 * H) == ((1.0, 0.375)))      // +1/2, +1/4
+    assert(got(90 * H) == ((1.0, 0.375)))      // censoring adds nothing
+  }
+
   test("acf: alternating hourly series gives -1-ish at lag 1, +1-ish at lag 2") {
     import spark.implicits._
     // 48 hours alternating 10/20: mean 15, denom 48*25;
