@@ -363,6 +363,71 @@ object Timeseries {
         round(col("__cv") / lit(1e9), 6).as("hazard_var"))
   }
 
+  /** Two-group log-rank test: one row
+    * (n_a, n_b, o_a, e_a, v, chi2_logrank) comparing the survival
+    * experience of two entity cohorts — the standard "do these cohorts
+    * churn differently?" significance test on top of [[kaplanMeier]].
+    * O_a = observed events in cohort A, E_a = Σ d·n_a/n its
+    * expectation under the null, V the hypergeometric variance;
+    * chi2 = (O_a − E_a)²/V (1 dof). `groupExpr` must be row-local and
+    * constant per entity (a key modulus, a dimension attribute).
+    *
+    * Scale/exactness: the merged risk table is the [[survivalTable]]
+    * shape with per-cohort counts pivoted into columns, so BOTH
+    * cohorts' at-risk prefixes ride one RunningTotal pass each over the
+    * lifetimes frame — all integers; the E and V terms are fixed double
+    * trees rounded to 9 and DECIMAL-summed (the n = 1 tail contributes
+    * 0 variance by the standard convention, guarded exactly). */
+  def logRank(df: DataFrame, entityCol: String, tsCol: String,
+              groupExpr: Column, aVal: String,
+              horizonHours: Int = 24): DataFrame = {
+    val perEntity = df.groupBy(col(entityCol))
+      .agg(min(unix_micros(col(tsCol))).as("__first"),
+        max(unix_micros(col(tsCol))).as("__last"),
+        first(groupExpr).as("__g"))
+    val edge = df.agg(max(unix_micros(col(tsCol))).as("__edge"))
+    val lives = perEntity.crossJoin(broadcast(edge))
+      .select((col("__last") - col("__first")).as("__t"),
+        when(col("__last") <= col("__edge")
+          - lit(horizonHours.toLong * 3600000000L), 1L).otherwise(0L)
+          .as("__ev"),
+        (col("__g") === aVal).as("__ina"))
+    val times = lives.groupBy("__t")
+      .agg(count(when(col("__ina"), 1)).as("__alla"),
+        count(when(!col("__ina"), 1)).as("__allb"),
+        sum(when(col("__ina"), col("__ev")).otherwise(0L)).as("__da"),
+        sum(when(!col("__ina"), col("__ev")).otherwise(0L)).as("__db"))
+    val tot = lives.agg(count(when(col("__ina"), 1)).as("__Na"),
+      count(when(!col("__ina"), 1)).as("__Nb"))
+    val cum = Ordinals.withRunningTotal(
+      Ordinals.withRunningTotal(times, Seq(col("__t").asc),
+        "__alla", "__ca"),
+      Seq(col("__t").asc), "__allb", "__cb")
+    val withRisk = cum.crossJoin(broadcast(tot))
+      .select(col("__t"), col("__da"), col("__db"),
+        (col("__Na") - (col("__ca").cast("long") - col("__alla")))
+          .as("__ra"),
+        (col("__Nb") - (col("__cb").cast("long") - col("__allb")))
+          .as("__rb"),
+        col("__Na"), col("__Nb"))
+    val d = (col("__da") + col("__db")).cast("double")
+    val n = (col("__ra") + col("__rb")).cast("double")
+    val pa = col("__ra").cast("double") / n
+    val eTerm = d * pa
+    val vTerm = when((col("__ra") + col("__rb")) > 1L,
+      ((d * pa) * (lit(1.0) - pa)) * ((n - d) / (n - lit(1.0))))
+      .otherwise(lit(0.0))
+    withRisk.groupBy(col("__Na").as("n_a"), col("__Nb").as("n_b"))
+      .agg(sum("__da").as("o_a"),
+        sum(round(eTerm, 9).cast("decimal(28,9)")).cast("double").as("__e"),
+        sum(round(vTerm, 9).cast("decimal(28,9)")).cast("double").as("__v"))
+      .select(col("n_a"), col("n_b"), col("o_a"),
+        round(col("__e"), 6).as("e_a"), round(col("__v"), 6).as("v"),
+        round(((col("o_a").cast("double") - col("__e"))
+          * (col("o_a").cast("double") - col("__e"))) / col("__v"), 6)
+          .as("chi2_logrank"))
+  }
+
   /** Autocorrelation function of the hourly total-value series at lags
     * 1..maxLag: (lag, n_pairs, acf) per lag, acf_l =
     * Σ(y_t−ȳ)(y_{t−l}−ȳ) / Σ(y_t−ȳ)² — the seasonality/persistence

@@ -260,6 +260,14 @@ object MiscQueries {
       graft.ops.Audit.gini(Tables.lineitem(s, dir), "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"))),
 
+    "a40_logrank" -> ((s, dir) =>
+      // two-group log-rank (r8): do even- and odd-id user cohorts
+      // churn differently? Per-cohort at-risk prefixes over one
+      // lifetimes frame; E/V terms round-9 DECIMAL-summed
+      graft.ops.Timeseries.logRank(Tables.events(s, dir), "user_id",
+        "ts", when(col("user_id") % 2 === 0, "even").otherwise("odd"),
+        aVal = "even", horizonHours = 24)),
+
     "a39_nelson_aalen" -> ((s, dir) =>
       // Nelson-Aalen cumulative hazard (r8): the a34 risk table with
       // d/n and d/n² scaled-integer prefixes — hazard-scale churn
@@ -1045,6 +1053,67 @@ object MiscQueries {
                     - ((CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)))
                    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
       FROM s""",
+
+    // a40: the a34 lifetime rule with per-cohort pivoted counts; E/V
+    // trees token-identical (n=1 tail guarded to 0 on both engines)
+    "a40_logrank" -> """
+      WITH pe AS (
+        SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l,
+               CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+        FROM events GROUP BY 1),
+      e AS (SELECT max(epoch_us(ts)) AS edge FROM events),
+      lv AS (
+        SELECT (l - f) AS t,
+               CASE WHEN l <= e.edge - 86400000000 THEN 1 ELSE 0 END AS ev,
+               (g = 'even') AS ina
+        FROM pe CROSS JOIN e),
+      tm AS (
+        SELECT t,
+               count(CASE WHEN ina THEN 1 END) AS alla,
+               count(CASE WHEN NOT ina THEN 1 END) AS allb,
+               sum(CASE WHEN ina THEN ev ELSE 0 END) AS da,
+               sum(CASE WHEN NOT ina THEN ev ELSE 0 END) AS db
+        FROM lv GROUP BY 1),
+      nn AS (
+        SELECT count(CASE WHEN ina THEN 1 END) AS na_tot,
+               count(CASE WHEN NOT ina THEN 1 END) AS nb_tot
+        FROM lv),
+      c AS (
+        SELECT t, da, db, alla, allb,
+               sum(alla) OVER (ORDER BY t) AS ca,
+               sum(allb) OVER (ORDER BY t) AS cb
+        FROM tm),
+      r AS (
+        SELECT t, da, db,
+               (nn.na_tot - (ca - alla)) AS na,
+               (nn.nb_tot - (cb - allb)) AS nb,
+               nn.na_tot, nn.nb_tot
+        FROM c CROSS JOIN nn),
+      s AS (
+        SELECT na_tot, nb_tot, da,
+               round(CAST(da + db AS DOUBLE)
+                     * (CAST(na AS DOUBLE)
+                        / CAST(na + nb AS DOUBLE)), 9) AS et,
+               round(CASE WHEN (na + nb) > 1 THEN
+                 ((CAST(da + db AS DOUBLE)
+                   * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+                  * (1.0 - (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))))
+                 * ((CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+                    / (CAST(na + nb AS DOUBLE) - 1.0))
+                 ELSE 0.0 END, 9) AS vt
+        FROM r)
+      SELECT CAST(na_tot AS BIGINT) AS n_a, CAST(nb_tot AS BIGINT) AS n_b,
+             CAST(sum(da) AS BIGINT) AS o_a,
+             round(CAST(sum(CAST(et AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS e_a,
+             round(CAST(sum(CAST(vt AS DECIMAL(28,9))) AS DOUBLE), 6) AS v,
+             round(((CAST(sum(da) AS DOUBLE)
+                     - CAST(sum(CAST(et AS DECIMAL(28,9))) AS DOUBLE))
+                    * (CAST(sum(da) AS DOUBLE)
+                       - CAST(sum(CAST(et AS DECIMAL(28,9))) AS DOUBLE)))
+                   / CAST(sum(CAST(vt AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS chi2_logrank
+      FROM s GROUP BY na_tot, nb_tot""",
 
     // a39: the a34 CTE chain with d/n and d/n² terms, round-9 scaled
     // to integer doubles so both prefixes are exact window sums

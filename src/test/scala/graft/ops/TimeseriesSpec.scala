@@ -220,6 +220,25 @@ class TimeseriesSpec extends SparkSpec {
     assert(again == got.map { case (k, v) => k -> v._4 })
   }
 
+  test("logRank: hand-computed O/E/V with a censored sentinel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when => w}
+    def h(hours: Long) = new Timestamp(hours * 3600000L)
+    // A lifetimes {1h, 2h}, B {3h, 4h} (all churned); sentinel in B at
+    // the edge (censored, lifetime 0 — leaves every later risk set)
+    val events = Seq(
+      (1L, h(0)), (1L, h(1)), (2L, h(0)), (2L, h(2)),
+      (11L, h(0)), (11L, h(3)), (12L, h(0)), (12L, h(4)),
+      (99L, h(100)))
+      .toDF("user_id", "ts")
+    val Array(r) = Timeseries.logRank(events, "user_id", "ts",
+      w(col("user_id") < 10, "A").otherwise("B"), aVal = "A", 24).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 2L)))
+    assert(r.getDouble(3) == 0.833333, "e_a")   // 1/2 + 1/3
+    assert(r.getDouble(4) == 0.472222, "v")     // 1/4 + 2/9
+    assert(r.getDouble(5) == 2.882353, "chi2")  // (2-5/6)^2 / (17/36)
+  }
+
   test("nelsonAalen: hand-computed hazard on the KM fixture") {
     import spark.implicits._
     def h(hours: Long) = new Timestamp(hours * 3600000L)
