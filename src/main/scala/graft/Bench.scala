@@ -58,7 +58,7 @@ object Bench {
     "st13_window_drift", "q32_acf", "q33_mase", "a34_kaplan_meier",
     "q34_weighted_median", "a35_pair_rules", "a36_psi_panel",
     "a37_two_proportion", "a38_cusum", "d25_jw_scores",
-    "d26_dl_distance", "a39_nelson_aalen", "a40_logrank")
+    "d26_dl_distance", "a39_nelson_aalen", "a40_logrank", "m31_ece")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

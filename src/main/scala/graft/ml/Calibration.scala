@@ -108,6 +108,36 @@ object Calibration {
       .withColumn("fitted", round(col("fitted"), 6))
   }
 
+  /** Expected / maximum calibration error: one row (n, ece, mce) over
+    * the same fixed-width bins as [[reliability]] —
+    * ECE = Σ (n_k/N)·|avg_prob_k − frac_pos_k| (the headline
+    * calibration number), MCE its worst bin. Same single-aggregate
+    * scale shape; per-bin terms rounded to 9 and DECIMAL-summed (ECE)
+    * or max'd (MCE, order-free), so both replay bit-for-bit. */
+  def calibrationError(pred: DataFrame, probCol: String, pos: Column,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val p = col(probCol).cast(DoubleType)
+    val per = pred.filter(p.isNotNull)
+      .withColumn("bin",
+        least(floor(p * lit(bins)) + lit(1), lit(bins.toLong)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(round(p, 9).cast("decimal(28,9)")).as("__sp"),
+        count(when(pos, 1)).as("n_pos"))
+    val tot = per.agg(sum("n").as("__t"))
+    val nD = col("n").cast("double")
+    val gap = abs((col("__sp").cast("double") / nD)
+      - (col("n_pos").cast("double") / nD))
+    per.crossJoin(broadcast(tot))
+      .groupBy(col("__t").cast("long").as("n"))
+      .agg(sum(round((nD / col("__t").cast("double")) * gap, 9)
+          .cast("decimal(28,9)")).cast("double").as("__ece"),
+        max(round(gap, 9)).as("__mce"))
+      .select(col("n"), round(col("__ece"), 6).as("ece"),
+        round(col("__mce"), 6).as("mce"))
+  }
+
   /** Reliability diagram + Murphy Brier decomposition: cut `probCol`
     * (a probability in [0,1]) into `bins` fixed-width bins and report
     * per observed bin (bin, n, avg_prob, frac_pos, rel_term, res_term).

@@ -359,6 +359,14 @@ object MlQueries {
           .when(col("l_orderkey") % 10 < 8, 1).otherwise(2),
         idCols = Seq("l_orderkey", "l_linenumber"), lambda = 0.5)),
 
+    "m31_ece" -> ((s, dir) =>
+      // expected/max calibration error (r8): the m28 bins reduced to
+      // the two headline numbers; same link, same cut, one aggregate
+      graft.ml.Calibration.calibrationError(
+        Tables.events(s, dir)
+          .withColumn("p", least(col("value"), lit(200.0)) / lit(200.0)),
+        "p", col("event_type") === "click")),
+
     "m30_isotonic" -> ((s, dir) =>
       // isotonic calibration (r8): exact PAV over the m28 score cut at
       // 20 buckets — long cross-multiplication pooling on the driver
@@ -891,6 +899,30 @@ object MlQueries {
              round(((g.w * sp.l_extendedprice) + g.b) + q.qhat, 4) AS hi
       FROM sp CROSS JOIN g CROSS JOIN q
       WHERE sp.md >= 8 AND sp.l_extendedprice IS NOT NULL""",
+
+    // m31: the m28 bins reduced to ECE/MCE; per-bin gap trees identical
+    "m31_ece" -> """
+      WITH pr AS (
+        SELECT least(value, 200.0) / 200.0 AS p,
+               event_type FROM events
+        WHERE least(value, 200.0) / 200.0 IS NOT NULL),
+      per AS (
+        SELECT CAST(least(floor(p * 10) + 1, 10) AS INT) AS bin,
+               count(*) AS n,
+               sum(CAST(round(p, 9) AS DECIMAL(28,9))) AS sp,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_pos
+        FROM pr GROUP BY 1),
+      t AS (SELECT sum(n) AS tt FROM per)
+      SELECT CAST(t.tt AS BIGINT) AS n,
+             round(CAST(sum(CAST(round(
+               (CAST(n AS DOUBLE) / CAST(t.tt AS DOUBLE))
+               * abs((CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+               AS DECIMAL(28,9))) AS DOUBLE), 6) AS ece,
+             round(max(round(abs((CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                                 - (CAST(n_pos AS DOUBLE)
+                                    / CAST(n AS DOUBLE))), 9)), 6) AS mce
+      FROM per CROSS JOIN t GROUP BY t.tt""",
 
     // m30: the same bucket cut, then PAV replayed via the minimax
     // identity over prefix sums — the winning segment is exactly the

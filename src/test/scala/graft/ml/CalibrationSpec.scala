@@ -102,6 +102,24 @@ class CalibrationSpec extends SparkSpec {
     assert(bins.sameElements(Array(1, 10)))
   }
 
+  test("calibrationError: hand ECE/MCE on the reliability fixture") {
+    import spark.implicits._
+    // bins 2 and 10 both have |avg - frac| = 0.15: ECE = 0.15, MCE = 0.15
+    val df = (Seq.fill(1)((0.1, 1)) ++ Seq.fill(3)((0.1, 0)) ++
+      Seq.fill(3)((0.9, 1)) ++ Seq.fill(1)((0.9, 0))).toDF("p", "y")
+    val Array(r) = Calibration.calibrationError(df, "p", col("y") === 1)
+      .collect()
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) == 0.15, "ece")
+    assert(r.getDouble(2) == 0.15, "mce")
+    // perfectly calibrated: frac == avg in every bin -> both 0
+    val perfect = (Seq.fill(1)((0.25, 1)) ++ Seq.fill(3)((0.25, 0)) ++
+      Seq.fill(3)((0.75, 1)) ++ Seq.fill(1)((0.75, 0))).toDF("p", "y")
+    val Array(r2) = Calibration.calibrationError(perfect, "p",
+      col("y") === 1).collect()
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(2) == 0.0)
+  }
+
   test("reliability is partitioning-invariant") {
     import spark.implicits._
     val df = (1 to 400).map(i => ((i % 97) / 100.0, i % 3 == 0))
