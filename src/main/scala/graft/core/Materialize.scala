@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** The one switch between the two "materialize this frame once" modes.
+  *
+  * Iterative and multi-traversal operators (connected components, SMOTE
+  * quota phases, PageRank, DoReMi sufficient statistics, streaming
+  * micro-batch dedup) cut their lineage with an eager checkpoint so the
+  * expensive upstream plan executes exactly once. `localCheckpoint`
+  * is the right default on a static cluster: it writes executor-local
+  * blocks (no distributed-FS round trip) and is 5-50x cheaper than a
+  * reliable checkpoint. But under DYNAMIC ALLOCATION an executor
+  * decommission drops both the checkpoint blocks AND the truncated
+  * lineage — the job cannot recover, not even slowly. For that cluster
+  * posture, set
+  *
+  *   spark.conf.set("graft.checkpoint.reliable", "true")
+  *   spark.sparkContext.setCheckpointDir("hdfs://.../graft-ckpt")
+  *
+  * and every materialize-once site in the engine switches to reliable
+  * `checkpoint()` (blocks on the checkpoint dir, lineage recoverable
+  * from durable storage). Results are bit-identical in both modes —
+  * only the fault-tolerance story changes; [[MaterializeSpec]] pins
+  * that equivalence.
+  */
+object Materialize {
+  /** Runtime conf key; "false" (localCheckpoint) unless set. */
+  val ReliableKey = "graft.checkpoint.reliable"
+
+  /** Eagerly materialize `df` and cut its lineage, honoring
+    * [[ReliableKey]]. Call sites that previously used
+    * `df.localCheckpoint()` / `df.localCheckpoint(true)` call
+    * `Materialize.frame(df)` (both were eager).
+    */
+  def frame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.get(ReliableKey, "false").trim.equalsIgnoreCase("true")
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableKey=true requires sparkContext.setCheckpointDir(...) " +
+          "(a durable location all executors can reach)")
+      df.checkpoint(eager = true)
+    } else {
+      df.localCheckpoint(eager = true)
+    }
+  }
+}

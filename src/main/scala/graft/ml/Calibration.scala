@@ -40,6 +40,12 @@ object Calibration {
       val (h11, h12, h22) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
       val (g1, g2) = (r.getDouble(3), r.getDouble(4))
       val det = h11 * h22 - h12 * h12
+      // r9: degenerate input (constant score, all-identical labels, or
+      // a separable fit driving every weight to 0) makes the Hessian
+      // singular; fail loudly instead of silently producing NaN (a, b).
+      require(!det.isNaN && math.abs(det) > 1e-300,
+        s"plattFit: singular Hessian (det=$det) — degenerate input " +
+          "(constant score, single-class labels, or separable data)")
       a = a - (h22 * g1 - h12 * g2) / det
       b = b - (h11 * g2 - h12 * g1) / det
     }

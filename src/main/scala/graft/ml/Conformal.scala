@@ -70,7 +70,15 @@ object Conformal {
     val byRank = graft.ops.Relational.exactValuesAtRanks(cal, Seq("__score"),
       (_, nCal) => {
         require(nCal > 0, "empty calibration split")
-        qRank = math.min(math.ceil(level * (nCal + 1.0)).toLong, nCal)
+        // r9: when ceil(level*(n+1)) > n split conformal prescribes an
+        // INFINITE interval; clamping would silently drop the
+        // finite-sample coverage guarantee, so refuse instead — the
+        // caller needs n_cal >= level/(1-level) calibration rows.
+        require(level * (nCal + 1.0) <= nCal,
+          s"calibration split too small for level=$level: need " +
+            s"n_cal >= level/(1-level) = ${level / (1.0 - level)}, " +
+            s"got $nCal (split conformal would return infinite intervals)")
+        qRank = math.ceil(level * (nCal + 1.0)).toLong
         Seq(qRank)
       })("__score")
     val qHat = byRank(qRank)

@@ -143,9 +143,13 @@ object Audit {
       .foldLeft(lit(0.0)) { case (acc, (d, p)) =>
         when(col("digit") === d, p).otherwise(acc)
       }
+    // r9: positive values below half a cent round to integer cents 0 —
+    // a digit '0' row with no Benford expectation; keep only '1'..'9'
+    // so every output row has a real expected_share.
     val digits = df.filter(col(valueCol) > 0)
       .select(substring(round(col(valueCol) * 100, 0).cast("long")
         .cast("string"), 1, 1).as("digit"))
+      .filter(col("digit").between("1", "9"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val total = digits.agg(sum("n_obs").as("__t"))
     digits.crossJoin(broadcast(total))

@@ -158,7 +158,7 @@ object Corpus {
     // lazily, each traversal re-scanned and re-scored the corpus.
     val q = df.select(col(idCol), col(sourceCol),
       Text.qualityScore(col(textCol)).as("__q"))
-      .localCheckpoint()
+      .transform(graft.core.Materialize.frame)
     val ranked = Ordinals.withPerKeyRank(q, sourceCol,
       Seq(col("__q").asc, col(idCol).asc), "__rk")
     val counts = q.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
@@ -195,7 +195,7 @@ object Corpus {
     // t repeatedly, and its lineage holds the token-count text kernel
     val t = df.select(col(sourceCol), col(idCol),
       Text.tokenCount(col(textCol)).as("__tok"))
-      .localCheckpoint()
+      .transform(graft.core.Materialize.frame)
     val ranked = Ordinals.withPerKeyRank(t, sourceCol,
       Seq(col("__tok").asc, col(idCol).asc), "__rk")
     val counts = t.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
@@ -448,7 +448,7 @@ object Corpus {
     // materialized once — the rank and counts phases traverse scored
     // repeatedly, and its lineage holds the LM build + scoring pass
     val scored = df.select(col(idCol), col(sourceCol)).join(lm, idCol)
-      .localCheckpoint()
+      .transform(graft.core.Materialize.frame)
     val ranked = Ordinals.withPerKeyRank(scored, sourceCol,
       Seq(col("mean_logprob").desc, col(idCol).asc), "__rk")
     val counts = scored.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
@@ -649,7 +649,7 @@ object Corpus {
     val st = Lexicon.docTermCounts(df, textCol, idCol)
       .join(df.select(col(idCol).as("id"), col(sourceCol).as("source")), "id")
       .groupBy("source", "term").agg(sum("c").as("c"))
-      .localCheckpoint(true) // cut the corpus out of every step's plan
+      .transform(graft.core.Materialize.frame) // cut the corpus out of every step's plan
     val tok = st.groupBy("source").agg(sum("c").as("tokens"))
     val ct = st.groupBy("term").agg(sum("c").as("__ct"))
     val g = tok.agg(sum("tokens").as("__gtok"), count(lit(1)).as("__nd"))

@@ -789,11 +789,11 @@ object Dedup {
   def components(pairs: DataFrame, maxIter: Int = 25,
                  localEdgeBudget: Long = 2L * 1000 * 1000): DataFrame = {
     val undirected = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.core.Materialize.frame)
     if (undirected.count() <= localEdgeBudget) return localComponents(undirected)
     val edges0 = undirected
       .unionByName(undirected.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.core.Materialize.frame)
     // Size the round parallelism to the GRAPH, not the corpus: the pair
     // list is usually orders of magnitude smaller than the input (that's
     // the point of near-dup candidate pruning), and every round launches
@@ -805,10 +805,10 @@ object Dedup {
       edges0.rdd.getNumPartitions.toLong)).toInt
     val edges =
       if (parts < edges0.rdd.getNumPartitions)
-        edges0.repartition(parts, col("dst")).localCheckpoint(true)
+        edges0.repartition(parts, col("dst")).transform(graft.core.Materialize.frame)
       else edges0
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+      .withColumn("comp", col("id")).transform(graft.core.Materialize.frame)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -827,7 +827,7 @@ object Dedup {
           Seq("__mid"), "left")
         .select(col("id"), coalesce(col("__cc"), col("__mid")).as("comp"),
           (coalesce(col("__cc"), col("__mid")) =!= col("__old")).as("__chg"))
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.frame)
       changed = updated.filter(col("__chg")).count()
       labels = updated.select("id", "comp")
       it += 1

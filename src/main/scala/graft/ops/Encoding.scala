@@ -244,10 +244,15 @@ object Encoding {
         .agg(sum("__s").as("__cs"), sum("__n").as("__cn"))
       val tot = catTot.agg(sum("__cs").as("__ts"), sum("__cn").as("__tn"))
       val g = col("__ts").cast("double") / col("__tn").cast("double")
+      // null-sum guard (r9): a (category, fold) cell whose targets are
+      // all null has sum(t) = NULL (count = 0); coalescing both sums to
+      // 0 keeps the complement arithmetic defined, and an all-null
+      // category then really does land on the global prior g (m > 0).
       val dict = cells.join(broadcast(catTot), "__cat")
         .crossJoin(broadcast(tot))
         .select(col("__cat"), col("__oof_f").as("__dict_f"),
-          (((col("__cs") - col("__s")).cast("double") + (lit(m) * g))
+          (((coalesce(col("__cs"), lit(0)) - coalesce(col("__s"), lit(0)))
+              .cast("double") + (lit(m) * g))
             / ((col("__cn") - col("__n")).cast("double") + lit(m)))
             .as(out))
       folded.join(broadcast(dict),

@@ -130,7 +130,7 @@ object Smote {
           // Minority-sized rows, same precedent as SmoteEnn/Tomek.
           val weighted = minority.join(nn, Seq("__id"), "left")
             .withColumn("__w", coalesce(col("__w"), lit(0.0)))
-            .localCheckpoint()
+            .transform(graft.core.Materialize.frame)
           // quota proportional to weight, exact total = deficit:
           // floor share + largest-remainder top-up (the floor alone
           // under-fills by up to n-1 — r2 VERDICT item 5)
@@ -195,7 +195,7 @@ object Smote {
             .agg(avg((col("__nbr_cls") =!= cls).cast(DoubleType)).as("__share"))
             .filter(col("__share") >= 0.5 && col("__share") < 1.0)
             .select("__id")
-            .localCheckpoint()
+            .transform(graft.core.Materialize.frame)
           val dangerRows = minority.join(danger, "__id")
           val src = if (dangerRows.isEmpty) minority else dangerRows
           synthesize(src, feats, k, width, seed + cls.hashCode, majority - n)
@@ -230,7 +230,7 @@ object Smote {
           // third time — uncheckpointed, each evaluation re-ran the kNN.
           val meanDist = Neighbors.knnJoin(clsRows, others, "__id", nNeighbors, width, seed)
             .groupBy(col("l_id").as("__id")).agg(avg("dist").as("__md"))
-            .localCheckpoint()
+            .transform(graft.core.Materialize.frame)
           // left join: rows with no approximate-kNN candidate rank last
           // (infinite distance) instead of vanishing — class size stays
           // exactly minCount. Global rank via zipWithIndex, not the
@@ -264,7 +264,7 @@ object Smote {
       // it (measured at sf1: the b9/b10 tail). Same eager-localCheckpoint
       // precedent as Dedup.components; the stored frame is the op's own
       // output size (~2n), strictly cheaper than 5+ recomputes.
-      val smoted = SmoteOp(target, k, width, seed)(df).localCheckpoint()
+      val smoted = SmoteOp(target, k, width, seed)(df).transform(graft.core.Materialize.frame)
       val (base, feats, _) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
@@ -272,7 +272,7 @@ object Smote {
       // materialization the kNN join (the expensive stage) runs twice.
       // The frame is (2n x 2 longs) — trivial to store, k=1 pairs only.
       val nn1 = Neighbors.knnJoin(all, all, "__id", 1, width, seed)
-        .select(col("l_id"), col("nbr_id")).localCheckpoint()
+        .select(col("l_id"), col("nbr_id")).transform(graft.core.Materialize.frame)
       val cls = all.select(col("__id"), col(target))
       val links = nn1.as("a").join(nn1.as("b"),
           col("a.l_id") === col("b.nbr_id") && col("a.nbr_id") === col("b.l_id") &&
@@ -298,7 +298,7 @@ object Smote {
       // Same single-materialization contract as SmoteTomekOp above: the
       // ENN phase traverses the SMOTE output from adaptiveWidth, both
       // knnJoin sides, the class lookup, and the final vote join.
-      val smoted = SmoteOp(target, k, width, seed)(df).localCheckpoint()
+      val smoted = SmoteOp(target, k, width, seed)(df).transform(graft.core.Materialize.frame)
       val (base, feats, _) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)

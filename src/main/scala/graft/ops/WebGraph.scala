@@ -153,7 +153,7 @@ object WebGraph {
                checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpointEvery > 0) df.localCheckpoint() else df
+      if (checkpointEvery > 0) df.transform(graft.core.Materialize.frame) else df
     val e = ckpt(edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct())
     val nodes = ckpt(e.select(col("__src").as("host"))
@@ -185,7 +185,7 @@ object WebGraph {
             .as("rank_tokens"))
       ranks =
         if (checkpointEvery > 0 && i % checkpointEvery == 0)
-          next.localCheckpoint()
+          next.transform(graft.core.Materialize.frame)
         else next
     }
     ranks

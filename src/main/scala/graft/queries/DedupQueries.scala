@@ -312,7 +312,7 @@ object DedupQueries {
       // consumes it AND the audit joins it four times — lazily each
       // consumer re-ran the whole inverted-index pairs stage
       val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 3,
-        threshold = 0.7).localCheckpoint()
+        threshold = 0.7).transform(graft.core.Materialize.frame)
       val safe = graft.ops.Balancing.groupSplit(corpus, "doc_id", pairs,
         testFraction = 0.3, seed = 42L)
       val naive = corpus.withColumn("split",

@@ -181,7 +181,7 @@ object EncodingQueries {
       tot AS (SELECT sum(cs) AS ts, sum(cn) AS tn FROM ct),
       dict AS (
         SELECT cells.cat, cells.fold,
-               ((CAST(ct.cs - cells.s AS DOUBLE)
+               ((CAST(COALESCE(ct.cs, 0) - COALESCE(cells.s, 0) AS DOUBLE)
                  + (10.0 * (CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE))))
                 / (CAST(ct.cn - cells.n AS DOUBLE) + 10.0)) AS enc
         FROM cells JOIN ct USING (cat) CROSS JOIN tot)

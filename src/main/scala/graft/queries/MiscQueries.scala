@@ -827,7 +827,8 @@ object MiscQueries {
         SELECT substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                            AS VARCHAR), 1, 1) AS digit
         FROM lineitem WHERE l_extendedprice > 0),
-      c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+      c AS (SELECT digit, count(*) AS n_obs FROM d
+            WHERE digit BETWEEN '1' AND '9' GROUP BY 1),
       t AS (SELECT sum(n_obs) AS tot FROM c)
       SELECT c.digit, c.n_obs,
              round(CAST(c.n_obs AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share,

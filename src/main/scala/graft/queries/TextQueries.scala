@@ -326,7 +326,7 @@ object TextQueries {
         Text.qualityScore(col("text")).as("q"),
         Text.gopherRules(col("text")).getField("passes")
           .cast("double").as("y"))
-        .localCheckpoint()
+        .transform(graft.core.Materialize.frame)
       val (a, b) = graft.ml.Calibration.plattFit(d, "q", "y", iterations = 3)
       d.agg(count(lit(1)).as("n_docs")).select(col("n_docs"),
         round(lit(a), 6).as("platt_a"), round(lit(b), 6).as("platt_b"),

@@ -34,7 +34,7 @@ object IngestDedup {
     val spark = batch.sparkSession
     val ix = LshIndex.load(spark, indexPath)
     val pairs = LshIndex.incrementalPairs(batch, ix, textCol, idCol, threshold)
-      .localCheckpoint(true) // tiny; reused by the old/new split below
+      .transform(graft.core.Materialize.frame) // tiny; reused by the old/new split below
     // classify each pair by which sides are new (PAIR-level set algebra —
     // a doc can have both a new-new and a new-old pair, and one new-old
     // pair must drop it regardless of its new-new role)
@@ -49,7 +49,7 @@ object IngestDedup {
       .unionByName(bNewPairs.except(nnPairs).select(col("id_b").as("id")))
     val nnDrop = Dedup.components(nnPairs).filter(col("id") =!= col("comp")).select("id")
     val drop = withOld.unionByName(nnDrop).distinct().withColumnRenamed("id", idCol)
-    val kept = batch.join(drop, Seq(idCol), "left_anti").localCheckpoint(true)
+    val kept = batch.join(drop, Seq(idCol), "left_anti").transform(graft.core.Materialize.frame)
     LshIndex.save(LshIndex.entriesFor(kept, ix, textCol, idCol), indexPath,
       mode = "append")
     kept

@@ -34,7 +34,7 @@ object VectorIngest {
       .select("id_a", "id_b")
     val nnDrop = Dedup.components(nn).filter(col("id") =!= col("comp")).select("id")
     val drop = vsOld.unionByName(nnDrop).distinct().withColumnRenamed("id", idCol)
-    val kept = batch.join(drop, Seq(idCol), "left_anti").localCheckpoint(true)
+    val kept = batch.join(drop, Seq(idCol), "left_anti").transform(graft.core.Materialize.frame)
     AnnIndex.append(kept, ix, indexPath, vecCol, idCol)
     kept
   }

@@ -29,7 +29,7 @@ object ProfileD6D7 {
     val pairs = Dedup.ngramJaccardPairs(near, "text", "doc_id", n = 3,
       threshold = 0.7)
     time("d6: pairs (jaccard)")(println("[profile] n_pairs = " + pairs.count()))
-    val pairsCp = pairs.localCheckpoint(true)
+    val pairsCp = pairs.transform(graft.core.Materialize.frame)
     time("d6: components only") {
       println("[profile] n_labels = " + Dedup.components(pairsCp).count())
     }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The r8 verdict's durability finding: every materialize-once site
+  * rides [[graft.core.Materialize.frame]], which picks localCheckpoint
+  * (static cluster, default) or reliable checkpoint() (dynamic
+  * allocation, `graft.checkpoint.reliable=true`). These tests pin that
+  * the two modes are RESULT-identical on real multi-materialize
+  * lineages — d6's iterative connected components (5 sites) and b9's
+  * SMOTE+Tomek pipeline (3 sites) — so the flag only changes the
+  * fault-tolerance story, never the answer.
+  */
+class MaterializeSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def bothModes(name: String): (Seq[String], Seq[String]) = {
+    val q = SparkEntry.queries(name)
+    spark.conf.set(graft.core.Materialize.ReliableKey, "false")
+    val local = rows(q(spark, sf))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(graft.core.Materialize.ReliableKey, "true")
+    try {
+      val reliable = rows(q(spark, sf))
+      (local, reliable)
+    } finally {
+      spark.conf.set(graft.core.Materialize.ReliableKey, "false")
+    }
+  }
+
+  test("reliable mode without a checkpoint dir fails loudly") {
+    val fresh = spark.newSession()
+    fresh.conf.set(graft.core.Materialize.ReliableKey, "true")
+    // newSession shares the SparkContext (and so the checkpoint dir set
+    // above); this guard test only makes sense before any dir exists,
+    // so assert the message path directly on the helper's require.
+    if (fresh.sparkContext.getCheckpointDir.isEmpty) {
+      val df = fresh.range(3).toDF("id")
+      val e = intercept[IllegalArgumentException] {
+        graft.core.Materialize.frame(df)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+  }
+
+  test("d6 connected components identical in local and reliable modes") {
+    val (local, reliable) = bothModes("d6_dup_components")
+    assert(local.nonEmpty)
+    assert(local == reliable)
+  }
+
+  test("b9 smote-tomek identical in local and reliable modes") {
+    val (local, reliable) = bothModes("b9_smote_tomek")
+    assert(local.nonEmpty)
+    assert(local == reliable)
+  }
+
+}
