@@ -58,7 +58,9 @@ object Bench {
     "st13_window_drift", "q32_acf", "q33_mase", "a34_kaplan_meier",
     "q34_weighted_median", "a35_pair_rules", "a36_psi_panel",
     "a37_two_proportion", "a38_cusum", "d25_jw_scores",
-    "d26_dl_distance", "a39_nelson_aalen", "a40_logrank", "m31_ece")
+    "d26_dl_distance", "a39_nelson_aalen", "a40_logrank", "m31_ece",
+    // r9: the KN-adaptive DoReMi loop and the p=5 general-Gram ridge
+    "t49d_doremi_kn_adaptive", "m23c_ridge_gram5")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

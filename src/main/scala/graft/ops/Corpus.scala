@@ -686,6 +686,100 @@ object Corpus {
           lit(smoothing) / col("__nd"), 6).as("weight"))
   }
 
+  /** Kneser-Ney DoReMi with PER-STEP proxy re-training — the r8 seam
+    * closed: [[doremiWeightsKN]]'s losses are computed once (its `steps`
+    * telescope into one step at `steps * eta`), while here the KN proxy
+    * is RE-TRAINED on the current mixture every EG step, so the best
+    * proxy (bigram KN) and the published loop (Xie et al. 2023,
+    * Algorithm 1) finally compose.
+    *
+    * "Training a KN LM on mixture w" has a closed form over the same
+    * sufficient statistics: mixture bigram pseudo-counts at corpus scale
+    * m_w(v,t) = gtok * sum_d (w_d / tokens_d) * c_{d,(v,t)} (at
+    * token-share weights these are EXACTLY the corpus counts, so the
+    * mixture proxy degenerates to [[doremiWeightsKN]]'s fixed one — the
+    * spec pins that), with the absolute-discount formula applied to
+    * them. The TYPE-based statistics (n1+(v.), continuation counts,
+    * total types) depend only on the SUPPORT of the counts, and EG keeps
+    * every weight positive, so they are weight-invariant and computed
+    * once. Fractional pseudo-counts can fall below the discount, hence
+    * the max(m - D, 0) guard on the discounted term (inactive at
+    * token-share weights where every count is an integer >= 1).
+    * Reference model: the corpus-trained KN LM (t49b's proxy), fixed;
+    * alpha_0 uniform per Algorithm 1.
+    *
+    * Scale: the corpus is touched ONCE to build the (source, v, w, c)
+    * bigram sufficient-statistics table (materialized); each EG step is
+    * two map-side-combined aggregates over it (mixture counts keyed by
+    * bigram, losses keyed by source) with the domains-sized weight
+    * frame riding a broadcast — per-step cost scales with the bigram
+    * TYPE table, never the corpus. */
+  def doremiWeightsKNAdaptive(df: DataFrame, textCol: String, idCol: String,
+                              sourceCol: String, eta: Double = 1.0,
+                              steps: Int = 2, smoothing: Double = 0.01,
+                              discount: Double = 0.75): DataFrame = {
+    require(steps >= 1 && eta > 0 && smoothing >= 0 && smoothing < 1)
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val sb = Lexicon.docBigramCounts(df, textCol, idCol)
+      .join(df.select(col(idCol).as("id"), col(sourceCol).as("source")), "id")
+      .groupBy("source", "v", "w").agg(sum("c").as("c"))
+      .transform(graft.core.Materialize.frame) // corpus out of the step loop
+    val tok = sb.groupBy("source").agg(sum("c").as("tokens"))
+    // weight-invariant type statistics (support never changes: EG keeps
+    // all weights positive)
+    val cb = sb.groupBy("v", "w").agg(sum("c").as("__cvw"))
+    val cv = cb.groupBy("v").agg(sum("__cvw").as("__cv"),
+      count(lit(1)).as("__n1v"))
+    val contW = cb.groupBy("w").agg(count(lit(1)).as("__ncw"))
+    val types = cb.agg(count(lit(1)).as("__types"))
+    val g = tok.agg(sum("tokens").as("__gtok"), count(lit(1)).as("__nd"))
+    // fixed reference: the corpus-trained KN LM (doremiWeightsKN's proxy)
+    val pKnRef =
+      ((col("__cvw").cast(DoubleType) - lit(discount))
+        / col("__cv").cast(DoubleType)) +
+        (lit(discount) * (col("__n1v").cast(DoubleType)
+          / col("__cv").cast(DoubleType)) *
+          (col("__ncw").cast(DoubleType) / col("__types").cast(DoubleType)))
+    val lref = sb.join(cb, Seq("v", "w")).join(cv, "v").join(contW, "w")
+      .crossJoin(broadcast(types))
+      .groupBy("source").agg(sum(col("c") * log(pKnRef)).as("__lpref"))
+    var w: DataFrame = tok.join(lref, "source").crossJoin(broadcast(g))
+      .select(col("source"), col("tokens"), col("__lpref"), col("__nd"),
+        col("__gtok"), (lit(1.0) / col("__nd")).as("__alpha"))
+    for (_ <- 1 to steps) {
+      val asum = w.agg(sum("__alpha").as("__as"))
+      // mixture pseudo-counts at corpus scale: coef_d = (w_d/tok_d)*gtok
+      val coef = w.crossJoin(broadcast(asum)).select(col("source"),
+        (((col("__alpha") / col("__as")) / col("tokens")) * col("__gtok"))
+          .as("__coef"))
+      val mcb = sb.join(broadcast(coef), "source")
+        .groupBy("v", "w").agg(sum(col("c") * col("__coef")).as("__mvw"))
+      val mcv = mcb.groupBy("v").agg(sum("__mvw").as("__mv"))
+      val pKnMix =
+        (greatest(col("__mvw") - lit(discount), lit(0.0)) / col("__mv")) +
+          (lit(discount) * (col("__n1v").cast(DoubleType) / col("__mv")) *
+            (col("__ncw").cast(DoubleType)
+              / col("__types").cast(DoubleType)))
+      val ld = sb.join(mcb, Seq("v", "w")).join(mcv, "v").join(cv, "v")
+        .join(contW, "w").crossJoin(broadcast(types))
+        .groupBy("source").agg(sum(col("c") * log(pKnMix)).as("__lp"))
+      w = w.join(ld, "source")
+        .withColumn("excess_loss",
+          greatest(lit(0.0),
+            (-col("__lp") / col("tokens"))
+              - (-col("__lpref") / col("tokens"))))
+        .withColumn("__alpha",
+          col("__alpha") * exp(lit(eta) * col("excess_loss")))
+        .drop("__lp")
+    }
+    val norm = w.agg(sum("__alpha").as("__asum"))
+    w.crossJoin(broadcast(norm))
+      .select(col("source"), col("tokens"),
+        round(col("excess_loss"), 6).as("excess_loss"),
+        round(lit(1.0 - smoothing) * col("__alpha") / col("__asum") +
+          lit(smoothing) / col("__nd"), 6).as("weight"))
+  }
+
   /** DoReMi reweighting with a REAL proxy scorer: the per-domain loss is
     * the engine's own Kneser-Ney bigram LM cross-entropy (the
     * [[Lexicon.bigramLogProbKN]] machinery rolled up per SOURCE — the

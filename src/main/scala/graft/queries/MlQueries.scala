@@ -484,6 +484,30 @@ object MlQueries {
         "l_extendedprice", "l_discount", "l_tax", lambda = 0.5)
         .select(col("l_orderkey"), col("l_linenumber"), col("pred"))),
 
+    "m23c_ridge_gram5" -> ((s, dir) => {
+      // general-p Gram ridge (r9): the p=5 driver Gaussian-elimination
+      // solve (Ridge.fitPredictGram — the path m23b's p=3 Cramer tree
+      // does NOT reach) oracled end-to-end by a planted exactly-
+      // recoverable fixture: the target is an exact 5-feature linear
+      // form whose every term has <= 3 decimal places, lambda = 0, so
+      // the centered normal equations are consistent, the solve
+      // recovers the plant to ~1e-9, and round(pred, 4) can never
+      // straddle a rounding boundary. The oracle replays the plant.
+      val li = Tables.lineitem(s, dir)
+        .withColumn("okmod",
+          pmod(col("l_orderkey"), lit(100)).cast("double"))
+        .withColumn("y_planted",
+          ((((lit(2.5) * col("l_quantity"))
+            - (lit(1.25) * col("l_linenumber")))
+            + (lit(4.0) * col("l_discount")))
+            + (lit(3.5) * col("l_tax")))
+            + ((lit(0.25) * col("okmod")) + lit(7.5)))
+      graft.ml.Ridge.fitPredictGram(li, "y_planted",
+          Seq("l_quantity", "l_linenumber", "l_discount", "l_tax",
+            "okmod"), lambda = 0.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("pred"))
+    }),
+
     "m24b_kernel_shap_budget" -> ((s, dir) => {
       // BUDGETED Kernel SHAP (r8): M=6 features, budget=50 keeps the
       // complete coalition levels {1,5} (12 masks) and {2,4} (30 masks)
@@ -1088,6 +1112,18 @@ object MlQueries {
       SELECT l.l_orderkey, l.l_linenumber,
              round((g.w * l.l_extendedprice) + g.b, 4) AS pred
       FROM lineitem l CROSS JOIN g""",
+
+    // m23c: the planted 5-feature linear form replayed directly — the
+    // engine must RECOVER it through the p=5 Gram solve (lambda = 0 on
+    // a consistent system), so the oracle is the plant itself; every
+    // term has <= 3 decimals, making round(.,4) boundary-free
+    "m23c_ridge_gram5" -> """
+      SELECT l_orderkey, l_linenumber,
+             round((((((2.5 * l_quantity) - (1.25 * l_linenumber))
+                      + (4.0 * l_discount)) + (3.5 * l_tax))
+                    + ((0.25 * CAST(l_orderkey % 100 AS DOUBLE)) + 7.5)),
+                   4) AS pred
+      FROM lineitem""",
 
     // m23b: the p=3 Gram system — same exact decimal(18,6) sufficient
     // statistics as the engine, Cramer's rule with the engine's cofactor

@@ -243,6 +243,18 @@ object TextQueries {
       Corpus.doremiWeightsAdaptive(Tables.documents(s, dir), "text",
         "doc_id", "source", eta = 1.0, steps = 2, smoothing = 0.01)),
 
+    "t49d_doremi_kn_adaptive" -> ((s, dir) =>
+      // KN-DoReMi with PER-STEP proxy re-training (r9): the bigram
+      // Kneser-Ney proxy is re-trained on the current mixture each EG
+      // step (mixture pseudo-counts at corpus scale over the same
+      // materialized sufficient-statistics table; type stats are
+      // weight-invariant), composing t49b's best proxy with t49c's
+      // published loop. DoremiSpec pins steps=2,eta=1 != steps=1,eta=2
+      // on a bigram-planted domain. Oracle: t49b's KN CTEs + the t49c
+      // unrolled 2-step loop with identical float trees.
+      Corpus.doremiWeightsKNAdaptive(Tables.documents(s, dir), "text",
+        "doc_id", "source", eta = 1.0, steps = 2, smoothing = 0.01)),
+
     "t51_script_mix" -> ((s, dir) => {
       // Unicode script histogram (r6): per-doc counts over explicit
       // code-point ranges + dominant script — the pre-langid routing
@@ -1141,6 +1153,108 @@ object TextQueries {
               FROM stc s JOIN c2s USING (source) GROUP BY 1),
       ld2 AS (SELECT s.source, sum(s.c * ln(pm2.pm)) AS lp
               FROM stc s JOIN pm2 USING (term) GROUP BY 1),
+      w2 AS (SELECT w1.source, w1.tokens,
+                    CASE WHEN ((-ld2.lp / w1.tokens)
+                               - (-w1.lpref / w1.tokens)) > 0.0
+                         THEN ((-ld2.lp / w1.tokens)
+                               - (-w1.lpref / w1.tokens))
+                         ELSE 0.0 END AS excess,
+                    w1.alpha * exp(1.0 *
+                      CASE WHEN ((-ld2.lp / w1.tokens)
+                                 - (-w1.lpref / w1.tokens)) > 0.0
+                           THEN ((-ld2.lp / w1.tokens)
+                                 - (-w1.lpref / w1.tokens))
+                           ELSE 0.0 END) AS alpha
+             FROM w1 JOIN ld2 USING (source)),
+      n2 AS (SELECT sum(alpha) AS asum FROM w2)
+      SELECT source, CAST(tokens AS BIGINT) AS tokens,
+             round(excess, 6) AS excess_loss,
+             round(0.99 * alpha / (SELECT asum FROM n2)
+                   + 0.01 / (SELECT nd FROM g), 6) AS weight
+      FROM w2""",
+
+    // t49d: t49b's KN statistics + the t49c adaptive unroll — per step,
+    // mixture pseudo-counts at corpus scale (coef = ((alpha/asum)/tokens)
+    // * gtok, so token-share weights reproduce the corpus counts
+    // exactly), the max(m - 0.75, 0) discount guard, and the
+    // weight-invariant type statistics shared across steps; every float
+    // tree mirrors the engine's parenthesization
+    "t49d_doremi_kn_adaptive" -> s"""
+      WITH tok AS (SELECT doc_id, $lowToksSql AS t FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                     i -> [t[i + 1], t[i + 2]])) AS p
+             FROM tok WHERE len(t) >= 2),
+      db AS (SELECT doc_id, p[1] AS v, p[2] AS w, count(*) AS c
+             FROM bg GROUP BY 1, 2, 3),
+      sb AS (SELECT d.source, db.v, db.w, sum(db.c) AS c
+             FROM db JOIN documents d USING (doc_id) GROUP BY 1, 2, 3),
+      tokd AS (SELECT source, sum(c) AS tokens FROM sb GROUP BY 1),
+      cb AS (SELECT v, w, sum(c) AS cvw FROM sb GROUP BY 1, 2),
+      cv AS (SELECT v, sum(cvw) AS cv, count(*) AS n1v FROM cb GROUP BY 1),
+      cont AS (SELECT w, count(*) AS ncw FROM cb GROUP BY 1),
+      ty AS (SELECT count(*) AS types FROM cb),
+      g AS (SELECT sum(tokens) AS gtok, count(*) AS nd FROM tokd),
+      lref AS (SELECT s.source,
+          sum(s.c * ln(
+            ((CAST(cb.cvw AS DOUBLE) - 0.75) / CAST(cv.cv AS DOUBLE))
+            + ((0.75 * (CAST(cv.n1v AS DOUBLE) / CAST(cv.cv AS DOUBLE)))
+               * (CAST(cont.ncw AS DOUBLE)
+                  / CAST((SELECT types FROM ty) AS DOUBLE))))) AS lpref
+        FROM sb s JOIN cb USING (v, w) JOIN cv USING (v)
+             JOIN cont USING (w)
+        GROUP BY 1),
+      w0 AS (SELECT t.source, t.tokens, l.lpref,
+                    1.0 / (SELECT nd FROM g) AS alpha
+             FROM tokd t JOIN lref l USING (source)),
+      n0 AS (SELECT sum(alpha) AS asum FROM w0),
+      c1 AS (SELECT source,
+                    (((alpha / (SELECT asum FROM n0)) / tokens)
+                     * (SELECT gtok FROM g)) AS coef
+             FROM w0),
+      m1 AS (SELECT s.v, s.w, sum(s.c * c1.coef) AS mvw
+             FROM sb s JOIN c1 USING (source) GROUP BY 1, 2),
+      mv1 AS (SELECT v, sum(mvw) AS mv FROM m1 GROUP BY 1),
+      ld1 AS (SELECT s.source,
+          sum(s.c * ln(
+            ((CASE WHEN (m1.mvw - 0.75) > 0.0 THEN (m1.mvw - 0.75)
+                   ELSE 0.0 END) / mv1.mv)
+            + ((0.75 * (CAST(cv.n1v AS DOUBLE) / mv1.mv))
+               * (CAST(cont.ncw AS DOUBLE)
+                  / CAST((SELECT types FROM ty) AS DOUBLE))))) AS lp
+        FROM sb s JOIN m1 USING (v, w) JOIN mv1 USING (v)
+             JOIN cv USING (v) JOIN cont USING (w)
+        GROUP BY 1),
+      w1 AS (SELECT w0.source, w0.tokens, w0.lpref,
+                    CASE WHEN ((-ld1.lp / w0.tokens)
+                               - (-w0.lpref / w0.tokens)) > 0.0
+                         THEN ((-ld1.lp / w0.tokens)
+                               - (-w0.lpref / w0.tokens))
+                         ELSE 0.0 END AS excess,
+                    w0.alpha * exp(1.0 *
+                      CASE WHEN ((-ld1.lp / w0.tokens)
+                                 - (-w0.lpref / w0.tokens)) > 0.0
+                           THEN ((-ld1.lp / w0.tokens)
+                                 - (-w0.lpref / w0.tokens))
+                           ELSE 0.0 END) AS alpha
+             FROM w0 JOIN ld1 USING (source)),
+      n1 AS (SELECT sum(alpha) AS asum FROM w1),
+      c2s AS (SELECT source,
+                     (((alpha / (SELECT asum FROM n1)) / tokens)
+                      * (SELECT gtok FROM g)) AS coef
+              FROM w1),
+      m2 AS (SELECT s.v, s.w, sum(s.c * c2s.coef) AS mvw
+             FROM sb s JOIN c2s USING (source) GROUP BY 1, 2),
+      mv2 AS (SELECT v, sum(mvw) AS mv FROM m2 GROUP BY 1),
+      ld2 AS (SELECT s.source,
+          sum(s.c * ln(
+            ((CASE WHEN (m2.mvw - 0.75) > 0.0 THEN (m2.mvw - 0.75)
+                   ELSE 0.0 END) / mv2.mv)
+            + ((0.75 * (CAST(cv.n1v AS DOUBLE) / mv2.mv))
+               * (CAST(cont.ncw AS DOUBLE)
+                  / CAST((SELECT types FROM ty) AS DOUBLE))))) AS lp
+        FROM sb s JOIN m2 USING (v, w) JOIN mv2 USING (v)
+             JOIN cv USING (v) JOIN cont USING (w)
+        GROUP BY 1),
       w2 AS (SELECT w1.source, w1.tokens,
                     CASE WHEN ((-ld2.lp / w1.tokens)
                                - (-w1.lpref / w1.tokens)) > 0.0

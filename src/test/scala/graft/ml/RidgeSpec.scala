@@ -70,6 +70,63 @@ class RidgeSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows off the planted plane")
   }
 
+  test("fitPredictGram p=5, lambda>0 matches an independent full-pivot solve") {
+    import spark.implicits._
+    // noisy plant (deterministic sin perturbation, pre-quantized to the
+    // engine's decimal(18,6) grid so both solvers see identical inputs)
+    val rows = (1 to 200).map { i =>
+      val x = Array(i % 7.0, i % 11.0, i % 13.0, (i * i) % 17.0,
+        (i * 3) % 19.0)
+      val raw = 2.0 * x(0) - 1.5 * x(1) + 0.5 * x(2) + 3.0 * x(3) -
+        0.75 * x(4) + 4.0 + math.sin(i.toDouble) * 0.2
+      (x, math.rint(raw * 1e6) / 1e6)
+    }
+    val d = rows.map { case (x, y) => (x(0), x(1), x(2), x(3), x(4), y) }
+      .toDF("x1", "x2", "x3", "x4", "x5", "y")
+    val lambda = 0.8
+    val p = 5
+    val n = rows.length.toDouble
+    // independent reference: centered Gram built row-by-row in the spec,
+    // solved by GAUSS-JORDAN WITH FULL PIVOTING — a different algorithm
+    // and elimination order than the engine's partial-pivot back-subst.
+    val mx = Array.tabulate(p)(j => rows.map(_._1(j)).sum / n)
+    val my = rows.map(_._2).sum / n
+    val a = Array.tabulate(p, p + 1) { (i, j) =>
+      if (j < p)
+        rows.map(r => (r._1(i) - mx(i)) * (r._1(j) - mx(j))).sum +
+          (if (i == j) lambda * n else 0.0)
+      else rows.map(r => (r._1(i) - mx(i)) * (r._2 - my)).sum
+    }
+    val perm = Array.tabulate(p)(identity)
+    for (step <- 0 until p) {
+      val (pr, pc) = (for (r <- step until p; c <- step until p)
+        yield (r, c)).maxBy { case (r, c) => math.abs(a(r)(c)) }
+      val tr = a(step); a(step) = a(pr); a(pr) = tr
+      for (r <- 0 until p) {
+        val t = a(r)(step); a(r)(step) = a(r)(pc); a(r)(pc) = t
+      }
+      val tp = perm(step); perm(step) = perm(pc); perm(pc) = tp
+      val piv = a(step)(step)
+      for (j <- step to p) a(step)(j) /= piv
+      for (r <- 0 until p if r != step) {
+        val f = a(r)(step)
+        if (f != 0.0) for (j <- step to p) a(r)(j) -= f * a(step)(j)
+      }
+    }
+    val w = new Array[Double](p)
+    for (i <- 0 until p) w(perm(i)) = a(i)(p)
+    val b = my - (0 until p).map(i => w(i) * mx(i)).sum
+    val expected = rows.map { case (x, _) =>
+      (0 until p).map(i => w(i) * x(i)).sum + b
+    }
+    val got = Ridge.fitPredictGram(d, "y",
+        Seq("x1", "x2", "x3", "x4", "x5"), lambda, roundTo = 9)
+      .select("pred").collect().map(_.getDouble(0))
+    expected.zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-6, (e, g))
+    }
+  }
+
   test("fitPredictGram nulls: fit uses the all-non-null population only") {
     import spark.implicits._
     val d = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](

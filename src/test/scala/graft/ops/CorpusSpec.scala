@@ -320,6 +320,53 @@ class CorpusSpec extends SparkSpec {
     assert(two == again, "bit-deterministic")
   }
 
+  test("doremiWeightsKNAdaptive: bigram-planted domain — KN capability kept AND 2 steps at eta != 1 step at 2*eta") {
+    import spark.implicits._
+    // "plain" and "scrambled" are the SAME SIZE with IDENTICAL unigram
+    // multisets — only their bigram structure differs (plain shares the
+    // big domain's word order, scrambled reverses it). The uniform
+    // alpha_0 mixture over-serves both small domains equally at the
+    // unigram level, so the unigram-adaptive loop CANNOT separate them;
+    // the KN-adaptive loop must (plain's bigrams lose mixture mass the
+    // corpus reference gave them via "common", scrambled's GAIN mass) —
+    // and the per-step re-trained proxy must break the telescoping
+    // identity the fixed-loss KN loop exhibits.
+    val docs = (
+      (1 to 8).map(i =>
+        (i.toLong, "the quick brown fox jumps over the lazy dog", "common")) ++
+      Seq((9L, "the quick brown fox jumps over the lazy dog", "plain"),
+          (10L, "the quick brown fox jumps over the lazy dog", "plain"),
+          (11L, "dog lazy the over jumps fox brown quick the", "scrambled"),
+          (12L, "dog lazy the over jumps fox brown quick the", "scrambled")))
+      .toDF("doc_id", "text", "source")
+    def run(eta: Double, steps: Int) =
+      Corpus.doremiWeightsKNAdaptive(docs, "text", "doc_id", "source",
+        eta = eta, steps = steps, smoothing = 0.01)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val two = run(1.0, 2)
+    val oneDouble = run(2.0, 1)
+    assert(math.abs(two.values.map(_._3).sum - 1.0) < 1e-6, "weights sum to 1")
+    // non-telescoping: the step-2 proxy is retrained on the shifted
+    // mixture, so its excess losses differ from step 1's
+    val maxDiff = two.keys.map(k =>
+      math.abs(two(k)._3 - oneDouble(k)._3)).max
+    assert(maxDiff > 1e-6, s"KN-adaptive loop telescoped: $two vs $oneDouble")
+    // bigram sensitivity: identical unigrams, different weights — the
+    // structure-preserving small domain shows MORE excess than the
+    // structure-breaking one (whose own bigrams the uniform mixture
+    // over-serves relative to the corpus reference)
+    assert(two("plain")._2 > two("scrambled")._2, two.toString)
+    assert(two("plain")._3 > two("scrambled")._3, two.toString)
+    // control: the unigram-adaptive loop is provably blind to the split
+    val uni = Corpus.doremiWeightsAdaptive(docs, "text", "doc_id", "source",
+      eta = 1.0, steps = 2, smoothing = 0.01)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(uni("plain") - uni("scrambled")) < 1e-9, uni.toString)
+    val again = run(1.0, 2)
+    assert(two == again, "bit-deterministic")
+  }
+
   test("unimaxAllocation: hand-computed waterfilling on three domains") {
     import spark.implicits._
     // per-domain sizes 10 / 20 / 100 arrive split across rows
