@@ -31,7 +31,7 @@ object Sessions {
     // buffers are all O(k) (k = a neighbor/explainer count), so a
     // million hashed keys per partition is ~100 MB, not a spill risk.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "1048576")
+      sys.env.getOrElse("SPARK_GRAFT_OBJ_FALLBACK", "1048576"))
     .config("spark.sql.parquet.compression.codec", "zstd")
     // pyarrow-written TIMESTAMP(NANOS) columns (events.ts) are otherwise
     // unreadable; Tables.events converts the long back to a timestamp.
