@@ -268,10 +268,20 @@ object Smote {
       val (base, feats, _) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
+      // r9: the caller's width is sized for the ORIGINAL frame at the
+      // default 64-rows/cell budget; the link pass runs on the ~2x
+      // augmented frame and needs only 1 approximate neighbor, so
+      // re-derive the grid for the measured augmented size at a 16/cell
+      // budget (occupancy grows as n*w^2 — candidates drop ~8x, recall
+      // for k=1 stays ample at ~144 expected candidates per row).
+      // width <= 0 (the exact mode every value-level spec pins) is
+      // untouched.
+      val linkWidth =
+        if (width <= 0) width else Neighbors.autoWidth(smoted.count(), 16)
       // nn1 feeds BOTH sides of the mutual-link self-join below; without
       // materialization the kNN join (the expensive stage) runs twice.
       // The frame is (2n x 2 longs) — trivial to store, k=1 pairs only.
-      val nn1 = Neighbors.knnJoin(all, all, "__id", 1, width, seed)
+      val nn1 = Neighbors.knnJoin(all, all, "__id", 1, linkWidth, seed)
         .select(col("l_id"), col("nbr_id")).transform(graft.core.Materialize.frame)
       val cls = all.select(col("__id"), col(target))
       val links = nn1.as("a").join(nn1.as("b"),
@@ -302,14 +312,23 @@ object Smote {
       val (base, feats, _) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
-      val votes = Neighbors.knnJoin(all, all, "__id", ennK, width, seed)
+      // r9: same augmented-frame grid re-derivation as SmoteTomekOp —
+      // the 3-NN vote needs ~16 rows/cell, not the synthesis pass's 64
+      // (see the linkWidth note there); exact mode untouched.
+      val voteWidth =
+        if (width <= 0) width else Neighbors.autoWidth(smoted.count(), 16)
+      val votes = Neighbors.knnJoin(all, all, "__id", ennK, voteWidth, seed)
         .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
         .groupBy(col("l_id").as("__id"), col("__nbr_cls"))
         .agg(count(lit(1)).as("__v"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__id").orderBy(desc("__v"), asc("__nbr_cls"))
-      val majorityVote = votes.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1).select(col("__id"), col("__nbr_cls").as("__vote"))
+      // majority with the (count desc, class asc) tie-break as ONE
+      // hash aggregate: min(struct(-count, class)) — bit-identical to
+      // the former row_number window, without sorting the vote stream
+      val majorityVote = votes
+        .groupBy("__id")
+        .agg(min(struct((-col("__v")).as("__nv"), col("__nbr_cls")))
+          .as("__top"))
+        .select(col("__id"), col("__top.__nbr_cls").as("__vote"))
       all.join(majorityVote, Seq("__id"), "left")
         .filter(col("__vote").isNull || col("__vote") === col(target))
         .transform(dropInternal)
