@@ -60,7 +60,11 @@ object Bench {
     "a37_two_proportion", "a38_cusum", "d25_jw_scores",
     "d26_dl_distance", "a39_nelson_aalen", "a40_logrank", "m31_ece",
     // r9: the KN-adaptive DoReMi loop and the p=5 general-Gram ridge
-    "t49d_doremi_kn_adaptive", "m23c_ridge_gram5")
+    "t49d_doremi_kn_adaptive", "m23c_ridge_gram5",
+    // r9 second batch: rank-based drift tests, effect size, Brier
+    // decomposition, paired-model test, ordered target encoding
+    "a41_mann_whitney", "a42_cramers_v", "a43_spearman", "m32_brier",
+    "m34_mcnemar", "e10_ordered_target_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -184,4 +184,55 @@ object Calibration {
         round((nD * ((fPos - base) * (fPos - base)))
           / col("__t").cast("double"), 6).as("res_term"))
   }
+
+  /** One-row Murphy decomposition summary of the Brier score:
+    * (n, brier, reliability, resolution, uncertainty, within_bin) —
+    * brier is the EXACT mean squared error of the probabilities
+    * (not the binned approximation), reliability/resolution are
+    * [[reliability]]'s per-bin terms summed, uncertainty = base*(1-base),
+    * and within_bin = brier - ((reliability - resolution) + uncertainty)
+    * is the variance of p inside bins (0 when forecasts are discrete at
+    * bin centers) — reported, not hidden, so the identity is auditable.
+    *
+    * Scale shape: ONE map-side-combined aggregate to bins-sized, a
+    * second bins-sized fold; per-row (p-y)^2 and per-bin terms are
+    * round-9 DECIMAL-summed (order-independent), the readouts fixed
+    * double trees rounded to 6. */
+  def brierDecomposition(pred: DataFrame, probCol: String, pos: Column,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val p = col(probCol).cast(DoubleType)
+    val y = when(pos, lit(1.0)).otherwise(lit(0.0))
+    val per = pred.filter(p.isNotNull)
+      .withColumn("bin",
+        least(floor(p * lit(bins)) + lit(1), lit(bins.toLong)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(round(p, 9).cast("decimal(28,9)")).as("__sp"),
+        count(when(pos, 1)).as("n_pos"),
+        sum(round((p - y) * (p - y), 9).cast("decimal(28,9)")).as("__sb"))
+    val tot = per.agg(sum("n").as("__t"), sum("n_pos").as("__p"),
+      sum("__sb").as("__b"))
+    val tD = col("__t").cast("double")
+    val base = col("__p").cast("double") / tD
+    val nD = col("n").cast("double")
+    val avgP = col("__sp").cast("double") / nD
+    val fPos = col("n_pos").cast("double") / nD
+    val s = per.crossJoin(broadcast(tot))
+      .agg(max("__t").as("__t"), max("__p").as("__p"), max("__b").as("__b"),
+        sum(round((nD * ((avgP - fPos) * (avgP - fPos))) / tD, 9)
+          .cast("decimal(28,9)")).as("__rel"),
+        sum(round((nD * ((fPos - base) * (fPos - base))) / tD, 9)
+          .cast("decimal(28,9)")).as("__res"))
+    val brier = col("__b").cast("double") / tD
+    val rel = col("__rel").cast("double")
+    val res = col("__res").cast("double")
+    val unc = base * (lit(1.0) - base)
+    s.select(col("__t").as("n"),
+      round(brier, 6).as("brier"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(unc, 6).as("uncertainty"),
+      round(brier - ((rel - res) + unc), 6).as("within_bin"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.ml.Models.Task
 
@@ -27,6 +27,33 @@ object Compare {
       }
       ModelResult(name, metrics, (System.nanoTime() - t0) / 1e9)
     }
+
+  /** McNemar's test for PAIRED classifier comparison: one row
+    * (n, n_a_only, n_b_only, mcnemar_chi2) where n_a_only = rows only
+    * model A got right, n_b_only = rows only model B got right, and the
+    * statistic is the continuity-corrected (|b-c|-1)^2/(b+c) — the
+    * correct significance test when two models are evaluated on the
+    * SAME rows (accuracy deltas ignore the pairing; m5's compare
+    * reports them, this tests them). Truth/predictions are arbitrary
+    * Columns so rule-based and model-based classifiers both fit.
+    *
+    * Scale shape: ONE aggregate of three counters; the statistic is a
+    * fixed double tree over exact longs. b + c = 0 (identical models)
+    * yields null, the honest "no discordant pairs" readout. */
+  def mcnemar(df: DataFrame, truth: Column, predA: Column,
+              predB: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val okA = predA <=> truth
+    val okB = predB <=> truth
+    val s = df.agg(count(lit(1)).as("n"),
+      count(when(okA && !okB, 1)).as("n_a_only"),
+      count(when(!okA && okB, 1)).as("n_b_only"))
+    val b = col("n_a_only").cast("double")
+    val c = col("n_b_only").cast("double")
+    s.select(col("n"), col("n_a_only"), col("n_b_only"),
+      round(((abs(b - c) - lit(1.0)) * (abs(b - c) - lit(1.0)))
+        / (b + c), 6).as("mcnemar_chi2"))
+  }
 
   /** M17 — target-column heuristic (`model_evaluation_ui.py:238-240`):
     * last column whose distinct count is < 90% of rows and that is not

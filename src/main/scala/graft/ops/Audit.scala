@@ -305,6 +305,138 @@ object Audit {
           .as("ks_stat"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) drift test between two slices:
+    * one row (n_a, n_b, u_stat, z) — the RANK-based two-sample test,
+    * the standard alarm when the metric's distribution is heavy-tailed
+    * enough that a28's KS or a t-test mislead. Average ranks for ties,
+    * tie-corrected normal approximation.
+    *
+    * Scale shape: ranks are NEVER materialized per row — the frame is
+    * collapsed to per-distinct-value counts (map-side combined), the
+    * tied-group average ranks come from ONE RunningTotal over the
+    * value-group table, and everything after is a fixed double tree
+    * over exact integers. 2*R_A = sum over value groups of
+    * na * (2*cumt - t + 1) stays in integer DECIMAL, so rank sums are
+    * partition-order-independent. */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+                  aVal: String, bVal: String): DataFrame = {
+    val per = df
+      .filter(col(groupCol).isin(aVal, bVal) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(when(col(groupCol) === aVal, 1)).as("__na"),
+        count(when(col(groupCol) === bVal, 1)).as("__nb"))
+      .withColumn("__t", col("__na") + col("__nb"))
+    val cum = Ordinals.withRunningTotal(per, Seq(col("__v").asc), "__t", "__ct")
+    val s = cum.agg(
+      sum("__na").as("__ta"), sum("__nb").as("__tb"),
+      // doubled rank-sum of slice A: groups are disjoint and the terms
+      // integer, so the DECIMAL sum is exact under any partitioning;
+      // factors are widened to DECIMAL BEFORE multiplying (na * 2ct is
+      // ~n^2 and t^3 ~n^3 — both overflow long past ~10^6 rows)
+      sum(col("__na").cast("decimal(19,0)") *
+        ((lit(2L) * col("__ct")) - col("__t") + lit(1L))
+          .cast("decimal(19,0)")).as("__r2a"),
+      sum((col("__t").cast("decimal(12,0)") * col("__t") * col("__t"))
+        - col("__t")).as("__ties"))
+    val na = col("__ta").cast("double")
+    val nb = col("__tb").cast("double")
+    val nn = na + nb
+    val u = (col("__r2a").cast("double") / lit(2.0)) -
+      ((na * (na + lit(1.0))) / lit(2.0))
+    val mu = (na * nb) / lit(2.0)
+    val sigma2 = ((na * nb) / lit(12.0)) *
+      ((nn + lit(1.0)) -
+        (col("__ties").cast("double") / (nn * (nn - lit(1.0)))))
+    s.select(col("__ta").as("n_a"), col("__tb").as("n_b"),
+      round(u, 1).as("u_stat"),
+      round((u - mu) / sqrt(sigma2), 6).as("z"))
+  }
+
+  /** Cramer's V — the EFFECT-SIZE companion of [[chiSquare]] (a21):
+    * one row (n, dof, chi2, cramers_v). chi2 answers "is there any
+    * association?" but grows with n; V = sqrt(chi2 / (n * (min(k)-1)))
+    * is the [0,1] strength readout that stays comparable across table
+    * sizes — the number an EDA drift report actually thresholds.
+    *
+    * Scale shape: ONE contingency aggregate (map-side combined — the
+    * cell table is |A| x |B|, dictionary-sized by definition of
+    * categorical), then marginals and the (o - e)^2/e fold over cells.
+    * Exactness: observed counts and marginals are integers; each cell
+    * term is rounded to 9 decimals and DECIMAL-summed (the shared
+    * order-independence idiom), so chi2 replays bit-for-bit. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colTot = cells.groupBy("__b").agg(sum("__o").as("__rb"))
+    val tot = cells.agg(sum("__o").as("__n"),
+      countDistinct("__a").as("__ka"), countDistinct("__b").as("__kb"))
+    val e = (col("__ra").cast("double") * col("__rb").cast("double")) /
+      col("__n").cast("double")
+    // r9: the statistic must include EMPTY cells — their (0-e)^2/e mass
+    // is what a perfectly-associated table's chi2 = n comes from — so
+    // the fold runs over the FULL marginal grid (|A| x |B|, still
+    // dictionary-sized), not just the observed cells
+    val o = coalesce(col("__o"), lit(0L)).cast("double")
+    val term = ((o - e) * (o - e)) / e
+    val s = rowTot.crossJoin(colTot)
+      .join(cells, Seq("__a", "__b"), "left")
+      .crossJoin(broadcast(tot))
+      .agg(max("__n").as("__n"), max("__ka").as("__ka"),
+        max("__kb").as("__kb"),
+        sum(round(term, 9).cast("decimal(28,9)")).as("__chi2"))
+    val dof = (col("__ka") - lit(1L)) * (col("__kb") - lit(1L))
+    val chi2 = col("__chi2").cast("double")
+    val minDim = least(col("__ka"), col("__kb")).cast("double") - lit(1.0)
+    s.select(col("__n").as("n"), dof.as("dof"),
+      round(chi2, 6).as("chi2"),
+      round(sqrt(chi2 / (col("__n").cast("double") * minDim)), 6)
+        .as("cramers_v"))
+  }
+
+  /** Spearman rank correlation between two numeric columns: one row
+    * (n, rho) — Pearson over average ranks, the standard monotone-
+    * association check that survives outliers and nonlinear scales.
+    *
+    * Scale shape: per-column rank DICTIONARIES (distinct value ->
+    * doubled average rank, exact integers via 2*avgrank = 2*cumt - t
+    * + 1 from one RunningTotal over the value-group table), joined
+    * back to the rows — two dictionary joins, no per-row window, no
+    * range sort of the data. The Pearson fold then runs over exact
+    * integer doubled-ranks in DECIMAL (products bounded by (2n)^2 * n
+    * < 10^38 up to ~10^10 rows), one fixed double tree at the end. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val both = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
+    def rankDict(c: String) = {
+      val per = both.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__t"))
+      Ordinals.withRunningTotal(per, Seq(col("__v").asc), "__t", "__ct")
+        .select(col("__v"),
+          ((lit(2L) * col("__ct")) - col("__t") + lit(1L)).as(s"__r$c"))
+    }
+    val ranked = both
+      .join(rankDict("__x").withColumnRenamed("__v", "__x"), "__x")
+      .join(rankDict("__y").withColumnRenamed("__v", "__y"), "__y")
+    // doubled ranks are <= 2n; the cross products are widened to
+    // DECIMAL before multiplying (4n^2 overflows long past ~1.5e9 rows)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val s = ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(dec(col("__r__x"))).as("__sx"),
+      sum(dec(col("__r__y"))).as("__sy"),
+      sum(dec(col("__r__x")) * dec(col("__r__y"))).as("__sxy"),
+      sum(dec(col("__r__x")) * dec(col("__r__x"))).as("__sxx"),
+      sum(dec(col("__r__y")) * dec(col("__r__y"))).as("__syy"))
+    val n = col("__n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = d("__sxy") - ((d("__sx") * d("__sy")) / n)
+    val vx = d("__sxx") - ((d("__sx") * d("__sx")) / n)
+    val vy = d("__syy") - ((d("__sy") * d("__sy")) / n)
+    s.select(col("__n").as("n"),
+      round(cov / sqrt(vx * vy), 6).as("rho"))
+  }
+
   /** Population Stability Index report between a reference slice and a
     * current slice of `groupCol`: one row per bin (bin, n_ref, n_cur,
     * psi_term), bins = equi-depth deciles OF THE REFERENCE slice (the
@@ -687,10 +819,13 @@ object Audit {
       countDistinct("__a").as("__ka"), countDistinct("__b").as("__kb"))
     val exp = (col("__ra").cast("double") * col("__rb").cast("double")) /
       col("__n").cast("double")
-    val o = col("__o").cast("double")
+    // r9: fold over the FULL marginal grid — empty cells carry
+    // (0-e)^2/e mass (see cramersV; a perfect 2x2 association has half
+    // its chi2 in the two zero cells)
+    val o = coalesce(col("__o"), lit(0L)).cast("double")
     val term = ((o - exp) * (o - exp)) / exp
-    cells.join(broadcast(rowTot), "__a")
-      .join(broadcast(colTot), "__b")
+    rowTot.crossJoin(colTot)
+      .join(cells, Seq("__a", "__b"), "left")
       .crossJoin(broadcast(tot))
       .agg(first(col("__n")).as("n"),
         first((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),

@@ -261,4 +261,62 @@ object Encoding {
         .drop("__cat", "__dict_f", "__oof_f")
     }
   }
+
+  /** ORDERED target encoding (the CatBoost rule): each row's encoding
+    * uses only the target values of SAME-CATEGORY rows that precede it
+    * under a seeded pseudo-random permutation —
+    * (sum_preceding + m*globalMean) / (count_preceding + m). Stronger
+    * leakage protection than [[OofTargetEncode]]'s k-fold cross-fitting
+    * (a row never sees even its own fold-mates), at the cost of
+    * early-permutation rows riding mostly the prior.
+    *
+    * Scale shape: the permutation key is seeded md5 arithmetic (no
+    * rand()); the per-category exclusive prefix sums come from TWO
+    * RunningTotal scans under the ONE total order (category, key,
+    * tie-break) minus a broadcast per-category offset dictionary — no
+    * per-key window reducer, so a 50 TB majority category spreads
+    * across the range sort like any other rows. Exactness: the target
+    * rides as integer thousandths (exact in double), the prefix sums
+    * are therefore exact integers, and the final encode is one fixed
+    * double tree. Nulls in the target are not supported (document-level
+    * contract — filter or impute first). */
+  case class OrderedTargetEncode(c: String, target: String,
+                                 m: Double = 10.0, seed: Long = 42L,
+                                 tieCols: Seq[String]) extends TableOp {
+    require(m > 0, s"prior pseudo-count m must be > 0, got $m")
+    def describe = s"ordered target encode $c by $target (m=$m, seed=$seed)"
+    def apply(df: DataFrame): DataFrame = {
+      val out = s"${c}_ord_encoded"
+      val okey = Hashing.md5Int(concat_ws(":",
+        (tieCols.map(col(_).cast("string")) :+ lit(seed).cast("string")): _*))
+      val keyed = df.withColumn("__ok", okey)
+        .withColumn("__ts", round(col(target).cast("double") * 1000, 0))
+        .withColumn("__one", lit(1.0))
+      val order = (col(c).asc +: col("__ok").asc +:
+        tieCols.map(col(_).asc))
+      val cum = Ordinals.withRunningTotal(
+        Ordinals.withRunningTotal(keyed, order, "__ts", "__cs"),
+        order, "__one", "__cn")
+      // per-category offsets: totals of all categories BEFORE this one
+      // in the same (category asc) order — a dictionary-sized frame
+      val catTot = keyed.groupBy(col(c).as("__cat"))
+        .agg(sum("__ts").as("__cts"), sum("__one").as("__ctn"))
+      val off = Ordinals.withRunningTotal(
+          Ordinals.withRunningTotal(catTot, Seq(col("__cat").asc),
+            "__cts", "__ics"),
+          Seq(col("__cat").asc), "__ctn", "__icn")
+        .select(col("__cat"), (col("__ics") - col("__cts")).as("__offs"),
+          (col("__icn") - col("__ctn")).as("__offn"))
+      val tot = keyed.agg(sum("__ts").as("__gs"), sum("__one").as("__gn"))
+      val g = (col("__gs") / lit(1000.0)) / col("__gn")
+      val exclS = (col("__cs") - col("__offs")) - col("__ts")
+      val exclN = (col("__cn") - col("__offn")) - lit(1.0)
+      cum.join(broadcast(off), cum(c) <=> col("__cat"))
+        .crossJoin(broadcast(tot))
+        .withColumn(out, ((exclS / lit(1000.0)) + (lit(m) * g))
+          / (exclN + lit(m)))
+        .drop("__cat", "__ok", "__ts", "__one", "__cs", "__cn",
+          "__offs", "__offn", "__gs", "__gn")
+    }
+  }
 }

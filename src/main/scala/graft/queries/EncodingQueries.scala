@@ -52,6 +52,23 @@ object EncodingQueries {
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
           "l_extendedprice_bin")),
 
+    "e10_ordered_target_encode" -> ((s, dir) =>
+      // CatBoost-style ORDERED target encoding (r9): each row's encode
+      // uses only same-category rows PRECEDING it under the seeded md5
+      // permutation — exclusive per-category prefix sums from two
+      // RunningTotals minus a broadcast category-offset dictionary
+      // tieCols include the TARGET: (orderkey, linenumber) is not
+      // unique in the fixture (11k planted dup keys), and rows tying on
+      // the full (key..., quantity) tuple are interchangeable — the
+      // output multiset is order-invariant, so the oracle stays exact
+      Encoding.OrderedTargetEncode("l_returnflag", "l_quantity",
+          m = 10.0, seed = 42L,
+          tieCols = Seq("l_orderkey", "l_linenumber", "l_quantity"))(
+          Tables.lineitem(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_returnflag_ord_encoded"), 6)
+            .as("l_returnflag_ord_encoded"))),
+
     "e9_oof_target_encode" -> ((s, dir) =>
       // out-of-fold target encoding (r8): each row's encoding excludes
       // its own fold's targets (the leakage-safe cross-fitting form);
@@ -161,6 +178,43 @@ object EncodingQueries {
              CAST(floor(((rn - 1) * 8) / n.n) + 1 AS INT)
                AS l_extendedprice_bin
       FROM r CROSS JOIN n""",
+
+    // e10: the seeded md5 permutation replayed raw (the b17/t54 idiom),
+    // exclusive window prefix sums equal the engine's RunningTotal-
+    // minus-offset integers exactly; the encode tree token-identical
+    "e10_ordered_target_encode" -> """
+      WITH k AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               round(l_quantity * 1000, 0) AS ts,
+               l_quantity AS q,
+               CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+                    || ':' || CAST(l_linenumber AS VARCHAR)
+                    || ':' || CAST(l_quantity AS VARCHAR) || ':42'),
+                    1, 15)) AS BIGINT) AS ok
+        FROM lineitem),
+      g AS (SELECT sum(ts) AS gs, count(*) AS gn FROM k),
+      w AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+              coalesce(sum(ts) OVER (PARTITION BY l_returnflag
+                ORDER BY ok, l_orderkey, l_linenumber, q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS es,
+              coalesce(count(*) OVER (PARTITION BY l_returnflag
+                ORDER BY ok, l_orderkey, l_linenumber, q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS en
+            FROM k)
+      -- Spark's round(double, 6) rounds the SHORTEST STRING REPR of the
+      -- double (BigDecimal.valueOf = Double.toString), not its exact
+      -- binary expansion and not a *1e6 multiply — this fixture's
+      -- ratios land on 6th-digit halves structurally (14 ties in 60k
+      -- rows), so the oracle mirrors those semantics exactly:
+      -- VARCHAR (shortest repr) -> exact DECIMAL -> half-up round
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(round(CAST(CAST(((CAST(es AS DOUBLE) / 1000.0)
+                    + (10.0 * ((CAST(gs AS DOUBLE) / 1000.0)
+                               / CAST(gn AS DOUBLE))))
+                   / (CAST(en AS DOUBLE) + 10.0)
+                   AS VARCHAR) AS DECIMAL(38,20)), 6)
+               AS DOUBLE) AS l_returnflag_ord_encoded
+      FROM w CROSS JOIN g""",
 
     // e9: folds replayed with the m5 row_number-mod rule under the same
     // total order; cell/category/global sums in DECIMAL(18,6) exactly

@@ -225,6 +225,28 @@ object MiscQueries {
       graft.ops.Audit.psiReport(Tables.events(s, dir), "event_type",
         "value", "click", "view", bins = 10)),
 
+    "a41_mann_whitney" -> ((s, dir) =>
+      // Mann-Whitney rank-sum drift test (r9): click-vs-view value
+      // distributions; tied-group average ranks from ONE RunningTotal
+      // over the value-group table, exact integer rank sums, fixed
+      // double tree for the tie-corrected z
+      graft.ops.Audit.mannWhitney(Tables.events(s, dir), "event_type",
+        "value", "click", "view")),
+
+    "a42_cramers_v" -> ((s, dir) =>
+      // Cramer's V effect size (r9, a21's companion): status x priority
+      // contingency, one dictionary-sized aggregate, 9-decimal
+      // DECIMAL-summed cell terms, V = sqrt(chi2/(n*(min(k)-1)))
+      graft.ops.Audit.cramersV(Tables.orders(s, dir), "o_orderstatus",
+        "o_orderpriority")),
+
+    "a43_spearman" -> ((s, dir) =>
+      // Spearman rho (r9): average-rank dictionaries from RunningTotal
+      // (no per-row window), exact integer doubled-rank moments, one
+      // Pearson tree
+      graft.ops.Audit.spearman(Tables.lineitem(s, dir), "l_quantity",
+        "l_extendedprice")),
+
     "a29_woe_iv" -> ((s, dir) =>
       // weight-of-evidence / information-value report (r8): per
       // event_type, how predictive is it of a high-value event? One
@@ -609,19 +631,20 @@ object MiscQueries {
       rb AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
       tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka,
                      count(DISTINCT b) AS kb FROM cells)
+      -- r9: fold over the FULL marginal grid (empty cells carry mass)
       SELECT CAST(max(tot.n) AS BIGINT) AS n,
              CAST(max((tot.ka - 1) * (tot.kb - 1)) AS BIGINT) AS dof,
              round(CAST(sum(CAST(round(
-               ((CAST(cells.o AS DOUBLE)
+               ((CAST(COALESCE(cells.o, 0) AS DOUBLE)
                  - ((CAST(ra.rt AS DOUBLE) * CAST(rb.ct AS DOUBLE))
                     / CAST(tot.n AS DOUBLE)))
-                * (CAST(cells.o AS DOUBLE)
+                * (CAST(COALESCE(cells.o, 0) AS DOUBLE)
                  - ((CAST(ra.rt AS DOUBLE) * CAST(rb.ct AS DOUBLE))
                     / CAST(tot.n AS DOUBLE))))
                / ((CAST(ra.rt AS DOUBLE) * CAST(rb.ct AS DOUBLE))
                   / CAST(tot.n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
                AS chi2
-      FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot""",
+      FROM ra CROSS JOIN rb LEFT JOIN cells USING (a, b) CROSS JOIN tot""",
 
     // q25: the salt is pure mechanics — a plain GROUP BY must
     // reproduce the two-phase result bit for bit (DECIMAL sums)
@@ -846,6 +869,105 @@ object MiscQueries {
                        WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522
                        WHEN '9' THEN 0.045757491 ELSE 0.0 END, 6) AS deviation
       FROM c CROSS JOIN t""",
+
+    // a41: the a28 value-group shape + the doubled-average-rank trick
+    // (2*avgrank of a tied group = 2*cumt - t + 1, exact integers);
+    // the u/z double trees mirror the engine's parenthesization
+    "a41_mann_whitney" -> """
+      WITH g AS (
+        SELECT value AS v,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS nb
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        GROUP BY 1),
+      c AS (SELECT na, nb, na + nb AS t,
+                   sum(na + nb) OVER (ORDER BY v) AS ct
+            FROM g),
+      s AS (SELECT sum(na) AS ta, sum(nb) AS tb,
+                   sum(CAST(na AS HUGEINT)
+                       * CAST(((2 * ct) - t) + 1 AS HUGEINT)) AS r2a,
+                   sum((CAST(t AS HUGEINT) * t * t) - t) AS ties
+            FROM c),
+      s2 AS (SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+                    CAST(ta AS DOUBLE) AS na, CAST(tb AS DOUBLE) AS nb,
+                    CAST(r2a AS DOUBLE) AS r2a, CAST(ties AS DOUBLE) AS ties
+             FROM s)
+      SELECT n_a, n_b,
+             round((r2a / 2.0) - ((na * (na + 1.0)) / 2.0), 1) AS u_stat,
+             round((((r2a / 2.0) - ((na * (na + 1.0)) / 2.0))
+                    - ((na * nb) / 2.0))
+                   / sqrt(((na * nb) / 12.0)
+                          * (((na + nb) + 1.0)
+                             - (ties / ((na + nb) * ((na + nb) - 1.0))))),
+                   6) AS z
+      FROM s2""",
+
+    // a42: contingency cells + marginals; each (o-e)^2/e term rounded
+    // to 9 and DECIMAL-summed exactly as the engine folds them
+    "a42_cramers_v" -> """
+      WITH cells AS (
+        SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2),
+      rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+      ctt AS (SELECT b, sum(o) AS rb FROM cells GROUP BY 1),
+      tt AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka,
+                    count(DISTINCT b) AS kb FROM cells),
+      f AS (SELECT max(tt.n) AS n, max(tt.ka) AS ka, max(tt.kb) AS kb,
+                   sum(CAST(round(
+                     ((CAST(COALESCE(o, 0) AS DOUBLE)
+                       - ((CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE))
+                          / CAST(tt.n AS DOUBLE)))
+                      * (CAST(COALESCE(o, 0) AS DOUBLE)
+                         - ((CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE))
+                            / CAST(tt.n AS DOUBLE))))
+                     / ((CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE))
+                        / CAST(tt.n AS DOUBLE)), 9) AS DECIMAL(28,9)))
+                     AS chi2
+            FROM rt CROSS JOIN ctt LEFT JOIN cells USING (a, b)
+                 CROSS JOIN tt)
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+             round(CAST(chi2 AS DOUBLE), 6) AS chi2,
+             round(sqrt(CAST(chi2 AS DOUBLE)
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(least(ka, kb) AS DOUBLE) - 1.0))), 6)
+               AS cramers_v
+      FROM f""",
+
+    // a43: per-column doubled-average-rank dictionaries (the a41 trick)
+    // joined back to rows, exact integer moments, one Pearson tree
+    "a43_spearman" -> """
+      WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+      gx AS (SELECT x AS v, count(*) AS t FROM b GROUP BY 1),
+      rx AS (SELECT v, ((2 * sum(t) OVER (ORDER BY v)) - t) + 1 AS r
+             FROM gx),
+      gy AS (SELECT y AS v, count(*) AS t FROM b GROUP BY 1),
+      ry AS (SELECT v, ((2 * sum(t) OVER (ORDER BY v)) - t) + 1 AS r
+             FROM gy),
+      j AS (SELECT CAST(rx.r AS HUGEINT) AS rxv,
+                   CAST(ry.r AS HUGEINT) AS ryv
+            FROM b JOIN rx ON b.x = rx.v JOIN ry ON b.y = ry.v),
+      s AS (SELECT count(*) AS n, sum(rxv) AS sx, sum(ryv) AS sy,
+                   sum(rxv * ryv) AS sxy, sum(rxv * rxv) AS sxx,
+                   sum(ryv * ryv) AS syy
+            FROM j)
+      SELECT CAST(n AS BIGINT) AS n,
+             round((CAST(sxy AS DOUBLE)
+                    - ((CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / CAST(n AS DOUBLE)))
+                   / sqrt((CAST(sxx AS DOUBLE)
+                           - ((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              / CAST(n AS DOUBLE)))
+                          * (CAST(syy AS DOUBLE)
+                             - ((CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                                / CAST(n AS DOUBLE)))), 6) AS rho
+      FROM s""",
 
     // a28: per-value counts, then peer-inclusive cumulative sums (the
     // default RANGE frame steps ties atomically, matching the engine's

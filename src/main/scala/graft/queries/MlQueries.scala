@@ -403,6 +403,25 @@ object MlQueries {
           .withColumn("p", least(col("value"), lit(200.0)) / lit(200.0)),
         "p", col("event_type") === "click")),
 
+    "m32_brier" -> ((s, dir) =>
+      // one-row Murphy decomposition (r9): EXACT Brier (per-row
+      // round-9 DECIMAL (p-y)^2 sums) + m28's bin terms summed +
+      // uncertainty, with the within-bin variance residual REPORTED so
+      // the identity brier = rel - res + unc + within is auditable
+      graft.ml.Calibration.brierDecomposition(
+        Tables.events(s, dir)
+          .withColumn("p", least(col("value"), lit(200.0)) / lit(200.0)),
+        "p", col("event_type") === "click")),
+
+    "m34_mcnemar" -> ((s, dir) =>
+      // paired-classifier McNemar test (r9): truth = order status F,
+      // model A = an order-date rule, model B = a price rule; ONE
+      // 3-counter aggregate, continuity-corrected statistic
+      graft.ml.Compare.mcnemar(Tables.orders(s, dir),
+        col("o_orderstatus") === "F",
+        col("o_orderdate") < lit("1995-06-17").cast("date"),
+        col("o_totalprice") > lit(150000.0))),
+
     "m21_robust_scale" -> ((s, dir) =>
       // robust scaling of the quantity column: (x - exact median) / IQR
       // — every statistic a rank selection, so the per-row doubles are
@@ -1057,6 +1076,72 @@ object MlQueries {
     // m28: the same piecewise-linear probability link, the same
     // floor(p*10)+1 top-clamped cut, Σp as round-9 DECIMAL sums,
     // Brier terms token-identical to the engine
+    // m32: m28's bucket CTEs + per-row (p-y)^2 round-9 DECIMAL sums;
+    // every readout tree mirrors the engine's parenthesization
+    "m32_brier" -> """
+      WITH pr AS (
+        SELECT least(value, 200.0) / 200.0 AS p,
+               CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y,
+               event_type FROM events
+        WHERE least(value, 200.0) / 200.0 IS NOT NULL),
+      per AS (
+        SELECT CAST(least(floor(p * 10) + 1, 10) AS INT) AS bin,
+               count(*) AS n,
+               sum(CAST(round(p, 9) AS DECIMAL(28,9))) AS sp,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_pos,
+               sum(CAST(round((p - y) * (p - y), 9) AS DECIMAL(28,9))) AS sb
+        FROM pr GROUP BY 1),
+      t AS (SELECT sum(n) AS tt, sum(n_pos) AS tp, sum(sb) AS tb FROM per),
+      f AS (SELECT max(tt) AS tt, max(tp) AS tp, max(tb) AS tb,
+              sum(CAST(round((CAST(n AS DOUBLE)
+                * (((CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                    - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * ((CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)))))
+                / CAST(tt AS DOUBLE), 9) AS DECIMAL(28,9))) AS rel,
+              sum(CAST(round((CAST(n AS DOUBLE)
+                * (((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                    - (CAST(tp AS DOUBLE) / CAST(tt AS DOUBLE)))
+                   * ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(tp AS DOUBLE) / CAST(tt AS DOUBLE)))))
+                / CAST(tt AS DOUBLE), 9) AS DECIMAL(28,9))) AS res
+            FROM per CROSS JOIN t)
+      SELECT CAST(tt AS BIGINT) AS n,
+             round(CAST(tb AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS brier,
+             round(CAST(rel AS DOUBLE), 6) AS reliability,
+             round(CAST(res AS DOUBLE), 6) AS resolution,
+             round((CAST(tp AS DOUBLE) / CAST(tt AS DOUBLE))
+                   * (1.0 - (CAST(tp AS DOUBLE) / CAST(tt AS DOUBLE))), 6)
+               AS uncertainty,
+             round((CAST(tb AS DOUBLE) / CAST(tt AS DOUBLE))
+                   - ((CAST(rel AS DOUBLE) - CAST(res AS DOUBLE))
+                      + ((CAST(tp AS DOUBLE) / CAST(tt AS DOUBLE))
+                         * (1.0 - (CAST(tp AS DOUBLE) / CAST(tt AS DOUBLE))))),
+                   6) AS within_bin
+      FROM f""",
+
+    // m34: one 3-counter aggregate; the continuity-corrected statistic
+    // mirrors the engine's double tree
+    "m34_mcnemar" -> """
+      WITH s AS (SELECT count(*) AS n,
+        count(CASE WHEN ((o_orderdate < DATE '1995-06-17')
+                         = (o_orderstatus = 'F'))
+                   AND NOT ((o_totalprice > 150000.0)
+                            = (o_orderstatus = 'F')) THEN 1 END) AS n_a_only,
+        count(CASE WHEN NOT ((o_orderdate < DATE '1995-06-17')
+                             = (o_orderstatus = 'F'))
+                   AND ((o_totalprice > 150000.0)
+                        = (o_orderstatus = 'F')) THEN 1 END) AS n_b_only
+        FROM orders)
+      SELECT n, n_a_only, n_b_only,
+             round(((abs(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+                     - 1.0)
+                    * (abs(CAST(n_a_only AS DOUBLE)
+                           - CAST(n_b_only AS DOUBLE)) - 1.0))
+                   / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE)),
+                   6) AS mcnemar_chi2
+      FROM s""",
+
     "m28_reliability" -> """
       WITH pr AS (
         SELECT least(value, 200.0) / 200.0 AS p,

@@ -129,4 +129,29 @@ class CalibrationSpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  test("brierDecomposition: identity holds and perfect forecasts score 0") {
+    import spark.implicits._
+    // forecasts at bin centers: p in {0.05, 0.95}, labels match rates
+    val df = (Seq.fill(8)((0.05, 0)) ++ Seq.fill(2)((0.05, 1)) ++
+      Seq.fill(1)((0.95, 0)) ++ Seq.fill(9)((0.95, 1)))
+      .toDF("p", "y")
+    val Array(r) = Calibration.brierDecomposition(df, "p",
+      col("y") === 1).collect()
+    val (brier, rel, res, unc, wb) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // within-bin variance is 0: every p sits exactly at one value per bin
+    assert(math.abs(wb) < 1e-6, r.toString)
+    assert(math.abs(brier - ((rel - res) + unc)) < 2e-6, r.toString)
+    // hand: brier = (8*0.0025 + 2*0.9025 + 1*0.9025 + 9*0.0025) / 20
+    //   = (0.02 + 1.805 + 0.9025 + 0.0225) / 20 = 0.1375
+    assert(math.abs(brier - 0.1375) < 1e-6, brier.toString)
+    // perfectly sharp + calibrated: p = y exactly -> brier 0, res = unc
+    val perfect = (Seq.fill(5)((0.0, 0)) ++ Seq.fill(5)((1.0, 1)))
+      .toDF("p", "y")
+    val Array(q) = Calibration.brierDecomposition(perfect, "p",
+      col("y") === 1).collect()
+    assert(q.getDouble(1) == 0.0 && math.abs(q.getDouble(3) -
+      q.getDouble(4)) < 1e-6, q.toString)
+  }
 }

@@ -290,4 +290,24 @@ class MlSpec extends SparkSpec {
       Seq("id"), 10).collect().toSet
     assert(rows.toSet == again)
   }
+
+  test("mcnemar: hand-computed discordant-pair statistic") {
+    import spark.implicits._
+    // truth all true; A right on 8 (wrong 2), B right on 5 (wrong 5),
+    // overlap chosen so b = 4 (A-only), c = 1 (B-only)
+    // stat = (|4-1|-1)^2 / 5 = 0.8
+    val rows = Seq(
+      (true, true, true), (true, true, true), (true, true, true),
+      (true, true, true), (true, true, false), (true, true, false),
+      (true, true, false), (true, true, false), (true, false, true),
+      (true, false, false)).toDF("t", "a", "b")
+    val Array(r) = Compare.mcnemar(rows, col("t"), col("a"), col("b"))
+      .collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (10L, 4L, 1L))
+    assert(r.getDouble(3) == 0.8)
+    // identical models: no discordant pairs -> null statistic
+    val Array(q) = Compare.mcnemar(rows, col("t"), col("a"), col("a"))
+      .collect()
+    assert(q.isNullAt(3))
+  }
 }

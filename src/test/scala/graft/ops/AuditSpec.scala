@@ -279,4 +279,54 @@ class AuditSpec extends SparkSpec {
     val Array(r2) = Audit.jsDrift(disjoint, "g", "k", "a", "b").collect()
     assert(r2.getDouble(2) == 0.693147)  // ln 2 — JS's upper bound
   }
+
+  test("mannWhitney: hand-computed U and tie-corrected z") {
+    import spark.implicits._
+    // A = {1, 2, 2}, B = {2, 3}: ranks (avg ties) 1, 3, 3, 3, 5
+    // R_A = 7, U = 7 - 6 = 1; mu = 3; ties: t=3 -> 24
+    // sigma2 = (6/12) * (6 - 24/20) = 2.4; z = (1-3)/sqrt(2.4)
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0),
+      ("b", 3.0))).toDF("g", "v")
+    val Array(r) = Audit.mannWhitney(df, "g", "v", "a", "b").collect()
+    assert((r.getLong(0), r.getLong(1)) == (3L, 2L))
+    assert(r.getDouble(2) == 1.0)
+    assert(math.abs(r.getDouble(3) - (-2.0 / math.sqrt(2.4))) < 1e-6)
+    val again = Audit.mannWhitney(df, "g", "v", "a", "b").collect()(0)
+    assert(r.toSeq == again.toSeq)
+  }
+
+  test("cramersV: perfect association gives 1, independence gives 0") {
+    import spark.implicits._
+    val perfect = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val Array(r) = Audit.cramersV(perfect, "a", "b").collect()
+    assert(r.getLong(0) == 20L && r.getLong(1) == 1L)
+    assert(r.getDouble(3) == 1.0)
+    // balanced independent table: chi2 = 0
+    val indep = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("x", "q")) ++
+      Seq.fill(5)(("y", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    val Array(r2) = Audit.cramersV(indep, "a", "b").collect()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+  }
+
+  test("spearman: monotone gives 1, reversed gives -1, ties hand case") {
+    import spark.implicits._
+    val mono = (1 to 10).map(i => (i.toDouble, math.exp(i.toDouble)))
+      .toDF("x", "y")
+    assert(Audit.spearman(mono, "x", "y").collect()(0).getDouble(1) == 1.0)
+    val rev = (1 to 10).map(i => (i.toDouble, -i.toDouble)).toDF("x", "y")
+    assert(Audit.spearman(rev, "x", "y").collect()(0).getDouble(1) == -1.0)
+    // ties: x = (1,2,2,3), y = (1,1,2,2) -> ranks x: 1, 2.5, 2.5, 4;
+    // y: 1.5, 1.5, 3.5, 3.5; pearson of those = 0.777714 (hand)
+    val t = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (3.0, 2.0))
+      .toDF("x", "y")
+    val rho = Audit.spearman(t, "x", "y").collect()(0).getDouble(1)
+    // direct pearson over the average ranks
+    val rx = Seq(1.0, 2.5, 2.5, 4.0); val ry = Seq(1.5, 1.5, 3.5, 3.5)
+    val n = 4.0
+    val cov = rx.zip(ry).map { case (a, b) => a * b }.sum - rx.sum * ry.sum / n
+    val vx = rx.map(a => a * a).sum - rx.sum * rx.sum / n
+    val vy = ry.map(a => a * a).sum - ry.sum * ry.sum / n
+    assert(math.abs(rho - cov / math.sqrt(vx * vy)) < 1e-6)
+  }
 }

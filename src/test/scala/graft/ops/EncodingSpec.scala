@@ -116,4 +116,38 @@ class EncodingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(out == again)
   }
+
+  test("OrderedTargetEncode: prefix-only visibility under the seeded order") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 100.0)).toDF("id", "cat", "t")
+    val out = Encoding.OrderedTargetEncode("cat", "t", m = 2.0,
+      seed = 7L, tieCols = Seq("id"))(df)
+      .select("id", "cat", "cat_ord_encoded").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val g = (10.0 + 20.0 + 30.0 + 100.0) / 4.0
+    // reconstruct the seeded permutation the engine used
+    def key(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:7".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    }
+    val order = Seq(1L, 2L, 3L).sortBy(key)
+    val ts = Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0)
+    var run = 0.0
+    var cnt = 0
+    order.foreach { id =>
+      val expect = (run + 2.0 * g) / (cnt + 2.0)
+      assert(math.abs(out(id) - expect) < 1e-9, s"id $id")
+      run += ts(id); cnt += 1
+    }
+    // singleton category: pure prior
+    assert(math.abs(out(4L) - g) < 1e-9)
+    val again = Encoding.OrderedTargetEncode("cat", "t", m = 2.0,
+      seed = 7L, tieCols = Seq("id"))(df)
+      .select("id", "cat", "cat_ord_encoded").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == again, "bit-deterministic")
+  }
 }

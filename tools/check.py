@@ -124,8 +124,9 @@ def main(sf_dir, out_dir):
             npass += 1
         else:
             print(f"FAIL {name}: rows {len(gr)} vs {len(er)}")
-            only_g = [r for r in gr if r not in set(er)][:3]
-            only_e = [r for r in er if r not in set(gr)][:3]
+            er_set, gr_set = set(er), set(gr)
+            only_g = [r for r in gr if r not in er_set][:3]
+            only_e = [r for r in er if r not in gr_set][:3]
             for r in only_g: print(f"   engine-only: {r}")
             for r in only_e: print(f"   oracle-only: {r}")
             nfail += 1
