@@ -686,6 +686,53 @@ object Corpus {
           lit(smoothing) / col("__nd"), 6).as("weight"))
   }
 
+  /** Multinomial Naive Bayes quality classifier — the fastText-style
+    * "reference corpus vs crawl" filter (CCNet's quality-scoring
+    * pattern) in closed form: per-class Laplace-smoothed term
+    * log-probabilities trained from a boolean label column, then every
+    * document scored with the log-likelihood ratio
+    * llr = log(n_pos/n_neg) + sum_t c_t * (log p(t|pos) - log p(t|neg)),
+    * pred = llr >= 0. Linear-in-counts, so training is ONE aggregate
+    * over the (term, class) count table and scoring is one
+    * vocabulary-sized join + per-doc fold — no iterations, no driver
+    * loops; at 100 TB both sides shuffle by term/doc only once.
+    *
+    * Exactness: the per-(doc, term) contributions c_t * w_t are fixed
+    * double trees over exact longs, rounded to 9 and DECIMAL-summed per
+    * doc (order-independent); the prior and the final llr are one more
+    * fixed tree. Docs with zero tokens are omitted (no terms, no row).
+    * Returns (doc_id, label, nb_llr, pred). */
+  def nbQualityScore(df: DataFrame, textCol: String, idCol: String,
+                     pos: Column, smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0, s"Laplace smoothing must be > 0, got $smoothing")
+    val dt = Lexicon.docTermCounts(df, textCol, idCol)
+    val lab = df.select(col(idCol).as("id"), pos.as("__pos"))
+    val dtl = dt.join(lab, "id")
+    val tc = dtl.groupBy("term").agg(
+      sum(when(col("__pos"), col("c")).otherwise(lit(0L))).as("__cp"),
+      sum(when(!col("__pos"), col("c")).otherwise(lit(0L))).as("__cn"))
+    val tot = tc.agg(sum("__cp").as("__tp"), sum("__cn").as("__tn"),
+      count(lit(1)).as("__v"))
+    val nd = lab.agg(count(when(col("__pos"), 1)).as("__np"),
+      count(when(!col("__pos"), 1)).as("__nn"))
+    val sv = lit(smoothing) * col("__v").cast(DoubleType)
+    val w = tc.crossJoin(broadcast(tot)).select(col("term"),
+      (log((col("__cp").cast(DoubleType) + lit(smoothing))
+          / (col("__tp").cast(DoubleType) + sv))
+        - log((col("__cn").cast(DoubleType) + lit(smoothing))
+          / (col("__tn").cast(DoubleType) + sv))).as("__w"))
+    dtl.join(w, "term")
+      .groupBy(col("id"), col("__pos"))
+      .agg(sum(round(col("c") * col("__w"), 9).cast("decimal(28,9)"))
+        .as("__s"))
+      .crossJoin(broadcast(nd))
+      .select(col("id").as("doc_id"), col("__pos").as("label"),
+        round(col("__s").cast(DoubleType)
+          + log(col("__np").cast(DoubleType)
+            / col("__nn").cast(DoubleType)), 6).as("nb_llr"))
+      .withColumn("pred", col("nb_llr") >= lit(0.0))
+  }
+
   /** Kneser-Ney DoReMi with PER-STEP proxy re-training — the r8 seam
     * closed: [[doremiWeightsKN]]'s losses are computed once (its `steps`
     * telescope into one step at `steps * eta`), while here the KN proxy

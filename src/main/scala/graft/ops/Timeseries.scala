@@ -470,6 +470,66 @@ object Timeseries {
       .select(col("lag"), col("n_pairs"), round(col("__acf"), 6).as("acf"))
   }
 
+  /** Classical additive seasonal decomposition of the hourly series
+    * (statsmodels' seasonal_decompose, period even): one row per hour
+    * (h_us, y, seasonal, trend, residual) where trend is the centered
+    * 2x(period)-MA (half weights at the window ends), seasonal the
+    * phase-mean of the detrended series re-centered to sum 0, and
+    * residual = y - trend - seasonal (null at the edge hours whose MA
+    * window is incomplete, like the reference method).
+    *
+    * Scale shape: everything runs on the SPAN-SIZED hourly series; the
+    * moving average is an exact-hour equi-join against a broadcast
+    * (period+1)-row offset spine — no keyless window over the data.
+    * Exactness: the MA rides integer weights {1,2} over DECIMAL hour
+    * sums (exact; divide by 2*period only in the final double tree);
+    * phase means and the seasonal grand mean are round-9 DECIMAL sums.
+    * Phase = epoch-hour mod period (UTC hour-of-day for period 24). */
+  def seasonalDecompose(df: DataFrame, tsCol: String, valueCol: String,
+                        period: Int = 24): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"classical decomposition needs an even period, got $period")
+    val spark = df.sparkSession
+    val half = period / 2
+    val series = hourlySeries(df, tsCol, valueCol)
+      .select(unix_micros(col("__h")).as("__hus"), col("__y"))
+    val offs = spark.range(-half, half + 1)
+      .select(col("id").cast("int").as("__off"))
+    val b = series.select(col("__hus").as("__hb"), col("__y").as("__yb"))
+    // integer weights {1 at the two ends, 2 inside} keep the weighted
+    // sum in exact DECIMAL; the /(2*period) happens in the double tree
+    val wInt = when(abs(col("__off")) === half, lit(1)).otherwise(lit(2))
+    val trendAgg = series.select(col("__hus"))
+      .crossJoin(broadcast(offs))
+      .join(b, col("__hb") ===
+        (col("__hus") + (col("__off").cast("long") * lit(3600000000L))))
+      .groupBy(col("__hus"))
+      .agg(count(lit(1)).as("__c"), sum(col("__yb") * wInt).as("__ws"))
+      .filter(col("__c") === (period + 1))
+      .select(col("__hus"), col("__ws"))
+    val joined = series.join(trendAgg, Seq("__hus"), "left")
+      .withColumn("__ph", expr(s"pmod(__hus div 3600000000, $period)"))
+    val trendD = col("__ws").cast("double") / lit((2 * period).toDouble)
+    val detr = col("__y").cast("double") - trendD
+    val sm = joined.filter(col("__ws").isNotNull)
+      .groupBy(col("__ph"))
+      .agg(sum(round(detr, 9).cast("decimal(28,9)")).as("__sd"),
+        count(lit(1)).as("__nd"))
+    val mk = col("__sd").cast("double") / col("__nd").cast("double")
+    val gm = sm.agg(sum(round(mk, 9).cast("decimal(28,9)")).as("__sm"),
+      count(lit(1)).as("__np"))
+    val seasonal = sm.crossJoin(broadcast(gm))
+      .select(col("__ph"),
+        (mk - (col("__sm").cast("double") / col("__np").cast("double")))
+          .as("__seas"))
+    joined.join(broadcast(seasonal), Seq("__ph"))
+      .select(col("__hus").as("h_us"),
+        round(col("__y").cast("double"), 6).as("y"),
+        round(col("__seas"), 6).as("seasonal"),
+        round(trendD, 6).as("trend"),
+        round(detr - col("__seas"), 6).as("residual"))
+  }
+
   /** Seasonal-naive forecast quality on the hourly total-value series:
     * one row (n_naive, mae_naive, n_seasonal, mae_seasonal, mase) where
     * mae_naive is the lag-1 in-sample naive MAE, mae_seasonal the

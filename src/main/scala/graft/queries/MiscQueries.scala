@@ -347,6 +347,14 @@ object MiscQueries {
       graft.ops.Timeseries.acf(Tables.events(s, dir), "ts", "value",
         maxLag = 12)),
 
+    "q35_seasonal_decompose" -> ((s, dir) =>
+      // classical additive decomposition at period 24 (r9): centered
+      // 2x24-MA trend via a 25-offset broadcast spine join (integer
+      // weights over DECIMAL sums), phase-mean seasonal re-centered to
+      // sum 0, residual; edge hours carry null trend/residual
+      graft.ops.Timeseries.seasonalDecompose(Tables.events(s, dir),
+        "ts", "value", period = 24)),
+
     "q33_mase" -> ((s, dir) =>
       // seasonal-naive MASE at season 24h (r8): |y_t - y_{t-l}| stays
       // DECIMAL end-to-end, both MAEs exact until the final division
@@ -1445,6 +1453,53 @@ object MiscQueries {
              round(CAST(sum(CAST(round(term, 9) AS DECIMAL(28,9)))
                         AS DOUBLE) / (SELECT d FROM m), 6) AS acf
       FROM p GROUP BY lag""",
+
+    // q35: the q32 hourly CTE + a 25-row offset spine; the 2x24-MA
+    // rides integer weights {1,2} over DECIMAL sums (exact), the
+    // /(2*24) and every mean happen in mirrored double trees, phase
+    // means and the grand mean are round-9 DECIMAL sums
+    "q35_seasonal_decompose" -> """
+      WITH s AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS h,
+               sum(CAST(value AS DECIMAL(18,6))) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      offs AS (SELECT unnest(generate_series(-12, 12)) AS off),
+      tr AS (
+        SELECT a.h, count(*) AS c,
+               sum(b.y * (CASE WHEN abs(off) = 12 THEN 1 ELSE 2 END))
+                 AS ws
+        FROM s a CROSS JOIN offs
+        JOIN s b ON b.h = a.h + (CAST(off AS BIGINT) * 3600000000)
+        GROUP BY 1),
+      j AS (
+        SELECT s.h, s.y,
+               CASE WHEN tr.c = 25 THEN tr.ws END AS ws,
+               ((s.h // 3600000000) % 24) AS ph
+        FROM s LEFT JOIN tr ON tr.h = s.h),
+      sm AS (
+        SELECT ph,
+               sum(CAST(round(CAST(y AS DOUBLE)
+                 - (CAST(ws AS DOUBLE) / 48.0), 9) AS DECIMAL(28,9)))
+                 AS sd,
+               count(*) AS nd
+        FROM j WHERE ws IS NOT NULL GROUP BY 1),
+      gm AS (
+        SELECT sum(CAST(round(CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE), 9)
+                   AS DECIMAL(28,9))) AS smm,
+               count(*) AS np
+        FROM sm),
+      se AS (
+        SELECT ph,
+               ((CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE))
+                - (CAST(smm AS DOUBLE) / CAST(np AS DOUBLE))) AS seas
+        FROM sm CROSS JOIN gm)
+      SELECT j.h AS h_us,
+             round(CAST(j.y AS DOUBLE), 6) AS y,
+             round(se.seas, 6) AS seasonal,
+             round(CAST(j.ws AS DOUBLE) / 48.0, 6) AS trend,
+             round((CAST(j.y AS DOUBLE) - (CAST(j.ws AS DOUBLE) / 48.0))
+                   - se.seas, 6) AS residual
+      FROM j JOIN se USING (ph)""",
 
     // q33: |y_t - y_{t-l}| in DECIMAL end-to-end; the MASE tree is one
     // double division of exact sums on both engines

@@ -255,6 +255,16 @@ object TextQueries {
       Corpus.doremiWeightsKNAdaptive(Tables.documents(s, dir), "text",
         "doc_id", "source", eta = 1.0, steps = 2, smoothing = 0.01)),
 
+    "t60_nb_quality" -> ((s, dir) =>
+      // Naive Bayes quality classifier (r9): the fastText/CCNet-style
+      // "curated vs crawl" filter — label = source index < 10, trained
+      // in closed form (Laplace per-class term log-probs), every doc
+      // scored with the LLR; one (term,class) aggregate + one
+      // vocabulary join, zero iterations
+      Corpus.nbQualityScore(Tables.documents(s, dir), "text", "doc_id",
+        expr("CAST(substring(source, 4, 10) AS INT) < 10"),
+        smoothing = 1.0)),
+
     "t51_script_mix" -> ((s, dir) => {
       // Unicode script histogram (r6): per-doc counts over explicit
       // code-point ranges + dominant script — the pre-langid routing
@@ -1172,6 +1182,45 @@ object TextQueries {
              round(0.99 * alpha / (SELECT asum FROM n2)
                    + 0.01 / (SELECT nd FROM g), 6) AS weight
       FROM w2""",
+
+    // t60: the t49 term-count CTE + closed-form NB — per-term weights
+    // and the prior mirror the engine's double trees; per-doc sums are
+    // round-9 DECIMALs; pred compares the ROUNDED llr
+    "t60_nb_quality" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> ''
+             GROUP BY 1, 2),
+      lab AS (SELECT doc_id,
+                     (CAST(substr(source, 4) AS INT) < 10) AS pos
+              FROM documents),
+      dtl AS (SELECT dt.doc_id, dt.term, dt.c, lab.pos
+              FROM dt JOIN lab USING (doc_id)),
+      tc AS (SELECT term,
+                    sum(CASE WHEN pos THEN c ELSE 0 END) AS cp,
+                    sum(CASE WHEN NOT pos THEN c ELSE 0 END) AS cn
+             FROM dtl GROUP BY 1),
+      tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM tc),
+      nd AS (SELECT count(CASE WHEN pos THEN 1 END) AS np,
+                    count(CASE WHEN NOT pos THEN 1 END) AS nn FROM lab),
+      w AS (SELECT term,
+              (ln((CAST(cp AS DOUBLE) + 1.0)
+                  / (CAST(tp AS DOUBLE)
+                     + (1.0 * CAST(v AS DOUBLE))))
+               - ln((CAST(cn AS DOUBLE) + 1.0)
+                  / (CAST(tn AS DOUBLE)
+                     + (1.0 * CAST(v AS DOUBLE))))) AS w
+            FROM tc CROSS JOIN tot),
+      sc AS (SELECT dtl.doc_id, dtl.pos,
+               sum(CAST(round(dtl.c * w.w, 9) AS DECIMAL(28,9))) AS s
+             FROM dtl JOIN w USING (term) GROUP BY 1, 2)
+      SELECT doc_id, pos AS label,
+             round(CAST(s AS DOUBLE)
+                   + ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+               AS nb_llr,
+             (round(CAST(s AS DOUBLE)
+                    + ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+              >= 0.0) AS pred
+      FROM sc CROSS JOIN nd""",
 
     // t49d: t49b's KN statistics + the t49c adaptive unroll — per step,
     // mixture pseudo-counts at corpus scale (coef = ((alpha/asum)/tokens)

@@ -408,4 +408,30 @@ class CorpusSpec extends SparkSpec {
       assert(out.forall(r => r.getDouble(3) <= r.getLong(2) + 1e-9))
     }
   }
+
+  test("nbQualityScore: planted vocabulary separates classes; counts weigh in") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "good clean prose here", true), (2L, "good good text", true),
+      (3L, "clean prose good text", true),
+      (4L, "spam junk noise here", false), (5L, "junk junk spam", false),
+      (6L, "noise spam junk text", false),
+      // mixed doc dominated by positive vocabulary
+      (7L, "good clean good prose junk", true))
+      .toDF("doc_id", "text", "lab")
+    val out = Corpus.nbQualityScore(docs, "text", "doc_id", col("lab"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1),
+        r.getDouble(2), r.getBoolean(3))).toMap
+    // purely positive-vocab docs score > 0, purely negative < 0
+    assert(out(2L)._2 > 0 && out(2L)._3, out.toString)
+    assert(out(5L)._2 < 0 && !out(5L)._3, out.toString)
+    // the mixed doc leans positive (4 positive tokens vs 1 negative)
+    assert(out(7L)._2 > 0, out.toString)
+    // every doc present, llr deterministic
+    assert(out.size == 7)
+    val again = Corpus.nbQualityScore(docs, "text", "doc_id", col("lab"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.view.mapValues(_._2).toMap == again)
+  }
 }

@@ -284,4 +284,31 @@ class TimeseriesSpec extends SparkSpec {
     assert(r.getLong(2) == 47L, s"n_seasonal ${r.getLong(2)}")
     assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0) // mae_seasonal, mase
   }
+
+  test("seasonalDecompose: pure period-4 signal recovered exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // y(h) = 100 + s[h % 4], s = (+8, -2, -4, -2): seasonal sums to 0,
+    // so trend must be the constant 100, seasonal s, residual 0 on the
+    // interior; the 2 edge hours each side have null trend/residual
+    val pat = Seq(8.0, -2.0, -4.0, -2.0)
+    val rows = (0 until 24).map { h =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(h * 3600L)), 100.0 + pat(h % 4))
+    }
+    val df = rows.toDF("ts", "v")
+    val out = Timeseries.seasonalDecompose(df, "ts", "v", period = 4)
+      .orderBy("h_us").collect()
+    assert(out.length == 24)
+    val interior = out.drop(2).dropRight(2)
+    interior.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 100.0) < 1e-6, r.toString) // trend
+      assert(math.abs(r.getDouble(4)) < 1e-6, r.toString)         // resid
+      val ph = ((r.getLong(0) / 3600000000L) % 4).toInt
+      assert(math.abs(r.getDouble(2) - pat(ph)) < 1e-6, r.toString)
+    }
+    (out.take(2) ++ out.takeRight(2)).foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4), r.toString)
+    }
+  }
 }
