@@ -522,7 +522,10 @@ object Audit {
       count(lit(1)).cast("double").as("__k"),
       sum(col("__s1")).cast("double").as("__t1"),
       sum(col("__s2")).cast("double").as("__t2"),
-      sum(round(between, 9).cast("decimal(28,9)")).cast("double").as("__b"))
+      // decimal(38,9), not (28,9): the per-group s1^2/ng term reaches
+      // ~1e20 on dollar-scaled thousandths (a44) — 19 integer digits
+      // overflow, 29 hold to ~1e7x more rows
+      sum(round(between, 9).cast("decimal(38,9)")).cast("double").as("__b"))
     val n = col("__n")
     val k = col("__k")
     val ssb = col("__b") - ((col("__t1") * col("__t1")) / n)
@@ -532,6 +535,34 @@ object Audit {
       round(ssb / lit(1000000.0), 6).as("ss_between"),
       round(ssw / lit(1000000.0), 6).as("ss_within"),
       round(f, 6).as("f_stat"))
+  }
+
+  /** Brown-Forsythe test (the median-based Levene) of variance
+    * homogeneity across groups: [[anovaF]] applied to z = |x - med_g|.
+    * The robust "did the SPREAD drift?" companion of a31 (which tests
+    * means) and a28/a41 (which test whole distributions) — the standard
+    * pre-check before pooling variances or trusting a t-test.
+    *
+    * Scale shape: per-group EXACT medians ride the
+    * [[Ordinals.withPerKeyRank]] global-rank trick (one range sort, no
+    * per-key reducer — a 50 TB majority group spreads across
+    * partitions) + a broadcast group-size dictionary; z is map-only;
+    * the F statistic reuses anovaF's exact integer-thousandths fold.
+    * Median convention: midpoint of the middle pair (exactMedian's). */
+  def leveneBf(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val sizes = base.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__ng"))
+    val ranked = Ordinals.withPerKeyRank(base, groupCol,
+      Seq(col(valueCol).asc), "__r")
+    val meds = ranked.join(broadcast(sizes), col(groupCol) <=> col("__g"))
+      .filter((col("__r") === floor((col("__ng") + lit(1L)) / lit(2.0))) ||
+        (col("__r") === (floor(col("__ng") / lit(2.0)) + lit(1L))))
+      .groupBy(col("__g")).agg(avg(col(valueCol).cast("double")).as("__med"))
+    val z = base.join(broadcast(meds), col(groupCol) <=> col("__g"))
+      .withColumn("__z", abs(col(valueCol).cast("double") - col("__med")))
+      .drop("__g", "__med")
+    anovaF(z, groupCol, "__z")
   }
 
   /** Weight-of-evidence / information-value report for a categorical

@@ -444,6 +444,28 @@ object DedupQueries {
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    "s34_ann_recall" -> ((s, dir) => {
+      // recall@10 of the LCG-plane IVF (s2's exact probe discipline)
+      // against the s1 brute-force ground truth on the SAME queries —
+      // the "measure, don't guess" evidence for the ANN family, and a
+      // FULL oracle because both sides are deterministic in SQL. A
+      // query with zero overlap still reports (recall 0).
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, q, "embedding", "vec_id",
+        k = 10).select(col("query_id"), col("corpus_id"))
+      val ann = Similarity.ivfTopK(e, q, "embedding", "vec_id", k = 10,
+        planes = 6, probes = 2).select(col("query_id"), col("corpus_id"))
+      val common = exact.join(ann, Seq("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("__nc"))
+      q.select(col("vec_id").as("query_id"))
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("__nc"), lit(0L)).as("n_common"),
+          round(coalesce(col("__nc"), lit(0L)).cast("double") / lit(10.0),
+            6).as("recall_at_10"))
+    }),
+
     "s3_ann_ivf_kmeans" -> ((s, dir) => {
       // true-IVF (k-means coarse quantizer): MLlib centroids aren't
       // SQL-reproducible — rows-only; SimilaritySpec bounds recall.
@@ -1293,6 +1315,50 @@ object DedupQueries {
              round(cosine, 6) AS cosine
       FROM scored
       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) <= 10""",
+
+    // s34: the s1 brute-force CTE and the s2 IVF replay composed on the
+    // same 20 queries; the intersection count per query is a set
+    // compare of two deterministic top-10 sets
+    "s34_ann_recall" -> s"""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      qq AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
+      sc1 AS (SELECT qq.vec_id AS query_id, c.vec_id AS corpus_id,
+                     ${cosSql("qq.v", "c.v")} AS cosine
+              FROM c, qq WHERE qq.vec_id <> c.vec_id),
+      ex AS (SELECT query_id, corpus_id FROM sc1
+             QUALIFY row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, corpus_id) <= 10),
+      dims AS (SELECT unnest(range(64)) AS pos),
+      planes AS (SELECT unnest(range(6)) AS i),
+      comp AS (SELECT i, pos,
+                 ((((1103515245 * (i * 1000003 + pos + 42) + 12345) % 2147483647)
+                   % 2000001) - 1000000) / 1000000.0 AS w
+               FROM planes, dims),
+      dots AS (SELECT c.vec_id, comp.i, sum(c.v[comp.pos + 1] * comp.w) AS d
+               FROM c, comp GROUP BY 1, 2),
+      buck AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN (1 << i) ELSE 0 END) AS bucket
+               FROM dots GROUP BY 1),
+      q2 AS (SELECT c.vec_id AS query_id, c.v AS qv, buck.bucket AS qbucket
+             FROM c JOIN buck USING (vec_id) WHERE vec_id < 20),
+      probes AS (SELECT query_id, qv, qbucket AS bucket FROM q2
+                 UNION ALL
+                 SELECT query_id, qv, xor(qbucket, (1 << i)) FROM q2, planes),
+      cand AS (SELECT p.query_id, cb.vec_id AS corpus_id, p.qv, c2.v AS cv
+               FROM probes p
+               JOIN buck cb ON cb.bucket = p.bucket
+               JOIN c c2 ON c2.vec_id = cb.vec_id
+               WHERE cb.vec_id <> p.query_id),
+      scored AS (SELECT query_id, corpus_id, ${cosSql("qv", "cv")} AS cosine FROM cand),
+      tk AS (SELECT query_id, corpus_id FROM scored
+             QUALIFY row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, corpus_id) <= 10),
+      co AS (SELECT ex.query_id, count(*) AS nc
+             FROM ex JOIN tk USING (query_id, corpus_id) GROUP BY 1)
+      SELECT qq.vec_id AS query_id,
+             coalesce(co.nc, 0) AS n_common,
+             round(CAST(coalesce(co.nc, 0) AS DOUBLE) / 10.0, 6)
+               AS recall_at_10
+      FROM qq LEFT JOIN co ON co.query_id = qq.vec_id""",
 
     // replays quantizeInt8 exactly: scale = max|x|, cells =
     // round(127 x / scale); integer dots make ranks engine-exact

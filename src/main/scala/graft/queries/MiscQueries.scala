@@ -225,6 +225,13 @@ object MiscQueries {
       graft.ops.Audit.psiReport(Tables.events(s, dir), "event_type",
         "value", "click", "view", bins = 10)),
 
+    "a44_levene" -> ((s, dir) =>
+      // Brown-Forsythe variance-homogeneity test (r9): ANOVA-F on
+      // |x - exact group median|; medians via the per-key global-rank
+      // trick (one range sort, broadcast size dictionary)
+      graft.ops.Audit.leveneBf(Tables.lineitem(s, dir), "l_returnflag",
+        "l_quantity")),
+
     "a41_mann_whitney" -> ((s, dir) =>
       // Mann-Whitney rank-sum drift test (r9): click-vs-view value
       // distributions; tied-group average ranks from ONE RunningTotal
@@ -878,6 +885,46 @@ object MiscQueries {
                        WHEN '9' THEN 0.045757491 ELSE 0.0 END, 6) AS deviation
       FROM c CROSS JOIN t""",
 
+    // a44: per-group middle-pair medians replayed with a partitioned
+    // row_number, then a31's exact integer-thousandths ANOVA trees on
+    // z = |x - med_g|
+    "a44_levene" -> """
+      WITH base AS (
+        SELECT l_returnflag AS g, l_quantity AS v FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+      sizes AS (SELECT g, count(*) AS ng FROM base GROUP BY 1),
+      rk AS (SELECT g, v,
+                    row_number() OVER (PARTITION BY g ORDER BY v) AS r
+             FROM base),
+      meds AS (SELECT rk.g, avg(CAST(rk.v AS DOUBLE)) AS med
+               FROM rk JOIN sizes USING (g)
+               WHERE rk.r = CAST(floor((ng + 1) / 2.0) AS BIGINT)
+                  OR rk.r = CAST(floor(ng / 2.0) AS BIGINT) + 1
+               GROUP BY 1),
+      z AS (SELECT base.g, abs(CAST(base.v AS DOUBLE) - meds.med) AS z
+            FROM base JOIN meds USING (g)),
+      per AS (
+        SELECT g, count(*) AS ng,
+               sum(CAST(round(z * 1000, 0) AS DECIMAL(19,0))) AS s1,
+               sum(CAST(round(z * 1000, 0) AS DECIMAL(19,0))
+                   * CAST(round(z * 1000, 0) AS DECIMAL(19,0))) AS s2
+        FROM z GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(ng) AS DOUBLE) AS n,
+               CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(s1) AS DOUBLE) AS t1,
+               CAST(sum(s2) AS DOUBLE) AS t2,
+               CAST(sum(CAST(round((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                   / CAST(ng AS DOUBLE), 9)
+                             AS DECIMAL(38,9))) AS DOUBLE) AS b
+        FROM per)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             round((b - ((t1 * t1) / n)) / 1000000.0, 6) AS ss_between,
+             round((t2 - b) / 1000000.0, 6) AS ss_within,
+             round(((b - ((t1 * t1) / n)) / (k - 1.0))
+                   / ((t2 - b) / (n - k)), 6) AS f_stat
+      FROM tot""",
+
     // a41: the a28 value-group shape + the doubled-average-rank trick
     // (2*avgrank of a tied group = 2*cumt - t + 1, exact integers);
     // the u/z double trees mirror the engine's parenthesization
@@ -1126,7 +1173,7 @@ object MiscQueries {
                CAST(sum(s2) AS DOUBLE) AS t2,
                CAST(sum(CAST(round((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                                    / CAST(ng AS DOUBLE), 9)
-                             AS DECIMAL(28,9))) AS DOUBLE) AS b
+                             AS DECIMAL(38,9))) AS DOUBLE) AS b
         FROM per)
       SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
              round((b - ((t1 * t1) / n)) / 1000000.0, 6) AS ss_between,

@@ -329,4 +329,20 @@ class AuditSpec extends SparkSpec {
     val vy = ry.map(a => a * a).sum - ry.sum * ry.sum / n
     assert(math.abs(rho - cov / math.sqrt(vx * vy)) < 1e-6)
   }
+
+  test("leveneBf: unequal spreads flagged, identical spreads give F = 0") {
+    import spark.implicits._
+    // group a tight around 10 (z = 1 each), group b wide (z = 9 each);
+    // medians: a -> 10, b -> 10; BF is ANOVA on |x - med_g|
+    val df = (Seq(9.0, 10.0, 11.0, 9.0, 11.0).map(("a", _)) ++
+      Seq(1.0, 10.0, 19.0, 1.0, 19.0).map(("b", _))).toDF("g", "v")
+    val Array(r) = Audit.leveneBf(df, "g", "v").collect()
+    assert((r.getLong(0), r.getLong(1)) == (10L, 2L))
+    assert(r.getDouble(4) > 10.0, r.toString) // clearly heteroscedastic
+    // same spread in both groups: z-values identical -> F = 0
+    val same = (Seq(9.0, 10.0, 11.0).map(("a", _)) ++
+      Seq(109.0, 110.0, 111.0).map(("b", _))).toDF("g", "v")
+    val Array(q) = Audit.leveneBf(same, "g", "v").collect()
+    assert(q.getDouble(4) == 0.0, q.toString)
+  }
 }
