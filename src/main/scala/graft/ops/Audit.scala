@@ -537,6 +537,55 @@ object Audit {
       round(f, 6).as("f_stat"))
   }
 
+  /** Benjamini-Hochberg FDR over a PANEL of per-segment two-proportion
+    * tests: each segment's positive rate is z-tested against the pooled
+    * global rate, the two-sided p-value comes from the Abramowitz &
+    * Stegun 7.1.26 normal-CDF polynomial (pure exp + fixed arithmetic —
+    * both engines run the IDENTICAL tree, so cross-engine equality is
+    * by mirroring, not by the approximation's 1.5e-7 accuracy), and the
+    * BH step-up rule marks the rejected segments at FDR level `q`:
+    * k* = max{ i : p_(i) <= i*q/m }, reject ranks <= k*. The panel
+    * answer to "which segments actually drifted?" that per-segment
+    * alpha = 0.05 testing gets wrong m times over.
+    *
+    * Scale shape: ONE segment aggregate (map-side combined), then
+    * everything — ranks included — runs on the segments-sized frame.
+    * Output: (segment, n, n_pos, z, p_value, p_rank, rejected). */
+  def bhFdr(df: DataFrame, segCol: String, pos: Column,
+            q: Double = 0.1): DataFrame = {
+    require(q > 0 && q < 1, s"FDR level q in (0,1), got $q")
+    val per = df.filter(col(segCol).isNotNull)
+      .groupBy(col(segCol).as("segment"))
+      .agg(count(lit(1)).as("n"), count(when(pos, 1)).as("n_pos"))
+    val glob = per.agg(sum("n").as("__gn"), sum("n_pos").as("__gx"),
+      count(lit(1)).as("__m"))
+    val p0 = col("__gx").cast("double") / col("__gn").cast("double")
+    val ps = col("n_pos").cast("double") / col("n").cast("double")
+    val z = (ps - p0) / sqrt((p0 * (lit(1.0) - p0)) / col("n").cast("double"))
+    val az = abs(col("__z"))
+    // A&S 7.1.26 in Horner form; 0.3989422804014327 = 1/sqrt(2*pi)
+    val t = lit(1.0) / (lit(1.0) + (lit(0.2316419) * az))
+    val pd = exp(-(az * az) / lit(2.0)) * lit(0.3989422804014327)
+    val poly = t * (lit(0.319381530) + (t * (lit(-0.356563782) +
+      (t * (lit(1.781477937) + (t * (lit(-1.821255978) +
+        (t * lit(1.330274429)))))))))
+    val withP = per.crossJoin(broadcast(glob))
+      .withColumn("__z", z)
+      .withColumn("__p", lit(2.0) * (pd * poly))
+    val ranked = Ordinals.withGlobalRank(withP,
+      Seq(col("__p").asc, col("segment").asc), "p_rank")
+    val thresh = (col("p_rank").cast("double") * lit(q)) /
+      col("__m").cast("double")
+    val kstar = ranked
+      .agg(max(when(col("__p") <= thresh, col("p_rank"))).as("__k"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("segment"), col("n"), col("n_pos"),
+        round(col("__z"), 6).as("z"),
+        round(col("__p"), 6).as("p_value"),
+        col("p_rank"),
+        coalesce(col("p_rank") <= col("__k"), lit(false)).as("rejected"))
+  }
+
   /** Brown-Forsythe test (the median-based Levene) of variance
     * homogeneity across groups: [[anovaF]] applied to z = |x - med_g|.
     * The robust "did the SPREAD drift?" companion of a31 (which tests

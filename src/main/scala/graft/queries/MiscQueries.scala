@@ -225,6 +225,15 @@ object MiscQueries {
       graft.ops.Audit.psiReport(Tables.events(s, dir), "event_type",
         "value", "click", "view", bins = 10)),
 
+    "a45_bh_fdr" -> ((s, dir) =>
+      // Benjamini-Hochberg FDR panel (r9): 20 event segments z-tested
+      // against the pooled click rate; two-sided p via the A&S 7.1.26
+      // polynomial (identical tree both engines), BH step-up at q=0.1
+      graft.ops.Audit.bhFdr(
+        Tables.events(s, dir)
+          .withColumn("seg", pmod(col("event_id"), lit(20L))),
+        "seg", col("event_type") === "click", q = 0.1)),
+
     "a44_levene" -> ((s, dir) =>
       // Brown-Forsythe variance-homogeneity test (r9): ANOVA-F on
       // |x - exact group median|; medians via the per-key global-rank
@@ -884,6 +893,40 @@ object MiscQueries {
                        WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522
                        WHEN '9' THEN 0.045757491 ELSE 0.0 END, 6) AS deviation
       FROM c CROSS JOIN t""",
+
+    // a45: one segment aggregate, the A&S normal-CDF Horner tree
+    // token-identical, rank by (p, segment), BH k* as a conditional max
+    "a45_bh_fdr" -> """
+      WITH per AS (
+        SELECT event_id % 20 AS segment, count(*) AS n,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_pos
+        FROM events GROUP BY 1),
+      g AS (SELECT sum(n) AS gn, sum(n_pos) AS gx, count(*) AS m FROM per),
+      zc AS (SELECT per.segment, per.n, per.n_pos, g.m,
+               ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                - (CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE)))
+               / sqrt(((CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE))
+                       * (1.0 - (CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE))))
+                      / CAST(n AS DOUBLE)) AS z
+             FROM per CROSS JOIN g),
+      pc AS (SELECT segment, n, n_pos, m, z,
+               (1.0 / (1.0 + (0.2316419 * abs(z)))) AS t,
+               (exp((-(abs(z) * abs(z))) / 2.0) * 0.3989422804014327) AS pd
+             FROM zc),
+      pv AS (SELECT segment, n, n_pos, m, z,
+               2.0 * (pd * (t * (0.319381530 + (t * (-0.356563782
+                 + (t * (1.781477937 + (t * (-1.821255978
+                 + (t * 1.330274429)))))))))) AS p
+             FROM pc),
+      rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, segment)
+                            AS BIGINT) AS p_rank FROM pv),
+      ks AS (SELECT max(CASE WHEN p <= ((CAST(p_rank AS DOUBLE) * 0.1)
+                                        / CAST(m AS DOUBLE))
+                             THEN p_rank END) AS k FROM rk)
+      SELECT segment, n, n_pos,
+             round(z, 6) AS z, round(p, 6) AS p_value, p_rank,
+             coalesce(p_rank <= ks.k, false) AS rejected
+      FROM rk CROSS JOIN ks""",
 
     // a44: per-group middle-pair medians replayed with a partitioned
     // row_number, then a31's exact integer-thousandths ANOVA trees on

@@ -345,4 +345,26 @@ class AuditSpec extends SparkSpec {
     val Array(q) = Audit.leveneBf(same, "g", "v").collect()
     assert(q.getDouble(4) == 0.0, q.toString)
   }
+
+  test("bhFdr: drifted segments rejected, on-rate ones kept, prefix rule") {
+    import spark.implicits._
+    // 4 segments x 200 rows; global rate ~ 0.30. segments 0/1 sit at the
+    // pooled rate; 2 and 3 drift hard in opposite directions
+    def seg(id: Int, pos: Int, n: Int) =
+      (0 until n).map(i => (id, i < pos))
+    val df = (seg(0, 60, 200) ++ seg(1, 62, 200) ++
+      seg(2, 130, 200) ++ seg(3, 5, 200)).toDF("s", "y")
+    val out = Audit.bhFdr(df, "s", col("y"), q = 0.1)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(2)._3 && out(3)._3, s"drifted segments must reject: $out")
+    assert(!out(0)._3 && !out(1)._3, s"on-rate segments must hold: $out")
+    // step-up structure: the rejected set is exactly a prefix of ranks
+    val rejectedRanks = out.values.filter(_._3).map(_._2).toSeq.sorted
+    assert(rejectedRanks == (1L to rejectedRanks.length))
+    // p-values sane: two-sided in (0, 1], monotone with the rank
+    val byRank = out.values.toSeq.sortBy(_._2).map(_._1)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    assert(byRank.forall(p => p >= 0.0 && p <= 1.0000001))
+  }
 }
