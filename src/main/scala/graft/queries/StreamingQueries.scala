@@ -36,6 +36,14 @@ object StreamingQueries {
       Streams.windowDrift(Tables.events(s, dir),
         (col("band").cast("double") + lit(1.0)) / lit(55.0))),
 
+    "st14_window_hotkeys" -> ((s, dir) =>
+      // streaming hot-key monitor (r9), batch path: per-hour single-key
+      // dominance (window-level reductions only, so it streams as two
+      // chained aggregations); StreamingSpec proves batch==stream on a
+      // real watermark+append stream
+      Streams.windowHotKeys(Tables.events(s, dir), "user_id",
+        minEvents = 20)),
+
     "st5_big_spender" -> ((s, dir) =>
       graft.streaming.Stateful.bigSpenderBatch(Tables.events(s, dir), threshold = 500.0)),
 
@@ -212,6 +220,22 @@ object StreamingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // st14: per-(hour, user) counts re-aggregated per hour — all exact
+    // longs, one mirrored double ratio
+    "st14_window_hotkeys" -> """
+      WITH per AS (
+        SELECT date_trunc('hour', ts) AS w, user_id, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      agg AS (
+        SELECT w, sum(n) AS t, count(*) AS n_keys, max(n) AS mx,
+               count(CASE WHEN n >= 20 THEN 1 END) AS n_hot
+        FROM per GROUP BY 1)
+      SELECT w AS window_start, CAST(t AS BIGINT) AS n_events,
+             n_keys, CAST(mx AS BIGINT) AS max_key_events,
+             n_hot AS n_hot_keys,
+             round(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6) AS max_share
+      FROM agg""",
+
     // st13: hour windows = epoch-aligned date_trunc; the n²/q terms
     // (q = (band+1)/55) rounded to 9 and DECIMAL-summed per window,
     // chi2 = S2/N − N with the engine's exact tree

@@ -82,6 +82,34 @@ object Streams {
           - col("nw").cast("double"), 6).as("chi2_ref"))
   }
 
+  /** Streaming hot-key monitor: per hour window, the single-key
+    * dominance readout (n_events, n_keys, max_key_events, n_hot_keys
+    * at an absolute per-key threshold, max_share) — the abuse/spam
+    * alarm "is one user producing this hour?". Like [[windowDrift]],
+    * the statistic is deliberately formulated so every output is a
+    * WINDOW-LEVEL reduction of the per-key counts: two chained windowed
+    * aggregations stream in append mode with watermark-bounded state,
+    * where a share-per-key report would need a (stateful) join of the
+    * counts against their own window total. In batch the same plan is
+    * two hash aggregates. All outputs exact longs + one double ratio. */
+  def windowHotKeys(events: DataFrame, keyCol: String = "user_id",
+                    minEvents: Long = 20,
+                    watermark: Boolean = false): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "2 hours") else events
+    val per = src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+    per.groupBy(window(col("w"), "1 hour").as("w2"))
+      .agg(sum("n").as("__t"), count(lit(1)).as("n_keys"),
+        max("n").as("max_key_events"),
+        count(when(col("n") >= minEvents, 1)).as("n_hot_keys"))
+      .select(col("w2.start").as("window_start"),
+        col("__t").cast("long").as("n_events"),
+        col("n_keys"), col("max_key_events"), col("n_hot_keys"),
+        round(col("max_key_events").cast("double")
+          / col("__t").cast("double"), 6).as("max_share"))
+  }
+
   /** Streaming exact dedup for continuous ingestion (the training-data
     * pipeline's "don't index the same document twice" step): in stream
     * mode, `dropDuplicatesWithinWatermark` keeps the first arrival per

@@ -167,6 +167,33 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.dedupByKey(doubled, Seq("event_id")).count() == distinctIds)
   }
 
+  test("windowHotKeys: chained stateful aggregations on a real append " +
+    "stream equal batch on every watermark-finalized window") {
+    val batch = Streams.windowHotKeys(Tables.events(spark, sf), "user_id",
+      minEvents = 20)
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    val q = Streams.runFileStream(spark, eventsDir,
+      Tables.events(spark, sf).schema,
+      Streams.windowHotKeys(_, "user_id", minEvents = 20,
+        watermark = true), "hotkeys_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(180000)
+    val got = spark.table("hotkeys_sink")
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got.nonEmpty, "no finalized windows emitted")
+    got.foreach { case (w, v) =>
+      assert(batch.get(w).contains(v), s"window $w: stream $v vs ${batch.get(w)}")
+    }
+    val horizon = got.keys.max
+    val missing = batch.keys.filter(w => w.before(horizon))
+      .filterNot(got.contains)
+    assert(missing.isEmpty, s"finalized windows missing: $missing")
+  }
+
   test("windowDrift: chained stateful aggregations on a real append stream " +
     "equal batch on every watermark-finalized window") {
     import org.apache.spark.sql.functions._
