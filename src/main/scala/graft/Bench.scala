@@ -66,7 +66,8 @@ object Bench {
     "a41_mann_whitney", "a42_cramers_v", "a43_spearman", "m32_brier",
     "m34_mcnemar", "e10_ordered_target_encode",
     "q35_seasonal_decompose", "t60_nb_quality",
-    "a44_levene", "s34_ann_recall", "a45_bh_fdr", "st14_window_hotkeys")
+    "a44_levene", "s34_ann_recall", "a45_bh_fdr", "st14_window_hotkeys",
+    "m33_pr_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -18,6 +18,50 @@ import org.apache.spark.sql.expressions.Window
   */
 object Metrics {
 
+  /** Precision-recall curve over equal-width score buckets: one row per
+    * OCCUPIED bucket (bin, threshold = the bucket's lower edge, n_ge,
+    * tp, precision, recall, f1) where the classifier at `threshold`
+    * predicts positive for every row scoring in bucket >= bin — the
+    * operating-point table m3's single rank-AUC number summarizes away.
+    * Scores are probabilities in [0, 1] (the m28 binning rule; the top
+    * edge clamps into the last bin). f1 is null at tp = 0 (undefined),
+    * reported honestly rather than zero-filled.
+    *
+    * Scale shape: ONE map-side-combined bucket aggregate, then the
+    * descending cumulative counts ride RunningTotal over the
+    * bins-sized frame — nothing after the first aggregate touches data.
+    * Exactness: all counts exact longs; every ratio a fixed double
+    * tree rounded to 6. */
+  def prCurve(pred: DataFrame, scoreCol: String, pos: Column,
+              bins: Int = 20): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val p = col(scoreCol).cast(DoubleType)
+    val per = pred.filter(p.isNotNull)
+      .withColumn("bin",
+        least(floor(p * lit(bins)) + lit(1), lit(bins.toLong)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), count(when(pos, 1)).as("n_pos"))
+    val cum = graft.ops.Ordinals.withRunningTotal(
+      graft.ops.Ordinals.withRunningTotal(per, Seq(col("bin").desc),
+        "n", "__cn"),
+      Seq(col("bin").desc), "n_pos", "__cp")
+    val tot = per.agg(sum("n_pos").as("__tp"))
+    val prec = col("__cp").cast("double") / col("__cn").cast("double")
+    val rec = col("__cp").cast("double") / col("__tp").cast("double")
+    cum.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        round((col("bin").cast("double") - lit(1.0)) / lit(bins), 6)
+          .as("threshold"),
+        col("__cn").cast("long").as("n_ge"),
+        col("__cp").cast("long").as("tp"),
+        round(prec, 6).as("precision"),
+        round(rec, 6).as("recall"),
+        when(col("__cp") === 0, lit(null).cast("double"))
+          .otherwise(round((lit(2.0) * (prec * rec)) / (prec + rec), 6))
+          .as("f1"))
+  }
+
+
   /** Long-format (metric, value) helper. */
   private def kv(pairs: (String, Double)*): Seq[(String, Double)] = pairs
 

@@ -403,6 +403,15 @@ object MlQueries {
           .withColumn("p", least(col("value"), lit(200.0)) / lit(200.0)),
         "p", col("event_type") === "click")),
 
+    "m33_pr_curve" -> ((s, dir) =>
+      // precision-recall operating-point table (r9): the m28 score link
+      // bucketed at 20 thresholds, descending cumulative tp/n via
+      // RunningTotal over the bins-sized frame
+      graft.ml.Metrics.prCurve(
+        Tables.events(s, dir)
+          .withColumn("p", least(col("value"), lit(200.0)) / lit(200.0)),
+        "p", col("event_type") === "click", bins = 20)),
+
     "m32_brier" -> ((s, dir) =>
       // one-row Murphy decomposition (r9): EXACT Brier (per-row
       // round-9 DECIMAL (p-y)^2 sums) + m28's bin terms summed +
@@ -1076,6 +1085,39 @@ object MlQueries {
     // m28: the same piecewise-linear probability link, the same
     // floor(p*10)+1 top-clamped cut, Σp as round-9 DECIMAL sums,
     // Brier terms token-identical to the engine
+    // m33: the m28 bucket rule at 20 bins; descending cumulative
+    // counts as window sums; ratio trees mirrored; f1 NULL at tp=0
+    "m33_pr_curve" -> """
+      WITH pr AS (
+        SELECT least(value, 200.0) / 200.0 AS p, event_type FROM events
+        WHERE least(value, 200.0) / 200.0 IS NOT NULL),
+      per AS (
+        SELECT CAST(least(floor(p * 20) + 1, 20) AS INT) AS bin,
+               count(*) AS n,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_pos
+        FROM pr GROUP BY 1),
+      c AS (SELECT bin, n, n_pos,
+                   sum(n) OVER (ORDER BY bin DESC) AS cn,
+                   sum(n_pos) OVER (ORDER BY bin DESC) AS cp
+            FROM per),
+      t AS (SELECT sum(n_pos) AS tp FROM per)
+      SELECT bin,
+             round((CAST(bin AS DOUBLE) - 1.0) / 20, 6) AS threshold,
+             CAST(cn AS BIGINT) AS n_ge, CAST(cp AS BIGINT) AS tp,
+             round(CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE), 6)
+               AS precision,
+             round(CAST(cp AS DOUBLE) / CAST(t.tp AS DOUBLE), 6)
+               AS recall,
+             CASE WHEN cp = 0 THEN NULL
+                  ELSE round((2.0 * ((CAST(cp AS DOUBLE)
+                                      / CAST(cn AS DOUBLE))
+                                     * (CAST(cp AS DOUBLE)
+                                        / CAST(t.tp AS DOUBLE))))
+                             / ((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                                + (CAST(cp AS DOUBLE)
+                                   / CAST(t.tp AS DOUBLE))), 6) END AS f1
+      FROM c CROSS JOIN t""",
+
     // m32: m28's bucket CTEs + per-row (p-y)^2 round-9 DECIMAL sums;
     // every readout tree mirrors the engine's parenthesization
     "m32_brier" -> """

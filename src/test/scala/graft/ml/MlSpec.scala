@@ -310,4 +310,20 @@ class MlSpec extends SparkSpec {
       .collect()
     assert(q.isNullAt(3))
   }
+
+  test("prCurve: hand-computed two-bucket operating points") {
+    import spark.implicits._
+    // high bucket: 3 pos + 1 neg; low bucket: 1 pos + 5 neg
+    val df = (Seq.fill(3)((0.9, true)) ++ Seq((0.9, false)) ++
+      Seq((0.1, true)) ++ Seq.fill(5)((0.1, false))).toDF("p", "y")
+    val out = Metrics.prCurve(df, "p", col("y"), bins = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(2) == ((0.5, 4L, 3L, 0.75, 0.75, 0.75)), out.toString)
+    // threshold 0: everything predicted positive
+    assert(out(1)._2 == 10L && out(1)._3 == 4L)
+    assert(out(1)._4 == 0.4 && out(1)._5 == 1.0)
+    assert(math.abs(out(1)._6 - 0.571429) < 1e-6)
+  }
 }
