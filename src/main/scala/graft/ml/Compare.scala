@@ -55,6 +55,42 @@ object Compare {
         / (b + c), 6).as("mcnemar_chi2"))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters/models on the same rows: kappa = (p_o - p_e)/(1 - p_e) with
+    * p_o the observed agreement and p_e the marginal-product chance
+    * agreement. The standard "do these two labelers actually agree?"
+    * readout for label-quality audits (raw agreement is inflated by
+    * class imbalance; kappa is not). One row (n, p_obs, p_exp, kappa).
+    *
+    * Scale shape: ONE contingency aggregate (map-side combined,
+    * |A| x |B| dictionary-sized), marginals re-aggregate the cells,
+    * p_e folds the per-class marginal products (round-9 DECIMAL sum).
+    * Identical labels give kappa = 1; marginal-independent labels 0. */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = df.groupBy(aCol.as("__a"), bCol.as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val rb = cells.groupBy("__b").agg(sum("__o").as("__rb"))
+    val tot = cells.agg(sum("__o").as("__n"),
+      sum(when(col("__a") <=> col("__b"), col("__o")).otherwise(lit(0L)))
+        .as("__agree"))
+    val nD = col("__n").cast("double")
+    // chance agreement: sum over classes of (row share * column share)
+    val pe = ra.join(rb, col("__a") <=> col("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(round((col("__ra").cast("double") / nD) *
+        (col("__rb").cast("double") / nD), 9).cast("decimal(28,9)"))
+        .as("__pe"))
+    val po = col("__agree").cast("double") / nD
+    val peD = col("__pe").cast("double")
+    tot.crossJoin(broadcast(pe))
+      .select(col("__n").as("n"),
+        round(po, 6).as("p_obs"),
+        round(peD, 6).as("p_exp"),
+        round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
+  }
+
   /** M17 — target-column heuristic (`model_evaluation_ui.py:238-240`):
     * last column whose distinct count is < 90% of rows and that is not
     * id-like (name ending in 'key'/'id' excluded). */

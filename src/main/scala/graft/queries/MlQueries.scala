@@ -403,6 +403,16 @@ object MlQueries {
           .withColumn("p", least(col("value"), lit(200.0)) / lit(200.0)),
         "p", col("event_type") === "click")),
 
+    "m35_cohen_kappa" -> ((s, dir) =>
+      // Cohen's kappa (r9): agreement between m34's two rule models
+      // (both cast to the predicted CLASS string), chance-corrected by
+      // the marginal products — the label-quality audit readout
+      graft.ml.Compare.cohenKappa(Tables.orders(s, dir),
+        when(col("o_orderdate") < lit("1995-06-17").cast("date"), "F")
+          .otherwise("other"),
+        when(col("o_totalprice") > lit(150000.0), "F")
+          .otherwise("other"))),
+
     "m33_pr_curve" -> ((s, dir) =>
       // precision-recall operating-point table (r9): the m28 score link
       // bucketed at 20 thresholds, descending cumulative tp/n via
@@ -1085,6 +1095,36 @@ object MlQueries {
     // m28: the same piecewise-linear probability link, the same
     // floor(p*10)+1 top-clamped cut, Σp as round-9 DECIMAL sums,
     // Brier terms token-identical to the engine
+    // m35: one contingency aggregate; chance agreement folds the
+    // marginal-share products round-9 DECIMAL-summed; trees mirrored
+    "m35_cohen_kappa" -> """
+      WITH lab AS (
+        SELECT CASE WHEN o_orderdate < DATE '1995-06-17' THEN 'F'
+                    ELSE 'other' END AS a,
+               CASE WHEN o_totalprice > 150000.0 THEN 'F'
+                    ELSE 'other' END AS b
+        FROM orders),
+      cells AS (SELECT a, b, count(*) AS o FROM lab GROUP BY 1, 2),
+      ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+      rb AS (SELECT b, sum(o) AS rb FROM cells GROUP BY 1),
+      tot AS (SELECT sum(o) AS n,
+                     sum(CASE WHEN a = b THEN o ELSE 0 END) AS agree
+              FROM cells),
+      pe AS (SELECT sum(CAST(round((CAST(ra.ra AS DOUBLE)
+                                    / CAST(tot.n AS DOUBLE))
+                                   * (CAST(rb.rb AS DOUBLE)
+                                      / CAST(tot.n AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))) AS pe
+             FROM ra JOIN rb ON ra.a = rb.b CROSS JOIN tot)
+      SELECT CAST(tot.n AS BIGINT) AS n,
+             round(CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+               AS p_obs,
+             round(CAST(pe.pe AS DOUBLE), 6) AS p_exp,
+             round(((CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                    - CAST(pe.pe AS DOUBLE))
+                   / (1.0 - CAST(pe.pe AS DOUBLE)), 6) AS kappa
+      FROM tot CROSS JOIN pe""",
+
     // m33: the m28 bucket rule at 20 bins; descending cumulative
     // counts as window sums; ratio trees mirrored; f1 NULL at tp=0
     "m33_pr_curve" -> """

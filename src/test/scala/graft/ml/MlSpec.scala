@@ -326,4 +326,20 @@ class MlSpec extends SparkSpec {
     assert(out(1)._4 == 0.4 && out(1)._5 == 1.0)
     assert(math.abs(out(1)._6 - 0.571429) < 1e-6)
   }
+
+  test("cohenKappa: identical raters 1, hand-computed partial agreement") {
+    import spark.implicits._
+    val same = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val Array(r) = Compare.cohenKappa(same, col("a"), col("b")).collect()
+    assert(r.getDouble(1) == 1.0 && r.getDouble(3) == 1.0, r.toString)
+    // classic 2x2 hand case: agree 20+15 of 50; marginals a: 25/25,
+    // b: 30/20 -> pe = 0.5*0.6 + 0.5*0.4 = 0.5; kappa = (0.7-0.5)/0.5
+    val mixed = (Seq.fill(20)(("p", "p")) ++ Seq.fill(5)(("p", "q")) ++
+      Seq.fill(10)(("q", "p")) ++ Seq.fill(15)(("q", "q"))).toDF("a", "b")
+    val Array(m) = Compare.cohenKappa(mixed, col("a"), col("b")).collect()
+    assert(m.getLong(0) == 50L)
+    assert(m.getDouble(1) == 0.7 && m.getDouble(2) == 0.5)
+    assert(math.abs(m.getDouble(3) - 0.4) < 1e-9, m.toString)
+  }
 }
