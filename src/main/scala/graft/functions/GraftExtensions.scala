@@ -91,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKPairsTag(children.head, children(1), children(2), children(3))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "kll_quantiles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "kll_quantiles takes (col, k, probs)")
+        KllQuantiles(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -77,18 +77,23 @@ object Compare {
         .as("__agree"))
     val nD = col("__n").cast("double")
     // chance agreement: sum over classes of (row share * column share)
+    // r10 (r9 ADVICE): raters sharing NO class label make the marginal
+    // join empty — chance agreement is genuinely 0, not null
     val pe = ra.join(rb, col("__a") <=> col("__b"))
       .crossJoin(broadcast(tot))
-      .agg(sum(round((col("__ra").cast("double") / nD) *
-        (col("__rb").cast("double") / nD), 9).cast("decimal(28,9)"))
-        .as("__pe"))
+      .agg(coalesce(sum(round((col("__ra").cast("double") / nD) *
+        (col("__rb").cast("double") / nD), 9).cast("decimal(28,9)")),
+        lit(0).cast("decimal(28,9)")).as("__pe"))
     val po = col("__agree").cast("double") / nD
     val peD = col("__pe").cast("double")
+    // p_e = 1 (both raters constant and equal) leaves kappa 0/0 —
+    // undefined by the formula; read out NULL rather than NaN
     tot.crossJoin(broadcast(pe))
       .select(col("__n").as("n"),
         round(po, 6).as("p_obs"),
         round(peD, 6).as("p_exp"),
-        round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
+        when(peD >= lit(1.0), lit(null).cast("double"))
+          .otherwise(round((po - peD) / (lit(1.0) - peD), 6)).as("kappa"))
   }
 
   /** M17 — target-column heuristic (`model_evaluation_ui.py:238-240`):

@@ -38,7 +38,11 @@ object Metrics {
     val p = col(scoreCol).cast(DoubleType)
     val per = pred.filter(p.isNotNull)
       .withColumn("bin",
-        least(floor(p * lit(bins)) + lit(1), lit(bins.toLong)).cast("int"))
+        // r10 (r9 ADVICE): clamp BOTH edges — scores < 0 land in bin 1
+        // symmetric to the top-edge least(), instead of emitting
+        // negative-threshold rows that corrupt the descending cumsum
+        greatest(least(floor(p * lit(bins)) + lit(1), lit(bins.toLong)),
+          lit(1L)).cast("int"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), count(when(pos, 1)).as("n_pos"))
     val cum = graft.ops.Ordinals.withRunningTotal(

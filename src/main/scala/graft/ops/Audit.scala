@@ -561,7 +561,12 @@ object Audit {
       count(lit(1)).as("__m"))
     val p0 = col("__gx").cast("double") / col("__gn").cast("double")
     val ps = col("n_pos").cast("double") / col("n").cast("double")
-    val z = (ps - p0) / sqrt((p0 * (lit(1.0) - p0)) / col("n").cast("double"))
+    // r10: pooled rate 0 or 1 makes the z denominator sqrt(0) — the
+    // test is undefined, so read out NULL z/p/rejected loudly instead
+    // of NaN comparisons silently reporting rejected=false (r9 ADVICE)
+    val degen = (col("__gx") === lit(0L)) || (col("__gx") === col("__gn"))
+    val z = when(degen, lit(null).cast("double")).otherwise(
+      (ps - p0) / sqrt((p0 * (lit(1.0) - p0)) / col("n").cast("double")))
     val az = abs(col("__z"))
     // A&S 7.1.26 in Horner form; 0.3989422804014327 = 1/sqrt(2*pi)
     val t = lit(1.0) / (lit(1.0) + (lit(0.2316419) * az))
@@ -583,7 +588,9 @@ object Audit {
         round(col("__z"), 6).as("z"),
         round(col("__p"), 6).as("p_value"),
         col("p_rank"),
-        coalesce(col("p_rank") <= col("__k"), lit(false)).as("rejected"))
+        when(col("__p").isNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(col("p_rank") <= col("__k"), lit(false)))
+          .as("rejected"))
   }
 
   /** Brown-Forsythe test (the median-based Levene) of variance

@@ -241,6 +241,18 @@ object MiscQueries {
       graft.ops.Audit.leveneBf(Tables.lineitem(s, dir), "l_returnflag",
         "l_quantity")),
 
+    "a46_kll_quantiles" -> ((s, dir) =>
+      // mergeable quantile sketch (r10): per-returnflag price
+      // percentiles from the native kll_quantiles aggregate, verified
+      // by the exact-vs-bound contract — n and exact_value are
+      // cross-engine exact, within_bound is the in-engine proof that
+      // the (order-dependent) estimate's true rank sits inside the
+      // sketch's self-reported worst-case bound; k=64 forces real
+      // compactions at every SF (per-flag groups are ~15k+ rows)
+      graft.ops.Quantiles.sketchQuantileAudit(Tables.lineitem(s, dir),
+        "l_extendedprice", "l_returnflag",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 64)),
+
     "a41_mann_whitney" -> ((s, dir) =>
       // Mann-Whitney rank-sum drift test (r9): click-vs-view value
       // distributions; tied-group average ranks from ONE RunningTotal
@@ -927,6 +939,32 @@ object MiscQueries {
              round(z, 6) AS z, round(p, 6) AS p_value, p_rank,
              coalesce(p_rank <= ks.k, false) AS rejected
       FROM rk CROSS JOIN ks""",
+
+    // a46: n and the target rank r = greatest(1, ceil(p*n)) (IEEE
+    // double multiply — the DOUBLE[] cast keeps DuckDB off decimal
+    // arithmetic) and the exact value at rank r are replayed exactly;
+    // within_bound is pinned to literal TRUE — the engine side
+    // computes the real rank-interval check, so a sketch that ever
+    // violated its self-reported bound hash-mismatches here
+    "a46_kll_quantiles" -> """
+      WITH base AS (
+        SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      sizes AS (SELECT g, count(*) AS n FROM base GROUP BY 1),
+      p AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[]))
+                   AS percentile),
+      tgt AS (SELECT sizes.g, p.percentile, sizes.n,
+                greatest(1, CAST(ceil(p.percentile * CAST(sizes.n AS DOUBLE))
+                                 AS BIGINT)) AS tr
+              FROM sizes CROSS JOIN p),
+      rk AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS r
+             FROM base)
+      SELECT tgt.g AS l_returnflag, tgt.percentile,
+             CAST(tgt.n AS BIGINT) AS n,
+             round(rk.x, 6) AS exact_value,
+             TRUE AS within_bound
+      FROM tgt JOIN rk ON rk.g = tgt.g AND rk.r = tgt.tr""",
 
     // a44: per-group middle-pair medians replayed with a partitioned
     // row_number, then a31's exact integer-thousandths ANOVA trees on

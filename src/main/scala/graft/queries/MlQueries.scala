@@ -1132,7 +1132,8 @@ object MlQueries {
         SELECT least(value, 200.0) / 200.0 AS p, event_type FROM events
         WHERE least(value, 200.0) / 200.0 IS NOT NULL),
       per AS (
-        SELECT CAST(least(floor(p * 20) + 1, 20) AS INT) AS bin,
+        SELECT CAST(greatest(least(floor(p * 20) + 1, 20), 1) AS INT)
+                 AS bin,
                count(*) AS n,
                count(CASE WHEN event_type = 'click' THEN 1 END) AS n_pos
         FROM pr GROUP BY 1),

@@ -44,6 +44,22 @@ object StreamingQueries {
       Streams.windowHotKeys(Tables.events(s, dir), "user_id",
         minEvents = 20)),
 
+    "st15_window_quantiles" -> ((s, dir) => {
+      // streaming percentile monitor (r10), batch path: the SAME
+      // windowQuantiles transform (one windowed kll_quantiles
+      // aggregate), its order-dependent estimates then verified
+      // in-engine by the exact-vs-bound contract — n and exact_value
+      // replay in DuckDB, within_bound pins to literal TRUE;
+      // StreamingSpec proves the contract holds on a real
+      // watermark+append stream too (estimates differ, bound never)
+      val ev = Tables.events(s, dir)
+      graft.ops.Quantiles.auditEstimates(
+        ev.withColumn("window_start", date_trunc("hour", col("ts"))),
+        "value",
+        Streams.windowQuantiles(ev, "value", Seq(0.5, 0.95), k = 64),
+        "window_start")
+    }),
+
     "st5_big_spender" -> ((s, dir) =>
       graft.streaming.Stateful.bigSpenderBatch(Tables.events(s, dir), threshold = 500.0)),
 
@@ -235,6 +251,29 @@ object StreamingQueries {
              n_hot AS n_hot_keys,
              round(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6) AS max_share
       FROM agg""",
+
+    // st15: hour windows = epoch-aligned date_trunc; target rank
+    // r = greatest(1, ceil(p*n)) as IEEE doubles (DOUBLE[] cast keeps
+    // DuckDB off decimals), exact value at rank r via partitioned
+    // row_number; within_bound literal TRUE vs the engine's real
+    // rank-interval check on the sketch estimates
+    "st15_window_quantiles" -> """
+      WITH base AS (
+        SELECT date_trunc('hour', ts) AS w, CAST(value AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL),
+      sizes AS (SELECT w, count(*) AS n FROM base GROUP BY 1),
+      p AS (SELECT unnest(CAST([0.5, 0.95] AS DOUBLE[])) AS percentile),
+      tgt AS (SELECT sizes.w, p.percentile, sizes.n,
+                greatest(1, CAST(ceil(p.percentile * CAST(sizes.n AS DOUBLE))
+                                 AS BIGINT)) AS tr
+              FROM sizes CROSS JOIN p),
+      rk AS (SELECT w, x, row_number() OVER (PARTITION BY w ORDER BY x) AS r
+             FROM base)
+      SELECT tgt.w AS window_start, tgt.percentile,
+             CAST(tgt.n AS BIGINT) AS n,
+             round(rk.x, 6) AS exact_value,
+             TRUE AS within_bound
+      FROM tgt JOIN rk ON rk.w = tgt.w AND rk.r = tgt.tr""",
 
     // st13: hour windows = epoch-aligned date_trunc; the n²/q terms
     // (q = (band+1)/55) rounded to 9 and DECIMAL-summed per window,

@@ -110,6 +110,34 @@ object Streams {
           / col("__t").cast("double"), 6).as("max_share"))
   }
 
+  /** Streaming quantile monitor: per hour window, sketch-estimated
+    * percentiles of `valueCol` (p50/p95 latency-style readouts) via the
+    * native mergeable `kll_quantiles` aggregate — the panel that is
+    * IMPOSSIBLE with exact rank selection in a stream (multi-pass).
+    * ONE windowed aggregation whose per-window state is the
+    * O(k log(n/k))-double sketch buffer (serialized to the state
+    * store like any TypedImperativeAggregate), watermark-bounded in
+    * stream mode; in batch the identical plan is one object hash
+    * aggregate. Output rows carry the exact window count AND the
+    * sketch's worst-case rank-error bound, so every estimate ships
+    * with its own accuracy certificate
+    * ([[graft.ops.Quantiles.auditEstimates]] is the batch audit). */
+  def windowQuantiles(events: DataFrame, valueCol: String = "value",
+                      probs: Seq[Double] = Seq(0.5, 0.95), k: Int = 64,
+                      watermark: Boolean = false): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "2 hours") else events
+    src.filter(col(valueCol).isNotNull)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(call_function("kll_quantiles", col(valueCol).cast("double"),
+        lit(k), array(probs.map(lit): _*)).as("__sk"))
+      .select(col("w.start").as("window_start"), col("__sk.n").as("n"),
+        col("__sk.err").as("rank_err_bound"), posexplode(col("__sk.est")))
+      .select(col("window_start"), col("n"), col("rank_err_bound"),
+        element_at(array(probs.map(lit): _*), col("pos") + 1)
+          .as("percentile"),
+        col("col").as("estimate"))
+  }
+
   /** Streaming exact dedup for continuous ingestion (the training-data
     * pipeline's "don't index the same document twice" step): in stream
     * mode, `dropDuplicatesWithinWatermark` keeps the first arrival per

@@ -194,6 +194,39 @@ class StreamingSpec extends SparkSpec {
     assert(missing.isEmpty, s"finalized windows missing: $missing")
   }
 
+  test("windowQuantiles: sketch contract holds on a real append stream " +
+    "(estimates may differ from batch; n and the bound never)") {
+    import org.apache.spark.sql.functions._
+    // exact per-window sorted values, computed in batch: the ground
+    // truth the STREAM's (order-dependent) estimates are audited
+    // against — equality with batch estimates is NOT the contract,
+    // the self-reported rank-error bound is
+    val probs = Seq(0.5, 0.95)
+    val exact = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(date_trunc("hour", col("ts")).as("w"),
+        col("value").cast("double").as("x"))
+      .collect().groupBy(_.getTimestamp(0))
+      .map { case (w, rs) => w -> rs.map(_.getDouble(1)).sorted }
+    val q = Streams.runFileStream(spark, eventsDir,
+      Tables.events(spark, sf).schema,
+      Streams.windowQuantiles(_, "value", probs, k = 16, watermark = true),
+      "wq_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(180000)
+    val got = spark.table("wq_sink").collect()
+    assert(got.nonEmpty, "no finalized windows emitted")
+    got.foreach { r =>
+      val (w, n, err, p, est) = (r.getTimestamp(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val sorted = exact(w)
+      assert(n == sorted.length.toLong, s"window $w: stream n=$n")
+      val rk = math.max(1L, math.ceil(p * n).toLong)
+      val lt = sorted.count(_ < est).toLong
+      val le = sorted.count(_ <= est).toLong
+      assert(lt + 1 <= rk + err && le >= rk - err,
+        s"window $w p=$p est=$est err=$err violates the rank bound")
+    }
+  }
+
   test("windowDrift: chained stateful aggregations on a real append stream " +
     "equal batch on every watermark-finalized window") {
     import org.apache.spark.sql.functions._

@@ -131,7 +131,10 @@ def main():
             verdicts[q] = {"isolated_median9": iso,
                            "band_max": info["band_max"],
                            "verdict": "RECHECK_OK" if ok else "REGRESSED"}
-            print(f"   {q}: isolated {iso:.2f}s -> {verdicts[q]['verdict']}")
+            # iso is None when the query crashed or was renamed out of
+            # the bench — keep the REGRESSED verdict printable (r9 ADVICE)
+            iso_s = "MISSING" if iso is None else f"{iso:.2f}s"
+            print(f"   {q}: isolated {iso_s} -> {verdicts[q]['verdict']}")
         report["isolated"] = verdicts
 
     if args.out:
