@@ -68,8 +68,9 @@ object Bench {
     "q35_seasonal_decompose", "t60_nb_quality",
     "a44_levene", "s34_ann_recall", "a45_bh_fdr", "st14_window_hotkeys",
     "m33_pr_curve", "m35_cohen_kappa",
-    // r10: mergeable quantile sketch (batch audit + streaming panel)
-    "a46_kll_quantiles", "st15_window_quantiles")
+    // r10: mergeable quantile sketch (batch audit + streaming panel),
+    // perceptual-hash image near-dup
+    "a46_kll_quantiles", "st15_window_quantiles", "mm8_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

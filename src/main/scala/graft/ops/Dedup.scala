@@ -403,9 +403,22 @@ object Dedup {
     * near the true-pair count because unrelated docs must now agree on
     * 24 correlated bits, not 12. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, bits: Int,
-                   maxDist: Int, blocksPerKey: Int = 1): DataFrame = {
+                   maxDist: Int, blocksPerKey: Int = 1): DataFrame =
+    hammingPairs(simhash(df, textCol, idCol, bits), "simhash", "id",
+      bits, maxDist, blocksPerKey)
+
+  /** Hamming near-dup pairs over ANY precomputed bit-signature column
+    * (SimHash text signatures, perceptual image hashes, …) — the
+    * banding body of [[simhashPairs]], factored out in r10 so the
+    * multimodal family's dHash dedup ([[Multimodal.phashPairs]]) rides
+    * the identical candidate discipline. Blocks that do not cover all
+    * `bits` (e.g. 64 bits over 9 blocks of 7) keep the pigeonhole
+    * guarantee: a difference in an uncovered bit touches zero blocks,
+    * which only LOWERS the number of disturbed blocks. */
+  def hammingPairs(sigFrame: DataFrame, hashCol: String, idCol: String,
+                   bits: Int, maxDist: Int, blocksPerKey: Int = 1): DataFrame = {
     require(blocksPerKey >= 1, s"blocksPerKey must be >= 1, got $blocksPerKey")
-    val sigs = simhash(df, textCol, idCol, bits)
+    val sigs = sigFrame.select(col(idCol).as("id"), col(hashCol).as("simhash"))
     val nBlocks = maxDist + blocksPerKey
     val blockBits = bits / nBlocks
     require(blockBits >= 1, s"bits=$bits too narrow for $nBlocks blocks")

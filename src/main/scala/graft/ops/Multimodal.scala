@@ -280,6 +280,160 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic grayscale box-filter downsample to a gw x gh grid:
+    * cell (gx, gy) is the INTEGER mean (floor) of the 299/587/114
+    * luminance over pixel block [gx*W/gw, (gx+1)*W/gw) x [gy*H/gh,
+    * (gy+1)*H/gh). Identity on a gw x gh image (and exact on integer
+    * pixel-doubled upscales) — pure integer arithmetic, no Graphics2D
+    * resampling, so the perceptual hashes built on it are
+    * bit-replayable by the mm8 oracle. */
+  def grayGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var sum = 0L
+        var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sum += (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
+              (p & 0xFF) * 114) / 1000
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * gw + gx) = (sum / cnt).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** dHash — the standard difference perceptual hash: 9x8 gray grid,
+    * bit (y*8 + x) set when cell (x,y) is DARKER than its right
+    * neighbor. Robust to brightness/contrast shifts (only gradient
+    * signs survive), sensitive to rotation/mirroring by design. None
+    * for bytes no JDK reader accepts. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val g = grayGrid(img, 9, 8)
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g(y * 9 + x) < g(y * 9 + x + 1)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** aHash — average perceptual hash: 8x8 gray grid, bit set when the
+    * cell is at or above the grid's integer mean. Cheaper and blunter
+    * than [[dHash64]]; kept for parity with the usual phash menu. */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val g = grayGrid(img, 8, 8)
+        val mean = (g.map(_.toLong).sum / 64L).toInt
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (g(i) >= mean) hash |= 1L << i
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Perceptual-hash signatures through the partition seam:
+    * (media_id, content) -> (media_id, phash) with undecodable rows
+    * DROPPED (they cannot be near anything). One ImageIO decode per
+    * row inside mapPartitions — the same batch discipline as
+    * [[decodeMedia]]; the hash is 8 bytes per image no matter the
+    * source size, so the downstream dedup never touches pixels. */
+  def phashSignatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        dHash64(bytes).map(h => org.apache.spark.sql.Row(r.getLong(0), h))
+      }
+    }(encoder)
+  }
+
+  /** Image near-dup pairs at Hamming distance <= maxDist over dHash
+    * signatures — the image analogue of the text side's SimHash dedup
+    * (d4), riding the IDENTICAL Manku block-banding candidate
+    * discipline ([[Dedup.hammingPairs]]): each 64-bit signature is
+    * keyed under its block combinations, pairs join on key equality,
+    * exact popcount verifies. Nothing all-pairs: candidate volume is
+    * governed by the band-key space exactly as in d4, so the shape
+    * holds on a 100 TB image corpus (signatures are 8 bytes/row; the
+    * pixel decode never shuffles). Output: (id_a, id_b, hamming). */
+  def phashPairs(media: DataFrame, maxDist: Int = 8,
+                 blocksPerKey: Int = 1): DataFrame =
+    Dedup.hammingPairs(phashSignatures(media), "phash", "media_id",
+      bits = 64, maxDist = maxDist, blocksPerKey = blocksPerKey)
+      .withColumnRenamed("id_a", "media_a").withColumnRenamed("id_b", "media_b")
+
+  /** Deterministic synthetic pattern PNG for the mm8 oracle: 9x8
+    * pixels, gray value ((id%40)*37 + x*11 + y*23 + 1)*(x*5 + y*3 + 7)
+    * % 256 at (x, y) (r = g = b, so the 299/587/114 luminance is the
+    * value itself and PNG losslessness makes the decode exact). The
+    * MULTIPLICATIVE mixing matters: a linear gradient would make every
+    * adjacent-cell comparison wrap-dominated and all 50 dHashes
+    * near-identical — this pattern puts unrelated pairs at Hamming >= 9
+    * while ids >= 40 (replaying ids 0..9's grid with ONE perturbed
+    * cell at x=3, y=3) stay within the two gradient bits that touch
+    * the cell — planted near-dups at Hamming <= 2. */
+  def syntheticGridPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val base = (((id % 40) * 37 + x * 11 + y * 23 + 1) *
+          (x * 5 + y * 3 + 7) % 256).toInt
+        val v = if (id >= 40 && x == 3 && y == 3) (base + 128) % 256 else base
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** REAL decode through the partition seam: (media_id, content) ->
     * (media_id, format, width, height, mean_r, mean_g, mean_b). Format
     * comes from [[sniffHeader]]; dimensions and channel means come from

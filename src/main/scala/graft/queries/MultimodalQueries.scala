@@ -90,13 +90,61 @@ object MultimodalQueries {
         w = 16, h = 12)
         .select(col("media_id"), length(col("content")).as("n_bytes"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.frames").as("frames"))))
+          col("meta.frames").as("frames"))),
+
+    "mm8_phash_dedup" -> ((s, dir) => {
+      // perceptual-hash image near-dup (r10): executors synthesize one
+      // gradient PNG per row (ids 40..49 replay ids 0..9 with one
+      // perturbed cell — planted near-dups), ImageIO decodes REAL
+      // pixels, dHash reduces each image to 64 gradient-sign bits, and
+      // the pairs ride d4's Manku block banding. Full value-level
+      // oracle: PNG losslessness + integer-only hash arithmetic let
+      // DuckDB replay every gradient bit and every Hamming distance.
+      import s.implicits._
+      val media = s.range(50).as[Long].mapPartitions { it =>
+        it.map(id => (id, Multimodal.syntheticGridPng(id)))
+      }.toDF("media_id", "content")
+      Multimodal.phashPairs(media, maxDist = 8)
+    }))
 
   private val histSql: String = (0 until 16)
     .map(j => s"CAST(len(list_filter(string_split(text, ''), c -> unicode(c) % 16 = $j)) AS BIGINT)")
     .mkString("array_to_string([", ", ", "], ',')")
 
   val oracles: Map[String, String] = Map(
+    // mm8: the pattern grid ((id%40)*37 + x*11 + y*23 + 1)*(x*5+y*3+7)
+    // % 256 (one perturbed cell for ids >= 40) rebuilt in SQL, dHash
+    // bits as per-cell left<right comparisons, Hamming distance as the
+    // count of differing bits over all C(50,2) pairs — banding's
+    // pigeonhole guarantees the engine finds EXACTLY the <= 8 pairs
+    // (the 10 planted near-dups; unrelated pairs sit at >= 9)
+    "mm8_phash_dedup" -> """
+      WITH ids AS (SELECT unnest(range(50)) AS id),
+      ys AS (SELECT unnest(range(8)) AS y),
+      xs AS (SELECT unnest(range(9)) AS x),
+      g AS (SELECT id, x, y,
+              CASE WHEN id >= 40 AND x = 3 AND y = 3
+                   THEN (((id % 40)*37 + x*11 + y*23 + 1)*(x*5 + y*3 + 7)
+                         % 256 + 128) % 256
+                   ELSE ((id % 40)*37 + x*11 + y*23 + 1)*(x*5 + y*3 + 7)
+                        % 256 END AS v
+            FROM ids CROSS JOIN xs CROSS JOIN ys),
+      bits AS (SELECT a.id, a.x, a.y,
+                 CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+               FROM g a JOIN g b ON a.id = b.id AND a.y = b.y
+                                AND b.x = a.x + 1
+               WHERE a.x < 8),
+      pairs AS (SELECT pa.id AS media_a, pb.id AS media_b,
+                  sum(CASE WHEN pa.bit <> pb.bit THEN 1 ELSE 0 END)
+                    AS hamming
+                FROM bits pa JOIN bits pb
+                  ON pa.x = pb.x AND pa.y = pb.y AND pa.id < pb.id
+                GROUP BY 1, 2)
+      SELECT CAST(media_a AS BIGINT) AS media_a,
+             CAST(media_b AS BIGINT) AS media_b,
+             CAST(hamming AS BIGINT) AS hamming
+      FROM pairs WHERE hamming <= 8""",
+
     "mm5_real_decode" -> """
       SELECT CAST(i AS BIGINT) AS media_id, 'png' AS format,
              CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,

@@ -196,4 +196,68 @@ class MultimodalSpec extends SparkSpec {
     val t = build(little = true)
     assert(Multimodal.parseExif(t.take(t.length / 2)).isEmpty)
   }
+
+  /** Build a PNG from an explicit 9x8 grid of gray values. */
+  private def gridPng(v: (Int, Int) => Int, w: Int = 9, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: hand-computed gradient bits; brightness shift is invariant") {
+    // left half dark, right half bright: bit set only at the x=3->4 step
+    val step = gridPng((x, _) => if (x <= 3) 40 else 200)
+    val h = Multimodal.dHash64(step).get
+    val expected = (0 until 8).foldLeft(0L)((acc, y) => acc | (1L << (y * 8 + 3)))
+    assert(h == expected, s"got ${h.toBinaryString}")
+    // +25 on every pixel: gradient SIGNS unchanged -> identical hash
+    val brighter = gridPng((x, _) => (if (x <= 3) 40 else 200) + 25)
+    assert(Multimodal.dHash64(brighter).get == h)
+    assert(Multimodal.dHash64(null).isEmpty)
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("dHash: integer pixel-doubling survives the box-filter downsample") {
+    def v(x: Int, y: Int) = ((x * 37 + y * 91 + 13) * 53) % 256
+    val small = gridPng(v)
+    val doubled = gridPng((x, y) => v(x / 2, y / 2), w = 18, h = 16)
+    assert(Multimodal.dHash64(small).get == Multimodal.dHash64(doubled).get,
+      "2x upscale must hash identically (exact box-filter means)")
+  }
+
+  test("phashPairs: planted near-dups found, rotation is NOT a near-dup") {
+    import spark.implicits._
+    def v(x: Int, y: Int) = ((x * 29 + y * 67 + 7) * 41 + x * y * 3) % 256
+    val base = gridPng(v)
+    // one perturbed cell — a near-dup; 90-degree rotation — not one
+    val nearDup = gridPng((x, y) => if (x == 5 && y == 2) 255 - v(x, y) else v(x, y))
+    val rotated = gridPng((x, y) => v(y % 9, x % 8), w = 8, h = 9)
+    val media = Seq((0L, base), (1L, nearDup), (2L, rotated))
+      .toDF("media_id", "content")
+    val pairs = Multimodal.phashPairs(media, maxDist = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)), s"planted near-dup missed: $pairs")
+    assert(pairs((0L, 1L)) <= 2L, "one cell touches at most two gradient bits")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      s"rotation must not band as a near-dup: $pairs")
+    // undecodable rows drop out of the signature frame, not into pairs
+    val withJunk = media.unionByName(
+      Seq((3L, "junk".getBytes)).toDF("media_id", "content"))
+    assert(Multimodal.phashSignatures(withJunk).count() == 3)
+  }
+
+  test("aHash: solid image is degenerate-stable, contrast pattern splits") {
+    // solid color: every cell equals the mean -> all bits set
+    assert(Multimodal.aHash64(gridPng((_, _) => 77)).get == -1L)
+    // half dark / half bright: exactly the bright half at/above mean
+    val split = Multimodal.aHash64(
+      gridPng((x, _) => if (x < 4) 0 else 200, w = 8, h = 8)).get
+    assert(java.lang.Long.bitCount(split) == 32)
+  }
 }
