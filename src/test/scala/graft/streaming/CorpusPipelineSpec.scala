@@ -78,4 +78,71 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 3L, 11L, 12L), s"index ids $ids")
   }
+
+  test("restart recovery: the full pipeline resumes from its checkpoint " +
+    "and the interrupted run equals the uninterrupted one bit for bit") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cpipe_restart").toString
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+
+    val b1 = Seq(
+      (1L, "a", good(0)),
+      (2L, "a", good(10)),
+      (3L, "b", ("z" * 30 + " ") * 20))
+      .toDF("doc_id", "lang", "text")
+    val b2 = Seq(
+      (10L, "a", good(0) + " tail"),
+      (11L, "b", good(20)),
+      (12L, "b", good(30)),
+      (13L, "b", good(30) + " tail"))
+      .toDF("doc_id", "lang", "text")
+    def addFile(b: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      b.coalesce(1).write.parquet(s"$srcDir/$name")
+      val part = new java.io.File(s"$srcDir/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$srcDir/$name"))
+    }
+
+    val benchmark = Seq((100L, good(10))).toDF("doc_id", "text")
+    val bloom = Dedup.benchmarkBloom(benchmark, "text", "doc_id", n = 3,
+      expectedShingles = 10000L)
+    def fresh(path: String): Unit =
+      LshIndex.save(LshIndex.build(b1.limit(0), "text", "doc_id",
+        n = 3, bands = 21, rowsPerBand = 3), path)
+    def cfg(ix: String, out: String) = CorpusPipeline.Config(
+      indexPath = ix, threshold = 0.7, bloom = bloom, n = 3,
+      maxOverlap = 0.8, minQuality = 0.75, outDir = out, partitionCol = "lang")
+
+    // interrupted run: drain file 1, DISCARD the query (the crash),
+    // then a fresh query on the same checkpoint drains only file 2
+    fresh(s"$root/ixS")
+    addFile(b1, "f1")
+    CorpusPipeline.start(spark, srcDir, b1.schema,
+      cfg(s"$root/ixS", s"$root/outS"), s"$root/cp").awaitTermination()
+    addFile(b2, "f2")
+    CorpusPipeline.start(spark, srcDir, b1.schema,
+      cfg(s"$root/ixS", s"$root/outS"), s"$root/cp").awaitTermination()
+
+    // uninterrupted reference: the same batches folded in order
+    fresh(s"$root/ixB")
+    for (f <- Seq("f1", "f2"))
+      CorpusPipeline.step(spark.read.parquet(s"$srcDir/$f.parquet"),
+        cfg(s"$root/ixB", s"$root/outB"))
+
+    val streamed = spark.read.parquet(s"$root/outS")
+      .select("doc_id", "lang", "text")
+    val batched = spark.read.parquet(s"$root/outB")
+      .select("doc_id", "lang", "text")
+    assert(streamed.exceptAll(batched).isEmpty &&
+      batched.exceptAll(streamed).isEmpty,
+      "restarted pipeline must equal the uninterrupted fold bit for bit")
+    // exactly-once across the restart: one output row per survivor
+    val counts = streamed.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 1L, 11L -> 1L, 12L -> 1L),
+      s"replayed batch detected: $counts")
+  }
 }

@@ -57,4 +57,65 @@ class IngestDedupSpec extends SparkSpec {
     val ids = ix.sizes.select("id").collect().map(_.getLong(0)).toSet
     assert(ids == (0L until 10L).toSet ++ Set(100L, 101L, 102L, 202L), s"index ids $ids")
   }
+
+  test("restart recovery: stop after batch 1, resume from the checkpoint — " +
+    "file 1 is never replayed, output equals the uninterrupted run") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest_restart").toString
+    val (srcDir, outDir, ixDir, cpDir) =
+      (s"$root/src", s"$root/out", s"$root/ix", s"$root/cp")
+    new java.io.File(srcDir).mkdirs()
+
+    val corpus = (0L until 10L).map(i => (i, mkText(i))).toDF("doc_id", "text")
+    LshIndex.save(LshIndex.build(corpus, "text", "doc_id",
+      n = 3, bands = 21, rowsPerBand = 3), ixDir)
+
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/$name")
+      val part = new java.io.File(s"$srcDir/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$srcDir/$name"))
+    }
+    def runOnce(): Unit =
+      IngestDedup.start(spark, srcDir, corpus.schema, ixDir, outDir, cpDir,
+        "text", "doc_id", threshold = 0.7).awaitTermination()
+
+    // phase 1: only file 1 exists; AvailableNow drains it and STOPS —
+    // the query object is discarded (the "crash"); only the checkpoint,
+    // the index, and the output survive into phase 2
+    addFile("f1", Seq(
+      (100L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"),
+      (102L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),
+      (110L, mkText(2) + " x")))
+    runOnce()
+    val after1 = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(100L, 102L), s"phase 1 survivors: $after1")
+
+    // phase 2: file 2 arrives; a FRESH query on the SAME checkpoint must
+    // process ONLY file 2 — doc 200 still near-dups phase-1 survivor 100
+    // (the cross-restart state is the persisted index), and an f1 replay
+    // would double-append 100/102 below
+    addFile("f2", Seq(
+      (200L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11"),
+      (202L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")))
+    runOnce()
+    val counts = spark.read.parquet(outDir).groupBy("doc_id")
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(100L -> 1L, 102L -> 1L, 202L -> 1L),
+      s"exactly-once violated: $counts")
+
+    // phase 3: restart again with NO new files — a no-op, nothing re-emitted
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 3L,
+      "idle restart must not re-emit")
+    // index rows stayed exactly-once too (a replay would duplicate
+    // survivor entries and inflate later shingle-size verifies)
+    val ixIds = LshIndex.load(spark, ixDir).sizes.groupBy("id")
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ixIds.values.forall(_ == 1L), s"duplicate index entries: $ixIds")
+    assert(ixIds.keySet == (0L until 10L).toSet ++ Set(100L, 102L, 202L))
+  }
 }
