@@ -212,8 +212,17 @@ object Balancing {
           if (n <= minCount) sub.select((features.map(c => col(c).cast("double").as(c)) :+
             col(target)): _*)
           else {
+            // r10: init is "random", not the default k-means||. With
+            // k = minority size (corpus-scale, 75k at sf1), k-means||
+            // finishes with a DRIVER-LOCAL weighted k-means++ over
+            // ~initSteps*2k candidates — O(k^2) single-threaded, the
+            // actual b4 bottleneck (37.5s -> 15.7s isolated sf1) and a
+            // scale-killer at 100x k. Random init keeps every phase
+            // distributed; with k this large the seeding quality gap
+            // is immaterial (Lloyd reassigns everything in pass 1) and
+            // the count contract (k centroids per class) is identical.
             val km = new KMeans().setK(minCount.toInt).setSeed(seed).setMaxIter(maxIter)
-              .setFeaturesCol("__v")
+              .setInitMode("random").setFeaturesCol("__v")
             val model = km.fit(assembler.transform(sub))
             val rows = model.clusterCenters.toSeq.map(v =>
               org.apache.spark.sql.Row.fromSeq(v.toArray.toSeq :+ cls))

@@ -119,4 +119,29 @@ class BalancingSpec extends SparkSpec {
       .filter(col("split") === "test").count() / 2000.0
     assert(math.abs(frac - 0.3) < 0.05, s"test fraction $frac far from 0.3")
   }
+  test("ClusterCentroids: count contract, class purity, range containment, " +
+    "determinism under random init") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // 40 minority rows, 400 majority rows in a disjoint value range
+    val rows = (0 until 40).map(i => (rnd.nextDouble() * 10, rnd.nextDouble() * 10, "min")) ++
+      (0 until 400).map(i => (100 + rnd.nextDouble() * 10, 100 + rnd.nextDouble() * 10, "maj"))
+    val df = rows.toDF("f1", "f2", "cls").repartition(7)
+    val out = ClusterCentroids("cls", Seq("f1", "f2"))(df)
+    val counts = out.groupBy("cls").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("min" -> 40L, "maj" -> 40L), s"got $counts")
+    // minority rows pass through untouched; majority rows are CENTROIDS
+    // of majority data only: every feature stays inside that class's
+    // value range (a mean of in-range points is in range)
+    val maj = out.filter(col("cls") === "maj")
+      .select("f1", "f2").collect()
+    assert(maj.forall(r => r.getDouble(0) >= 100 && r.getDouble(0) <= 110 &&
+      r.getDouble(1) >= 100 && r.getDouble(1) <= 110),
+      "majority centroids leaked outside the class value range")
+    // same seed, same frame -> identical centroids
+    val again = ClusterCentroids("cls", Seq("f1", "f2"))(df)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(out.collect().map(_.toString).sorted))
+  }
 }
