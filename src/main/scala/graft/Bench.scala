@@ -80,6 +80,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_RELIABLE_CKPT=<dir>: run every Materialize.frame site
+    // in reliable-checkpoint mode (the dynamic-allocation posture) —
+    // the r10 A/B that prices graft.checkpoint.reliable=true.
+    sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").foreach { dir =>
+      spark.conf.set(graft.core.Materialize.ReliableKey, "true")
+      spark.sparkContext.setCheckpointDir(dir)
+    }
     val all = SparkEntry.queries
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times an explicit subset (ad-hoc
     // measurements outside the headline); BENCH_ALL=1 times everything.
