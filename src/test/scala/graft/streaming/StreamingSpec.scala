@@ -227,6 +227,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowQuantiles: sketch state survives a stream RESTART via the " +
+    "state store (serialize/deserialize), windows emit exactly once") {
+    import org.apache.spark.sql.functions._
+    // split events BY TIME: days 1-14 arrive before the "crash", the
+    // rest after — the restarted query must resume open-window sketch
+    // buffers from the checkpoint, not from reprocessed input
+    val ev = Tables.events(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("wq_restart").toString
+    val (srcDir, outDir, cpDir) = (s"$root/src", s"$root/out", s"$root/cp")
+    new java.io.File(srcDir).mkdirs()
+    val cut = "2024-01-15"
+    ev.filter(col("ts") < lit(cut)).coalesce(1)
+      .write.parquet(s"$srcDir/_f1")
+    def promote(name: String): Unit = {
+      val part = new java.io.File(s"$srcDir/_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$srcDir/_$name"))
+    }
+    promote("f1")
+    def runOnce(): Unit = {
+      val q = Streams.windowQuantiles(
+        spark.readStream.schema(ev.schema).parquet(srcDir),
+        "value", Seq(0.5, 0.95), k = 16, watermark = true)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cpDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+    runOnce()
+    val phase1 = spark.read.parquet(outDir).count()
+    assert(phase1 > 0, "no windows finalized before the restart")
+    ev.filter(col("ts") >= lit(cut)).coalesce(1)
+      .write.parquet(s"$srcDir/_f2")
+    promote("f2")
+    runOnce()
+    val got = spark.read.parquet(outDir).collect()
+    assert(got.length > phase1, "restart emitted no new windows")
+    // exactly-once: every (window, percentile) appears once
+    val keys = got.map(r => (r.getTimestamp(0), r.getDouble(3)))
+    assert(keys.distinct.length == keys.length,
+      "a window emitted twice across the restart")
+    // windows straddling the crash: n must equal the BATCH count (the
+    // resumed sketch buffer continued from its checkpointed state) and
+    // the estimate must satisfy the rank contract vs batch-exact values
+    val exact = ev.filter(col("value").isNotNull)
+      .select(date_trunc("hour", col("ts")).as("w"),
+        col("value").cast("double").as("x"))
+      .collect().groupBy(_.getTimestamp(0))
+      .map { case (w, rs) => w -> rs.map(_.getDouble(1)).sorted }
+    got.foreach { r =>
+      val (w, n, err, p, est) = (r.getTimestamp(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val sorted = exact(w)
+      assert(n == sorted.length.toLong,
+        s"window $w: n=$n vs batch ${sorted.length} — state lost or replayed")
+      val rk = math.max(1L, math.ceil(p * n).toLong)
+      val lt = sorted.count(_ < est).toLong
+      val le = sorted.count(_ <= est).toLong
+      assert(lt + 1 <= rk + err && le >= rk - err,
+        s"window $w p=$p est=$est err=$err violates the rank bound after restart")
+    }
+  }
+
   test("windowDrift: chained stateful aggregations on a real append stream " +
     "equal batch on every watermark-finalized window") {
     import org.apache.spark.sql.functions._
