@@ -404,6 +404,31 @@ object Multimodal {
       bits = 64, maxDist = maxDist, blocksPerKey = blocksPerKey)
       .withColumnRenamed("id_a", "media_a").withColumnRenamed("id_b", "media_b")
 
+  /** End-to-end image dedup — the mm-family analogue of the text
+    * side's d6: [[phashPairs]] near-dup edges feed the shared
+    * label-propagation components ([[Dedup.components]]), every image
+    * gets its cluster key (comp = min media_id of its near-dup
+    * cluster; singletons are their own comp), and `is_canonical` marks
+    * the one row per cluster a keep-one pipeline retains. Undecodable
+    * rows are DROPPED with the signatures (they cannot be near
+    * anything — route them through a quarantine scan, not the dedup).
+    * Scale shape: signatures are 8 bytes/row, candidate edges are
+    * band-keyed, and components run on the EDGE list (orders of
+    * magnitude smaller than the corpus) — pixels never shuffle. */
+  def phashDedup(media: DataFrame, maxDist: Int = 8,
+                 blocksPerKey: Int = 1): DataFrame = {
+    val sigs = phashSignatures(media)
+    val pairs = Dedup.hammingPairs(sigs, "phash", "media_id",
+      bits = 64, maxDist = maxDist, blocksPerKey = blocksPerKey)
+    val comps = Dedup.components(pairs)
+      .withColumnRenamed("id", "media_id")
+    sigs.select("media_id")
+      .join(comps, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("comp"), col("media_id")).as("comp"))
+      .withColumn("is_canonical", col("comp") === col("media_id"))
+  }
+
   /** Deterministic synthetic pattern PNG for the mm8 oracle: 9x8
     * pixels, gray value ((id%40)*37 + x*11 + y*23 + 1)*(x*5 + y*3 + 7)
     * % 256 at (x, y) (r = g = b, so the 299/587/114 luminance is the
@@ -411,19 +436,27 @@ object Multimodal {
     * MULTIPLICATIVE mixing matters: a linear gradient would make every
     * adjacent-cell comparison wrap-dominated and all 50 dHashes
     * near-identical — this pattern puts unrelated pairs at Hamming >= 9
-    * while ids >= 40 (replaying ids 0..9's grid with ONE perturbed
+    * while ids 40..49 (replaying ids 0..9's grid with ONE perturbed
     * cell at x=3, y=3) stay within the two gradient bits that touch
-    * the cell — planted near-dups at Hamming <= 2. */
+    * the cell — planted near-dups at Hamming <= 2. Ids 50..59 (mm9)
+    * replay ids 0..9 with a DIFFERENT perturbed cell (x=6, y=5), so
+    * each base image heads a 3-member near-dup TRIANGLE {i, i+40,
+    * i+50} — the component fixture; all 30 within-triangle pairs sit
+    * at Hamming <= 4, every cross pair at >= 9. */
   def syntheticGridPng(id: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(9, 8,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bid = if (id >= 40) id % 10 else id
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 9) {
-        val base = (((id % 40) * 37 + x * 11 + y * 23 + 1) *
+        val base = ((bid * 37 + x * 11 + y * 23 + 1) *
           (x * 5 + y * 3 + 7) % 256).toInt
-        val v = if (id >= 40 && x == 3 && y == 3) (base + 128) % 256 else base
+        val v =
+          if (id >= 40 && id < 50 && x == 3 && y == 3) (base + 128) % 256
+          else if (id >= 50 && x == 6 && y == 5) (base + 128) % 256
+          else base
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }

@@ -105,6 +105,22 @@ object MultimodalQueries {
         it.map(id => (id, Multimodal.syntheticGridPng(id)))
       }.toDF("media_id", "content")
       Multimodal.phashPairs(media, maxDist = 8)
+    }),
+
+    "mm9_phash_components" -> ((s, dir) => {
+      // end-to-end image dedup (r10): 60 synthesized images = 10
+      // planted near-dup TRIANGLES {i, i+40, i+50} (two different
+      // perturbed cells) + 30 singletons; dHash edges feed the shared
+      // label-propagation components; every image reports its cluster
+      // key and whether a keep-one pipeline retains it. Full oracle:
+      // the SQL side rebuilds the bit grids, the 30 triangle edges,
+      // and (clusters being triangles, every member adjacent to the
+      // min) the components as least(id, min(neighbor)).
+      import s.implicits._
+      val media = s.range(60).as[Long].mapPartitions { it =>
+        it.map(id => (id, Multimodal.syntheticGridPng(id)))
+      }.toDF("media_id", "content")
+      Multimodal.phashDedup(media, maxDist = 8)
     }))
 
   private val histSql: String = (0 until 16)
@@ -144,6 +160,46 @@ object MultimodalQueries {
              CAST(media_b AS BIGINT) AS media_b,
              CAST(hamming AS BIGINT) AS hamming
       FROM pairs WHERE hamming <= 8""",
+
+    // mm9: the mm8 grid over 60 ids with BOTH perturbation cells; the
+    // pair list is exactly the 10 triangles, so comp(id) reduces to
+    // least(id, min(neighbor)) — every triangle member touches the min
+    "mm9_phash_components" -> """
+      WITH ids AS (SELECT unnest(range(60)) AS id),
+      ys AS (SELECT unnest(range(8)) AS y),
+      xs AS (SELECT unnest(range(9)) AS x),
+      g AS (SELECT id, x, y,
+              CASE WHEN id >= 40 AND id < 50 AND x = 3 AND y = 3
+                   THEN (((CASE WHEN id >= 40 THEN id % 10 ELSE id END)*37
+                          + x*11 + y*23 + 1)*(x*5 + y*3 + 7)
+                         % 256 + 128) % 256
+                   WHEN id >= 50 AND x = 6 AND y = 5
+                   THEN (((CASE WHEN id >= 40 THEN id % 10 ELSE id END)*37
+                          + x*11 + y*23 + 1)*(x*5 + y*3 + 7)
+                         % 256 + 128) % 256
+                   ELSE ((CASE WHEN id >= 40 THEN id % 10 ELSE id END)*37
+                         + x*11 + y*23 + 1)*(x*5 + y*3 + 7) % 256
+              END AS v
+            FROM ids CROSS JOIN xs CROSS JOIN ys),
+      bits AS (SELECT a.id, a.x, a.y,
+                 CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+               FROM g a JOIN g b ON a.id = b.id AND a.y = b.y
+                                AND b.x = a.x + 1
+               WHERE a.x < 8),
+      pairs AS (SELECT pa.id AS a, pb.id AS b,
+                  sum(CASE WHEN pa.bit <> pb.bit THEN 1 ELSE 0 END) AS h
+                FROM bits pa JOIN bits pb
+                  ON pa.x = pb.x AND pa.y = pb.y AND pa.id < pb.id
+                GROUP BY 1, 2),
+      near AS (SELECT a, b FROM pairs WHERE h <= 8),
+      und AS (SELECT a, b FROM near UNION ALL SELECT b, a FROM near),
+      comp AS (SELECT ids.id,
+                 least(ids.id, coalesce(min(und.b), ids.id)) AS comp
+               FROM ids LEFT JOIN und ON und.a = ids.id
+               GROUP BY ids.id)
+      SELECT CAST(id AS BIGINT) AS media_id, CAST(comp AS BIGINT) AS comp,
+             id = comp AS is_canonical
+      FROM comp""",
 
     "mm5_real_decode" -> """
       SELECT CAST(i AS BIGINT) AS media_id, 'png' AS format,

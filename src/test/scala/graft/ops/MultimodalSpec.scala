@@ -252,6 +252,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.phashSignatures(withJunk).count() == 3)
   }
 
+  test("phashDedup: planted triangles collapse to one canonical image each") {
+    import spark.implicits._
+    val media = spark.range(60).as[Long].mapPartitions { it =>
+      it.map(id => (id, Multimodal.syntheticGridPng(id)))
+    }.toDF("media_id", "content").repartition(9)
+    val out = Multimodal.phashDedup(media, maxDist = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 60)
+    for (i <- 0L until 10L) {
+      assert(out(i) == (i, true), s"base $i: ${out(i)}")
+      assert(out(i + 40) == (i, false), s"dup ${i + 40}: ${out(i + 40)}")
+      assert(out(i + 50) == (i, false), s"dup ${i + 50}: ${out(i + 50)}")
+    }
+    for (i <- 10L until 40L)
+      assert(out(i) == (i, true), s"singleton $i: ${out(i)}")
+    assert(out.values.count(_._2) == 40, "10 cluster canonicals + 30 singletons")
+  }
+
   test("aHash: solid image is degenerate-stable, contrast pattern splits") {
     // solid color: every cell equals the mean -> all bits set
     assert(Multimodal.aHash64(gridPng((_, _) => 77)).get == -1L)
