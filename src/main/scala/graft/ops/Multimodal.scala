@@ -467,6 +467,131 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Audio fingerprint — the audio member of the near-dup hash menu
+    * (text SimHash / image dHash / this): the PCM16 stream splits into
+    * 65 equal frames, each frame's energy is the exact integer sum of
+    * |sample|, and bit f records whether frame f+1 is LOUDER than
+    * frame f — 64 energy-gradient signs, the 1-D analogue of dHash
+    * and, like it, invariant to uniform gain (scaling every sample
+    * scales every energy; the comparisons survive). Parses the RIFF
+    * chunk walk directly (no AudioSystem: the fingerprint needs RAW
+    * samples in a deterministic order); PCM16 mono only, None
+    * otherwise or when fewer than 65 samples. */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val id = tag(pos)
+      val sz = le32(pos + 4).toInt
+      if (id == "fmt " && pos + 8 + 16 <= bytes.length)
+        fmtOk = le16(pos + 8) == 1 && le16(pos + 10) == 1 &&
+          le16(pos + 8 + 14) == 16
+      else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = math.min(sz, bytes.length - dataOff)
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val n = dataLen / 2
+    val frameLen = n / 65
+    if (frameLen < 1) return None
+    val energy = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      var e = 0L
+      var i = 0
+      while (i < frameLen) {
+        val o = dataOff + 2 * (f * frameLen + i)
+        val s = (u8(o) | (bytes(o + 1).toInt << 8)).toShort
+        e += math.abs(s.toInt)
+        i += 1
+      }
+      energy(f) = e
+      f += 1
+    }
+    var hash = 0L
+    f = 0
+    while (f < 64) {
+      if (energy(f + 1) > energy(f)) hash |= 1L << f
+      f += 1
+    }
+    Some(hash)
+  }
+
+  /** Fingerprint signatures through the partition seam; undecodable
+    * rows dropped (same contract as [[phashSignatures]]). */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        audioFingerprint64(bytes).map(h => org.apache.spark.sql.Row(r.getLong(0), h))
+      }
+    }(encoder)
+  }
+
+  /** Audio near-dup pairs at Hamming distance <= maxDist over the
+    * energy-gradient fingerprints — the same [[Dedup.hammingPairs]]
+    * banding as text (d4) and images (mm8); 8 bytes shuffle per clip,
+    * samples never leave the decode seam. */
+  def audioPairs(media: DataFrame, maxDist: Int = 8,
+                 blocksPerKey: Int = 1): DataFrame =
+    Dedup.hammingPairs(audioFingerprints(media), "afp", "media_id",
+      bits = 64, maxDist = maxDist, blocksPerKey = blocksPerKey)
+      .withColumnRenamed("id_a", "media_a").withColumnRenamed("id_b", "media_b")
+
+  /** Deterministic synthetic WAV for the mm10 oracle: PCM16 mono,
+    * 65 frames x 64 samples, every sample in frame f equal to the
+    * id-derived amplitude ((id%40)*41 + f*13 + 3)*(f*7 + 11) % 1000 —
+    * frame energy is then EXACTLY 64*amp and every fingerprint bit is
+    * an integer comparison both engines replay. Ids >= 40 replay ids
+    * 0..9 with frame 20's amplitude perturbed (+500 mod 1000):
+    * planted near-dups touching at most the two gradient bits around
+    * the frame. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val frames = 65
+    val frameLen = 64
+    val nSamples = frames * frameLen
+    val data = new Array[Byte](nSamples * 2)
+    var f = 0
+    while (f < frames) {
+      val base = (((id % 40) * 41 + f * 13 + 3) * (f * 7 + 11) % 1000).toInt
+      val amp = if (id >= 40 && f == 20) (base + 500) % 1000 else base
+      var i = 0
+      while (i < frameLen) {
+        val o = 2 * (f * frameLen + i)
+        data(o) = (amp & 0xFF).toByte
+        data(o + 1) = ((amp >> 8) & 0xFF).toByte
+        i += 1
+      }
+      f += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF) }
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    bos.write("data".getBytes("US-ASCII")); le32(data.length)
+    bos.write(data)
+    bos.toByteArray
+  }
+
   /** REAL decode through the partition seam: (media_id, content) ->
     * (media_id, format, width, height, mean_r, mean_g, mean_b). Format
     * comes from [[sniffHeader]]; dimensions and channel means come from

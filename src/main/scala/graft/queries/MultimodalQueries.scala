@@ -121,6 +121,21 @@ object MultimodalQueries {
         it.map(id => (id, Multimodal.syntheticGridPng(id)))
       }.toDF("media_id", "content")
       Multimodal.phashDedup(media, maxDist = 8)
+    }),
+
+    "mm10_audio_fingerprint" -> ((s, dir) => {
+      // audio near-dup (r10): executors synthesize one PCM16 WAV per
+      // row (constant-amplitude frames, ids 40..49 replay 0..9 with
+      // one perturbed frame), the RIFF walk + frame-energy fingerprint
+      // reduces each clip to 64 loudness-gradient bits, pairs ride the
+      // shared Hamming banding. Full oracle: frame energies are exact
+      // integer arithmetic both engines replay (planted pairs Hamming
+      // <= 2, all others >= 14 at maxDist 8).
+      import s.implicits._
+      val media = s.range(50).as[Long].mapPartitions { it =>
+        it.map(id => (id, Multimodal.syntheticWav(id)))
+      }.toDF("media_id", "content")
+      Multimodal.audioPairs(media, maxDist = 8)
     }))
 
   private val histSql: String = (0 until 16)
@@ -155,6 +170,35 @@ object MultimodalQueries {
                     AS hamming
                 FROM bits pa JOIN bits pb
                   ON pa.x = pb.x AND pa.y = pb.y AND pa.id < pb.id
+                GROUP BY 1, 2)
+      SELECT CAST(media_a AS BIGINT) AS media_a,
+             CAST(media_b AS BIGINT) AS media_b,
+             CAST(hamming AS BIGINT) AS hamming
+      FROM pairs WHERE hamming <= 8""",
+
+    // mm10: amplitudes ((id%40)*41 + f*13 + 3)*(f*7 + 11) % 1000 (+500
+    // mod 1000 at frame 20 for ids >= 40) rebuilt in SQL; a constant
+    // frame's energy is 64*amp, so each fingerprint bit is amp(f+1) >
+    // amp(f) and Hamming distance counts differing bits per pair
+    "mm10_audio_fingerprint" -> """
+      WITH ids AS (SELECT unnest(range(50)) AS id),
+      fs AS (SELECT unnest(range(65)) AS f),
+      a AS (SELECT id, f,
+              CASE WHEN id >= 40 AND f = 20
+                   THEN (((id % 40)*41 + f*13 + 3)*(f*7 + 11)
+                         % 1000 + 500) % 1000
+                   ELSE ((id % 40)*41 + f*13 + 3)*(f*7 + 11) % 1000
+              END AS amp
+            FROM ids CROSS JOIN fs),
+      bits AS (SELECT x.id, x.f,
+                 CASE WHEN y.amp > x.amp THEN 1 ELSE 0 END AS bit
+               FROM a x JOIN a y ON x.id = y.id AND y.f = x.f + 1
+               WHERE x.f < 64),
+      pairs AS (SELECT pa.id AS media_a, pb.id AS media_b,
+                  sum(CASE WHEN pa.bit <> pb.bit THEN 1 ELSE 0 END)
+                    AS hamming
+                FROM bits pa JOIN bits pb
+                  ON pa.f = pb.f AND pa.id < pb.id
                 GROUP BY 1, 2)
       SELECT CAST(media_a AS BIGINT) AS media_a,
              CAST(media_b AS BIGINT) AS media_b,

@@ -270,6 +270,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.count(_._2) == 40, "10 cluster canonicals + 30 singletons")
   }
 
+  test("audioFingerprint64: gradient bits hand-check, gain invariance, " +
+    "real-WAV interop, junk rejection") {
+    // synthesized WAV parses with the JDK audio stack too (honest RIFF)
+    val wav = Multimodal.syntheticWav(3L)
+    val jdk = Multimodal.decodeWav(wav)
+    assert(jdk.exists(m => m._1 == 1 && m._2 == 8000f),
+      s"syntheticWav must be a real mono 8kHz WAV, got $jdk")
+    val fp = Multimodal.audioFingerprint64(wav).get
+    // replay the amplitude rule: bit f = amp(f+1) > amp(f)
+    def amp(f: Int) = ((3 * 41 + f * 13 + 3) * (f * 7 + 11)) % 1000
+    val expected = (0 until 64).foldLeft(0L)((acc, f) =>
+      if (amp(f + 1) > amp(f)) acc | (1L << f) else acc)
+    assert(fp == expected, s"got ${fp.toBinaryString}")
+    // uniform gain: tripling every sample preserves every energy gradient
+    val louder = wav.clone()
+    var o = 44
+    while (o + 1 < louder.length) {
+      val s = ((louder(o) & 0xFF) | (louder(o + 1).toInt << 8)).toShort
+      val t = (s * 3).toShort
+      louder(o) = (t & 0xFF).toByte
+      louder(o + 1) = ((t >> 8) & 0xFF).toByte
+      o += 2
+    }
+    assert(Multimodal.audioFingerprint64(louder).get == fp,
+      "gain change must not move the fingerprint")
+    assert(Multimodal.audioFingerprint64(null).isEmpty)
+    assert(Multimodal.audioFingerprint64("RIFFjunk".getBytes).isEmpty)
+    // a PNG is not audio
+    assert(Multimodal.audioFingerprint64(Multimodal.syntheticPng(1, 8, 6)).isEmpty)
+    // too short for 65 frames
+    assert(Multimodal.audioFingerprint64(wav.take(44 + 60)).isEmpty)
+  }
+
   test("aHash: solid image is degenerate-stable, contrast pattern splits") {
     // solid color: every cell equals the mean -> all bits set
     assert(Multimodal.aHash64(gridPng((_, _) => 77)).get == -1L)
