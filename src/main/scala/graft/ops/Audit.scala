@@ -537,6 +537,81 @@ object Audit {
       round(f, 6).as("f_stat"))
   }
 
+  /** Poisson(1) CDF at k = 0..5, scaled to the 60-bit hash space as
+    * EXACT integer literals (floor(c_k * 2^60)) — the same constants
+    * the DuckDB oracle embeds, so the replicate weights replay
+    * bit-for-bit. P(X > 6) ~ 8e-5 is truncated to w = 6 in BOTH
+    * engines (identical truncation, exactness preserved). */
+  private val PoissonCdf60: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L)
+
+  /** Poisson-bootstrap percentile confidence interval of the per-group
+    * mean — the uncertainty readout every drift/quality panel needs,
+    * in the ONLY bootstrap shape that survives 100 TB: instead of
+    * resampling n rows with replacement B times (B range-dependent
+    * shuffles), every row draws its per-replicate multiplicity from
+    * Poisson(1) (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google 2012; the classic multinomial bootstrap's
+    * one-pass limit), so ALL B replicates ride ONE scan with map-side
+    * combine — the shuffle carries B rows per group, never data.
+    *
+    * Determinism/oracle: the multiplicity is the Poisson inverse-CDF
+    * of the 60-bit md5 prefix of "id_replicate" (seeded by the ROW,
+    * not the partition), so weights — and therefore every replicate
+    * mean and the interval — are identical under any partitioning and
+    * replay exactly in SQL ([[PoissonCdf60]]). Replicate means fold
+    * as round-9 DECIMAL sums; the percentile ranks use the shared
+    * greatest(1, ceil(p*B)) convention over (mean, replicate-id)
+    * order. Empty replicates (possible only for tiny groups) drop out
+    * identically in both engines.
+    *
+    * Output: (group, n, mean, lo95, hi95), percentile interval at
+    * 2.5/97.5 over `b` replicates. */
+  def bootstrapCi(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, b: Int = 50): DataFrame = {
+    require(b >= 10 && b <= 1000, s"replicates in [10, 1000], got $b")
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__x"),
+        col(idCol).cast("string").as("__id"))
+    val reps = base.withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+    val v = conv(substring(md5(concat(col("__id"), lit("_"),
+      col("__b").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = PoissonCdf60.zipWithIndex.foldRight(lit(6): Column) {
+      case ((t, k), rest) => when(v < lit(t), lit(k)).otherwise(rest)
+    }
+    val per = reps.withColumn("__w", w)
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__w")).cast("long").as("__wn"),
+        // round(x*w, 9) BEFORE the decimal cast: DECIMAL(28,9)*INT
+        // widens past DuckDB's 38-digit cap, while the double product
+        // is the identical IEEE tree in both engines
+        sum(round(col("__x") * col("__w"), 9).cast("decimal(28,9)"))
+          .as("__ws"))
+      .filter(col("__wn") > 0L)
+      .withColumn("__m", col("__ws").cast("double") / col("__wn").cast("double"))
+    val bEff = per.groupBy(col("__g").as("__gk"))
+      .agg(count(lit(1)).as("__beff"))
+    val ranked = Ordinals.withPerKeyRank(per, "__g",
+      Seq(col("__m").asc, col("__b").asc), "__r")
+      .join(broadcast(bEff), col("__g") <=> col("__gk"))
+    val loR = greatest(lit(1L), ceil(lit(0.025) * col("__beff").cast("double")))
+    val hiR = greatest(lit(1L), ceil(lit(0.975) * col("__beff").cast("double")))
+    val lo = ranked.filter(col("__r") === loR)
+      .select(col("__g"), col("__m").as("__lo"))
+    val hi = ranked.filter(col("__r") === hiR)
+      .select(col("__g"), col("__m").as("__hi"))
+    val overall = base.groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__x"), 9).cast("decimal(28,9)")).as("__s"))
+    overall.join(lo, Seq("__g")).join(hi, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round(col("__lo"), 6).as("lo95"),
+        round(col("__hi"), 6).as("hi95"))
+  }
+
   /** Benjamini-Hochberg FDR over a PANEL of per-segment two-proportion
     * tests: each segment's positive rate is z-tested against the pooled
     * global rate, the two-sided p-value comes from the Abramowitz &

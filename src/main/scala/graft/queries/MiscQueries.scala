@@ -253,6 +253,15 @@ object MiscQueries {
         "l_extendedprice", "l_returnflag",
         Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 64)),
 
+    "a47_bootstrap_ci" -> ((s, dir) =>
+      // Poisson-bootstrap mean CI (r10): 50 one-pass hash-weighted
+      // replicates per event_type, percentile interval over the
+      // replicate means — deterministic under any partitioning (the
+      // weight is a function of (row id, replicate), not arrival
+      // order), so the interval itself is full-oracle
+      graft.ops.Audit.bootstrapCi(Tables.events(s, dir), "event_type",
+        "value", "event_id", b = 50)),
+
     "a41_mann_whitney" -> ((s, dir) =>
       // Mann-Whitney rank-sum drift test (r9): click-vs-view value
       // distributions; tied-group average ranks from ONE RunningTotal
@@ -965,6 +974,53 @@ object MiscQueries {
              round(rk.x, 6) AS exact_value,
              TRUE AS within_bound
       FROM tgt JOIN rk ON rk.g = tgt.g AND rk.r = tgt.tr""",
+
+    // a47: replicate weights from the 60-bit md5 prefix of
+    // "id_replicate" through the EXACT Poisson(1) CDF integer
+    // thresholds (floor(c_k * 2^60), truncated at 6 in both engines);
+    // replicate means as round-9 DECIMAL folds of round(x*w, 9);
+    // percentile ranks via the shared greatest(1, ceil(p*B)) rule
+    "a47_bootstrap_ci" -> """
+      WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS x,
+               CAST(event_id AS VARCHAR) AS id
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      reps AS (SELECT g, x, id, unnest(range(50)) AS b FROM base),
+      hv AS (SELECT g, x, b,
+               CAST(('0x' || substring(md5(id || '_' || CAST(b AS VARCHAR)),
+                                       1, 15)) AS BIGINT) AS v
+             FROM reps),
+      wts AS (SELECT g, x, b,
+                CASE WHEN v < 424136118829305344 THEN 0
+                     WHEN v < 848272237658610688 THEN 1
+                     WHEN v < 1060340297073263360 THEN 2
+                     WHEN v < 1131029650211480960 THEN 3
+                     WHEN v < 1148701988496035328 THEN 4
+                     WHEN v < 1152236456152946176 THEN 5
+                     ELSE 6 END AS w
+              FROM hv),
+      per AS (SELECT g, b, sum(w) AS wn,
+                     sum(CAST(round(x * w, 9) AS DECIMAL(28,9))) AS ws
+              FROM wts GROUP BY 1, 2),
+      pm AS (SELECT g, b, CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS m
+             FROM per WHERE wn > 0),
+      beff AS (SELECT g, count(*) AS be FROM pm GROUP BY 1),
+      rk AS (SELECT g, b, m,
+                    row_number() OVER (PARTITION BY g ORDER BY m, b) AS r
+             FROM pm),
+      lo AS (SELECT rk.g, rk.m AS lo FROM rk JOIN beff USING (g)
+             WHERE rk.r = greatest(1, CAST(ceil(0.025 * CAST(be AS DOUBLE))
+                                           AS BIGINT))),
+      hi AS (SELECT rk.g, rk.m AS hi FROM rk JOIN beff USING (g)
+             WHERE rk.r = greatest(1, CAST(ceil(0.975 * CAST(be AS DOUBLE))
+                                           AS BIGINT))),
+      ov AS (SELECT g, count(*) AS n,
+                    sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS s
+             FROM base GROUP BY 1)
+      SELECT ov.g AS event_type, CAST(ov.n AS BIGINT) AS n,
+             round(CAST(ov.s AS DOUBLE) / CAST(ov.n AS DOUBLE), 6) AS mean,
+             round(lo.lo, 6) AS lo95, round(hi.hi, 6) AS hi95
+      FROM ov JOIN lo ON lo.g = ov.g JOIN hi ON hi.g = ov.g""",
 
     // a44: per-group middle-pair medians replayed with a partitioned
     // row_number, then a31's exact integer-thousandths ANOVA trees on

@@ -367,4 +367,25 @@ class AuditSpec extends SparkSpec {
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
     assert(byRank.forall(p => p >= 0.0 && p <= 1.0000001))
   }
+
+  test("bootstrapCi: brackets the mean, zero-variance degenerates, " +
+    "identical under any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 400).map(i => (i.toLong, "a", 50.0 + rnd.nextGaussian() * 10)) ++
+      (0 until 300).map(i => (1000L + i, "b", 7.0)) // constant group
+    val df = spark.createDataFrame(rows).toDF("id", "g", "x")
+    def run(parts: Int) = Audit.bootstrapCi(df.repartition(parts), "g", "x", "id", b = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val out = run(3)
+    val (n, mean, lo, hi) = out("a")
+    assert(n == 400L)
+    assert(lo < mean && mean < hi, s"interval must bracket the mean: $out")
+    assert(hi - lo > 0.1 && hi - lo < 10.0, s"width sane for sigma=10,n=400: $out")
+    // constant column: every replicate mean is exactly 7 -> zero width
+    assert(out("b") == ((300L, 7.0, 7.0, 7.0)), s"degenerate: ${out("b")}")
+    // weights hash the ROW, not the partition: CI is partitioning-proof
+    assert(run(13) == out, "bootstrap CI must not depend on partitioning")
+  }
 }
