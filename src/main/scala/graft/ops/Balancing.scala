@@ -259,6 +259,33 @@ object Balancing {
       .drop("__rn", "__cap", "__cn")
   }
 
+  /** Deterministic per-group uniform sample: the k rows with the
+    * SMALLEST seeded row hashes — "give me a reproducible 100-doc
+    * sample of every source" without a shuffle of the data. The
+    * bottom-k selection rides the bounded-state `topk_pairs` aggregate
+    * (O(k) state per group, map-side truncation), so at 100 TB the
+    * shuffle moves k (hash, id) pairs per group, never rows; the
+    * sample is a pure function of (id, seed) — partitioning-proof and
+    * oracle-replayable (row_number over (hash, id)). The hash is the
+    * 52-bit md5 prefix of "id_seed": exact as a double, and ties (p ~
+    * n²/2^53) are broken by id inside the aggregate's (dist, id)
+    * lexicographic order, so even a collision stays deterministic.
+    * Output: (group, sample_rank 1..k, id); join back on the id for
+    * full rows. */
+  def hashSample(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                 seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("_"), lit(seed.toString))), 1, 13), 16, 10).cast("double")
+    df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(call_function("topk_pairs", h, col(idCol).cast("long"),
+        lit(k)).as("__s"))
+      .select(col(groupCol), posexplode(col("__s")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col.nbr_id").as(idCol))
+  }
+
   private def orderExpr(orderCols: Seq[String], seed: Long): Column =
     if (orderCols.nonEmpty) struct(orderCols.map(col): _*) else rand(seed)
 }

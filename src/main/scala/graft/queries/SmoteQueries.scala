@@ -46,6 +46,13 @@ object SmoteQueries {
         .groupBy("is_vip").agg(count(lit(1)).as("n"))
     }),
 
+    "b18_hash_sample" -> ((s, dir) =>
+      // deterministic per-status 100-row sample (r10): bottom-k by
+      // seeded row hash through the bounded-state topk_pairs aggregate
+      // — O(k) state per group, no data shuffle, partitioning-proof
+      graft.ops.Balancing.hashSample(Tables.orders(s, dir),
+        "o_orderstatus", "o_orderkey", k = 100)),
+
     "b5_nearmiss" -> ((s, dir) =>
       Smote.NearMissOp("o_orderstatus", width = ow(s, dir))(ordersNumeric(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
@@ -139,6 +146,23 @@ object SmoteQueries {
     "b5_nearmiss" -> """
       WITH c AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
       SELECT o_orderstatus, (SELECT min(n) FROM c) AS n FROM c""",
+
+    // b18: the 52-bit md5("id_42") prefix replayed; bottom-100 per
+    // status as a (hash, id)-ordered row_number — the aggregate's
+    // lexicographic buffer order makes the two forms identical
+    "b18_hash_sample" -> """
+      WITH base AS (
+        SELECT o_orderstatus AS g, o_orderkey AS id,
+               CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                                           || '_42'), 1, 13)) AS BIGINT) AS h
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderkey IS NOT NULL),
+      rk AS (SELECT g, id,
+                    row_number() OVER (PARTITION BY g ORDER BY h, id) AS r
+             FROM base)
+      SELECT g AS o_orderstatus, CAST(r AS BIGINT) AS sample_rank,
+             id AS o_orderkey
+      FROM rk WHERE r <= 100""",
 
     // largest-remainder quota makes ADASYN's fill exact: every class
     // reaches majority size, same count contract as SMOTE

@@ -144,4 +144,24 @@ class BalancingSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(again.sameElements(out.collect().map(_.toString).sorted))
   }
+  test("hashSample: exact-k deterministic sample, partitioning-proof, seeded") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, if (i % 5 == 0) "s0" else "s1"))
+      .toDF("id", "src")
+    def run(parts: Int, seed: Long) =
+      hashSample(df.repartition(parts), "src", "id", k = 20, seed = seed)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val a = run(1, 42L).sortBy(t => (t._1, t._2))
+    assert(a.count(_._1 == "s0") == 20 && a.count(_._1 == "s1") == 20)
+    assert(a.filter(_._1 == "s0").map(_._2).toSeq == (1L to 20L))
+    // identical under any partitioning (weights hash the row, not order)
+    assert(run(13, 42L).sortBy(t => (t._1, t._2)).sameElements(a))
+    // a different seed draws a different sample
+    assert(run(13, 7L).map(_._3).toSet != a.map(_._3).toSet)
+    // k larger than the group: the whole group comes back, ranked
+    val tiny = (0L until 8L).map(i => (i, "t")).toDF("id", "src")
+    val all = hashSample(tiny, "src", "id", k = 100).collect()
+    assert(all.length == 8)
+    assert(all.map(_.getLong(1)).sorted.sameElements(1L to 8L))
+  }
 }
