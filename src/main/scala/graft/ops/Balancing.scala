@@ -286,6 +286,46 @@ object Balancing {
         col("col.nbr_id").as(idCol))
   }
 
+  /** Weighted (probability-proportional-to-size) SYSTEMATIC sample:
+    * k ticks at multiples of W/k walk the hash-shuffled cumulative
+    * weight line, and each row is picked floor(cum*k/W) -
+    * floor((cum-w)*k/W) times — the classic systematic PPS design
+    * (every row's expected pick count is exactly k*w/W; rows heavier
+    * than W/k are picked multiple times, reported in `n_picks`).
+    * "Sample documents proportional to quality/length" for mixture
+    * building, with NO transcendentals: weights quantize to integer
+    * thousandths, the cumulative line is one [[Ordinals.withRunningTotal]]
+    * range sort in (row-hash, id) order, and every pick decision is
+    * 64-bit integer division — deterministic under any partitioning
+    * and bit-replayable by the oracle (sum() OVER the same order).
+    * The one range sort is the price of strict PPS; the A-ES
+    * exponential-keys alternative needs pow/ln whose last-ulp
+    * engine differences break exact replay. Σ n_picks = k exactly. */
+  def weightedSystematicSample(df: DataFrame, idCol: String,
+                               weightCol: String, k: Int,
+                               seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val base = df.filter(col(idCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        round(col(weightCol).cast("double") * lit(1000.0), 0)
+          .cast("long").as("__w"),
+        conv(substring(md5(concat(col(idCol).cast("string"), lit("_"),
+          lit(seed.toString))), 1, 13), 16, 10).cast("long").as("__h"))
+      .filter(col("__w") > 0L)
+    val cum = Ordinals.withRunningTotal(base,
+      Seq(col("__h").asc, col("__id").asc), "__w", "__cum")
+    val tot = cum.agg(max("__cum").as("__tw"))
+    cum.crossJoin(broadcast(tot))
+      // RunningTotal emits the (integer-valued) prefix sum as DOUBLE;
+      // the products stay exact below 2^53, cast back for integer div
+      .withColumn("__m",
+        expr(s"(CAST(__cum * $k AS BIGINT) div CAST(__tw AS BIGINT)) - " +
+          s"(CAST((__cum - __w) * $k AS BIGINT) div CAST(__tw AS BIGINT))"))
+      .filter(col("__m") > 0L)
+      .select(col("__id").as(idCol), col("__w").as("weight_milli"),
+        col("__m").cast("long").as("n_picks"))
+  }
+
   private def orderExpr(orderCols: Seq[String], seed: Long): Column =
     if (orderCols.nonEmpty) struct(orderCols.map(col): _*) else rand(seed)
 }

@@ -53,6 +53,13 @@ object SmoteQueries {
       graft.ops.Balancing.hashSample(Tables.orders(s, dir),
         "o_orderstatus", "o_orderkey", k = 100)),
 
+    "b19_weighted_sample" -> ((s, dir) =>
+      // systematic PPS sample (r10): 50 picks proportional to document
+      // length — integer tick arithmetic over one hash-ordered
+      // RunningTotal, no transcendentals, Σ n_picks = 50 exactly
+      graft.ops.Balancing.weightedSystematicSample(
+        Tables.documents(s, dir), "doc_id", "n_chars", k = 50)),
+
     "b5_nearmiss" -> ((s, dir) =>
       Smote.NearMissOp("o_orderstatus", width = ow(s, dir))(ordersNumeric(s, dir))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
@@ -163,6 +170,26 @@ object SmoteQueries {
       SELECT g AS o_orderstatus, CAST(r AS BIGINT) AS sample_rank,
              id AS o_orderkey
       FROM rk WHERE r <= 100""",
+
+    // b19: same md5 order, cumulative weights as a window sum, picks
+    // as the integer floor-division tick count — all 64-bit exact
+    "b19_weighted_sample" -> """
+      WITH base AS (
+        SELECT doc_id AS id,
+               CAST(round(CAST(n_chars AS DOUBLE) * 1000.0, 0) AS BIGINT)
+                 AS w,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                           || '_42'), 1, 13)) AS BIGINT) AS h
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      bp AS (SELECT id, w, h FROM base WHERE w > 0),
+      c AS (SELECT id, w, sum(w) OVER (ORDER BY h, id) AS cum FROM bp),
+      t AS (SELECT max(cum) AS tw FROM c)
+      SELECT c.id AS doc_id, CAST(c.w AS BIGINT) AS weight_milli,
+             CAST(((c.cum * 50) // t.tw)
+                  - (((c.cum - c.w) * 50) // t.tw) AS BIGINT) AS n_picks
+      FROM c CROSS JOIN t
+      WHERE ((c.cum * 50) // t.tw)
+            - (((c.cum - c.w) * 50) // t.tw) > 0""",
 
     // largest-remainder quota makes ADASYN's fill exact: every class
     // reaches majority size, same count contract as SMOTE

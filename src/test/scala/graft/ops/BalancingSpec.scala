@@ -164,4 +164,23 @@ class BalancingSpec extends SparkSpec {
     assert(all.length == 8)
     assert(all.map(_.getLong(1)).sorted.sameElements(1L to 8L))
   }
+  test("weightedSystematicSample: exactly k picks, heavy rows picked " +
+    "multiple times, partitioning-proof") {
+    import spark.implicits._
+    // one dominant row (weight 60 of 159 total) among 100 light rows
+    val rows = (0L until 100L).map(i => (i, 1.0)) :+ (999L, 60.0)
+    val df = rows.toDF("id", "wt")
+    def run(parts: Int) = weightedSystematicSample(
+      df.repartition(parts), "id", "wt", k = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val out = run(3)
+    assert(out.values.sum == 16L, s"systematic PPS must emit exactly k picks: $out")
+    // the dominant row holds ~6/16 of the mass: picked >= its floor share
+    assert(out(999L) >= 5L, s"heavy row under-picked: ${out.get(999L)}")
+    // a zero/negative weight row never appears
+    val withZero = (rows :+ (555L, 0.0)).toDF("id", "wt")
+    assert(!weightedSystematicSample(withZero, "id", "wt", k = 16)
+      .collect().map(_.getLong(0)).contains(555L))
+    assert(run(13) == out, "PPS sample must not depend on partitioning")
+  }
 }
