@@ -975,28 +975,30 @@ object MiscQueries {
              TRUE AS within_bound
       FROM tgt JOIN rk ON rk.g = tgt.g AND rk.r = tgt.tr""",
 
-    // a47: replicate weights from the 60-bit md5 prefix of
-    // "id_replicate" through the EXACT Poisson(1) CDF integer
-    // thresholds (floor(c_k * 2^60), truncated at 6 in both engines);
-    // replicate means as round-9 DECIMAL folds of round(x*w, 9);
-    // percentile ranks via the shared greatest(1, ceil(p*B)) rule
+    // a47: ONE md5 per row (m = 60-bit prefix of "id_42" mod 2^31-1),
+    // replicate uniforms via the row-dependent integer mix
+    // (m * (48271 + b*12345)) % (2^31-1), weights through the EXACT
+    // Poisson(1) CDF thresholds floor(c_k * (2^31-1)) truncated at 6
+    // in both engines; replicate means as round-9 DECIMAL folds of
+    // round(x*w, 9); percentile ranks via greatest(1, ceil(p*B))
     "a47_bootstrap_ci" -> """
       WITH base AS (
         SELECT event_type AS g, CAST(value AS DOUBLE) AS x,
-               CAST(event_id AS VARCHAR) AS id
+               CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                                           || '_42'), 1, 15)) AS BIGINT)
+                 % 2147483647 AS m
         FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
-      reps AS (SELECT g, x, id, unnest(range(50)) AS b FROM base),
+      reps AS (SELECT g, x, m, unnest(range(50)) AS b FROM base),
       hv AS (SELECT g, x, b,
-               CAST(('0x' || substring(md5(id || '_' || CAST(b AS VARCHAR)),
-                                       1, 15)) AS BIGINT) AS v
+               (m * (48271 + (b * 12345))) % 2147483647 AS v
              FROM reps),
       wts AS (SELECT g, x, b,
-                CASE WHEN v < 424136118829305344 THEN 0
-                     WHEN v < 848272237658610688 THEN 1
-                     WHEN v < 1060340297073263360 THEN 2
-                     WHEN v < 1131029650211480960 THEN 3
-                     WHEN v < 1148701988496035328 THEN 4
-                     WHEN v < 1152236456152946176 THEN 5
+                CASE WHEN v < 790015083 THEN 0
+                     WHEN v < 1580030167 THEN 1
+                     WHEN v < 1975037709 THEN 2
+                     WHEN v < 2106706890 THEN 3
+                     WHEN v < 2139624185 THEN 4
+                     WHEN v < 2146207644 THEN 5
                      ELSE 6 END AS w
               FROM hv),
       per AS (SELECT g, b, sum(w) AS wn,
