@@ -72,7 +72,7 @@ object Bench {
     // perceptual-hash image near-dup
     "a46_kll_quantiles", "st15_window_quantiles", "mm8_phash_dedup",
     "mm9_phash_components", "mm10_audio_fingerprint", "a47_bootstrap_ci",
-    "b18_hash_sample", "b19_weighted_sample")
+    "b21_hash_sample", "b22_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

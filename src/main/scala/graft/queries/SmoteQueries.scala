@@ -46,14 +46,14 @@ object SmoteQueries {
         .groupBy("is_vip").agg(count(lit(1)).as("n"))
     }),
 
-    "b18_hash_sample" -> ((s, dir) =>
+    "b21_hash_sample" -> ((s, dir) =>
       // deterministic per-status 100-row sample (r10): bottom-k by
       // seeded row hash through the bounded-state topk_pairs aggregate
       // — O(k) state per group, no data shuffle, partitioning-proof
       graft.ops.Balancing.hashSample(Tables.orders(s, dir),
         "o_orderstatus", "o_orderkey", k = 100)),
 
-    "b19_weighted_sample" -> ((s, dir) =>
+    "b22_weighted_sample" -> ((s, dir) =>
       // systematic PPS sample (r10): 50 picks proportional to document
       // length — integer tick arithmetic over one hash-ordered
       // RunningTotal, no transcendentals, Σ n_picks = 50 exactly
@@ -157,7 +157,7 @@ object SmoteQueries {
     // b18: the 52-bit md5("id_42") prefix replayed; bottom-100 per
     // status as a (hash, id)-ordered row_number — the aggregate's
     // lexicographic buffer order makes the two forms identical
-    "b18_hash_sample" -> """
+    "b21_hash_sample" -> """
       WITH base AS (
         SELECT o_orderstatus AS g, o_orderkey AS id,
                CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
@@ -173,7 +173,7 @@ object SmoteQueries {
 
     // b19: same md5 order, cumulative weights as a window sum, picks
     // as the integer floor-division tick count — all 64-bit exact
-    "b19_weighted_sample" -> """
+    "b22_weighted_sample" -> """
       WITH base AS (
         SELECT doc_id AS id,
                CAST(round(CAST(n_chars AS DOUBLE) * 1000.0, 0) AS BIGINT)
