@@ -312,4 +312,59 @@ class PropertySpec extends SparkSpec {
         "plain/tagged ranking diverged")
     }
   }
+  test("kll_quantiles: the rank-error contract holds for RANDOM data, k, " +
+    "and partitioning (the bound is order-independent by accounting)") {
+    import spark.implicits._
+    val cfgGen = Gen.zip(
+      Gen.listOfN(1200, Gen.choose(-1e6, 1e6)),
+      Gen.oneOf(8, 16, 32, 64),
+      Gen.choose(1, 17))
+    for ((values, k, parts) <- samples(cfgGen)) {
+      val probs = Seq(0.1, 0.5, 0.9, 1.0)
+      val row = values.toDF("x").repartition(parts)
+        .agg(call_function("kll_quantiles", col("x"), lit(k),
+          array(probs.map(lit): _*)).as("sk"))
+        .select("sk.n", "sk.err", "sk.est").head()
+      val n = row.getLong(0)
+      val err = row.getLong(1)
+      val est = row.getSeq[Double](2)
+      assert(n == values.size.toLong)
+      val sorted = values.sorted
+      probs.zipWithIndex.foreach { case (prob, i) =>
+        val r = math.max(1L, math.ceil(prob * n).toLong)
+        val lt = sorted.count(_ < est(i)).toLong
+        val le = sorted.count(_ <= est(i)).toLong
+        assert(lt + 1 <= r + err && le >= r - err,
+          s"k=$k parts=$parts p=$prob est=${est(i)} err=$err violates")
+      }
+    }
+  }
+
+  test("hammingPairs: banding NEVER misses a pair within maxDist on " +
+    "random 64-bit signatures (pigeonhole completeness)") {
+    import spark.implicits._
+    val sigGen = Gen.zip(
+      Gen.listOfN(60, Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.oneOf(1, 3, 8))
+    for ((raw, maxDist) <- samples(sigGen)) {
+      // plant guaranteed-close pairs among the random signatures: flip
+      // up to maxDist random bits of the first ten
+      val rnd = new scala.util.Random(raw.hashCode)
+      val planted = raw.take(10).map { s =>
+        (0 until rnd.nextInt(maxDist + 1)).foldLeft(s)((acc, _) =>
+          acc ^ (1L << rnd.nextInt(64)))
+      }
+      val sigs = (raw ++ planted).zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+      val expected = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (ia, ib)).toSet
+      val got = Dedup.hammingPairs(sigs.toDF("id", "h"), "h", "id",
+        bits = 64, maxDist = maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"maxDist=$maxDist missed ${expected -- got}, extra ${got -- expected}")
+    }
+  }
 }
