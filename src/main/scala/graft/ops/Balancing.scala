@@ -275,6 +275,21 @@ object Balancing {
   def hashSample(df: DataFrame, groupCol: String, idCol: String, k: Int,
                  seed: Long = 42L): DataFrame = {
     require(k >= 1, s"sample size must be >= 1, got $k")
+    // r11 (ADVICE): a non-integral id would cast to null below and be
+    // silently dropped inside topk_pairs, shrinking the sample — fail
+    // loudly at plan time instead.
+    val idType = df.schema(idCol).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"hashSample: idCol '$idCol' must be integral (byte/short/int/long), " +
+        s"got $idType — non-numeric ids cast to null and silently shrink " +
+        "the sample")
     val h = conv(substring(md5(concat(col(idCol).cast("string"),
       lit("_"), lit(seed.toString))), 1, 13), 16, 10).cast("double")
     df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
@@ -315,12 +330,22 @@ object Balancing {
     val cum = Ordinals.withRunningTotal(base,
       Seq(col("__h").asc, col("__id").asc), "__w", "__cum")
     val tot = cum.agg(max("__cum").as("__tw"))
+    // RunningTotal emits the (integer-valued) prefix sum as DOUBLE; it is
+    // exact below 2^53, and multiplying by k must stay below 2^63 once in
+    // BIGINT. r11 (ADVICE): cast to BIGINT BEFORE the *k product (the old
+    // DOUBLE product lost exactness past 2^53 total-milli-weight*k and
+    // silently drifted picks) and make the remaining headroom limit LOUD.
+    val cumSafe = math.min(9007199254740992.0, // 2^53: prefix-sum exactness
+      (Long.MaxValue / k.toLong).toDouble)     // 2^63/k: product headroom
+    val guardMsg = "weightedSystematicSample: total milli-weight * k " +
+      s"exceeds integer headroom (max cum ${cumSafe.toLong}) — picks " +
+      "would silently drift; rescale weights or reduce k"
     cum.crossJoin(broadcast(tot))
-      // RunningTotal emits the (integer-valued) prefix sum as DOUBLE;
-      // the products stay exact below 2^53, cast back for integer div
       .withColumn("__m",
-        expr(s"(CAST(__cum * $k AS BIGINT) div CAST(__tw AS BIGINT)) - " +
-          s"(CAST((__cum - __w) * $k AS BIGINT) div CAST(__tw AS BIGINT))"))
+        when(col("__tw") <= lit(cumSafe),
+          expr(s"(CAST(__cum AS BIGINT) * $k div CAST(__tw AS BIGINT)) - " +
+            s"(CAST(__cum - __w AS BIGINT) * $k div CAST(__tw AS BIGINT))"))
+          .otherwise(raise_error(lit(guardMsg)).cast("long")))
       .filter(col("__m") > 0L)
       .select(col("__id").as(idCol), col("__w").as("weight_milli"),
         col("__m").cast("long").as("n_picks"))

@@ -489,17 +489,26 @@ object Multimodal {
     var fmtOk = false
     var dataOff = -1
     var dataLen = 0
-    while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+    var malformed = false
+    while (!malformed && pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
       val id = tag(pos)
-      val sz = le32(pos + 4).toInt
-      if (id == "fmt " && pos + 8 + 16 <= bytes.length)
-        fmtOk = le16(pos + 8) == 1 && le16(pos + 10) == 1 &&
-          le16(pos + 8 + 14) == 16
-      else if (id == "data") {
-        dataOff = pos + 8
-        dataLen = math.min(sz, bytes.length - dataOff)
+      // Chunk size stays Long: a 32-bit size >= 2^31 truncated to Int goes
+      // negative and a zero/negative advance would spin this walk forever
+      // on adversarial or corrupt WAV bytes.
+      val sz = le32(pos + 4)
+      if (sz < 0L || sz > bytes.length.toLong) malformed = true
+      else {
+        if (id == "fmt " && pos + 8 + 16 <= bytes.length)
+          fmtOk = le16(pos + 8) == 1 && le16(pos + 10) == 1 &&
+            le16(pos + 8 + 14) == 16
+        else if (id == "data") {
+          dataOff = pos + 8
+          dataLen = math.min(sz, (bytes.length - dataOff).toLong).toInt
+        }
+        val next = pos.toLong + 8L + sz + (sz & 1L)
+        if (next <= pos || next > Int.MaxValue) malformed = true
+        else pos = next.toInt
       }
-      pos += 8 + sz + (sz & 1)
     }
     if (!fmtOk || dataOff < 0) return None
     val n = dataLen / 2

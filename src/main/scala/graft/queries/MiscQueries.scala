@@ -924,11 +924,12 @@ object MiscQueries {
         FROM events GROUP BY 1),
       g AS (SELECT sum(n) AS gn, sum(n_pos) AS gx, count(*) AS m FROM per),
       zc AS (SELECT per.segment, per.n, per.n_pos, g.m,
+               CASE WHEN g.gx = 0 OR g.gx = g.gn THEN NULL ELSE
                ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
                 - (CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE)))
                / sqrt(((CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE))
                        * (1.0 - (CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE))))
-                      / CAST(n AS DOUBLE)) AS z
+                      / CAST(n AS DOUBLE)) END AS z
              FROM per CROSS JOIN g),
       pc AS (SELECT segment, n, n_pos, m, z,
                (1.0 / (1.0 + (0.2316419 * abs(z)))) AS t,
@@ -946,7 +947,8 @@ object MiscQueries {
                              THEN p_rank END) AS k FROM rk)
       SELECT segment, n, n_pos,
              round(z, 6) AS z, round(p, 6) AS p_value, p_rank,
-             coalesce(p_rank <= ks.k, false) AS rejected
+             CASE WHEN p IS NULL THEN NULL
+                  ELSE coalesce(p_rank <= ks.k, false) END AS rejected
       FROM rk CROSS JOIN ks""",
 
     // a46: n and the target rank r = greatest(1, ceil(p*n)) (IEEE

@@ -1110,19 +1110,22 @@ object MlQueries {
       tot AS (SELECT sum(o) AS n,
                      sum(CASE WHEN a = b THEN o ELSE 0 END) AS agree
               FROM cells),
-      pe AS (SELECT sum(CAST(round((CAST(ra.ra AS DOUBLE)
+      pe AS (SELECT coalesce(sum(CAST(round((CAST(ra.ra AS DOUBLE)
                                     / CAST(tot.n AS DOUBLE))
                                    * (CAST(rb.rb AS DOUBLE)
                                       / CAST(tot.n AS DOUBLE)), 9)
-                             AS DECIMAL(28,9))) AS pe
+                             AS DECIMAL(28,9))),
+                             CAST(0 AS DECIMAL(28,9))) AS pe
              FROM ra JOIN rb ON ra.a = rb.b CROSS JOIN tot)
       SELECT CAST(tot.n AS BIGINT) AS n,
              round(CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
                AS p_obs,
              round(CAST(pe.pe AS DOUBLE), 6) AS p_exp,
-             round(((CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             CASE WHEN CAST(pe.pe AS DOUBLE) >= 1.0 THEN NULL
+                  ELSE round(((CAST(tot.agree AS DOUBLE)
+                               / CAST(tot.n AS DOUBLE))
                     - CAST(pe.pe AS DOUBLE))
-                   / (1.0 - CAST(pe.pe AS DOUBLE)), 6) AS kappa
+                   / (1.0 - CAST(pe.pe AS DOUBLE)), 6) END AS kappa
       FROM tot CROSS JOIN pe""",
 
     // m33: the m28 bucket rule at 20 bins; descending cumulative

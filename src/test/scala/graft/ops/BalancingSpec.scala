@@ -183,4 +183,24 @@ class BalancingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).contains(555L))
     assert(run(13) == out, "PPS sample must not depend on partitioning")
   }
+  test("sampling guards fail loudly (r11 ADVICE): non-integral ids, " +
+    "integer-headroom overflow") {
+    import spark.implicits._
+    // hashSample: a string id used to cast to null and silently shrink
+    // the sample inside topk_pairs — now rejected at plan time
+    val strIds = Seq(("a", "g"), ("b", "g")).toDF("id", "src")
+    val e = intercept[IllegalArgumentException] {
+      hashSample(strIds, "src", "id", k = 2)
+    }
+    assert(e.getMessage.contains("integral"))
+    // weightedSystematicSample: total milli-weight past 2^53 used to
+    // silently drift picks via inexact DOUBLE products — now raises
+    val huge = Seq((1L, 5.0e12), (2L, 5.0e12)).toDF("id", "wt")
+    val ex = intercept[Exception] {
+      weightedSystematicSample(huge, "id", "wt", k = 50).collect()
+    }
+    assert(ex.getMessage.contains("integer headroom") ||
+      Option(ex.getCause).exists(_.getMessage.contains("integer headroom")),
+      s"expected loud headroom failure, got: ${ex.getMessage}")
+  }
 }

@@ -303,6 +303,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint64(wav.take(44 + 60)).isEmpty)
   }
 
+  test("audioFingerprint64: adversarial chunk sizes terminate (r11 ADVICE)") {
+    // a junk chunk whose LE32 size is 0xFFFFFFF8 used to wrap negative
+    // and advance the RIFF walk by 0/negative -> infinite loop
+    def riff(chunks: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      val total = 4 + chunks.length
+      out.write(Array[Byte](total.toByte, (total >> 8).toByte,
+        (total >> 16).toByte, (total >> 24).toByte))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write(chunks)
+      out.toByteArray
+    }
+    def chunk(id: String, szLe: Long, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII"))
+      out.write(Array[Byte](szLe.toByte, (szLe >> 8).toByte,
+        (szLe >> 16).toByte, (szLe >> 24).toByte))
+      out.write(body)
+      out.toByteArray
+    }
+    val pad = new Array[Byte](200)
+    // size wraps to a negative Int (would advance pos by ~0)
+    assert(Multimodal.audioFingerprint64(
+      riff(chunk("junk", 0xFFFFFFF8L, pad))).isEmpty)
+    // size 0 on a junk chunk: strictly-increasing pos still terminates
+    // (advance is 8), and the walk reaches nothing valid after it
+    assert(Multimodal.audioFingerprint64(
+      riff(chunk("junk", 0L, Array.empty) ++ chunk("junk", 0L, pad))).isEmpty)
+    // size larger than the buffer: rejected, not walked past the end
+    assert(Multimodal.audioFingerprint64(
+      riff(chunk("junk", 1000000L, pad))).isEmpty)
+    // a valid WAV preceded by a max-size junk chunk is rejected loudly
+    // (malformed) rather than hanging
+    val good = Multimodal.syntheticWav(3L)
+    val tail = java.util.Arrays.copyOfRange(good, 12, good.length)
+    assert(Multimodal.audioFingerprint64(
+      riff(chunk("junk", 0xFFFFFFFFL, pad) ++ tail)).isEmpty)
+  }
+
   test("aHash: solid image is degenerate-stable, contrast pattern splits") {
     // solid color: every cell equals the mean -> all bits set
     assert(Multimodal.aHash64(gridPng((_, _) => 77)).get == -1L)
