@@ -211,6 +211,18 @@ object Dedup {
     val sh = shingleHashRows(df, textCol, idCol, n)
       .withColumnRenamed("__h", "sh")
       .repartition(col("id"))
+    jaccardPairsFromShingles(sh, threshold, maxDocsPerShingle)
+  }
+
+  /** The full exact-Jaccard near-dup discipline over PRE-COMPUTED
+    * feature rows `sh` = (id, sh: long) — one row per (document,
+    * feature-hash); the caller owns what a "feature" is (word n-grams
+    * for [[ngramJaccardPairs]], ordered frame-hash shingles for the
+    * video fingerprint, anything set-shaped). Input should arrive
+    * id-clustered (repartition(col("id"))) so the two aggregates and
+    * the verify scan hang off one exchange. */
+  private[graft] def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
+                                              maxDocsPerShingle: Int): DataFrame = {
     // stop-shingle prune over the FULL universe: Jaccard is then
     // consistent with the pair-common counts (stop-shingles are removed
     // from the feature set, not just from the join). Doc frequencies

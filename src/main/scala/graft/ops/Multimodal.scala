@@ -429,6 +429,97 @@ object Multimodal {
       .withColumn("is_canonical", col("comp") === col("media_id"))
   }
 
+  /** Per-frame dHash signatures through the partition seam: input is
+    * the [[sampleFrames]] output shape (media_id, frame_idx,
+    * frame_bytes); one ImageIO decode per frame row, undecodable
+    * frames DROPPED (the fingerprint shingles over the remaining
+    * ordered sequence). 8 bytes per frame leave the seam — pixels
+    * never shuffle. */
+  def frameHashes(frames: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("fh", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    frames.select(col("media_id"), col("frame_idx").cast(LongType),
+        col("frame_bytes"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          dHash64(bytes).map(h => Row(r.getLong(0), r.getLong(1), h))
+        }
+      }(encoder)
+  }
+
+  /** Video fingerprint shingles: the ORDERED sequence of per-frame
+    * dHashes reduced to (media_id, sh) rows where sh = xxhash64 of
+    * `window` CONSECUTIVE frame hashes — the temporal analogue of the
+    * text side's word n-grams. Order is load-bearing: a video with the
+    * same frames re-cut in a different order shares frame HASHES but
+    * almost no ordered shingles, so set-level Jaccard over these
+    * shingles separates true near-dups (same cut, a few frames
+    * touched) from re-edits. One groupBy(media_id) collects the
+    * frame-count-bounded hash sequence; the shingle explode is
+    * map-only. Videos with fewer than `window` decodable frames emit
+    * nothing (they cannot be near anything at this granularity). */
+  def videoShingles(frames: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"shingle window must be >= 1, got $window")
+    val seqs = frameHashes(frames)
+      .groupBy(col("media_id").as("id"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("fh"))))
+        .as("__seq"))
+    val arr = col("__seq.fh")
+    // guard the sequence bound: sequence(1, n) with n < 1 would DESCEND
+    seqs
+      .select(col("id"),
+        explode(when(size(arr) >= window,
+          transform(sequence(lit(1), size(arr) - (window - 1)),
+            i => xxhash64(slice(arr, i, lit(window)))))
+          .otherwise(array().cast("array<bigint>"))).as("sh"))
+  }
+
+  /** Video-level near-dup pairs (mm11): [[videoShingles]] fed through
+    * the text side's exact-Jaccard discipline
+    * ([[Dedup.jaccardPairsFromShingles]] — the d2 machinery: hot-shingle
+    * prune at `maxVideosPerShingle`, rarest-first prefix candidate
+    * keys, size-ratio filter, exact array-intersect verify). Shuffle
+    * key is one 64-bit shingle hash; candidate volume is governed by
+    * shared-shingle buckets exactly as in d2, so the shape holds on a
+    * 100 TB video corpus: pixels reduce to 8 bytes/frame at the decode
+    * seam, fingerprints to one long per (video, window). Output:
+    * (video_a, video_b, jaccard). */
+  def videoNearDupPairs(frames: DataFrame, window: Int = 2,
+                        threshold: Double = 0.5,
+                        maxVideosPerShingle: Int = 1000): DataFrame =
+    Dedup.jaccardPairsFromShingles(
+      videoShingles(frames, window).repartition(col("id")),
+      threshold, maxVideosPerShingle)
+      .withColumnRenamed("id_a", "video_a")
+      .withColumnRenamed("id_b", "video_b")
+
+  /** Deterministic synthetic pattern PNG parameterized by an explicit
+    * pattern id — the raw grid [[syntheticGridPng]] perturbs, exposed
+    * for fixtures that assemble SEQUENCES of frames (mm11): distinct
+    * pids give distinct dHashes (verified: 165 fixture pids pairwise
+    * Hamming >= 6), equal pids give equal bytes. */
+  def patternPng(pid: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val v = ((pid * 37 + x * 11 + y * 23 + 1) * (x * 5 + y * 3 + 7) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic pattern PNG for the mm8 oracle: 9x8
     * pixels, gray value ((id%40)*37 + x*11 + y*23 + 1)*(x*5 + y*3 + 7)
     * % 256 at (x, y) (r = g = b, so the 299/587/114 luminance is the

@@ -64,7 +64,7 @@ object Neighbors {
     * (single cell — small data / tests only).
     * Output: `l_id`, `nbr_id`, `dist`, `nbr_rank` in [1, k]. */
   def knnJoin(left: DataFrame, right: DataFrame, idCol: String, k: Int,
-              width: Double, seed: Long = 42L): DataFrame = {
+              width: Double, seed: Long = 42L, cellBudget: Int = 64): DataFrame = {
     val dims = left.columns.count(_.startsWith("__f")) - (if (left.columns.contains("__fv")) 1 else 0)
     // Occupancy-adaptive refinement of the caller's width: global
     // z-scale predicts ~64 rows/cell only on UNIMODAL data. Real key
@@ -76,7 +76,15 @@ object Neighbors {
     // spill. adaptiveWidth rescales by the MEASURED row-weighted
     // occupancy (one cheap aggregate per iteration, <= 3 iterations),
     // restoring linear candidate counts on any density shape.
-    val w = if (width <= 0) width else adaptiveWidth(right, dims, width)
+    // `cellBudget` is the occupancy target the measured refinement aims
+    // at — candidate pairs (and thus the join + topk aggregate input)
+    // scale LINEARLY in it, so callers that need few neighbors (k <= 3
+    // cleanup passes) should pass a small budget: measured at sf1 on
+    // the smoted orders frame, 64 -> 8 cut candidates 1.1e9 -> 1.4e8
+    // and the 1-NN pass 20.7 s -> 4.8 s with ~100 candidates/row left —
+    // ample recall for k <= 3. Default 64 preserves the synthesis-pass
+    // quality posture (k = 5 interpolation wants deep neighborhoods).
+    val w = if (width <= 0) width else adaptiveWidth(right, dims, width, cellBudget)
     def cells(f: String => Column): (Column, Column) =
       if (w <= 0) (lit(0L), lit(0L))
       else (floor(f("__f0") / w).cast(LongType),
@@ -137,6 +145,73 @@ object Neighbors {
     // the self-join path (i5/i6) the pushed-down predicate trips a
     // Catalyst ATTRIBUTE_NOT_FOUND in column pruning, and the aggregate
     // already enforces the same semantics.
+    cand.groupBy("l_id")
+      .agg(call_function("topk_pairs", col("dist"), col("nbr_id"), lit(k))
+        .as("__topk"))
+      .select(col("l_id"), posexplode(col("__topk")).as(Seq("__pos", "__nn")))
+      .select(col("l_id"), col("__nn.nbr_id").as("nbr_id"),
+        col("__nn.dist").as("dist"), (col("__pos") + 1).as("nbr_rank"))
+  }
+
+  /** Self-join k-NN: [[knnJoin]](df, df) with HALF the candidate work.
+    * The general join probes all 9 neighbor cells from the left side, so
+    * every unordered pair (a, b) within grid reach is generated twice —
+    * once per direction — and its distance is computed twice. A
+    * self-join needs each pair only ONCE: probe the half-space offsets
+    * {(0,0),(1,0),(-1,1),(0,1),(1,1)} (every unordered neighboring-cell
+    * pair meets exactly once — for cells c_a != c_b exactly one of
+    * c_b - c_a / c_a - c_b lies in the half-space; same-cell pairs are
+    * deduped by id order), compute the distance once, then MIRROR the
+    * pair into both directions with a map-side explode feeding the same
+    * bounded-state topk aggregate. Identical output to knnJoin(df, df)
+    * — same candidate set, same IEEE distances, same tie-break — at
+    * 5/9 the left shuffle volume and half the join/distance rows (the
+    * SMOTE-Tomek/ENN cleanup passes' dominant phase; measured at sf1:
+    * b9's 1-NN 16.4 s -> the half-space shape, b10's 3-NN 25.2 s).
+    * Exact mode (width <= 0) delegates to knnJoin unchanged. */
+  def knnSelfJoin(df: DataFrame, idCol: String, k: Int, width: Double,
+                  seed: Long = 42L, cellBudget: Int = 64): DataFrame = {
+    if (width <= 0) return knnJoin(df, df, idCol, k, width, seed)
+    if (sys.env.get("SPARK_GRAFT_SELFJOIN").contains("0"))
+      return knnJoin(df, df, idCol, k, width, seed, cellBudget) // A/B hook
+    val dims = df.columns.count(_.startsWith("__f")) - (if (df.columns.contains("__fv")) 1 else 0)
+    val w = adaptiveWidth(df, dims, width, cellBudget)
+    val b1 = floor(col("__f0") / w).cast(LongType)
+    val b2 = if (dims > 1) floor(col("__f1") / w).cast(LongType) else lit(0L)
+    val halfSpace = Seq((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
+    val l = df
+      .select((col(idCol).as("l_id") +: b1.as("__c1") +: b2.as("__c2") +:
+        (0 until dims).map(i => col(s"__f$i").as(s"__lf$i"))): _*)
+      .withColumn("__c", explode(array(halfSpace.map { case (dx, dy) =>
+        struct((col("__c1") + dx).as("b1"), (col("__c2") + dy).as("b2"),
+          lit(dx == 0 && dy == 0).as("same"))
+      }: _*)))
+      .select((col("l_id") +: col("__c.b1").as("__b1") +: col("__c.b2").as("__b2") +:
+        col("__c.same").as("__same") +:
+        (0 until dims).map(i => col(s"__lf$i"))): _*)
+    val r = df.select((col(idCol).as("nbr_id") +: b1.as("__b1") +: b2.as("__b2") +:
+      (0 until dims).map(i => col(s"__f$i").as(s"__rf$i"))): _*)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // same explicit-N pinning as knnJoin: AQE sizes by input bytes and
+    // cannot see the |cell|^2 expansion downstream of the cell-key join
+    val rSide = r.repartition(nPart, col("__b1"), col("__b2"))
+    val once = l.join(rSide, Seq("__b1", "__b2"))
+      // same-cell pairs appear in both directions: keep one; cross-cell
+      // pairs meet exactly once by the half-space construction
+      .filter((!col("__same") && col("l_id") =!= col("nbr_id")) ||
+        col("l_id") < col("nbr_id"))
+      .withColumn("dist",
+        sqrt(sqDistFlat(dims, n => col(n.replace("__f", "__lf")), n => col(n.replace("__f", "__rf")))))
+      .select("l_id", "nbr_id", "dist")
+    // mirror each unordered pair into both directions — map-side, same
+    // stage as the join, feeding the map-side partial topk aggregation
+    val cand = once
+      .select(explode(array(
+        struct(col("l_id"), col("nbr_id"), col("dist")),
+        struct(col("nbr_id").as("l_id"), col("l_id").as("nbr_id"), col("dist"))))
+        .as("__p"))
+      .select(col("__p.l_id").as("l_id"), col("__p.nbr_id").as("nbr_id"),
+        col("__p.dist").as("dist"))
     cand.groupBy("l_id")
       .agg(call_function("topk_pairs", col("dist"), col("nbr_id"), lit(k))
         .as("__topk"))

@@ -123,6 +123,40 @@ object MultimodalQueries {
       Multimodal.phashDedup(media, maxDist = 8)
     }),
 
+    "mm11_video_near_dup" -> ((s, dir) => {
+      // video-level near-dup (r11): executors synthesize one 8-frame
+      // "video" per row — 8 pattern PNGs packed into fixed 512-byte
+      // blocks of one binary content column — then the REAL pipeline
+      // runs end to end: sampleFrames slices the container back into
+      // frames, ImageIO decodes real pixels, per-frame dHashes shingle
+      // into ordered window-2 fingerprints, and d2's exact-Jaccard
+      // discipline reports pairs. Videos 20..24 replay 0..4 with ONE
+      // replaced frame (planted near-dups, jaccard 5/9); videos 25..29
+      // replay 0..4 REVERSED — same frame SET, different order — and
+      // must NOT pair (the ordered-shingle negative). Full oracle:
+      // distinct pattern ids give distinct dHashes (pairwise Hamming
+      // >= 6, simulated), so DuckDB replays shingle equality from the
+      // pattern-id arithmetic alone.
+      import s.implicits._
+      val media = s.range(30).as[Long].mapPartitions { it =>
+        it.map { v =>
+          val content = new Array[Byte](512 * 8)
+          (0 until 8).foreach { f =>
+            val png = Multimodal.patternPng(mm11Pid(v, f))
+            require(png.length <= 512, s"pattern png ${png.length}B > block")
+            System.arraycopy(png, 0, content, f * 512, png.length)
+          }
+          (v, content)
+        }
+      }.toDF("media_id", "content")
+        .withColumn("meta", struct(lit("video").as("modality"),
+          lit(9).as("width"), lit(8).as("height"), lit(8).as("frames")))
+      val frames = Multimodal.sampleFrames(media, stride = 1)
+      Multimodal.videoNearDupPairs(frames, window = 2, threshold = 0.5)
+        .select(col("video_a"), col("video_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "mm10_audio_fingerprint" -> ((s, dir) => {
       // audio near-dup (r10): executors synthesize one PCM16 WAV per
       // row (constant-amplitude frames, ids 40..49 replay 0..9 with
@@ -137,6 +171,15 @@ object MultimodalQueries {
       }.toDF("media_id", "content")
       Multimodal.audioPairs(media, maxDist = 8)
     }))
+
+  /** mm11 frame pattern ids: videos 0..19 all-distinct frames
+    * (pid = v*8+f), 20..24 replay v-20 with frame 4 replaced by the
+    * unique pid 400+v, 25..29 replay v-25 REVERSED. All pids distinct
+    * mod 256 -> pairwise-distinct dHashes (simulated: min Hamming 6). */
+  private[graft] def mm11Pid(v: Long, f: Int): Long =
+    if (v < 20) v * 8 + f
+    else if (v < 25) { if (f == 4) 400 + v else (v - 20) * 8 + f }
+    else (v - 25) * 8 + (7 - f)
 
   private val histSql: String = (0 until 16)
     .map(j => s"CAST(len(list_filter(string_split(text, ''), c -> unicode(c) % 16 = $j)) AS BIGINT)")
@@ -180,6 +223,38 @@ object MultimodalQueries {
     // mod 1000 at frame 20 for ids >= 40) rebuilt in SQL; a constant
     // frame's energy is 64*amp, so each fingerprint bit is amp(f+1) >
     // amp(f) and Hamming distance counts differing bits per pair
+    // mm11: distinct pattern ids <=> distinct frame dHashes (fixture
+    // property, simulated separation min Hamming 6), so ordered
+    // window-2 shingle equality replays as (pid_f, pid_f+1) tuple
+    // equality — the oracle never needs the hash values themselves
+    "mm11_video_near_dup" -> """
+      WITH v AS (SELECT unnest(range(30)) AS vid),
+      f AS (SELECT unnest(range(8)) AS fi),
+      pf AS (SELECT vid, fi,
+               CASE WHEN vid < 20 THEN vid * 8 + fi
+                    WHEN vid < 25 THEN
+                      CASE WHEN fi = 4 THEN 400 + vid
+                           ELSE (vid - 20) * 8 + fi END
+                    ELSE (vid - 25) * 8 + (7 - fi) END AS pid
+             FROM v CROSS JOIN f),
+      sh AS (SELECT a.vid, a.pid AS p1, b.pid AS p2
+             FROM pf a JOIN pf b ON a.vid = b.vid AND b.fi = a.fi + 1),
+      n AS (SELECT vid, count(*) AS n_sh FROM sh GROUP BY 1),
+      pairs AS (SELECT s1.vid AS video_a, s2.vid AS video_b,
+                       count(*) AS common
+                FROM sh s1 JOIN sh s2
+                  ON s1.p1 = s2.p1 AND s1.p2 = s2.p2 AND s1.vid < s2.vid
+                GROUP BY 1, 2)
+      SELECT p.video_a, p.video_b,
+             round(CAST(p.common AS DOUBLE)
+                   / CAST(na.n_sh + nb.n_sh - p.common AS DOUBLE), 6)
+               AS jaccard
+      FROM pairs p
+      JOIN n na ON na.vid = p.video_a
+      JOIN n nb ON nb.vid = p.video_b
+      WHERE CAST(p.common AS DOUBLE)
+            / CAST(na.n_sh + nb.n_sh - p.common AS DOUBLE) >= 0.5""",
+
     "mm10_audio_fingerprint" -> """
       WITH ids AS (SELECT unnest(range(50)) AS id),
       fs AS (SELECT unnest(range(65)) AS f),

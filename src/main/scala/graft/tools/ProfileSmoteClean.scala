@@ -55,9 +55,35 @@ object ProfileSmoteClean {
       (a, Neighbors.autoWidth(smoted.count(), 16))
     }
 
-    // phase 3a: Tomek's 1-NN self-join
+    // occupancy + exact candidate volume at a given width: histogram the
+    // grid, then sum cnt(c) * cnt(c') over cell pairs within Chebyshev 1
+    def gridStats(w: Double): (Double, Long) = {
+      val hist = all.select(
+          floor(col("__f0") / w).cast("long").as("c1"),
+          floor(col("__f1") / w).cast("long").as("c2"))
+        .groupBy("c1", "c2").count()
+      val occ = hist.agg((sum(col("count") * col("count")) / sum(col("count"))))
+        .head().getDouble(0)
+      val candidates = hist.as("a").join(hist.as("b"),
+          (col("b.c1") >= col("a.c1") - 1) && (col("b.c1") <= col("a.c1") + 1) &&
+          (col("b.c2") >= col("a.c2") - 1) && (col("b.c2") <= col("a.c2") + 1))
+        .agg(sum(col("a.count") * col("b.count"))).head().getLong(0)
+      (occ, candidates)
+    }
+    // A/B the POST-adaptive grid at three cell budgets: pre-refine the
+    // width here so knnSelfJoin's internal adaptiveWidth(target=64)
+    // accepts it unchanged (occ <= 256 after any of these refinements)
+    val budgets = Seq(64, 16, 8)
+    val stats = budgets.map { t =>
+      val wT = Neighbors.adaptiveWidth(all, 2, linkWidth, t)
+      val (occ, cand) = gridStats(wT)
+      val (_, t1) = time { Neighbors.knnSelfJoin(all, "__id", 1, wT, 42L).count() }
+      val (_, t3) = time { Neighbors.knnSelfJoin(all, "__id", 3, wT, 42L).count() }
+      (t, wT, occ, cand, t1, t3)
+    }
+    val wTight = Neighbors.adaptiveWidth(all, 2, linkWidth, budgets.last)
     val (nn1, tNn1) = time {
-      val nn = Neighbors.knnJoin(all, all, "__id", 1, linkWidth, 42L)
+      val nn = Neighbors.knnSelfJoin(all, "__id", 1, wTight, 42L)
         .select(col("l_id"), col("nbr_id"))
         .transform(graft.core.Materialize.frame)
       nn.count(); nn
@@ -78,9 +104,9 @@ object ProfileSmoteClean {
       all.join(toDrop, Seq("__id"), "left_anti").count()
     }
 
-    // phase 3b: ENN's 3-NN self-join + vote + filter
+    // phase 3b: ENN's 3-NN vote + filter at the tight budget
     val (kept, tEnn) = time {
-      val votes = Neighbors.knnJoin(all, all, "__id", 3, linkWidth, 42L)
+      val votes = Neighbors.knnSelfJoin(all, "__id", 3, wTight, 42L)
         .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
         .groupBy(col("l_id").as("__id"), col("__nbr_cls"))
         .agg(count(lit(1)).as("__v"))
@@ -95,6 +121,10 @@ object ProfileSmoteClean {
 
     println(s"""{"sf_dir":"$sfDir","n_orders":$n0,"n_smoted":${smoted.count()},""" +
       s""""smote_s":${f"$tSmote%.2f"},"prep_scale_width_s":${f"$tPrep%.2f"},""" +
+      stats.map { case (t, wT, occ, cand, t1, t3) =>
+        s""""budget$t":{"w":${f"$wT%.6f"},"occ":${f"$occ%.1f"},""" +
+          s""""cand":$cand,"nn1_s":${f"$t1%.2f"},"nn3_s":${f"$t3%.2f"}},"""
+      }.mkString +
       s""""tomek_nn1_s":${f"$tNn1%.2f"},"tomek_links_s":${f"$tLinks%.2f"},""" +
       s""""enn_vote_s":${f"$tEnn%.2f"},""" +
       s""""tomek_survivors":$dropped,"enn_survivors":$kept}""")

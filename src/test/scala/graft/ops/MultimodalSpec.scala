@@ -303,6 +303,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint64(wav.take(44 + 60)).isEmpty)
   }
 
+  test("video near-dup (mm11): planted edit pairs at 5/9, reordered cut " +
+    "does not pair, padding/short/undecodable frames handled") {
+    import spark.implicits._
+    import graft.queries.MultimodalQueries.mm11Pid
+    val frames = (for { v <- 0L until 30L; f <- 0 until 8 }
+      yield (v, f.toLong, Multimodal.patternPng(mm11Pid(v, f))))
+      .toDF("media_id", "frame_idx", "frame_bytes")
+    val pairs = Multimodal.videoNearDupPairs(frames, window = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly the 5 planted one-frame edits; jaccard = 5 shared of 9 union
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      (0L until 5L).map(v => (v, v + 20)).toSet, pairs.mkString(","))
+    pairs.foreach(p => assert(math.abs(p._3 - 5.0 / 9.0) < 1e-9, p.toString))
+    // the reordered re-cuts (25..29) share every frame HASH with 0..4 —
+    // a set-level fingerprint would pair them; ordered shingles must not
+    assert(!pairs.exists(p => p._1 >= 25 || p._2 >= 25))
+    // a zero-padded frame block (the packed-container slice) decodes to
+    // the same dHash as the raw PNG — the mm11 query's framing contract
+    val png = Multimodal.patternPng(7L)
+    assert(Multimodal.dHash64(java.util.Arrays.copyOf(png, 512)) ==
+      Multimodal.dHash64(png))
+    // a video shorter than the window emits no shingles (cannot pair)
+    val short = Seq((99L, 0L, png)).toDF("media_id", "frame_idx", "frame_bytes")
+    assert(Multimodal.videoShingles(short, window = 2).count() == 0)
+    // an undecodable frame drops out; the remaining ORDERED sequence
+    // still shingles (frames 0,2 become adjacent)
+    val holed = Seq(
+      (7L, 0L, Multimodal.patternPng(100L)),
+      (7L, 1L, Array[Byte](1, 2, 3)),
+      (7L, 2L, Multimodal.patternPng(101L)))
+      .toDF("media_id", "frame_idx", "frame_bytes")
+    assert(Multimodal.videoShingles(holed, window = 2).count() == 1)
+  }
+
   test("audioFingerprint64: adversarial chunk sizes terminate (r11 ADVICE)") {
     // a junk chunk whose LE32 size is 0xFFFFFFF8 used to wrap negative
     // and advance the RIFF walk by 0/negative -> infinite loop

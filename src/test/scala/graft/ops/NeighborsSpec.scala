@@ -77,4 +77,24 @@ class NeighborsSpec extends SparkSpec {
     val agree = e.keys.count(k => a.get(k).contains(e(k)))
     assert(agree >= (e.size * 0.98).toInt, s"$agree of ${e.size} agree")
   }
+
+  test("knnSelfJoin is bit-identical to knnJoin(df, df) at half the pair work") {
+    val df = clumpy
+    val params = Neighbors.scaleParams(df, Seq("x", "y"))
+    val scaled = Neighbors.withScaled(df, params)
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("l_id", "nbr_rank", "nbr_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (k <- Seq(1, 3)) {
+      val w = Neighbors.autoWidth(10000)
+      val both = rows(Neighbors.knnJoin(scaled, scaled, "id", k, w))
+      val self = rows(Neighbors.knnSelfJoin(scaled, "id", k, w))
+      assert(self == both, s"k=$k: half-space self-join diverged")
+      // exact mode delegates unchanged (deterministic subset, not limit)
+      val sub = scaled.filter(col("id") < 200)
+      assert(rows(Neighbors.knnSelfJoin(sub, "id", k, 0.0)) ==
+        rows(Neighbors.knnJoin(sub, sub, "id", k, 0.0)))
+    }
+  }
 }
