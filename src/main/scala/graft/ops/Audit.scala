@@ -573,21 +573,34 @@ object Audit {
     *
     * Output: (group, n, mean, lo95, hi95), percentile interval at
     * 2.5/97.5 over `b` replicates. */
-  def bootstrapCi(df: DataFrame, groupCol: String, valueCol: String,
-                  idCol: String, b: Int = 50): DataFrame = {
-    require(b >= 10 && b <= 1000, s"replicates in [10, 1000], got $b")
-    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+  /** (group, value, md5-mix seed) base frame shared by the bootstrap
+    * family: one md5 per ROW (never per (row, replicate)). */
+  private def bootstrapBase(df: DataFrame, groupCol: String,
+                            valueCol: String, idCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__x"),
         pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit("_"),
           lit("42"))), 1, 15), 16, 10).cast("long"),
           lit(2147483647L)).as("__m"))
+
+  /** Explode a [[bootstrapBase]] frame into (group, value, replicate,
+    * Poisson(1) weight) rows — the row-dependent integer mix and
+    * inverse-CDF thresholds both engines replay bit-for-bit. */
+  private def poissonReplicates(base: DataFrame, b: Int): DataFrame = {
     val reps = base.withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
     val v = (col("__m") * (lit(48271L) + (col("__b") * lit(12345L)))) %
       lit(2147483647L)
     val w = PoissonCdf31.zipWithIndex.foldRight(lit(6): Column) {
       case ((t, k), rest) => when(v < lit(t), lit(k)).otherwise(rest)
     }
-    val per = reps.withColumn("__w", w)
+    reps.withColumn("__w", w)
+  }
+
+  def bootstrapCi(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, b: Int = 50): DataFrame = {
+    require(b >= 10 && b <= 1000, s"replicates in [10, 1000], got $b")
+    val base = bootstrapBase(df, groupCol, valueCol, idCol)
+    val per = poissonReplicates(base, b)
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__w")).cast("long").as("__wn"),
         // round(x*w, 9) BEFORE the decimal cast: DECIMAL(28,9)*INT
@@ -617,6 +630,144 @@ object Audit {
           .as("mean"),
         round(col("__lo"), 6).as("lo95"),
         round(col("__hi"), 6).as("hi95"))
+  }
+
+  /** Poisson-bootstrap percentile confidence interval of a per-group
+    * QUANTILE (r11: [[bootstrapCi]]'s composition with the KLL sketch
+    * family) — the uncertainty readout for medians/p90s, where the
+    * mean CI says nothing. Same one-pass replicate discipline as
+    * [[bootstrapCi]]: every row draws its per-replicate Poisson(1)
+    * multiplicity from the row-dependent integer mix, so all B
+    * replicates ride one scan.
+    *
+    * Two parallel readouts of the same weighted replicates:
+    * (1) the EXACT per-replicate weighted quantile — (g, b, x) cells
+    *     collapse duplicates map-side BEFORE one global RunningTotal
+    *     in (g, b, x) order (cell-sized, not row-sized), the replicate
+    *     offset is subtracted, and the quantile is the smallest x
+    *     whose local cumulative weight reaches greatest(1,
+    *     ceil(p*wn)) — pure integer selection both engines replay
+    *     bit-for-bit, so the CI endpoints are full-oracle; and
+    * (2) the one-pass production path: a per-replicate `kll_quantiles`
+    *     sketch (weights fed as exploded unit copies, w <= 6), whose
+    *     estimate's true WEIGHTED rank interval [lt_w + 1, le_w] must
+    *     intersect [tr - err, tr + err] — `all_within_bound` is the
+    *     in-engine proof (deterministically TRUE by the compaction
+    *     accounting) that at 100 TB the sketch replicates could
+    *     replace the exact sort entirely.
+    *
+    * Output: (group, n, b_eff, ci_lo, ci_hi, all_within_bound) at
+    * 2.5/97.5 percentiles over `b` replicate quantiles. */
+  def bootstrapQuantileCi(df: DataFrame, groupCol: String, valueCol: String,
+                          idCol: String, p: Double = 0.5, b: Int = 50,
+                          sketchK: Int = 64): DataFrame = {
+    require(b >= 10 && b <= 1000, s"replicates in [10, 1000], got $b")
+    require(p > 0 && p < 1, s"quantile p in (0, 1), got $p")
+    val base = bootstrapBase(df, groupCol, valueCol, idCol)
+    val wtd = poissonReplicates(base, b).filter(col("__w") > 0)
+      .select(col("__g"), col("__b"), col("__x"),
+        col("__w").cast("long").as("__w"))
+    val cells = wtd.groupBy(col("__g"), col("__b"), col("__x"))
+      .agg(sum(col("__w")).as("__wc"))
+    val totals = cells.groupBy(col("__g").as("__gt"), col("__b").as("__bt"))
+      .agg(sum(col("__wc")).as("__wn"))
+    // exact weighted quantile per replicate: one global running total
+    // over the CELLS, per-replicate offset subtracted
+    val cum = Ordinals.withRunningTotal(cells,
+      Seq(col("__g").asc, col("__b").asc, col("__x").asc), "__wc", "__cum")
+    val offs = cum.groupBy(col("__g").as("__go"), col("__b").as("__bo"))
+      .agg(min(col("__cum") - col("__wc")).as("__off"))
+    val med = cum
+      .join(broadcast(offs),
+        col("__g") === col("__go") && col("__b") === col("__bo"))
+      .join(broadcast(totals),
+        col("__g") === col("__gt") && col("__b") === col("__bt"))
+      .filter(col("__cum") - col("__off") >=
+        greatest(lit(1L), ceil(lit(p) * col("__wn").cast("double"))))
+      .groupBy(col("__g"), col("__b"))
+      .agg(min(col("__x")).as("__q"))
+    // production sketch per replicate + its exact-vs-bound proof
+    val sk = wtd.withColumn("__cp", explode(sequence(lit(1L), col("__w"))))
+      .groupBy(col("__g"), col("__b"))
+      .agg(call_function("kll_quantiles", col("__x"), lit(sketchK),
+        array(lit(p))).as("__sk"))
+      .select(col("__g").as("__gs"), col("__b").as("__bs"),
+        col("__sk.err").as("__se"), element_at(col("__sk.est"), 1).as("__est"))
+    val wb = cells
+      .join(broadcast(sk),
+        col("__g") === col("__gs") && col("__b") === col("__bs"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(coalesce(sum(when(col("__x") < col("__est"), col("__wc"))),
+          lit(0L)).as("__ltw"),
+        coalesce(sum(when(col("__x") <= col("__est"), col("__wc"))),
+          lit(0L)).as("__lew"),
+        min(col("__se")).as("__se"))
+      .join(broadcast(totals),
+        col("__g") === col("__gt") && col("__b") === col("__bt"))
+      .withColumn("__tr",
+        greatest(lit(1L), ceil(lit(p) * col("__wn").cast("double"))))
+      .groupBy(col("__g"))
+      .agg((min(when((col("__ltw") + 1 <= col("__tr") + col("__se")) &&
+          (col("__lew") >= col("__tr") - col("__se")), lit(1))
+        .otherwise(lit(0))) === 1).as("__awb"))
+      .select(col("__g").as("__gw"), col("__awb"))
+    // percentile CI over the EXACT replicate quantiles
+    val bEff = med.groupBy(col("__g").as("__gk"))
+      .agg(count(lit(1)).as("b_eff"))
+    val ranked = Ordinals.withPerKeyRank(med, "__g",
+      Seq(col("__q").asc, col("__b").asc), "__r")
+      .join(broadcast(bEff), col("__g") <=> col("__gk"))
+    val loR = greatest(lit(1L), ceil(lit(0.025) * col("b_eff").cast("double")))
+    val hiR = greatest(lit(1L), ceil(lit(0.975) * col("b_eff").cast("double")))
+    val lo = ranked.filter(col("__r") === loR)
+      .select(col("__g"), col("b_eff"), col("__q").as("__lo"))
+    val hi = ranked.filter(col("__r") === hiR)
+      .select(col("__g"), col("__q").as("__hi"))
+    val overall = base.groupBy("__g").agg(count(lit(1)).as("n"))
+    overall.join(lo, Seq("__g")).join(hi, Seq("__g"))
+      .join(wb, col("__g") === col("__gw"))
+      .select(col("__g").as(groupCol), col("n"), col("b_eff"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"),
+        col("__awb").as("all_within_bound"))
+  }
+
+  /** The production (one-pass) form of [[bootstrapQuantileCi]]: the CI
+    * over the per-replicate SKETCH estimates — no exact sort anywhere,
+    * so the whole readout is one scan into one mergeable aggregate
+    * plus dictionary-sized (group x replicate) post-processing. The
+    * endpoints inherit the sketch's self-reported rank-error bound
+    * (priced, per replicate, by the audit form's all_within_bound);
+    * use [[bootstrapQuantileCi]] when the CI must replay bit-for-bit
+    * cross-engine. */
+  def bootstrapQuantileSketchOnly(df: DataFrame, groupCol: String,
+                                  valueCol: String, idCol: String,
+                                  p: Double = 0.5, b: Int = 50,
+                                  sketchK: Int = 64): DataFrame = {
+    require(b >= 10 && b <= 1000, s"replicates in [10, 1000], got $b")
+    require(p > 0 && p < 1, s"quantile p in (0, 1), got $p")
+    val base = bootstrapBase(df, groupCol, valueCol, idCol)
+    val sk = poissonReplicates(base, b).filter(col("__w") > 0)
+      .withColumn("__cp", explode(sequence(lit(1L), col("__w").cast("long"))))
+      .groupBy(col("__g"), col("__b"))
+      .agg(call_function("kll_quantiles", col("__x"), lit(sketchK),
+        array(lit(p))).as("__sk"))
+      .select(col("__g"), col("__b"), element_at(col("__sk.est"), 1).as("__q"))
+    val bEff = sk.groupBy(col("__g").as("__gk")).agg(count(lit(1)).as("b_eff"))
+    val ranked = Ordinals.withPerKeyRank(sk, "__g",
+      Seq(col("__q").asc, col("__b").asc), "__r")
+      .join(broadcast(bEff), col("__g") <=> col("__gk"))
+    val loR = greatest(lit(1L), ceil(lit(0.025) * col("b_eff").cast("double")))
+    val hiR = greatest(lit(1L), ceil(lit(0.975) * col("b_eff").cast("double")))
+    val lo = ranked.filter(col("__r") === loR)
+      .select(col("__g"), col("b_eff"), col("__q").as("__lo"))
+    val hi = ranked.filter(col("__r") === hiR)
+      .select(col("__g"), col("__q").as("__hi"))
+    val overall = base.groupBy("__g").agg(count(lit(1)).as("n"))
+    overall.join(lo, Seq("__g")).join(hi, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("b_eff"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
   }
 
   /** Benjamini-Hochberg FDR over a PANEL of per-segment two-proportion

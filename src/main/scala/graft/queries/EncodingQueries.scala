@@ -52,6 +52,15 @@ object EncodingQueries {
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
           "l_extendedprice_bin")),
 
+    "e8b_sketch_bin" -> ((s, dir) =>
+      // sketch-backed equi-depth binning (r11): e8's 100 TB path —
+      // edges from ONE kll_quantiles aggregate, map-only assignment,
+      // no range sort; per-bin exact occupancy proven inside the
+      // sketch's self-reported rank-error interval (k=64 forces real
+      // compactions at every SF)
+      graft.ops.Quantiles.sketchBinAudit(Tables.lineitem(s, dir),
+        "l_extendedprice", k = 8, sketchK = 64)),
+
     "e10_ordered_target_encode" -> ((s, dir) =>
       // CatBoost-style ORDERED target encoding (r9): each row's encode
       // uses only same-category rows PRECEDING it under the seeded md5
@@ -178,6 +187,16 @@ object EncodingQueries {
              CAST(floor(((rn - 1) * 8) / n.n) + 1 AS INT)
                AS l_extendedprice_bin
       FROM r CROSS JOIN n""",
+
+    // e8b: bin ids and the total row count are cross-engine exact;
+    // within_bound is pinned to literal TRUE — the engine computes the
+    // real occupancy-interval check from exact per-edge rank counts,
+    // so a sketch whose bins ever violated the bound hash-mismatches
+    "e8b_sketch_bin" -> """
+      WITH n AS (SELECT count(*) AS n FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL)
+      SELECT CAST(b AS INT) AS bin, n.n AS n, TRUE AS within_bound
+      FROM (SELECT unnest(range(1, 9)) AS b) CROSS JOIN n""",
 
     // e10: the seeded md5 permutation replayed raw (the b17/t54 idiom),
     // exclusive window prefix sums equal the engine's RunningTotal-

@@ -262,6 +262,18 @@ object MiscQueries {
       graft.ops.Audit.bootstrapCi(Tables.events(s, dir), "event_type",
         "value", "event_id", b = 50)),
 
+    "a48_bootstrap_quantile_ci" -> ((s, dir) =>
+      // Poisson-bootstrap MEDIAN CI (r11: a47 x a46) — same one-pass
+      // replicate weights; CI endpoints from the EXACT per-replicate
+      // weighted medians (cell-sized RunningTotal + integer rank
+      // selection, full-oracle), all_within_bound proves each
+      // replicate's one-pass KLL estimate sits inside its
+      // self-reported weighted-rank interval — the 100 TB path where
+      // the exact sort is replaced by the sketch
+      graft.ops.Audit.bootstrapQuantileCi(Tables.events(s, dir),
+        "event_type", "value", "event_id", p = 0.5, b = 50,
+        sketchK = 64)),
+
     "a41_mann_whitney" -> ((s, dir) =>
       // Mann-Whitney rank-sum drift test (r9): click-vs-view value
       // distributions; tied-group average ranks from ONE RunningTotal
@@ -1025,6 +1037,61 @@ object MiscQueries {
              round(CAST(ov.s AS DOUBLE) / CAST(ov.n AS DOUBLE), 6) AS mean,
              round(lo.lo, 6) AS lo95, round(hi.hi, 6) AS hi95
       FROM ov JOIN lo ON lo.g = ov.g JOIN hi ON hi.g = ov.g""",
+
+    // a48: the a47 weight replay verbatim, then EXACT weighted medians
+    // per replicate (window cumsum over the (g,b,x) cells + the integer
+    // rank rule) and the 2.5/97.5 rank selection over them — all
+    // integer/ordering arithmetic, so ci_lo/ci_hi hash exactly;
+    // all_within_bound (each replicate's KLL estimate inside its
+    // self-reported weighted-rank interval) is engine-verified, pinned
+    "a48_bootstrap_quantile_ci" -> """
+      WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS x,
+               CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                                           || '_42'), 1, 15)) AS BIGINT)
+                 % 2147483647 AS m
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      reps AS (SELECT g, x, m, unnest(range(50)) AS b FROM base),
+      hv AS (SELECT g, x, b,
+               (m * (48271 + (b * 12345))) % 2147483647 AS v
+             FROM reps),
+      wts AS (SELECT g, x, b,
+                CASE WHEN v < 790015083 THEN 0
+                     WHEN v < 1580030167 THEN 1
+                     WHEN v < 1975037709 THEN 2
+                     WHEN v < 2106706890 THEN 3
+                     WHEN v < 2139624185 THEN 4
+                     WHEN v < 2146207644 THEN 5
+                     ELSE 6 END AS w
+              FROM hv),
+      cells AS (SELECT g, b, x, sum(w) AS wc FROM wts WHERE w > 0
+                GROUP BY 1, 2, 3),
+      tot AS (SELECT g, b, sum(wc) AS wn FROM cells GROUP BY 1, 2),
+      cum AS (SELECT g, b, x,
+                     sum(wc) OVER (PARTITION BY g, b ORDER BY x) AS lc
+              FROM cells),
+      med AS (SELECT cum.g, cum.b, min(x) AS q
+              FROM cum JOIN tot ON tot.g = cum.g AND tot.b = cum.b
+              WHERE lc >= greatest(1, CAST(ceil(0.5 * CAST(wn AS DOUBLE))
+                                           AS BIGINT))
+              GROUP BY 1, 2),
+      beff AS (SELECT g, count(*) AS be FROM med GROUP BY 1),
+      rk AS (SELECT g, b, q,
+                    row_number() OVER (PARTITION BY g ORDER BY q, b) AS r
+             FROM med),
+      lo AS (SELECT rk.g, rk.q AS lo FROM rk JOIN beff USING (g)
+             WHERE rk.r = greatest(1, CAST(ceil(0.025 * CAST(be AS DOUBLE))
+                                           AS BIGINT))),
+      hi AS (SELECT rk.g, rk.q AS hi FROM rk JOIN beff USING (g)
+             WHERE rk.r = greatest(1, CAST(ceil(0.975 * CAST(be AS DOUBLE))
+                                           AS BIGINT))),
+      ov AS (SELECT g, count(*) AS n FROM base GROUP BY 1)
+      SELECT ov.g AS event_type, CAST(ov.n AS BIGINT) AS n,
+             CAST(beff.be AS BIGINT) AS b_eff,
+             round(lo.lo, 6) AS ci_lo, round(hi.hi, 6) AS ci_hi,
+             TRUE AS all_within_bound
+      FROM ov JOIN lo ON lo.g = ov.g JOIN hi ON hi.g = ov.g
+              JOIN beff ON beff.g = ov.g""",
 
     // a44: per-group middle-pair medians replayed with a partitioned
     // row_number, then a31's exact integer-thousandths ANOVA trees on

@@ -174,7 +174,15 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .withColumn("lo_bound", round(lit(lo), 6))
         .withColumn("hi_bound", round(lit(hi), 6))
-    }))
+    }),
+
+    "a14b_sketch_winsorize" -> ((s, dir) =>
+      // sketch-backed winsorization (r11): a14's 100 TB path — clip
+      // bounds from ONE kll_quantiles aggregate instead of the exact
+      // rank sort; the a46 rank-interval audit at p5/p95 plus the clip
+      // proof (no row lost, clipped column inside [lo_est, hi_est])
+      graft.ops.Quantiles.sketchWinsorizeAudit(Tables.lineitem(s, dir),
+        "l_extendedprice", pLo = 0.05, pHi = 0.95, sketchK = 64)))
 
   val oracles: Map[String, String] = Map(
     // a19: one aggregate CTE feeds one row per constraint; "constraint"
@@ -404,5 +412,24 @@ object RelationalQueries {
              (SELECT count(*) FROM v WHERE x > b.hi) AS n_above,
              (SELECT count(*) FROM lineitem) AS n,
              round(lo, 6) AS lo_bound, round(hi, 6) AS hi_bound
-      FROM b""")
+      FROM b""",
+
+    // a14b: the a46 exact-vs-bound idiom at p5/p95 — n and the exact
+    // value at rank greatest(1, ceil(p*n)) replay exactly; within_bound
+    // (the rank-interval check) and clip_ok (count preserved, clipped
+    // column inside [lo_est, hi_est]) are engine-verified and pinned
+    "a14b_sketch_winsorize" -> """
+      WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      nn AS (SELECT count(*) AS n FROM base),
+      p AS (SELECT unnest(CAST([0.05, 0.95] AS DOUBLE[])) AS percentile),
+      tgt AS (SELECT p.percentile, nn.n,
+                greatest(1, CAST(ceil(p.percentile * CAST(nn.n AS DOUBLE))
+                                 AS BIGINT)) AS tr
+              FROM nn CROSS JOIN p),
+      rk AS (SELECT x, row_number() OVER (ORDER BY x) AS r FROM base)
+      SELECT tgt.percentile, CAST(tgt.n AS BIGINT) AS n,
+             round(rk.x, 6) AS exact_value,
+             TRUE AS within_bound, TRUE AS clip_ok
+      FROM tgt JOIN rk ON rk.r = tgt.tr""")
 }

@@ -39,12 +39,17 @@ object ProfileLshSkew {
     spark.sparkContext.setLogLevel("WARN")
     import graft.queries.DedupQueries.{D3Bands, D3RowsPerBand, D3Shingle, D3Threshold}
 
-    def planted(k: Int) = {
-      val docs = graft.core.Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"))
-      docs.withColumn("text",
-        when(col("doc_id") < k, lit(Boiler)).otherwise(col("text")))
-    }
+    val allDocs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val nDocsAll = allDocs.count()
+    // plant by hash-mod over the whole corpus — doc_id ranges are
+    // replica-shifted at scaled SFs, so a raw id threshold would only
+    // ever catch the first replica
+    def planted(k: Int) = allDocs
+      .withColumn("__plant",
+        pmod(xxhash64(col("doc_id")), lit(nDocsAll)) < k)
+      .withColumn("text",
+        when(col("__plant"), lit(Boiler)).otherwise(col("text")))
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = f
@@ -52,14 +57,16 @@ object ProfileLshSkew {
     }
 
     val corpus = planted(plant)
-    val nDocs = corpus.count()
+    val nDocs = nDocsAll
+    val nPlanted = corpus.filter(col("__plant")).count()
 
     // (a) exact uncapped candidate count from bucket sizes (O(n))
     val ex = Dedup.shingleHashRows(corpus, "text", "doc_id", D3Shingle)
     val bandKeys = Dedup.minhashBandKeys(ex, "id", D3Bands, D3RowsPerBand)
     val (uncappedPairs, tCount) = time {
       bandKeys.groupBy("key").agg(count(lit(1)).as("k"))
-        .agg(sum(col("k") * (col("k") - 1) / 2).as("p"))
+        .agg(sum((col("k").cast("decimal(38,0)") * (col("k") - 1)) / 2)
+          .as("p"))
         .first().getDecimal(0).longValueExact()
     }
 
@@ -75,11 +82,16 @@ object ProfileLshSkew {
         Dedup.minhashLshPairs(corpus, "text", "doc_id", D3Shingle,
           D3Bands, D3RowsPerBand, D3Threshold, maxDocsPerBand = cap),
         "doc_id")
-        .filter(col("doc_id") < plant).count()
+        .join(corpus.filter(col("__plant")).select("doc_id"), Seq("doc_id"))
+        .count()
+    }
+    val (smallPlanted, nDocsSmallPlanted) = {
+      val s = planted(plantSmall)
+      (s, s.filter(col("__plant")).count())
     }
 
     // (c) quadratic trend at the small plant: guarded vs unguarded
-    val small = planted(plantSmall)
+    val small = smallPlanted
     val (smallUncapped, tSmallUncapped) = time {
       Dedup.minhashLshPairs(small, "text", "doc_id", D3Shingle,
         D3Bands, D3RowsPerBand, D3Threshold).count()
@@ -89,7 +101,8 @@ object ProfileLshSkew {
         D3Bands, D3RowsPerBand, D3Threshold, maxDocsPerBand = cap).count()
     }
 
-    println(s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"plant":$plant,""" +
+    println(s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"plant":$nPlanted,""" +
+      s""""plant_requested":$plant,"small_planted":$nDocsSmallPlanted,""" +
       s""""cap":$cap,"uncapped_candidate_pairs":$uncappedPairs,""" +
       s""""count_s":${f"$tCount%.2f"},""" +
       s""""capped_pairs":$cappedCand,"capped_s":${f"$tCapped%.2f"},""" +
