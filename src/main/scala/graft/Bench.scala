@@ -73,8 +73,11 @@ object Bench {
     "a46_kll_quantiles", "st15_window_quantiles", "mm8_phash_dedup",
     "mm9_phash_components", "mm10_audio_fingerprint", "a47_bootstrap_ci",
     "b21_hash_sample", "b22_weighted_sample",
-    // r11: video near-dup over ordered frame-hash shingles
-    "mm11_video_near_dup")
+    // r11: video near-dup over ordered frame-hash shingles; KLL-backed
+    // quantile consumers (sketch binning/winsorize audits) and the
+    // Poisson-bootstrap median CI
+    "mm11_video_near_dup", "e8b_sketch_bin", "a14b_sketch_winsorize",
+    "a48_bootstrap_quantile_ci")
 
   /** SPARK_GRAFT_BOARD_CHUNK=N (r10 VERDICT #5): fork a FRESH JVM every
     * N queries and merge the children's JSON lines. Big single-JVM

@@ -67,6 +67,19 @@ object Smote {
         (col(c) + col("__u") * (coalesce(col(s"__nbr_$c"), col(c)) - col(c))).as(c)): _*)
   }
 
+  /** Class-packing for the cleanup passes (r11): (C, when-chain mapping
+    * the target string to its index in SORTED class order) — sorted so
+    * index comparisons reproduce the former alphabetical-string
+    * tie-breaks exactly. */
+  private def packClass(counts: Map[String, Long],
+                        target: String): (Int, Column) = {
+    val cs = counts.keys.toSeq.sorted
+    val idx = cs.zipWithIndex.tail.foldLeft(lit(0)) { case (acc, (c, i)) =>
+      when(col(target) === c, lit(i)).otherwise(acc)
+    }
+    (cs.size, idx)
+  }
+
   /** Numeric projection + stable ids + per-class counts, shared prep. */
   private def prep(df: DataFrame, target: String): (DataFrame, Seq[String], Map[String, Long]) = {
     val feats = df.schema.fields.collect {
@@ -265,7 +278,7 @@ object Smote {
       // precedent as Dedup.components; the stored frame is the op's own
       // output size (~2n), strictly cheaper than 5+ recomputes.
       val smoted = SmoteOp(target, k, width, seed)(df).transform(graft.core.Materialize.frame)
-      val (base, feats, _) = prep(smoted, target)
+      val (base, feats, counts) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
       // r9: the caller's width is sized for the ORIGINAL frame at the
@@ -278,6 +291,19 @@ object Smote {
       // untouched.
       val linkWidth =
         if (width <= 0) width else Neighbors.autoWidth(smoted.count(), 16)
+      // r11: pack the class index into the id's LOW bits (id*C + cls).
+      // The mapping is strictly monotone in id — C·(id2−id1) > |cls
+      // difference| — so every neighbor choice and distance tie-break
+      // (topk_pairs orders by (dist, nbr_id)) is IDENTICAL to the
+      // unpacked run in both exact and grid mode, while the link pass
+      // reads both endpoint classes with pmod: the two
+      // edge-list × row-dictionary shuffle joins disappear.
+      val (cNum, clsIdx) = packClass(counts, target)
+      val maxId = all.agg(max(col("__id"))).head().getLong(0)
+      require(maxId <= (Long.MaxValue - cNum) / cNum,
+        s"id space too small to pack $cNum classes")
+      val packed = all.withColumn("__pid",
+        col("__id") * cNum + clsIdx.cast(LongType))
       // nn1 feeds BOTH sides of the mutual-link self-join below; without
       // materialization the kNN join (the expensive stage) runs twice.
       // The frame is (2n x 2 longs) — trivial to store, k=1 pairs only.
@@ -289,18 +315,16 @@ object Smote {
       // survivor counts move 0.35% — the b9 bounds contract is
       // insensitive). Exact mode (width <= 0, the value-level specs)
       // is untouched.
-      val nn1 = Neighbors.knnSelfJoin(all, "__id", 1, linkWidth, seed, cellBudget = 8)
+      val nn1 = Neighbors.knnSelfJoin(packed, "__pid", 1, linkWidth, seed, cellBudget = 8)
         .select(col("l_id"), col("nbr_id")).transform(graft.core.Materialize.frame)
-      val cls = all.select(col("__id"), col(target))
       val links = nn1.as("a").join(nn1.as("b"),
           col("a.l_id") === col("b.nbr_id") && col("a.nbr_id") === col("b.l_id") &&
             col("a.l_id") < col("a.nbr_id"))
         .select(col("a.l_id").as("x"), col("a.nbr_id").as("y"))
-        .join(cls.withColumnRenamed("__id", "x").withColumnRenamed(target, "cx"), "x")
-        .join(cls.withColumnRenamed("__id", "y").withColumnRenamed(target, "cy"), "y")
-        .filter(col("cx") =!= col("cy"))
-      val toDrop = links.select(col("x").as("__id"))
-        .unionByName(links.select(col("y").as("__id"))).distinct()
+        .filter(pmod(col("x"), lit(cNum.toLong)) =!=
+          pmod(col("y"), lit(cNum.toLong)))
+      val toDrop = links.select(expr(s"x DIV $cNum").as("__id"))
+        .unionByName(links.select(expr(s"y DIV $cNum").as("__id"))).distinct()
       dropInternal(all.join(toDrop, Seq("__id"), "left_anti"))
     }
   }
@@ -317,7 +341,7 @@ object Smote {
       // ENN phase traverses the SMOTE output from adaptiveWidth, both
       // knnJoin sides, the class lookup, and the final vote join.
       val smoted = SmoteOp(target, k, width, seed)(df).transform(graft.core.Materialize.frame)
-      val (base, feats, _) = prep(smoted, target)
+      val (base, feats, counts) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
       // r9: same augmented-frame grid re-derivation as SmoteTomekOp —
@@ -325,24 +349,38 @@ object Smote {
       // (see the linkWidth note there); exact mode untouched.
       val voteWidth =
         if (width <= 0) width else Neighbors.autoWidth(smoted.count(), 16)
+      // r11: same class-packed ids as SmoteTomekOp (strictly monotone,
+      // so neighbor choice and tie-breaks are identical) — the vote
+      // reads the neighbor's class from pmod(nbr_id) and the row's own
+      // class from pmod(l_id), so neither the edge-list × dictionary
+      // join nor the final class-compare join is needed: disagreeing
+      // rows anti-join out directly.
+      val (cNum, clsIdx) = packClass(counts, target)
+      val maxId = all.agg(max(col("__id"))).head().getLong(0)
+      require(maxId <= (Long.MaxValue - cNum) / cNum,
+        s"id space too small to pack $cNum classes")
+      val packed = all.withColumn("__pid",
+        col("__id") * cNum + clsIdx.cast(LongType))
       // r11: same half-space self-join + shallow cellBudget=8 grid as
       // SmoteTomekOp's link pass (k=3 votes need ~100 candidates/row,
       // not the synthesis pass's deep neighborhoods; measured at sf1
       // the 3-NN pass drops 17.3 s -> 4.6 s, survivors move 0.4%)
-      val votes = Neighbors.knnSelfJoin(all, "__id", ennK, voteWidth, seed, cellBudget = 8)
-        .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
-        .groupBy(col("l_id").as("__id"), col("__nbr_cls"))
+      val votes = Neighbors.knnSelfJoin(packed, "__pid", ennK, voteWidth, seed, cellBudget = 8)
+        .groupBy(col("l_id"),
+          pmod(col("nbr_id"), lit(cNum.toLong)).as("__nc"))
         .agg(count(lit(1)).as("__v"))
       // majority with the (count desc, class asc) tie-break as ONE
-      // hash aggregate: min(struct(-count, class)) — bit-identical to
-      // the former row_number window, without sorting the vote stream
-      val majorityVote = votes
-        .groupBy("__id")
-        .agg(min(struct((-col("__v")).as("__nv"), col("__nbr_cls")))
-          .as("__top"))
-        .select(col("__id"), col("__top.__nbr_cls").as("__vote"))
-      all.join(majorityVote, Seq("__id"), "left")
-        .filter(col("__vote").isNull || col("__vote") === col(target))
+      // hash aggregate: min(struct(-count, classIdx)) — the class
+      // indices are assigned in sorted-class order, so the idx
+      // tie-break equals the former string tie-break bit-for-bit
+      val disagree = votes
+        .groupBy("l_id")
+        .agg(min(struct((-col("__v")).as("__nv"), col("__nc"))).as("__top"))
+        .filter(col("__top.__nc") =!= pmod(col("l_id"), lit(cNum.toLong)))
+        .select(expr(s"l_id DIV $cNum").as("__id"))
+      // rows with no neighbors never enter `votes` and are kept, same
+      // as the former left-join's null-vote branch
+      all.join(disagree, Seq("__id"), "left_anti")
         .transform(dropInternal)
     }
   }
