@@ -98,6 +98,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KllQuantiles(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("kll_quantiles_w"),
+      new ExpressionInfo(classOf[KllQuantilesWeighted].getName,
+        "kll_quantiles_w"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 4,
+          "kll_quantiles_w takes (col, weight, k, probs)")
+        KllQuantilesWeighted(children.head, children(1), children(2),
+          children(3))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

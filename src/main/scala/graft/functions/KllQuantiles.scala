@@ -55,6 +55,27 @@ final class KllBuffer(val k: Int) {
     if (up.size >= k) compact(l + 1)
   }
 
+  /** Weighted insert via the binary decomposition of w: one copy of v
+    * into each level l where bit l of w is set. Level-l items carry
+    * weight 2^l, so the representation is EXACT — n grows by w, err is
+    * untouched (err only grows on compaction), and the result is
+    * equivalent to w unit inserts in popcount(w) buffer appends. */
+  def insertWeighted(v: Double, w: Long): Unit = {
+    require(w > 0, s"weight must be positive, got $w")
+    var l = 0
+    var rem = w
+    while (rem != 0) {
+      if ((rem & 1L) == 1L) {
+        while (levels.size <= l) levels += mutable.ArrayBuffer.empty[Double]
+        levels(l) += v
+        if (levels(l).size >= k) compact(l)
+      }
+      rem >>>= 1
+      l += 1
+    }
+    n += w
+  }
+
   def mergeIn(other: KllBuffer): Unit = {
     while (levels.size < other.levels.size)
       levels += mutable.ArrayBuffer.empty[Double]
@@ -224,4 +245,131 @@ case class KllQuantiles(child: Expression, kExpr: Expression,
       newChildren: IndexedSeq[Expression]): KllQuantiles =
     copy(child = newChildren(0), kExpr = newChildren(1),
       probsExpr = newChildren(2))
+}
+
+/** WEIGHTED form: `kll_quantiles_w(col, weight, k, probs)` — identical
+  * contract and output struct to [[KllQuantiles]], with each row
+  * entering at integer weight `w` via [[KllBuffer.insertWeighted]]'s
+  * exact binary decomposition (popcount(w) buffer appends instead of
+  * w exploded unit rows). The rank-error bound is the same compaction
+  * accounting — weighted entry itself adds NO error — so the
+  * exact-vs-bound audits transfer unchanged. Rows with a null value or
+  * null weight are skipped; a non-positive weight fails loudly (a
+  * silent skip would misreport n, the quantity every target rank is
+  * computed from). */
+case class KllQuantilesWeighted(child: Expression, wExpr: Expression,
+                                kExpr: Expression, probsExpr: Expression,
+                                override val mutableAggBufferOffset: Int = 0,
+                                override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllBuffer] {
+
+  private lazy val k: Int = kExpr.eval(null).asInstanceOf[Int]
+  private lazy val probs: Array[Double] =
+    probsExpr.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        "kll_quantiles_w requires a double column (cast first)")
+    else if (wExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        "kll_quantiles_w requires a long weight column (cast first)")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("k must be an integer literal")
+    else if (!probsExpr.foldable ||
+      !probsExpr.dataType.isInstanceOf[ArrayType] ||
+      probsExpr.dataType.asInstanceOf[ArrayType].elementType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        "probs must be a foldable array<double> literal")
+    else {
+      val kv = kExpr.eval(null).asInstanceOf[Int]
+      val ps = probsExpr.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+      if (kv < 8 || kv > (1 << 16) || kv % 2 != 0)
+        TypeCheckResult.TypeCheckFailure(s"k must be even in [8, 2^16], got $kv")
+      else if (ps.isEmpty || ps.exists(p => p <= 0.0 || p > 1.0))
+        TypeCheckResult.TypeCheckFailure("quantile probs must be in (0, 1]")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("err", LongType, nullable = false),
+    StructField("est", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_quantiles_w"
+  override def children: Seq[Expression] =
+    Seq(child, wExpr, kExpr, probsExpr)
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    val w = wExpr.eval(input)
+    if (v != null && w != null)
+      buf.insertWeighted(v.asInstanceOf[Double], w.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = {
+    a.mergeIn(b)
+    a
+  }
+
+  override def eval(buf: KllBuffer): Any =
+    if (buf.n == 0L) null
+    else InternalRow(buf.n, buf.err,
+      new GenericArrayData(buf.quantiles(probs).map(Double.box(_): Any)))
+
+  override def serialize(buf: KllBuffer): Array[Byte] =
+    KllQuantilesWeighted.write(buf)
+
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllQuantilesWeighted.read(bytes, k)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllQuantilesWeighted =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllQuantilesWeighted =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllQuantilesWeighted =
+    copy(child = newChildren(0), wExpr = newChildren(1),
+      kExpr = newChildren(2), probsExpr = newChildren(3))
+}
+
+object KllQuantilesWeighted {
+  /** The same wire format as [[KllQuantiles]] (shared so sketches from
+    * either aggregate could be persisted interchangeably). */
+  def write(buf: KllBuffer): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeLong(buf.n)
+    out.writeLong(buf.err)
+    out.writeInt(buf.parity)
+    out.writeInt(buf.levels.size)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.size)
+      lvl.foreach(out.writeDouble)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  def read(bytes: Array[Byte], k: Int): KllBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KllBuffer(k)
+    buf.n = in.readLong()
+    buf.err = in.readLong()
+    buf.parity = in.readInt()
+    val nl = in.readInt()
+    while (buf.levels.size < nl) buf.levels += mutable.ArrayBuffer.empty[Double]
+    var l = 0
+    while (l < nl) {
+      val sz = in.readInt()
+      var i = 0
+      while (i < sz) { buf.levels(l) += in.readDouble(); i += 1 }
+      l += 1
+    }
+    buf
+  }
 }

@@ -686,11 +686,13 @@ object Audit {
         greatest(lit(1L), ceil(lit(p) * col("__wn").cast("double"))))
       .groupBy(col("__g"), col("__b"))
       .agg(min(col("__x")).as("__q"))
-    // production sketch per replicate + its exact-vs-bound proof
-    val sk = wtd.withColumn("__cp", explode(sequence(lit(1L), col("__w"))))
+    // production sketch per replicate + its exact-vs-bound proof; the
+    // weighted aggregate enters each row at its Poisson weight via the
+    // exact binary decomposition — no explode
+    val sk = wtd
       .groupBy(col("__g"), col("__b"))
-      .agg(call_function("kll_quantiles", col("__x"), lit(sketchK),
-        array(lit(p))).as("__sk"))
+      .agg(call_function("kll_quantiles_w", col("__x"), col("__w"),
+        lit(sketchK), array(lit(p))).as("__sk"))
       .select(col("__g").as("__gs"), col("__b").as("__bs"),
         col("__sk.err").as("__se"), element_at(col("__sk.est"), 1).as("__est"))
     val wb = cells
@@ -748,10 +750,9 @@ object Audit {
     require(p > 0 && p < 1, s"quantile p in (0, 1), got $p")
     val base = bootstrapBase(df, groupCol, valueCol, idCol)
     val sk = poissonReplicates(base, b).filter(col("__w") > 0)
-      .withColumn("__cp", explode(sequence(lit(1L), col("__w").cast("long"))))
       .groupBy(col("__g"), col("__b"))
-      .agg(call_function("kll_quantiles", col("__x"), lit(sketchK),
-        array(lit(p))).as("__sk"))
+      .agg(call_function("kll_quantiles_w", col("__x"),
+        col("__w").cast("long"), lit(sketchK), array(lit(p))).as("__sk"))
       .select(col("__g"), col("__b"), element_at(col("__sk.est"), 1).as("__q"))
     val bEff = sk.groupBy(col("__g").as("__gk")).agg(count(lit(1)).as("b_eff"))
     val ranked = Ordinals.withPerKeyRank(sk, "__g",

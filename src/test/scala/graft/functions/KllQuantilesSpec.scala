@@ -120,4 +120,41 @@ class KllQuantilesSpec extends SparkSpec {
       .head()
     assert(nullRow.isNullAt(0), "empty input must evaluate to null")
   }
+
+  test("insertWeighted: exact binary decomposition — n, bound, exact regime") {
+    val rng = new scala.util.Random(13)
+    val weighted = (1 to 500).map(_ => (rng.nextGaussian(), 1L + rng.nextInt(6)))
+    val a = new KllBuffer(16)
+    weighted.foreach { case (v, w) => a.insertWeighted(v, w) }
+    val total = weighted.map(_._2).sum
+    assert(a.n == total)
+    val copies = weighted.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+      .sorted.toArray
+    for (p <- Seq(0.1, 0.5, 0.9))
+      assert(contractOk(copies, p, a.quantiles(Array(p)).head, a.err))
+    // exact regime: no compaction, err = 0, weighted rank selection exact
+    val b = new KllBuffer(1024)
+    Seq((1.0, 3L), (2.0, 1L), (3.0, 4L)).foreach { case (v, w) =>
+      b.insertWeighted(v, w)
+    }
+    assert(b.err == 0L && b.n == 8L)
+    assert(b.quantiles(Array(0.5)).head == 2.0) // rank 4 of 1,1,1,2,3,3,3,3
+    assert(b.quantiles(Array(0.125)).head == 1.0)
+    assert(b.quantiles(Array(1.0)).head == 3.0)
+    intercept[IllegalArgumentException] { b.insertWeighted(9.0, 0L) }
+  }
+
+  test("kll_quantiles_w: weighted aggregate == exploded-unit contract") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val df = (1 to 3000).map(_ => (rng.nextGaussian() * 10, 1L + rng.nextInt(5)))
+      .toDF("x", "w").repartition(7)
+    val r = df.agg(call_function("kll_quantiles_w", col("x"), col("w"),
+        lit(32), array(lit(0.5))).as("sk"))
+      .select("sk.n", "sk.err", "sk.est").head()
+    val copies = df.withColumn("c", explode(sequence(lit(1L), col("w"))))
+      .select("x").as[Double].collect().sorted
+    assert(r.getLong(0) == copies.length.toLong)
+    assert(contractOk(copies, 0.5, r.getSeq[Double](2).head, r.getLong(1)))
+  }
 }
