@@ -77,7 +77,7 @@ object Bench {
     // quantile consumers (sketch binning/winsorize audits) and the
     // Poisson-bootstrap median CI
     "mm11_video_near_dup", "e8b_sketch_bin", "a14b_sketch_winsorize",
-    "a48_bootstrap_quantile_ci")
+    "a48_bootstrap_quantile_ci", "st16_window_bootstrap_ci")
 
   /** SPARK_GRAFT_BOARD_CHUNK=N (r10 VERDICT #5): fork a FRESH JVM every
     * N queries and merge the children's JSON lines. Big single-JVM

@@ -586,7 +586,7 @@ object Audit {
   /** Explode a [[bootstrapBase]] frame into (group, value, replicate,
     * Poisson(1) weight) rows — the row-dependent integer mix and
     * inverse-CDF thresholds both engines replay bit-for-bit. */
-  private def poissonReplicates(base: DataFrame, b: Int): DataFrame = {
+  private[graft] def poissonReplicates(base: DataFrame, b: Int): DataFrame = {
     val reps = base.withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
     val v = (col("__m") * (lit(48271L) + (col("__b") * lit(12345L)))) %
       lit(2147483647L)

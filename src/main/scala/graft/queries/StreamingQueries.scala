@@ -60,6 +60,21 @@ object StreamingQueries {
         "window_start")
     }),
 
+    "st16_window_bootstrap_ci" -> ((s, dir) =>
+      // streaming bootstrap median CI (r11), batch-audited form: the
+      // full a48 contract per hour window — CI endpoints from EXACT
+      // per-replicate weighted medians (DuckDB-replayable),
+      // all_within_bound proves each (window, replicate) kll_quantiles_w
+      // estimate sits in its weighted-rank interval. StreamingSpec
+      // drives Streams.windowBootstrapCi (the sketch-only, two-chained-
+      // windowed-aggregation production form) on a real watermark+append
+      // stream and pins its invariants
+      graft.ops.Audit.bootstrapQuantileCi(
+        Tables.events(s, dir)
+          .withColumn("window_start", date_trunc("hour", col("ts"))),
+        "window_start", "value", "event_id", p = 0.5, b = 30,
+        sketchK = 64)),
+
     "st5_big_spender" -> ((s, dir) =>
       graft.streaming.Stateful.bigSpenderBatch(Tables.events(s, dir), threshold = 500.0)),
 
@@ -274,6 +289,58 @@ object StreamingQueries {
              round(rk.x, 6) AS exact_value,
              TRUE AS within_bound
       FROM tgt JOIN rk ON rk.w = tgt.w AND rk.r = tgt.tr""",
+
+    // st16: the a48 weight replay with g = the hour window; exact
+    // weighted medians per (window, replicate) via window cumsum +
+    // integer rank rule, CI by rank over them; all_within_bound pinned
+    "st16_window_bootstrap_ci" -> """
+      WITH base AS (
+        SELECT date_trunc('hour', ts) AS g, CAST(value AS DOUBLE) AS x,
+               CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                                           || '_42'), 1, 15)) AS BIGINT)
+                 % 2147483647 AS m
+        FROM events WHERE value IS NOT NULL),
+      reps AS (SELECT g, x, m, unnest(range(30)) AS b FROM base),
+      hv AS (SELECT g, x, b,
+               (m * (48271 + (b * 12345))) % 2147483647 AS v
+             FROM reps),
+      wts AS (SELECT g, x, b,
+                CASE WHEN v < 790015083 THEN 0
+                     WHEN v < 1580030167 THEN 1
+                     WHEN v < 1975037709 THEN 2
+                     WHEN v < 2106706890 THEN 3
+                     WHEN v < 2139624185 THEN 4
+                     WHEN v < 2146207644 THEN 5
+                     ELSE 6 END AS w
+              FROM hv),
+      cells AS (SELECT g, b, x, sum(w) AS wc FROM wts WHERE w > 0
+                GROUP BY 1, 2, 3),
+      tot AS (SELECT g, b, sum(wc) AS wn FROM cells GROUP BY 1, 2),
+      cum AS (SELECT g, b, x,
+                     sum(wc) OVER (PARTITION BY g, b ORDER BY x) AS lc
+              FROM cells),
+      med AS (SELECT cum.g, cum.b, min(x) AS q
+              FROM cum JOIN tot ON tot.g = cum.g AND tot.b = cum.b
+              WHERE lc >= greatest(1, CAST(ceil(0.5 * CAST(wn AS DOUBLE))
+                                           AS BIGINT))
+              GROUP BY 1, 2),
+      beff AS (SELECT g, count(*) AS be FROM med GROUP BY 1),
+      rk AS (SELECT g, b, q,
+                    row_number() OVER (PARTITION BY g ORDER BY q, b) AS r
+             FROM med),
+      lo AS (SELECT rk.g, rk.q AS lo FROM rk JOIN beff USING (g)
+             WHERE rk.r = greatest(1, CAST(ceil(0.025 * CAST(be AS DOUBLE))
+                                           AS BIGINT))),
+      hi AS (SELECT rk.g, rk.q AS hi FROM rk JOIN beff USING (g)
+             WHERE rk.r = greatest(1, CAST(ceil(0.975 * CAST(be AS DOUBLE))
+                                           AS BIGINT))),
+      ov AS (SELECT g, count(*) AS n FROM base GROUP BY 1)
+      SELECT ov.g AS window_start, CAST(ov.n AS BIGINT) AS n,
+             CAST(beff.be AS BIGINT) AS b_eff,
+             round(lo.lo, 6) AS ci_lo, round(hi.hi, 6) AS ci_hi,
+             TRUE AS all_within_bound
+      FROM ov JOIN lo ON lo.g = ov.g JOIN hi ON hi.g = ov.g
+              JOIN beff ON beff.g = ov.g""",
 
     // st13: hour windows = epoch-aligned date_trunc; the n²/q terms
     // (q = (band+1)/55) rounded to 9 and DECIMAL-summed per window,

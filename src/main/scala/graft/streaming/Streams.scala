@@ -110,6 +110,55 @@ object Streams {
           / col("__t").cast("double"), 6).as("max_share"))
   }
 
+  /** Streaming bootstrap MEDIAN CI per hour window (r11: a48's
+    * streaming face). Every event draws its per-replicate Poisson(1)
+    * multiplicity from the a47/a48 integer mix — a function of
+    * (event id, replicate), never arrival order, so the replicate
+    * weights are deterministic on any stream. Each (window, replicate)
+    * folds into ONE `kll_quantiles_w` sketch (weighted entry, no
+    * explode-by-weight), and the window's CI is a rank selection over
+    * its B replicate medians — a WINDOW-LEVEL reduction, so the whole
+    * readout is two chained windowed aggregations that stream in
+    * append mode with watermark-bounded state (the st13/st14
+    * discipline). State per window: B sketch buffers of O(k log n/k)
+    * doubles. Estimates are order-dependent within the sketch bound
+    * (max_rank_err ships with the row; a48's batch audit prices the
+    * same construction against exact weighted medians); the degenerate
+    * constant-column case is exactly reproducible and pinned by
+    * StreamingSpec on a real watermark+append stream. */
+  def windowBootstrapCi(events: DataFrame, valueCol: String = "value",
+                        idCol: String = "event_id", p: Double = 0.5,
+                        b: Int = 30, k: Int = 64,
+                        watermark: Boolean = false): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "2 hours") else events
+    val base = src.filter(col(valueCol).isNotNull)
+      .select(col("ts"), col(valueCol).cast("double").as("__x"),
+        pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit("_"),
+          lit("42"))), 1, 15), 16, 10).cast("long"),
+          lit(2147483647L)).as("__m"))
+    val wtd = graft.ops.Audit.poissonReplicates(base, b)
+      .filter(col("__w") > 0)
+    val per = wtd
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("__b"))
+      .agg(call_function("kll_quantiles_w", col("__x"),
+        col("__w").cast("long"), lit(k), array(lit(p))).as("__sk"))
+      .select(col("w"), col("__b"),
+        element_at(col("__sk.est"), 1).as("__q"),
+        col("__sk.err").as("__e"))
+    per.groupBy(window(col("w"), "1 hour").as("w2"))
+      .agg(count(lit(1)).as("b_eff"),
+        sort_array(collect_list(struct(col("__q"), col("__b")))).as("__qs"),
+        max(col("__e")).as("max_rank_err"))
+      .select(col("w2.start").as("window_start"), col("b_eff"),
+        element_at(col("__qs"),
+          greatest(lit(1L), ceil(lit(0.025) * col("b_eff").cast("double")))
+            .cast("int")).getField("__q").as("ci_lo"),
+        element_at(col("__qs"),
+          greatest(lit(1L), ceil(lit(0.975) * col("b_eff").cast("double")))
+            .cast("int")).getField("__q").as("ci_hi"),
+        col("max_rank_err"))
+  }
+
   /** Streaming quantile monitor: per hour window, sketch-estimated
     * percentiles of `valueCol` (p50/p95 latency-style readouts) via the
     * native mergeable `kll_quantiles` aggregate — the panel that is

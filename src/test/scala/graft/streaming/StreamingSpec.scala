@@ -227,6 +227,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowBootstrapCi: chained weighted-sketch CI streams in append " +
+    "mode; b_eff matches batch, constant column is exact on a real stream") {
+    import org.apache.spark.sql.functions._
+    val batch = Streams.windowBootstrapCi(Tables.events(spark, sf), b = 20,
+        k = 16)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val q = Streams.runFileStream(spark, eventsDir,
+      Tables.events(spark, sf).schema,
+      Streams.windowBootstrapCi(_, b = 20, k = 16, watermark = true),
+      "wbci_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(180000)
+    val got = spark.table("wbci_sink").collect()
+    assert(got.nonEmpty, "no finalized windows emitted")
+    got.foreach { r =>
+      val (w, beff, lo, hi) = (r.getTimestamp(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))
+      assert(batch.get(w).contains(beff), s"window $w b_eff $beff")
+      assert(lo <= hi, s"window $w inverted CI [$lo, $hi]")
+    }
+    // degenerate exactness on a REAL stream: a constant value column
+    // collapses every replicate median — and so the CI — to the
+    // constant, independent of arrival order (the one bit-level
+    // assertion an order-dependent sketch can make)
+    val const = Tables.events(spark, sf).withColumn("value", lit(7.25))
+    val dir2 = java.nio.file.Files.createTempDirectory("wbci_const").toString
+    const.write.mode("overwrite").parquet(dir2)
+    val q2 = Streams.runFileStream(spark, dir2, const.schema,
+      Streams.windowBootstrapCi(_, b = 20, k = 16, watermark = true),
+      "wbci_const_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    q2.awaitTermination(180000)
+    val gc = spark.table("wbci_const_sink").collect()
+    assert(gc.nonEmpty, "no finalized constant windows emitted")
+    gc.foreach { r =>
+      assert(r.getDouble(2) == 7.25 && r.getDouble(3) == 7.25,
+        s"constant stream CI not exact: $r")
+    }
+  }
+
   test("windowQuantiles: sketch state survives a stream RESTART via the " +
     "state store (serialize/deserialize), windows emit exactly once") {
     import org.apache.spark.sql.functions._
