@@ -127,14 +127,31 @@ object Smote {
       val majority = counts.values.max
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
+      // r11: same class-packed ids as the b9/b10 cleanup passes (strictly
+      // monotone, neighbors and tie-breaks identical) — the difficulty
+      // vote reads the neighbor's class from pmod(nbr_id), so the
+      // edge-list x dictionary join disappears; decoded back to __id
+      // before any downstream arithmetic (quotas, detUniform, ranks are
+      // bit-identical). The k=5 difficulty VOTE also rides cellBudget=16
+      // (a share statistic needs ~150 candidates/row, not the synthesis
+      // pass's deep neighborhoods); exact mode (width <= 0) untouched.
+      val (cNum, clsIdx) = packClass(counts, target)
+      val maxId = all.agg(max(col("__id"))).head().getLong(0)
+      require(maxId <= (Long.MaxValue - cNum) / cNum,
+        s"id space too small to pack $cNum classes")
+      val packedAll = all.withColumn("__pid",
+        col("__id") * cNum + clsIdx.cast(LongType))
+      val clsOrder = counts.keys.toSeq.sorted
       val synthParts = counts.toSeq.sortBy(_._1).collect {
         case (cls, n) if n < majority =>
           val minority = all.filter(col(target) === cls)
+          val clsI = clsOrder.indexOf(cls).toLong
           // neighbor-difficulty weight: share of other-class points in kNN
-          val nn = Neighbors.knnJoin(minority, all, "__id", k, width, seed)
-            .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
-            .groupBy(col("l_id").as("__id"))
-            .agg(avg((col("__nbr_cls") =!= cls).cast(DoubleType)).as("__w"))
+          val nn = Neighbors.knnJoin(packedAll.filter(col(target) === cls),
+              packedAll, "__pid", k, width, seed, cellBudget = 16)
+            .groupBy(expr(s"l_id DIV $cNum").as("__id"))
+            .agg(avg((pmod(col("nbr_id"), lit(cNum.toLong)) =!= lit(clsI))
+              .cast(DoubleType)).as("__w"))
           // Materialize the difficulty weights ONCE: weighted's lineage
           // holds the full-frame kNN above, and the quota arithmetic
           // traverses it repeatedly (totW agg, shortfall agg, the
@@ -196,16 +213,28 @@ object Smote {
       val majority = counts.values.max
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
+      // r11: class-packed ids + shallow budget for the k=5 danger VOTE —
+      // same discipline as AdasynOp's difficulty pass above (the
+      // synthesis kNN below keeps plain ids and the deep default grid).
+      val (cNum, clsIdx) = packClass(counts, target)
+      val maxId = all.agg(max(col("__id"))).head().getLong(0)
+      require(maxId <= (Long.MaxValue - cNum) / cNum,
+        s"id space too small to pack $cNum classes")
+      val packedAll = all.withColumn("__pid",
+        col("__id") * cNum + clsIdx.cast(LongType))
+      val clsOrder = counts.keys.toSeq.sorted
       val synthParts = counts.toSeq.sortBy(_._1).collect {
         case (cls, n) if n < majority =>
           val minority = all.filter(col(target) === cls)
+          val clsI = clsOrder.indexOf(cls).toLong
           // Materialize the danger ids ONCE (ids only — tiny): the
           // isEmpty probe below plus synthesize's count/rank/join
           // traversals would otherwise each re-run the full-frame kNN.
-          val danger = Neighbors.knnJoin(minority, all, "__id", k, width, seed)
-            .join(all.select(col("__id").as("nbr_id"), col(target).as("__nbr_cls")), "nbr_id")
-            .groupBy(col("l_id").as("__id"))
-            .agg(avg((col("__nbr_cls") =!= cls).cast(DoubleType)).as("__share"))
+          val danger = Neighbors.knnJoin(packedAll.filter(col(target) === cls),
+              packedAll, "__pid", k, width, seed, cellBudget = 16)
+            .groupBy(expr(s"l_id DIV $cNum").as("__id"))
+            .agg(avg((pmod(col("nbr_id"), lit(cNum.toLong)) =!= lit(clsI))
+              .cast(DoubleType)).as("__share"))
             .filter(col("__share") >= 0.5 && col("__share") < 1.0)
             .select("__id")
             .transform(graft.core.Materialize.frame)
@@ -241,7 +270,12 @@ object Smote {
           // Materialized ONCE (ids + one double): withGlobalRank's
           // zipWithIndex evaluates its input twice and the keep filter a
           // third time — uncheckpointed, each evaluation re-ran the kNN.
-          val meanDist = Neighbors.knnJoin(clsRows, others, "__id", nNeighbors, width, seed)
+          // r11: the 3-NN mean distance is a RANKING heuristic (only the
+          // order of __md matters, and only at the minCount boundary) —
+          // it rides the shallow cellBudget=16 grid like the other vote
+          // passes; exact mode (width <= 0) untouched
+          val meanDist = Neighbors.knnJoin(clsRows, others, "__id",
+              nNeighbors, width, seed, cellBudget = 16)
             .groupBy(col("l_id").as("__id")).agg(avg("dist").as("__md"))
             .transform(graft.core.Materialize.frame)
           // left join: rows with no approximate-kNN candidate rank last
