@@ -22,6 +22,44 @@ import org.apache.spark.sql.types._
   * fixed choice would accumulate (the deterministic stand-in for KLL's
   * coin flip — the bound does not depend on it).
   */
+/** THE wire format (r12 ADVICE): one serializer shared by both
+  * aggregates so [[KllQuantiles]] and [[KllQuantilesWeighted]] sketches
+  * really do persist interchangeably — an edit here changes both. */
+object KllBuffer {
+  def write(buf: KllBuffer): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeLong(buf.n)
+    out.writeLong(buf.err)
+    out.writeInt(buf.parity)
+    out.writeInt(buf.levels.size)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.size)
+      lvl.foreach(out.writeDouble)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  def read(bytes: Array[Byte], k: Int): KllBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KllBuffer(k)
+    buf.n = in.readLong()
+    buf.err = in.readLong()
+    buf.parity = in.readInt()
+    val nl = in.readInt()
+    while (buf.levels.size < nl) buf.levels += mutable.ArrayBuffer.empty[Double]
+    var l = 0
+    while (l < nl) {
+      val sz = in.readInt()
+      var i = 0
+      while (i < sz) { buf.levels(l) += in.readDouble(); i += 1 }
+      l += 1
+    }
+    buf
+  }
+}
+
 final class KllBuffer(val k: Int) {
   var n: Long = 0L
   var err: Long = 0L
@@ -204,38 +242,10 @@ case class KllQuantiles(child: Expression, kExpr: Expression,
     else InternalRow(buf.n, buf.err,
       new GenericArrayData(buf.quantiles(probs).map(Double.box(_): Any)))
 
-  override def serialize(buf: KllBuffer): Array[Byte] = {
-    val bytes = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bytes)
-    out.writeLong(buf.n)
-    out.writeLong(buf.err)
-    out.writeInt(buf.parity)
-    out.writeInt(buf.levels.size)
-    buf.levels.foreach { lvl =>
-      out.writeInt(lvl.size)
-      lvl.foreach(out.writeDouble)
-    }
-    out.flush()
-    bytes.toByteArray
-  }
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.write(buf)
 
-  override def deserialize(bytes: Array[Byte]): KllBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new KllBuffer(k)
-    buf.n = in.readLong()
-    buf.err = in.readLong()
-    buf.parity = in.readInt()
-    val nl = in.readInt()
-    while (buf.levels.size < nl) buf.levels += mutable.ArrayBuffer.empty[Double]
-    var l = 0
-    while (l < nl) {
-      val sz = in.readInt()
-      var i = 0
-      while (i < sz) { buf.levels(l) += in.readDouble(); i += 1 }
-      l += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.read(bytes, k)
 
   override def withNewMutableAggBufferOffset(o: Int): KllQuantiles =
     copy(mutableAggBufferOffset = o)
@@ -321,11 +331,10 @@ case class KllQuantilesWeighted(child: Expression, wExpr: Expression,
     else InternalRow(buf.n, buf.err,
       new GenericArrayData(buf.quantiles(probs).map(Double.box(_): Any)))
 
-  override def serialize(buf: KllBuffer): Array[Byte] =
-    KllQuantilesWeighted.write(buf)
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.write(buf)
 
   override def deserialize(bytes: Array[Byte]): KllBuffer =
-    KllQuantilesWeighted.read(bytes, k)
+    KllBuffer.read(bytes, k)
 
   override def withNewMutableAggBufferOffset(o: Int): KllQuantilesWeighted =
     copy(mutableAggBufferOffset = o)
@@ -337,39 +346,3 @@ case class KllQuantilesWeighted(child: Expression, wExpr: Expression,
       kExpr = newChildren(2), probsExpr = newChildren(3))
 }
 
-object KllQuantilesWeighted {
-  /** The same wire format as [[KllQuantiles]] (shared so sketches from
-    * either aggregate could be persisted interchangeably). */
-  def write(buf: KllBuffer): Array[Byte] = {
-    val bytes = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bytes)
-    out.writeLong(buf.n)
-    out.writeLong(buf.err)
-    out.writeInt(buf.parity)
-    out.writeInt(buf.levels.size)
-    buf.levels.foreach { lvl =>
-      out.writeInt(lvl.size)
-      lvl.foreach(out.writeDouble)
-    }
-    out.flush()
-    bytes.toByteArray
-  }
-
-  def read(bytes: Array[Byte], k: Int): KllBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new KllBuffer(k)
-    buf.n = in.readLong()
-    buf.err = in.readLong()
-    buf.parity = in.readInt()
-    val nl = in.readInt()
-    while (buf.levels.size < nl) buf.levels += mutable.ArrayBuffer.empty[Double]
-    var l = 0
-    while (l < nl) {
-      val sz = in.readInt()
-      var i = 0
-      while (i < sz) { buf.levels(l) += in.readDouble(); i += 1 }
-      l += 1
-    }
-    buf
-  }
-}

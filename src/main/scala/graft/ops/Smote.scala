@@ -80,6 +80,20 @@ object Smote {
     (cs.size, idx)
   }
 
+  /** Static overflow guard for class-packed ids (r12 ADVICE): prep's
+    * `__id` is `monotonically_increasing_id` — (partitionId << 33) +
+    * row-in-partition — so maxId < ((P−1) << 33) + totalRows, with P
+    * read from the PLAN and totalRows from the class counts prep already
+    * collected. Replaces the former eager `agg(max(__id))` scan of the
+    * unmaterialized scaled lineage at every packing site. */
+  private def packGuard(all: DataFrame, counts: Map[String, Long],
+                        cNum: Int): Unit = {
+    val parts = math.max(1, all.rdd.getNumPartitions).toLong
+    val bound = ((parts - 1L) << 33) + counts.values.sum
+    require(bound <= (Long.MaxValue - cNum) / cNum,
+      s"id space too small to pack $cNum classes (static bound $bound)")
+  }
+
   /** Numeric projection + stable ids + per-class counts, shared prep. */
   private def prep(df: DataFrame, target: String): (DataFrame, Seq[String], Map[String, Long]) = {
     val feats = df.schema.fields.collect {
@@ -136,9 +150,7 @@ object Smote {
       // (a share statistic needs ~150 candidates/row, not the synthesis
       // pass's deep neighborhoods); exact mode (width <= 0) untouched.
       val (cNum, clsIdx) = packClass(counts, target)
-      val maxId = all.agg(max(col("__id"))).head().getLong(0)
-      require(maxId <= (Long.MaxValue - cNum) / cNum,
-        s"id space too small to pack $cNum classes")
+      packGuard(all, counts, cNum)
       val packedAll = all.withColumn("__pid",
         col("__id") * cNum + clsIdx.cast(LongType))
       val clsOrder = counts.keys.toSeq.sorted
@@ -217,9 +229,7 @@ object Smote {
       // same discipline as AdasynOp's difficulty pass above (the
       // synthesis kNN below keeps plain ids and the deep default grid).
       val (cNum, clsIdx) = packClass(counts, target)
-      val maxId = all.agg(max(col("__id"))).head().getLong(0)
-      require(maxId <= (Long.MaxValue - cNum) / cNum,
-        s"id space too small to pack $cNum classes")
+      packGuard(all, counts, cNum)
       val packedAll = all.withColumn("__pid",
         col("__id") * cNum + clsIdx.cast(LongType))
       val clsOrder = counts.keys.toSeq.sorted
@@ -333,9 +343,7 @@ object Smote {
       // reads both endpoint classes with pmod: the two
       // edge-list × row-dictionary shuffle joins disappear.
       val (cNum, clsIdx) = packClass(counts, target)
-      val maxId = all.agg(max(col("__id"))).head().getLong(0)
-      require(maxId <= (Long.MaxValue - cNum) / cNum,
-        s"id space too small to pack $cNum classes")
+      packGuard(all, counts, cNum)
       val packed = all.withColumn("__pid",
         col("__id") * cNum + clsIdx.cast(LongType))
       // nn1 feeds BOTH sides of the mutual-link self-join below; without
@@ -390,9 +398,7 @@ object Smote {
       // join nor the final class-compare join is needed: disagreeing
       // rows anti-join out directly.
       val (cNum, clsIdx) = packClass(counts, target)
-      val maxId = all.agg(max(col("__id"))).head().getLong(0)
-      require(maxId <= (Long.MaxValue - cNum) / cNum,
-        s"id space too small to pack $cNum classes")
+      packGuard(all, counts, cNum)
       val packed = all.withColumn("__pid",
         col("__id") * cNum + clsIdx.cast(LongType))
       // r11: same half-space self-join + shallow cellBudget=8 grid as

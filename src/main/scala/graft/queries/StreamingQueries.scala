@@ -299,7 +299,7 @@ object StreamingQueries {
                CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
                                            || '_42'), 1, 15)) AS BIGINT)
                  % 2147483647 AS m
-        FROM events WHERE value IS NOT NULL),
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
       reps AS (SELECT g, x, m, unnest(range(30)) AS b FROM base),
       hv AS (SELECT g, x, b,
                (m * (48271 + (b * 12345))) % 2147483647 AS v

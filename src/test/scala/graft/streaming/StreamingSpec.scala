@@ -8,7 +8,7 @@ class StreamingSpec extends SparkSpec {
   /** File stream sources need a DIRECTORY; stage the events table (with
     * the nanos->micros ts conversion applied) as parquet once. */
   private lazy val eventsDir: String = {
-    val d = java.nio.file.Files.createTempDirectory("events_stream").toString
+    val d = tempDir("events_stream")
     Tables.events(spark, sf).write.mode("overwrite").parquet(d)
     d
   }
@@ -30,7 +30,7 @@ class StreamingSpec extends SparkSpec {
   test("gopher rule gate is stateless: real document stream equals batch") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("gopher_stream").toString
+    val dir = tempDir("gopher_stream")
     docs.write.mode("overwrite").parquet(dir)
     val expected = docs
       .select(col("doc_id"), graft.ops.Text.gopherRules(col("text")).as("g"))
@@ -52,7 +52,7 @@ class StreamingSpec extends SparkSpec {
     // canonicalization — on a REAL readStream: zero state, zero
     // shuffles, stream equals batch row for row
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("web_stream").toString
+    val dir = tempDir("web_stream")
     docs.write.mode("overwrite").parquet(dir)
     def chain(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
       graft.ops.Text.htmlToText(
@@ -77,7 +77,7 @@ class StreamingSpec extends SparkSpec {
     // register/bottom-k states merge across micro-batches exactly like
     // map-side partials, so the final estimate equals the batch run
     val docs = Tables.documents(spark, sf).select("source", "text")
-    val dir = java.nio.file.Files.createTempDirectory("sketch_stream").toString
+    val dir = tempDir("sketch_stream")
     docs.write.mode("overwrite").parquet(dir)
     def sketch(df: org.apache.spark.sql.DataFrame) =
       graft.ops.Lexicon.tokenRows(df, "text", "source")
@@ -152,7 +152,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val base = Tables.events(spark, sf).limit(2000)
     val doubled = base.unionByName(base) // every event twice
-    val dir = java.nio.file.Files.createTempDirectory("events_dup").toString
+    val dir = tempDir("events_dup")
     doubled.write.mode("overwrite").parquet(dir)
     val distinctIds = base.select("event_id").distinct().count()
     val q = Streams.runFileStream(spark, dir, doubled.schema,
@@ -251,7 +251,7 @@ class StreamingSpec extends SparkSpec {
     // constant, independent of arrival order (the one bit-level
     // assertion an order-dependent sketch can make)
     val const = Tables.events(spark, sf).withColumn("value", lit(7.25))
-    val dir2 = java.nio.file.Files.createTempDirectory("wbci_const").toString
+    val dir2 = tempDir("wbci_const")
     const.write.mode("overwrite").parquet(dir2)
     val q2 = Streams.runFileStream(spark, dir2, const.schema,
       Streams.windowBootstrapCi(_, b = 20, k = 16, watermark = true),
@@ -272,7 +272,7 @@ class StreamingSpec extends SparkSpec {
     // rest after — the restarted query must resume open-window sketch
     // buffers from the checkpoint, not from reprocessed input
     val ev = Tables.events(spark, sf)
-    val root = java.nio.file.Files.createTempDirectory("wq_restart").toString
+    val root = tempDir("wq_restart")
     val (srcDir, outDir, cpDir) = (s"$root/src", s"$root/out", s"$root/cp")
     new java.io.File(srcDir).mkdirs()
     val cut = "2024-01-15"
