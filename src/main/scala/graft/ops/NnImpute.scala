@@ -36,7 +36,12 @@ object NnImpute {
       val scaled = Neighbors.withScaled(withId, params)
       val donors = scaled.filter(col(target).isNotNull)
       val probes = scaled.filter(col(target).isNull)
-      val fills = Neighbors.knnJoin(probes, donors, "__id", k, width, seed)
+      // width <= 0 is the exact contract every oracle pins — served by
+      // the grid-accelerated exact join (bit-identical, r12), not the
+      // all-pairs broadcast scan
+      val nn = if (width <= 0) Neighbors.knnJoinExact(probes, donors, "__id", k, seed)
+               else Neighbors.knnJoin(probes, donors, "__id", k, width, seed)
+      val fills = nn
         .join(donors.select(col("__id").as("nbr_id"), col(target).as("__tv")), "nbr_id")
         .groupBy(col("l_id").as("__id")).agg(avg("__tv").as("__fill"))
       val out = withId.join(fills, Seq("__id"), "left")
@@ -64,8 +69,12 @@ object NnImpute {
       val scaled = Neighbors.withScaled(withId, params)
       val donors = scaled.filter(col(target).isNotNull)
       val probes = scaled.filter(col(target).isNull)
-      // candidates by numeric proximity (generous k), then mixed re-rank
-      val cand = Neighbors.knnJoin(probes, donors, "__id", k = 20, width, seed)
+      // candidates by numeric proximity (generous k), then mixed re-rank;
+      // exact mode rides the grid-accelerated exact join (r12) — the
+      // brute scan was the measured 24-of-30 s i6 floor at sf1
+      val cand =
+        if (width <= 0) Neighbors.knnJoinExact(probes, donors, "__id", 20, seed)
+        else Neighbors.knnJoin(probes, donors, "__id", k = 20, width, seed)
       val dcols = donors.select((col("__id").as("nbr_id") +:
         (col(target).as("__tv") +: catFeatures.map(c => col(c).as(s"__d_$c")))): _*)
       val pcols = probes.select((col("__id").as("l_id") +:

@@ -97,4 +97,37 @@ class NeighborsSpec extends SparkSpec {
         rows(Neighbors.knnJoin(sub, sub, "id", k, 0.0)))
     }
   }
+
+  test("knnJoinExact is bit-identical to brute exact on uniform, clumpy, " +
+    "and sparse-fallback shapes (grid ring bound + fallback fringe)") {
+    import spark.implicits._
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("l_id", "nbr_rank", "nbr_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // deterministic pseudo-random spread + planted exact-distance TIES
+    // (duplicate coordinates) so the (dist asc, id asc) tie-break is
+    // actually exercised across the grid/brute boundary
+    val pts = (0 until 3000).map { i =>
+      val base = i % 2800 // last 200 rows duplicate earlier coordinates
+      (i.toLong, (base * 7919 % 2801).toDouble, (base * 6271 % 2801).toDouble)
+    }
+    val frames = Map(
+      "uniform" -> pts.toDF("id", "x", "y"),
+      "clumpy" -> clumpy,
+      // 2 dense blobs + isolated far outliers: outliers have < k donors
+      // in any ring and MUST take the fallback path
+      "sparse" -> ((0 until 1400).map(i =>
+          (i.toLong, (i % 700) * 1.0, (i * 13 % 700) * 1.0)) ++
+        (0 until 5).map(i => (2000L + i, 1e9 + i * 1e8, -1e9 - i * 1e8)))
+        .toDF("id", "x", "y"))
+    for ((name, df) <- frames; k <- Seq(1, 5, 20)) {
+      val scaled = Neighbors.withScaled(df,
+        Neighbors.scaleParams(df, Seq("x", "y")))
+      val probes = scaled.filter(col("id") % 3 === 0)
+      val brute = rows(Neighbors.knnJoin(probes, scaled, "id", k, 0.0))
+      val accel = rows(Neighbors.knnJoinExact(probes, scaled, "id", k))
+      assert(accel == brute, s"$name k=$k: grid-exact diverged from brute")
+    }
+  }
 }
