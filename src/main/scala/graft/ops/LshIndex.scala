@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DataType, DoubleType, StructType}
 
 /** Persisted MinHash-LSH index of an already-deduplicated corpus, and the
   * incremental near-dup check against it — the PRODUCTION dedup shape: a
@@ -58,8 +58,9 @@ object LshIndex {
       n = n, bands = bands, rowsPerBand = rowsPerBand, seed = seed)
   }
 
-  /** Persist the index as three parquet tables plus a one-row params
-    * table (so [[load]] can refuse a mismatched query config). `mode` is
+  /** Persist the index as three parquet tables plus a driver-side
+    * `_meta` file (params + table schemas, so [[load]] can refuse a
+    * mismatched query config without running a job). `mode` is
     * "error" by default; pass "append" to add a verified batch's entries
     * — the index grows by exactly the kept docs, nothing is rewritten.
     *
@@ -74,15 +75,43 @@ object LshIndex {
     ix.shingles.write.mode(mode).parquet(s"$path/shingles")
     ix.sizes.write.mode(mode).parquet(s"$path/sizes")
     ix.bandKeys.write.mode(mode).parquet(s"$path/bandkeys")
+    // Metadata goes driver-side through the Hadoop FS (r12): params AND
+    // the three table schemas, so load() launches ZERO Spark jobs — the
+    // former params-parquet read + head + three schema-inference reads
+    // were 5 of IngestDedup.step's 30 jobs, pure scheduling overhead on
+    // micro-batch-sized data. Written LAST for the same crash-window
+    // reason band keys precede it (missing meta = index absent).
     val spark = ix.bandKeys.sparkSession
-    import spark.implicits._
-    Seq((ix.n, ix.bands, ix.rowsPerBand, ix.seed))
-      .toDF("n", "bands", "rowsPerBand", "seed")
-      .write.mode("overwrite").parquet(s"$path/params")
+    val lines = Seq(
+      s"n=${ix.n}", s"bands=${ix.bands}", s"rowsPerBand=${ix.rowsPerBand}",
+      s"seed=${ix.seed}",
+      s"bandKeysSchema=${ix.bandKeys.schema.json}",
+      s"shinglesSchema=${ix.shingles.schema.json}",
+      s"sizesSchema=${ix.sizes.schema.json}")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(p.toUri, spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(p.toUri, spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    new String(bytes, "UTF-8").split("\n").map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
   }
 
   def load(spark: SparkSession, path: String): Index = {
-    val p = spark.read.parquet(s"$path/params").head()
+    val meta = readMeta(spark, s"$path/_meta")
+    def schemaOf(key: String): StructType =
+      DataType.fromJson(meta(key)).asInstanceOf[StructType]
     // tombstone-filtered view: deletes on an append-only parquet index
     // are id tombstones anti-joined at load (broadcast — a tombstone set
     // is curation-sized); rebuild to physically reclaim
@@ -91,16 +120,24 @@ object LshIndex {
     // hdfs:// or s3a:// paths and deleted ids would silently resurrect
     val dead: Option[DataFrame] =
       if (hadoopExists(spark, s"$path/tombstones"))
-        Some(broadcast(spark.read.parquet(s"$path/tombstones")))
+        // tombstone schema = the index's id column (recorded in _meta),
+        // so this read is schema-pinned and jobless too
+        Some(broadcast(spark.read.schema(StructType(
+            schemaOf("bandKeysSchema").fields.filter(_.name == "id")))
+          .parquet(s"$path/tombstones")))
       else None
     def alive(df: DataFrame): DataFrame =
       dead.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
+    // schema-pinned reads: no eager footer/schema-inference job per table
     Index(
-      bandKeys = alive(spark.read.parquet(s"$path/bandkeys")),
-      shingles = alive(spark.read.parquet(s"$path/shingles")),
-      sizes = alive(spark.read.parquet(s"$path/sizes")),
-      n = p.getAs[Int]("n"), bands = p.getAs[Int]("bands"),
-      rowsPerBand = p.getAs[Int]("rowsPerBand"), seed = p.getAs[Long]("seed"))
+      bandKeys = alive(spark.read.schema(schemaOf("bandKeysSchema"))
+        .parquet(s"$path/bandkeys")),
+      shingles = alive(spark.read.schema(schemaOf("shinglesSchema"))
+        .parquet(s"$path/shingles")),
+      sizes = alive(spark.read.schema(schemaOf("sizesSchema"))
+        .parquet(s"$path/sizes")),
+      n = meta("n").toInt, bands = meta("bands").toInt,
+      rowsPerBand = meta("rowsPerBand").toInt, seed = meta("seed").toLong)
   }
 
   /** Delete docs from the index WITHOUT rewriting it: append their ids

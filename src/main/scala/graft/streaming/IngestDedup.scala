@@ -33,20 +33,25 @@ object IngestDedup {
            idCol: String, threshold: Double): DataFrame = {
     val spark = batch.sparkSession
     val ix = LshIndex.load(spark, indexPath)
+    // classify each pair by which sides are new (PAIR-level flags — a
+    // doc can have both a new-new and a new-old pair, and one new-old
+    // pair must drop it regardless of its new-new role). Two left joins
+    // against the batch-id set replace the former 5-exchange set
+    // algebra (2 semi-joins + intersect + 2 excepts) — pairs are
+    // distinct by construction, so flag filters ARE the set operations;
+    // on micro-batch-sized data each exchange is a ~100 ms scheduling
+    // floor (r12: st11 is fixture-sized and job-count-bound).
+    val bid = batch.select(col(idCol).as("__bid")).distinct()
     val pairs = LshIndex.incrementalPairs(batch, ix, textCol, idCol, threshold)
-      .transform(graft.core.Materialize.frame) // tiny; reused by the old/new split below
-    // classify each pair by which sides are new (PAIR-level set algebra —
-    // a doc can have both a new-new and a new-old pair, and one new-old
-    // pair must drop it regardless of its new-new role)
-    val aNewPairs = pairs
-      .join(batch.select(col(idCol).as("id_a")).distinct(), Seq("id_a"), "left_semi")
-      .select("id_a", "id_b")
-    val bNewPairs = pairs
-      .join(batch.select(col(idCol).as("id_b")).distinct(), Seq("id_b"), "left_semi")
-      .select("id_a", "id_b")
-    val nnPairs = aNewPairs.intersect(bNewPairs)
-    val withOld = aNewPairs.except(nnPairs).select(col("id_a").as("id"))
-      .unionByName(bNewPairs.except(nnPairs).select(col("id_b").as("id")))
+      .join(bid.select(col("__bid").as("id_a"), lit(true).as("__an")), Seq("id_a"), "left")
+      .join(bid.select(col("__bid").as("id_b"), lit(true).as("__bn")), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__an"), lit(false)).as("__an"),
+        coalesce(col("__bn"), lit(false)).as("__bn"))
+      .transform(graft.core.Materialize.frame) // tiny; reused by the splits below
+    val nnPairs = pairs.filter(col("__an") && col("__bn")).select("id_a", "id_b")
+    val withOld = pairs.filter(col("__an") && !col("__bn")).select(col("id_a").as("id"))
+      .unionByName(pairs.filter(col("__bn") && !col("__an")).select(col("id_b").as("id")))
     val nnDrop = Dedup.components(nnPairs).filter(col("id") =!= col("comp")).select("id")
     val drop = withOld.unionByName(nnDrop).distinct().withColumnRenamed("id", idCol)
     val kept = batch.join(drop, Seq(idCol), "left_anti").transform(graft.core.Materialize.frame)
