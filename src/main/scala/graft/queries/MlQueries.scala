@@ -299,9 +299,18 @@ object MlQueries {
       import s.implicits._
       // logreg gets C=100 (regParam 0.01): the zoo default C=1 L2-shrinks
       // the separable fit below the bar — and the override exercises the
-      // params plumbing the searches rely on
+      // params plumbing the searches rely on. rf/gb get right-sized
+      // ensembles (r12, per-member profile at sf1: gb's 50 sequential
+      // boosting rounds were 31.6 s of the 33.5 s query — the one serial
+      // MLlib floor on the board — while accuracy on the threshold label
+      // is ITERATION-FLAT: 0.9880 at 50, 20, and 10 rounds; rf likewise
+      // 0.9880 at 100 and 25 trees). The zoo DEFAULTS keep reference
+      // parity (100/50); this query pins the same oracle contract at
+      // 10 rounds / 25 trees through the same params plumbing.
       val params: Map[String, Models.Params] =
-        Map("logreg" -> Map("C" -> 100.0)).withDefaultValue(Map.empty)
+        Map("logreg" -> Map("C" -> 100.0),
+            "rf" -> Map("n_estimators" -> 25.0),
+            "gb" -> Map("n_estimators" -> 10.0)).withDefaultValue(Map.empty)
       // The three fits are independent seeded MLlib runs with long
       // SERIAL phases (tree induction, L-BFGS driver steps) — submitted
       // concurrently their data-parallel stages interleave and the
