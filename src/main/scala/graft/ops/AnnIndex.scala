@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
 
 /** Persisted IVF (k-means) ANN index — the vector-search production
   * shape: the coarse quantizer is fitted ONCE, and the cell assignment
@@ -48,24 +49,36 @@ object AnnIndex {
   def save(ix: Index, path: String, mode: String = "error"): Unit = {
     ix.cells.write.mode(mode).partitionBy("cell").parquet(s"$path/cells")
     ix.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val spark = ix.cells.sparkSession
-    import spark.implicits._
-    Seq((ix.nlist, ix.seed)).toDF("nlist", "seed")
-      .write.mode("overwrite").parquet(s"$path/params")
+    // driver-side metadata (r12, same contract as LshIndex): params plus
+    // table schemas so load() runs zero Spark jobs. The cells schema is
+    // recorded WITHOUT the `cell` partition column — the reader derives
+    // it from the directory layout and a supplied schema must list it
+    // explicitly, so it is appended at load.
+    LshIndex.writeMeta(ix.cells.sparkSession, s"$path/_meta", Seq(
+      "nlist" -> ix.nlist.toString, "seed" -> ix.seed.toString,
+      "cellsSchema" -> StructType(
+        ix.cells.schema.fields.filter(_.name != "cell")).json,
+      "centroidsSchema" -> ix.centroids.schema.json))
   }
 
   def load(spark: SparkSession, path: String): Index = {
-    val p = spark.read.parquet(s"$path/params").head()
+    val meta = LshIndex.readMeta(spark, s"$path/_meta")
+    def schemaOf(key: String): StructType =
+      DataType.fromJson(meta(key)).asInstanceOf[StructType]
+    val cellsSchema = StructType(schemaOf("cellsSchema").fields :+
+      StructField("cell", IntegerType))
     // tombstone-filtered view, as in LshIndex.load: deletes on an
     // append-only index are broadcast anti-joined ids; rebuild to reclaim
-    val cells0 = spark.read.parquet(s"$path/cells")
+    val cells0 = spark.read.schema(cellsSchema).parquet(s"$path/cells")
     val cells =
       if (LshIndex.hadoopExists(spark, s"$path/tombstones"))
-        cells0.join(broadcast(spark.read.parquet(s"$path/tombstones")),
-          Seq("corpus_id"), "left_anti")
+        cells0.join(broadcast(spark.read.schema(StructType(
+            cellsSchema.fields.filter(_.name == "corpus_id")))
+          .parquet(s"$path/tombstones")), Seq("corpus_id"), "left_anti")
       else cells0
-    Index(spark.read.parquet(s"$path/centroids"), cells,
-      p.getAs[Int]("nlist"), p.getAs[Long]("seed"))
+    Index(spark.read.schema(schemaOf("centroidsSchema"))
+        .parquet(s"$path/centroids"), cells,
+      meta("nlist").toInt, meta("seed").toLong)
   }
 
   /** Delete vectors without rewriting cells: tombstone ids filtered out

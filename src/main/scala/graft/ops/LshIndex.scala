@@ -81,21 +81,29 @@ object LshIndex {
     // were 5 of IngestDedup.step's 30 jobs, pure scheduling overhead on
     // micro-batch-sized data. Written LAST for the same crash-window
     // reason band keys precede it (missing meta = index absent).
-    val spark = ix.bandKeys.sparkSession
-    val lines = Seq(
-      s"n=${ix.n}", s"bands=${ix.bands}", s"rowsPerBand=${ix.rowsPerBand}",
-      s"seed=${ix.seed}",
-      s"bandKeysSchema=${ix.bandKeys.schema.json}",
-      s"shinglesSchema=${ix.shingles.schema.json}",
-      s"sizesSchema=${ix.sizes.schema.json}")
-    val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    writeMeta(ix.bandKeys.sparkSession, s"$path/_meta", Seq(
+      "n" -> ix.n.toString, "bands" -> ix.bands.toString,
+      "rowsPerBand" -> ix.rowsPerBand.toString, "seed" -> ix.seed.toString,
+      "bandKeysSchema" -> ix.bandKeys.schema.json,
+      "shinglesSchema" -> ix.shingles.schema.json,
+      "sizesSchema" -> ix.sizes.schema.json))
+  }
+
+  /** Write a key=value metadata file driver-side through the Hadoop FS
+    * (shared by the LSH and ANN index layouts — r12): persisted params
+    * and schemas cost zero Spark jobs on both ends. */
+  private[ops] def writeMeta(spark: SparkSession, path: String,
+                             kv: Seq[(String, String)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem
       .get(p.toUri, spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
   }
 
-  private def readMeta(spark: SparkSession, path: String): Map[String, String] = {
+  private[ops] def readMeta(spark: SparkSession, path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem
       .get(p.toUri, spark.sessionState.newHadoopConf())
