@@ -185,19 +185,21 @@ object Balancing {
 
   /** B4 — ClusterCentroids: replace every over-represented class with the
     * k-means centroids of its rows, k = minority-class size
-    * (`data_balancing_list_method_logic.py:35-43`). The fit is MLlib KMeans
-    * (executor-parallel Lloyd iterations); centroid rows carry the class. */
+    * (`data_balancing_list_method_logic.py:35-43`). The fit is
+    * [[GridKMeans]] (r13): exact Lloyd whose assign step is a broadcast
+    * cell-grid ring search — ~ring-occupancy centroids touched per row
+    * instead of all k, one job per iteration — replacing the MLlib fit
+    * whose flat O(rows * k) distance scan was the measured 19 s sf1
+    * floor (k = minority size is corpus-scale here, not "a few
+    * clusters"). Same contract: euclidean on raw features, seeded
+    * random init, k centroid rows per over-represented class. */
   case class ClusterCentroids(target: String, features: Seq[String],
                               seed: Long = 42L, maxIter: Int = 10) extends TableOp {
     def describe = s"cluster-centroid undersample classes of $target"
     def apply(df: DataFrame): DataFrame = {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.feature.VectorAssembler
       val counts = classCounts(df, target).collect()
         .map(r => r.get(0) -> r.getLong(1)).toMap
       val minCount = counts.values.min
-      val assembler = new VectorAssembler().setInputCols(features.toArray)
-        .setOutputCol("__v").setHandleInvalid("skip")
       // One seeded k-means per over-represented class, independent fits
       // with long serial driver phases — submitted as CONCURRENT Spark
       // jobs (same pattern as Validation.inParallel / Pq.train) so the
@@ -212,20 +214,10 @@ object Balancing {
           if (n <= minCount) sub.select((features.map(c => col(c).cast("double").as(c)) :+
             col(target)): _*)
           else {
-            // r10: init is "random", not the default k-means||. With
-            // k = minority size (corpus-scale, 75k at sf1), k-means||
-            // finishes with a DRIVER-LOCAL weighted k-means++ over
-            // ~initSteps*2k candidates — O(k^2) single-threaded, the
-            // actual b4 bottleneck (37.5s -> 15.7s isolated sf1) and a
-            // scale-killer at 100x k. Random init keeps every phase
-            // distributed; with k this large the seeding quality gap
-            // is immaterial (Lloyd reassigns everything in pass 1) and
-            // the count contract (k centroids per class) is identical.
-            val km = new KMeans().setK(minCount.toInt).setSeed(seed).setMaxIter(maxIter)
-              .setInitMode("random").setFeaturesCol("__v")
-            val model = km.fit(assembler.transform(sub))
-            val rows = model.clusterCenters.toSeq.map(v =>
-              org.apache.spark.sql.Row.fromSeq(v.toArray.toSeq :+ cls))
+            val cents = GridKMeans.fit(sub, features, minCount.toInt,
+              seed, maxIter)
+            val rows = cents.toSeq.map(v =>
+              org.apache.spark.sql.Row.fromSeq(v.toSeq :+ cls))
             val schema = org.apache.spark.sql.types.StructType(
               features.map(c => org.apache.spark.sql.types.StructField(c,
                 org.apache.spark.sql.types.DoubleType)) :+

@@ -91,27 +91,52 @@ object LshIndex {
 
   /** Write a key=value metadata file driver-side through the Hadoop FS
     * (shared by the LSH and ANN index layouts — r12): persisted params
-    * and schemas cost zero Spark jobs on both ends. */
+    * and schemas cost zero Spark jobs on both ends.
+    *
+    * Crash-safe (r13 ADVICE): the bytes go to `<path>.tmp` and are
+    * RENAMED over the target — rename is atomic on HDFS and local FS, so
+    * a crash mid-write leaves either the old valid meta or the new one,
+    * never a truncated file (an in-place truncating create would turn a
+    * previously-valid index unreadable, which at-least-once replay
+    * cannot repair — "missing meta = index absent" only holds if meta
+    * can't be half-present). A rewrite with IDENTICAL content (every
+    * append — params and schemas never change on append) is skipped
+    * entirely: zero FS mutation, zero crash window. */
   private[ops] def writeMeta(spark: SparkSession, path: String,
                              kv: Seq[(String, String)]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem
       .get(p.toUri, spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
-      .getBytes("UTF-8"))
-    finally out.close()
+    val body = kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+    if (fs.exists(p) &&
+        scala.util.Try(readMeta(spark, path)).toOption.contains(kv.toMap))
+      return
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false) // rename won't clobber on RawLocalFs
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
   private[ops] def readMeta(spark: SparkSession, path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem
       .get(p.toUri, spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      throw new java.io.FileNotFoundException(
+        s"$path: index metadata not found. Indexes saved before the " +
+        "_meta layout (pre-r12: params/ parquet table) are not readable " +
+        "by this version — rebuild the index with save(), or see " +
+        "CHANGELOG.md for the layout change.")
     val in = fs.open(p)
     val bytes =
       try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     new String(bytes, "UTF-8").split("\n").map { l =>
       val i = l.indexOf('=')
+      require(i >= 0,
+        s"$path: malformed metadata line (no '='): '$l' — file is " +
+        "truncated or not a graft index _meta file")
       l.substring(0, i) -> l.substring(i + 1)
     }.toMap
   }

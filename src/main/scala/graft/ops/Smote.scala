@@ -88,10 +88,19 @@ object Smote {
     * unmaterialized scaled lineage at every packing site. */
   private def packGuard(all: DataFrame, counts: Map[String, Long],
                         cNum: Int): Unit = {
+    // r13 ADVICE: the probe partition count can drift from the count a
+    // LATER execution of the unmaterialized lineage actually plans (AQE
+    // or file-split changes), so the static bound carries a 4x partition
+    // safety margin; only if even the padded bound doesn't fit do we pay
+    // the exact max(__id) scan the static check replaced.
     val parts = math.max(1, all.rdd.getNumPartitions).toLong
-    val bound = ((parts - 1L) << 33) + counts.values.sum
-    require(bound <= (Long.MaxValue - cNum) / cNum,
-      s"id space too small to pack $cNum classes (static bound $bound)")
+    val limit = (Long.MaxValue - cNum) / cNum
+    val padded = ((4L * parts - 1L) << 33) + counts.values.sum
+    if (padded > limit) {
+      val maxId = all.agg(max(col("__id"))).head.getLong(0)
+      require(maxId <= limit,
+        s"id space too small to pack $cNum classes (max id $maxId)")
+    }
   }
 
   /** Numeric projection + stable ids + per-class counts, shared prep. */

@@ -234,6 +234,19 @@ object MiscQueries {
           .withColumn("seg", pmod(col("event_id"), lit(20L))),
         "seg", col("event_type") === "click", q = 0.1)),
 
+    "a45b_bh_fdr_degen" -> ((s, dir) =>
+      // planted degenerate pool (r13, e8b/a14b audit pattern): every
+      // event is a click, so the pooled rate is 1 and the z denominator
+      // is sqrt(0) — the r10 NULL-readout branch (z/p/rejected all NULL)
+      // must survive the oracle, not just the spec. Rank order with
+      // all-NULL p collapses to segment asc in BOTH engines (Spark
+      // nulls-first vs DuckDB nulls-last only differ when NULL p MIXES
+      // with non-NULL).
+      graft.ops.Audit.bhFdr(
+        Tables.events(s, dir).filter(col("event_type") === "click")
+          .withColumn("seg", pmod(col("event_id"), lit(20L))),
+        "seg", col("event_type") === "click", q = 0.1)),
+
     "a44_levene" -> ((s, dir) =>
       // Brown-Forsythe variance-homogeneity test (r9): ANOVA-F on
       // |x - exact group median|; medians via the per-key global-rank
@@ -926,6 +939,42 @@ object MiscQueries {
                        WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522
                        WHEN '9' THEN 0.045757491 ELSE 0.0 END, 6) AS deviation
       FROM c CROSS JOIN t""",
+
+    // a45b: the a45 tree on the all-click slice — gx = gn forces the
+    // NULL branch everywhere; ranks tie-break on segment in both engines
+    "a45b_bh_fdr_degen" -> """
+      WITH per AS (
+        SELECT event_id % 20 AS segment, count(*) AS n,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_pos
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      g AS (SELECT sum(n) AS gn, sum(n_pos) AS gx, count(*) AS m FROM per),
+      zc AS (SELECT per.segment, per.n, per.n_pos, g.m,
+               CASE WHEN g.gx = 0 OR g.gx = g.gn THEN NULL ELSE
+               ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                - (CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE)))
+               / sqrt(((CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE))
+                       * (1.0 - (CAST(gx AS DOUBLE) / CAST(gn AS DOUBLE))))
+                      / CAST(n AS DOUBLE)) END AS z
+             FROM per CROSS JOIN g),
+      pc AS (SELECT segment, n, n_pos, m, z,
+               (1.0 / (1.0 + (0.2316419 * abs(z)))) AS t,
+               (exp((-(abs(z) * abs(z))) / 2.0) * 0.3989422804014327) AS pd
+             FROM zc),
+      pv AS (SELECT segment, n, n_pos, m, z,
+               2.0 * (pd * (t * (0.319381530 + (t * (-0.356563782
+                 + (t * (1.781477937 + (t * (-1.821255978
+                 + (t * 1.330274429)))))))))) AS p
+             FROM pc),
+      rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, segment)
+                            AS BIGINT) AS p_rank FROM pv),
+      ks AS (SELECT max(CASE WHEN p <= ((CAST(p_rank AS DOUBLE) * 0.1)
+                                        / CAST(m AS DOUBLE))
+                             THEN p_rank END) AS k FROM rk)
+      SELECT segment, n, n_pos,
+             round(z, 6) AS z, round(p, 6) AS p_value, p_rank,
+             CASE WHEN p IS NULL THEN NULL
+                  ELSE coalesce(p_rank <= ks.k, false) END AS rejected
+      FROM rk CROSS JOIN ks""",
 
     // a45: one segment aggregate, the A&S normal-CDF Horner tree
     // token-identical, rank by (p, segment), BH k* as a conditional max

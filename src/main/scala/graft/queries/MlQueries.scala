@@ -422,6 +422,18 @@ object MlQueries {
         when(col("o_totalprice") > lit(150000.0), "F")
           .otherwise("other"))),
 
+    "m35b_kappa_disjoint" -> ((s, dir) =>
+      // planted degenerate raters (r13, e8b/a14b audit pattern): the
+      // label sets {'lo','hi'} and {'big','small'} are DISJOINT, so the
+      // marginal join is empty — the r10 coalesce reads chance
+      // agreement as a true 0 (kappa = p_obs = 0), not NULL; sf data
+      // never exercises this branch
+      graft.ml.Compare.cohenKappa(Tables.orders(s, dir),
+        when(col("o_orderdate") < lit("1995-06-17").cast("date"), "lo")
+          .otherwise("hi"),
+        when(col("o_totalprice") > lit(150000.0), "big")
+          .otherwise("small"))),
+
     "m33_pr_curve" -> ((s, dir) =>
       // precision-recall operating-point table (r9): the m28 score link
       // bucketed at 20 thresholds, descending cumulative tp/n via
@@ -1104,6 +1116,39 @@ object MlQueries {
     // m28: the same piecewise-linear probability link, the same
     // floor(p*10)+1 top-clamped cut, Σp as round-9 DECIMAL sums,
     // Brier terms token-identical to the engine
+    // m35b: the m35 tree with disjoint label sets — the pe join is
+    // empty, coalesce pins chance agreement to exactly 0
+    "m35b_kappa_disjoint" -> """
+      WITH lab AS (
+        SELECT CASE WHEN o_orderdate < DATE '1995-06-17' THEN 'lo'
+                    ELSE 'hi' END AS a,
+               CASE WHEN o_totalprice > 150000.0 THEN 'big'
+                    ELSE 'small' END AS b
+        FROM orders),
+      cells AS (SELECT a, b, count(*) AS o FROM lab GROUP BY 1, 2),
+      ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+      rb AS (SELECT b, sum(o) AS rb FROM cells GROUP BY 1),
+      tot AS (SELECT sum(o) AS n,
+                     sum(CASE WHEN a = b THEN o ELSE 0 END) AS agree
+              FROM cells),
+      pe AS (SELECT coalesce(sum(CAST(round((CAST(ra.ra AS DOUBLE)
+                                    / CAST(tot.n AS DOUBLE))
+                                   * (CAST(rb.rb AS DOUBLE)
+                                      / CAST(tot.n AS DOUBLE)), 9)
+                             AS DECIMAL(28,9))),
+                             CAST(0 AS DECIMAL(28,9))) AS pe
+             FROM ra JOIN rb ON ra.a = rb.b CROSS JOIN tot)
+      SELECT CAST(tot.n AS BIGINT) AS n,
+             round(CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+               AS p_obs,
+             round(CAST(pe.pe AS DOUBLE), 6) AS p_exp,
+             CASE WHEN CAST(pe.pe AS DOUBLE) >= 1.0 THEN NULL
+                  ELSE round(((CAST(tot.agree AS DOUBLE)
+                               / CAST(tot.n AS DOUBLE))
+                    - CAST(pe.pe AS DOUBLE))
+                   / (1.0 - CAST(pe.pe AS DOUBLE)), 6) END AS kappa
+      FROM tot CROSS JOIN pe""",
+
     // m35: one contingency aggregate; chance agreement folds the
     // marginal-share products round-9 DECIMAL-summed; trees mirrored
     "m35_cohen_kappa" -> """

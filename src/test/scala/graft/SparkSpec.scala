@@ -27,8 +27,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       tmpDirs.foreach { p =>
         try {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          val walk = java.nio.file.Files.walk(p)
+          val files = try walk.iterator().asScala.toSeq.reverse
+                      finally walk.close()
+          files.foreach(f => java.nio.file.Files.deleteIfExists(f))
         } catch { case _: java.io.IOException => () } // best-effort
       }
       tmpDirs.clear()

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GridKMeansSpec extends SparkSpec {
+
+  private def bruteNearest(x: Array[Double],
+                           cs: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      var s = 0.0
+      var j = 0
+      while (j < x.length) { val t = x(j) - cs(i)(j); s += t * t; j += 1 }
+      if (s < bestD || (s == bestD && i < best)) { bestD = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  test("grid ring search returns the EXACT nearest centroid on uniform, " +
+    "clumpy, and sparse shapes (vs brute force)") {
+    val rnd = new scala.util.Random(11)
+    def check(cents: Array[Array[Double]], pts: Seq[Array[Double]]): Unit = {
+      val w = GridKMeans.gridWidth(cents)
+      val g = GridKMeans.buildGrid(cents, w)
+      pts.foreach { x =>
+        val got = GridKMeans.nearest(x, cents, g, w)
+        val want = bruteNearest(x, cents)
+        // equal-distance ties may legitimately differ ONLY if distances
+        // tie; both must then be the lowest-cid minimum, so ids match
+        assert(got == want,
+          s"grid=$got brute=$want for ${x.toSeq} (w=$w)")
+      }
+    }
+    // uniform box
+    val uni = Array.fill(300)(Array(rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    check(uni, Seq.fill(500)(Array(rnd.nextDouble() * 120 - 10, rnd.nextDouble() * 120 - 10)))
+    // clumpy: three tight clusters far apart (adaptive width must not
+    // leave whole clumps in one cell unpruned, and fringe points far
+    // from every clump must fall back to brute exactly)
+    val clump = (0 until 3).flatMap(c => Array.fill(100)(
+      Array(c * 1e6 + rnd.nextGaussian(), c * 1e6 + rnd.nextGaussian()))).toArray
+    check(clump, Seq.fill(300)(Array(rnd.nextDouble() * 3e6 - 5e5, rnd.nextDouble() * 3e6 - 5e5)))
+    // 1-D (second dim constant) and duplicate centroids (tie -> low cid)
+    val dup = Array(Array(5.0, 0.0), Array(5.0, 0.0), Array(9.0, 0.0))
+    val wd = GridKMeans.gridWidth(dup)
+    val gd = GridKMeans.buildGrid(dup, wd)
+    assert(GridKMeans.nearest(Array(5.2, 0.0), dup, gd, wd) == 0)
+  }
+
+  test("fit: exactly k centroids, every Lloyd iteration bit-identical to " +
+    "a driver-side reference on single-partition data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(400)((rnd.nextDouble() * 50, rnd.nextDouble() * 50))
+    val df = pts.toDF("a", "b").coalesce(1)
+    val k = 25
+    // reference: same init (maxIter=0 returns it), then brute Lloyd with
+    // the same update rule, iterating rows in partition order
+    var ref = GridKMeans.fit(df, Seq("a", "b"), k, seed = 5L, maxIter = 0)
+    assert(ref.length == k)
+    val rows = pts.map(p => Array(p._1, p._2))
+    for (it <- 1 to 3) {
+      val sums = Array.fill(k)(Array(0.0, 0.0))
+      val cnts = Array.fill(k)(0L)
+      rows.foreach { x =>
+        val c = bruteNearest(x, ref)
+        sums(c)(0) += x(0); sums(c)(1) += x(1); cnts(c) += 1
+      }
+      ref = ref.indices.map(i =>
+        if (cnts(i) == 0) ref(i).clone()
+        else Array(sums(i)(0) / cnts(i), sums(i)(1) / cnts(i))).toArray
+      val got = GridKMeans.fit(df, Seq("a", "b"), k, seed = 5L, maxIter = it)
+      assert(got.length == k)
+      assert(got.indices.forall(i => java.util.Arrays.equals(got(i), ref(i))),
+        s"iteration $it diverged from reference Lloyd")
+    }
+  }
+
+  test("fit skips null/NaN feature rows and is deterministic across " +
+    "partitionings at the assignment level") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.fill(200)((rnd.nextDouble() * 10, rnd.nextDouble() * 10)) ++
+      Seq((Double.NaN, 1.0))
+    val df = pts.toDF("a", "b")
+      .withColumn("a", when(col("a") > 9.9, lit(null)).otherwise(col("a")))
+    val c1 = GridKMeans.fit(df.repartition(1), Seq("a", "b"), 10, seed = 3L)
+    val c2 = GridKMeans.fit(df.repartition(7), Seq("a", "b"), 10, seed = 3L)
+    assert(c1.length == 10 && c2.length == 10)
+    // same init (hash order is partitioning-proof); after one exact
+    // assignment pass the CLUSTER MEMBERSHIP is identical, so centroids
+    // agree to FP-merge-order tolerance
+    c1.zip(c2).foreach { case (x, y) =>
+      x.zip(y).foreach { case (u, v) => assert(math.abs(u - v) < 1e-9) }
+    }
+  }
+}

@@ -82,6 +82,37 @@ class LshIndexSpec extends SparkSpec {
     assert(inc1.contains((1L, 1001L)))
   }
 
+  test("_meta writes: no tmp leftover, identical rewrite skipped, corrupt/missing fail loudly") {
+    val dir = tempDir("lshix_meta")
+    LshIndex.save(LshIndex.build(corpus, "text", "doc_id", 3, 21, 3), dir)
+    val metaFile = new java.io.File(dir, "_meta")
+    assert(metaFile.exists())
+    assert(!new java.io.File(dir, "_meta.tmp").exists(),
+      "tmp file must be renamed away")
+    // identical rewrite (what every append does) is a no-op: pin a
+    // sentinel mtime and assert the file was not touched
+    val kv = LshIndex.readMeta(spark, metaFile.toString).toSeq
+    assert(metaFile.setLastModified(1234567000L))
+    LshIndex.writeMeta(spark, metaFile.toString, kv)
+    assert(metaFile.lastModified() == 1234567000L,
+      "identical _meta rewrite must skip the write entirely")
+    // changed content DOES rewrite (atomically)
+    LshIndex.writeMeta(spark, metaFile.toString, kv :+ ("extra" -> "1"))
+    assert(LshIndex.readMeta(spark, metaFile.toString)("extra") == "1")
+    // a truncated/garbage meta names the problem instead of
+    // StringIndexOutOfBounds
+    java.nio.file.Files.write(metaFile.toPath, "not key value".getBytes)
+    // drop the local-FS checksum sidecar so the corruption reaches
+    // readMeta instead of ChecksumException
+    new java.io.File(dir, "._meta.crc").delete()
+    val e1 = intercept[IllegalArgumentException](LshIndex.load(spark, dir))
+    assert(e1.getMessage.contains("malformed"), e1.getMessage)
+    // a missing meta names the pre-_meta layout migration story
+    assert(metaFile.delete())
+    val e2 = intercept[java.io.FileNotFoundException](LshIndex.load(spark, dir))
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+  }
+
   test("the index probe never shuffles the index side (broadcast batch keys)") {
     val ix = LshIndex.build(corpus, "text", "doc_id", n = 3, bands = 21, rowsPerBand = 3)
     val plan = LshIndex.incrementalPairs(batch, ix, "text", "doc_id", 0.7)
