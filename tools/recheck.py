@@ -38,8 +38,14 @@ ABS = 0.5
 
 
 def load_queries(path):
-    with open(path) as f:
-        d = json.load(f)
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (json.JSONDecodeError, OSError) as e:
+        # an empty/truncated artifact (e.g. a board run that died before
+        # writing) must not kill the whole band build
+        print(f"[recheck] skipping unreadable {path}: {e}", file=sys.stderr)
+        return {}
     return d.get("queries", {})
 
 
@@ -47,6 +53,8 @@ def scale_of(path, explicit):
     name = os.path.basename(path)
     if "sf01" in name or "sf0.1" in name:
         return "sf0.1"
+    if "sf10" in name:  # the sf10 probe must not pollute the sf1 band
+        return "sf10"
     if "sf1" in name:
         return "sf1"
     return explicit
@@ -64,6 +72,9 @@ def main():
     ap.add_argument("--run", action="store_true",
                     help="execute the isolated recheck (idle machine!)")
     ap.add_argument("--out", default=None, help="write JSON report here")
+    ap.add_argument("--extra", default="",
+                    help="comma-separated queries to force into the "
+                         "isolated run even if in band (verdict MEASURED)")
     args = ap.parse_args()
 
     # 1. historical bands from every committed artifact at this scale
@@ -75,7 +86,7 @@ def main():
         if scale_of(p, None) != args.scale:
             continue
         for q, t in load_queries(p).items():
-            if t is None or t < 0:
+            if not isinstance(t, (int, float)) or t < 0:
                 continue
             bands.setdefault(q, []).append(t)
             sources.setdefault(q, []).append(os.path.basename(p))
@@ -97,7 +108,8 @@ def main():
               "tol": args.tol, "abs_s": args.abs_s,
               "n_queries": len(new), "n_fresh": len(fresh),
               "fresh": fresh, "out_of_band": out_of_band}
-    names = ",".join(sorted(out_of_band))
+    extra = [q for q in args.extra.split(",") if q and q not in out_of_band]
+    names = ",".join(sorted(set(out_of_band) | set(extra)))
     print(f"== {len(new)} queries, {len(fresh)} fresh, "
           f"{len(out_of_band)} out of band")
     for q, info in sorted(out_of_band.items()):
@@ -135,6 +147,15 @@ def main():
             # the bench — keep the REGRESSED verdict printable (r9 ADVICE)
             iso_s = "MISSING" if iso is None else f"{iso:.2f}s"
             print(f"   {q}: isolated {iso_s} -> {verdicts[q]['verdict']}")
+        for q in extra:
+            iso = isolated.get(q)
+            verdicts[q] = {"isolated_median9": iso,
+                           "board": new.get(q),
+                           "band_max": max(bands[q]) if q in bands else None,
+                           "verdict": "MEASURED"}
+            iso_s = "MISSING" if iso is None else f"{iso:.2f}s"
+            print(f"   {q}: isolated {iso_s} (forced, board "
+                  f"{new.get(q)})")
         report["isolated"] = verdicts
 
     if args.out:
