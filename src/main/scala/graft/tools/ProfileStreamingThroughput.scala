@@ -106,10 +106,13 @@ object ProfileStreamingThroughput {
     val results = scala.collection.mutable.Map.empty[String, Any]
 
     // ---- event stream: K files ordered by ts so the watermark advances
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select("event_id", "ts", "user_id", "value")
+    // (Tables.events's NTZ->TIMESTAMP normalization applied: watermarks
+    // reject TIMESTAMP_NTZ)
+    val events = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("value"))
     val evSrc = s"$root/events_src"
-    val K = 20
+    val K = sys.env.getOrElse("SPARK_GRAFT_STP_K", "20").toInt
     stageBatches(events, "ts", K, evSrc)
     val evSchema = events.schema
 
@@ -144,7 +147,7 @@ object ProfileStreamingThroughput {
         .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
           concat(col("text"), lit(" extra token")).as("text")))
     val docSrc = s"$root/docs_src"
-    val J = 10
+    val J = sys.env.getOrElse("SPARK_GRAFT_STP_J", "10").toInt
     stageBatches(incoming, "doc_id", J, docSrc)
     val docBytes = incoming.agg(sum(length(col("text")))).head.getLong(0)
 
