@@ -227,33 +227,69 @@ object Dedup {
     // consistent with the pair-common counts (stop-shingles are removed
     // from the feature set, not just from the join). Doc frequencies
     // come from an AGGREGATE + JOIN, not a Window.partitionBy(sh): the
-    // counts table is vocabulary-sized after map-side combine, so only
-    // ~|distinct shingles| rows cross the wire and AQE turns the join
-    // back into a BROADCAST onto the exchange output — the occurrence
-    // stream itself is never shuffled (let alone sorted) by shingle,
-    // which the window shape forced on the whole corpus.
+    // counts table is vocabulary-sized after map-side combine.
+    //
+    // r13 reshape (sf10 phase profile, ProfileJaccard): the former
+    // collect_list(struct)+sort_array per-doc aggregate was the d6
+    // monster — an OBJECT hash aggregate materializing |occurrences|
+    // structs into per-doc arrays (and spilling the 8g bench heap) just
+    // to slice a prefix. Three changes, all output-identical:
+    //   1. the global rarest-first (df, sh) rank now comes from a
+    //      row_number WINDOW — a codegen sort of narrow rows, no object
+    //      buffers, and the same window yields n_sh via count(*);
+    //   2. the pair dedup aggregate also applies the PPJOIN-style
+    //      suffix bound: m shared prefix elements with last match at
+    //      ranks (pa, pb) admit at most m + min(na-pa, nb-pb) common
+    //      shingles — every unmatched common element sits strictly
+    //      after the last match in BOTH prefixes under the shared
+    //      global order — so candidates that cannot reach the required
+    //      overlap ceil(t(na+nb)/(1+t)) die before the array join
+    //      (sf10: 10.4M candidates -> the verify set);
+    //   3. verification arrays are collected ONLY for docs that appear
+    //      in surviving candidates (left_semi) — the one remaining
+    //      object aggregate is proportional to the near-dup-involved
+    //      corpus, not the whole corpus.
     val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDocsPerShingle)
-    val pruned = sh.join(dfCounts, "sh")
-    // one aggregate serves prefix extraction AND exact verification:
-    // sort_array over (df, sh) structs = the global rarest-first order
-    val docs = pruned.groupBy("id").agg(
-      sort_array(collect_list(struct(col("__df"), col("sh")))).as("__ordered"),
-      count(lit(1)).as("n_sh"))
+    val keepCounts = dfCounts.filter(col("__df") <= maxDocsPerShingle)
+    // the inner join attaches df for ordering AND drops hot shingles
+    val withDf = sh.join(keepCounts, "sh")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val ranked = withDf.select(col("id"), col("sh"),
+      row_number().over(byDoc.orderBy(col("__df"), col("sh"))).as("__pos"),
+      count(lit(1)).over(byDoc).as("n_sh"))
     // ceil(t*n) - 1e-9: FP error may only LENGTHEN the prefix (safe)
     val prefLen = (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int")
-    val prefix = docs.select(col("id"), col("n_sh"),
-      explode(slice(col("__ordered.sh"), lit(1), prefLen)).as("sh"))
+    val prefix = ranked.filter(col("__pos") <= prefLen)
     // size-ratio filter (J>=t forces t*max<=min); 1e-9 slack only
     // over-keeps — a wrong drop would lose a true pair
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          greatest(col("a.n_sh"), col("b.n_sh")) * lit(threshold) <=
-            least(col("a.n_sh"), col("b.n_sh")) + lit(1e-9))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifyPairsJaccard(cand, docs.select(col("id"),
-      col("__ordered.sh").as("__set"), col("n_sh")), threshold)
+    val joined = prefix.as("a").join(prefix.as("b"),
+      col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+        greatest(col("a.n_sh"), col("b.n_sh")) * lit(threshold) <=
+          least(col("a.n_sh"), col("b.n_sh")) + lit(1e-9))
+    // pair aggregate = the old dropDuplicates shuffle, now also carrying
+    // the suffix-bound stats (max pos on each side comes from the SAME
+    // shared element — the global-order maximum of the matched set)
+    val candAll = joined.groupBy(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("__na"), col("b.n_sh").as("__nb"))
+      .agg(count(lit(1)).as("__m"),
+        max(col("a.__pos")).as("__pa"), max(col("b.__pos")).as("__pb"))
+    val required = ceil((col("__na") + col("__nb")) * lit(threshold)
+      / lit(1.0 + threshold) - lit(1e-9))
+    // no Materialize here (the pair generators' no-persisted-RDD
+    // contract, DedupSpec): `cand` is consumed twice below, but the two
+    // subtrees are identical so ReuseExchange computes the pair-join
+    // shuffle once
+    val cand = candAll
+      .filter(col("__m") + least(col("__na") - col("__pa"),
+        col("__nb") - col("__pb")) >= required)
+      .select("id_a", "id_b")
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val sets = withDf.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_list(col("sh")).as("__set"),
+        count(lit(1)).as("n_sh"))
+    verifyPairsJaccard(cand, sets, threshold)
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
