@@ -192,20 +192,31 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val results = names.map { name =>
+      // a failed repeat poisons the whole entry to -1 (the artifact
+      // family's failure sentinel — recheck.py/scale_probe.py skip
+      // negatives): the old shape recorded time-to-CRASH as if it were
+      // a measurement, which read an sf10 OOM as a 7-second "speedup"
+      // (r13). The error goes to stderr with the query name.
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { all(name)(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: " +
+              s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      val m = if (times.exists(_ < 0)) -1.0 else median(times)
       // progress to STDERR (the driver greps the stdout JSON line only):
       // a hung/cliffed query at a new scale is identifiable mid-run
-      System.err.println(f"[bench] $name ${median(times)}%.2f s " +
+      System.err.println(f"[bench] $name $m%.2f s " +
         times.map(t => f"$t%.2f").mkString("(", " ", ")"))
-      name -> median(times)
+      name -> m
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat}""")
     spark.stop()
   }

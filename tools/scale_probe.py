@@ -52,13 +52,18 @@ def main():
         row = {}
         for name, sfdir in scales:
             t = run_one(q, sfdir, args.repeat)
-            row[name] = round(t, 2)
-            print(f"[probe] {q} @ {name}: {t:.2f}s", flush=True)
+            if t is None or t < 0:
+                row[name] = None  # bench reported FAILED (see stderr)
+                print(f"[probe] {q} @ {name}: FAILED", flush=True)
+            else:
+                row[name] = round(t, 2)
+                print(f"[probe] {q} @ {name}: {t:.2f}s", flush=True)
         names = [n for n, _ in scales]
         for a, b in zip(names, names[1:]):
-            if row[a] > 0:
+            if row.get(a) and row.get(b) and row[a] > 0:
                 row[f"ratio_{b}_over_{a}"] = round(row[b] / row[a], 2)
-        if len(names) >= 3 and row[names[0]] > 0:
+        if len(names) >= 3 and row.get(names[0]) and row.get(names[-1]) \
+                and row[names[0]] > 0:
             row[f"ratio_{names[-1]}_over_{names[0]}"] = \
                 round(row[names[-1]] / row[names[0]], 2)
         out["queries"][q] = row
