@@ -125,8 +125,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = merged.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = merged.values.map(_.toDouble).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // same failed-count honesty as the single-JVM path below
+    val failed = merged.values.count(_.toDouble < 0)
+    val total = merged.values.map(_.toDouble).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,""" +
       s""""sf":"$sfDir","repeat":$repeat,"chunk":$chunk}""")
   }
 
@@ -216,8 +218,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // r13 ADVICE: 'total' excludes failed (-1) queries, so a crashing
+    // board would read SMALLER than a passing one — the explicit failed
+    // count makes a partial board uncomparable-by-total at a glance.
+    val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","repeat":$repeat}""")
     spark.stop()
   }
 }

@@ -46,4 +46,29 @@ object Materialize {
       df.localCheckpoint(eager = true)
     }
   }
+
+  /** [[frame]] with SERIALIZED block storage — for materialize-once
+    * frames that are LARGE relative to executor heap (the SMOTE family's
+    * post-synthesis frames: a 10x class deficit materializes ~10x the
+    * input in one go — r13 VERDICT #1/#4). MEMORY_AND_DISK_SER stores
+    * Tungsten-encoded bytes instead of deserialized row objects
+    * (several-x smaller, GC-invisible) and overflows to local disk; the
+    * trade is a per-read decode, irrelevant next to the recompute the
+    * checkpoint avoids. Reliable mode is unchanged (checkpoint() is
+    * already an on-disk serialized form). Results bit-identical to
+    * [[frame]] — only the block encoding differs ([[MaterializeSpec]]). */
+  def frameSer(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.get(ReliableKey, "false").trim.equalsIgnoreCase("true")
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableKey=true requires sparkContext.setCheckpointDir(...) " +
+          "(a durable location all executors can reach)")
+      df.checkpoint(eager = true)
+    } else {
+      df.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+  }
 }

@@ -203,15 +203,92 @@ object Dedup {
                         threshold: Double, maxDocsPerShingle: Int = 1000): DataFrame = {
     // join key = 60-bit md5 of the shingle: an 8-byte shuffle key instead
     // of the n-word string (collision odds ~ |shingles|^2 / 2^60 — nil).
-    // ONE explicit by-id exchange that every consumer hangs off:
-    // ReuseExchange materializes the scan+shingle explode once, the
-    // downstream groupBy(id) aggregates see their clustering satisfied,
-    // and the doc-frequency branch below reads the SAME exchange output
-    // instead of re-scanning the corpus.
+    // The by-id exchange is applied inside jaccardPairsAuto (after the
+    // size probe) so every consumer hangs off ONE exchange: ReuseExchange
+    // materializes the scan+shingle explode once, the downstream
+    // groupBy(id) aggregates see their clustering satisfied, and the
+    // doc-frequency branch reads the SAME exchange output instead of
+    // re-scanning the corpus.
     val sh = shingleHashRows(df, textCol, idCol, n)
       .withColumnRenamed("__h", "sh")
-      .repartition(col("id"))
-    jaccardPairsFromShingles(sh, threshold, maxDocsPerShingle)
+    jaccardPairsAuto(sh, threshold, maxDocsPerShingle)
+  }
+
+  /** Occurrence-count boundary between the two pair-generation shapes:
+    * below it the FUSED per-doc collect_list aggregate (fewer fixed
+    * stages — ~0.6 s cheaper on sub-second fixtures, r13 recheck mm11)
+    * is strictly better; above it the window-rank + ppjoin shape wins
+    * (the fused object aggregate buffers |occurrences| structs and
+    * spilled the sf10 heap — r13 ProfileJaccard). ~1M is where the r13
+    * phase profiles crossed. */
+  private[graft] val FusedOccLimit = 1000000L
+
+  /** Capped row-count probe: reads at most ~max(limit/partitions, 64k)
+    * rows per partition (each partition's iterator stops at the cap, so
+    * the probe never pays a full pass on a big frame). Returns
+    * Some(exactTotal) when the frame is provably <= limit rows; None
+    * when it is bigger OR any partition hit the cap (a skewed frame
+    * under the limit reads as "big" — conservative: both consumers are
+    * exact, only the stage shape differs). */
+  private[graft] def cappedCount(df: DataFrame, limit: Long): Option[Long] = {
+    val probe = df.select(lit(1).as("__one"))
+    val parts = math.max(1, probe.rdd.getNumPartitions).toLong
+    val cap = math.max(limit / parts, 65536L) + 1L
+    val counts = probe.rdd.mapPartitions { it =>
+      var c = 0L
+      while (c < cap && it.hasNext) { it.next(); c += 1 }
+      Iterator.single(c)
+    }.collect()
+    val total = counts.sum
+    if (counts.exists(_ >= cap) || total > limit) None else Some(total)
+  }
+
+  /** Shape dispatch for exact-Jaccard pair generation (r13 VERDICT #2):
+    * fused aggregate under [[FusedOccLimit]] feature occurrences,
+    * window-rank + ppjoin above. `occHint` lets a caller that already
+    * knows (a bound on) the occurrence count skip the probe pass —
+    * pass the bound, not a guess: a too-small hint on a big frame
+    * revives the r13 sf10 object-aggregate spill. */
+  private[graft] def jaccardPairsAuto(sh: DataFrame, threshold: Double,
+                                      maxDocsPerShingle: Int,
+                                      occHint: Option[Long] = None): DataFrame = {
+    val small = occHint match {
+      case Some(n) => n <= FusedOccLimit
+      case None => cappedCount(sh, FusedOccLimit).isDefined
+    }
+    val byId = sh.repartition(col("id"))
+    if (small) jaccardPairsFused(byId, threshold, maxDocsPerShingle)
+    else jaccardPairsFromShingles(byId, threshold, maxDocsPerShingle)
+  }
+
+  /** Small-input pair generation: ONE per-doc object aggregate serves
+    * prefix extraction AND exact verification (sort_array over (df, sh)
+    * structs = the global rarest-first order). Output-identical to
+    * [[jaccardPairsFromShingles]] — same prefix lemma, same size-ratio
+    * filter, same verify — but 4 fewer fixed stages: the right shape
+    * when |occurrences| is fixture-sized, the WRONG shape at corpus
+    * scale (the aggregate buffers every occurrence struct on the heap;
+    * see the r13 reshape notes below). Dispatch via [[jaccardPairsAuto]]. */
+  private[graft] def jaccardPairsFused(sh: DataFrame, threshold: Double,
+                                       maxDocsPerShingle: Int): DataFrame = {
+    val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocsPerShingle)
+    val pruned = sh.join(dfCounts, "sh")
+    val docs = pruned.groupBy("id").agg(
+      sort_array(collect_list(struct(col("__df"), col("sh")))).as("__ordered"),
+      count(lit(1)).as("n_sh"))
+    // ceil(t*n) - 1e-9: FP error may only LENGTHEN the prefix (safe)
+    val prefLen = (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    val prefix = docs.select(col("id"), col("n_sh"),
+      explode(slice(col("__ordered.sh"), lit(1), prefLen)).as("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          greatest(col("a.n_sh"), col("b.n_sh")) * lit(threshold) <=
+            least(col("a.n_sh"), col("b.n_sh")) + lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyPairsJaccard(cand, docs.select(col("id"),
+      col("__ordered.sh").as("__set"), col("n_sh")), threshold)
   }
 
   /** The full exact-Jaccard near-dup discipline over PRE-COMPUTED

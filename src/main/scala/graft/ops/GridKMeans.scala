@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Shape per iteration (the IVF-assign idea applied to Lloyd):
   *   - centroids live DRIVER-SIDE (k x d doubles, <= ~5 MB) and are
-  *     broadcast as a cell-hash grid over the first two feature dims
-  *     (cell width w from a measured-occupancy refinement, computed on
-  *     the driver at zero Spark jobs);
+  *     broadcast as a cell-hash grid over the two HIGHEST-VARIANCE
+  *     centroid dims, re-picked each iteration (r13 VERDICT #3 — a
+  *     near-constant first column would have degraded dims 0/1 to
+  *     brute; cell width w from a measured-occupancy refinement,
+  *     computed on the driver at zero Spark jobs);
   *   - one `mapPartitions` pass assigns every row to its EXACT nearest
   *     centroid by progressive ring search: scan the (2r+1)^2 cell
   *     block, and stop as soon as the best distance <= r*w — any
@@ -71,20 +73,31 @@ object GridKMeans {
         .orderBy((col("__h") +: features.map(col)): _*).limit(k)
         .collect().map(r => Array.tabulate(d)(i => r.getDouble(i)))
       require(init.nonEmpty, "k-means fit on an empty (or all-null) frame")
+      // < k rows: pad by CYCLING the distinct init rows (r13 ADVICE) —
+      // the former pad-with-head froze every clone at one point (ties
+      // resolve to the lowest cid, so duplicate centroids never
+      // separate); cycling spreads the duplicates over the observed
+      // points. Duplicates still tie to the lowest cid (k > distinct
+      // rows forces SOME frozen clones — MLlib keeps k centers too).
       var cents = if (init.length >= k) init
-      else init ++ Array.fill(k - init.length)(init.head.clone()) // < k rows: pad (MLlib keeps k centers)
+      else init ++ Array.tabulate(k - init.length)(i => init(i % init.length).clone())
       val sc = df.sparkSession.sparkContext
       var iter = 0
       var moved = true
       while (iter < maxIter && moved) {
-        val w = gridWidth(cents)
-        val grid = buildGrid(cents, w)
+        // grid the two highest-variance dims of the CURRENT centroids
+        // (r13 VERDICT #3): hard-coded dims 0/1 degraded to brute (exact
+        // but silently slow) whenever the caller's first columns were
+        // near-constant. Driver-side over the k x d array — free.
+        val (d0, d1) = gridDims(cents)
+        val w = gridWidth(cents, d0, d1)
+        val grid = buildGrid(cents, w, d0, d1)
         val bc = sc.broadcast((cents, grid, w))
         val partials = data.mapPartitions { rows =>
           val (cs, g, wid) = bc.value
           val acc = new java.util.HashMap[Int, (Long, Array[Double])]()
           rows.foreach { x =>
-            val cid = nearest(x, cs, g, wid)
+            val cid = nearest(x, cs, g, wid, d0, d1)
             val cur = acc.get(cid)
             if (cur == null) {
               val s = x.clone()
@@ -120,20 +133,47 @@ object GridKMeans {
     } finally data.unpersist(blocking = false)
   }
 
+  /** Per-dim centroid standard deviation — shared by [[gridDims]] and
+    * [[gridWidth]]. */
+  private def stdOf(cents: Array[Array[Double]], i: Int): Double = {
+    if (cents.head.length <= i) return 0.0
+    val k = cents.length
+    val m = cents.map(_(i)).sum / k
+    math.sqrt(cents.map(c => (c(i) - m) * (c(i) - m)).sum / k)
+  }
+
+  /** The two highest-variance dims of the centroid array (ties: lower
+    * index), the grid axes. 1-dim input returns (0, 0) — [[cellOf]]
+    * then keys the second component to 0 like the former shape. The
+    * ring bound is dim-agnostic: outside the radius-(r-1) block means
+    * a > (r-1)*w difference in SOME gridded dim, hence full euclidean
+    * distance strictly > (r-1)*w, whichever dims are gridded. */
+  private[ops] def gridDims(cents: Array[Array[Double]]): (Int, Int) = {
+    val d = cents.head.length
+    if (d == 1) return (0, 0)
+    var b0 = 0; var b1 = 1
+    var s0 = stdOf(cents, 0); var s1 = stdOf(cents, 1)
+    if (s1 > s0) { val t0 = b0; b0 = b1; b1 = t0; val ts = s0; s0 = s1; s1 = ts }
+    var i = 2
+    while (i < d) {
+      val s = stdOf(cents, i)
+      if (s > s0) { b1 = b0; s1 = s0; b0 = i; s0 = s }
+      else if (s > s1) { b1 = i; s1 = s }
+      i += 1
+    }
+    (b0, b1)
+  }
+
   /** Cell width from the DRIVER-SIDE centroid array: start at the
     * unimodal-spread guess and refine by the measured row-weighted
     * occupancy (sum occ^2 / k), exactly `Neighbors.adaptiveWidth`'s
     * statistic computed at zero Spark jobs. Target ~4 centroids/cell
     * (~36 ring candidates — ample for 1-NN). */
-  private[ops] def gridWidth(cents: Array[Array[Double]]): Double = {
+  private[ops] def gridWidth(cents: Array[Array[Double]], d0: Int = 0,
+                             d1: Int = 1): Double = {
     val k = cents.length
     val target = 4.0
-    def stdOf(i: Int): Double = {
-      if (cents.head.length <= i) return 0.0
-      val m = cents.map(_(i)).sum / k
-      math.sqrt(cents.map(c => (c(i) - m) * (c(i) - m)).sum / k)
-    }
-    val spread = math.max(stdOf(0), stdOf(1))
+    val spread = math.max(stdOf(cents, d0), stdOf(cents, d1))
     if (spread == 0.0 || k <= 16) return math.max(spread, 1.0) // degenerate: one cell
     var w = 6.0 * spread * math.sqrt(target / k)
     var prev = Double.MaxValue
@@ -141,9 +181,7 @@ object GridKMeans {
     while (it < 5) {
       val occ = new java.util.HashMap[(Long, Long), Long]()
       cents.foreach { c =>
-        val key = (math.floor(c(0) / w).toLong,
-          if (c.length > 1) math.floor(c(1) / w).toLong else 0L)
-        occ.merge(key, 1L, (a, b) => a + b)
+        occ.merge(cellOf(c, w, d0, d1), 1L, (a, b) => a + b)
       }
       import scala.jdk.CollectionConverters._
       val meanOcc = occ.values().asScala.map(n => n.toDouble * n).sum / k
@@ -156,17 +194,18 @@ object GridKMeans {
     w
   }
 
-  private def cellOf(c: Array[Double], w: Double): (Long, Long) =
-    (math.floor(c(0) / w).toLong,
-      if (c.length > 1) math.floor(c(1) / w).toLong else 0L)
+  private def cellOf(c: Array[Double], w: Double, d0: Int, d1: Int): (Long, Long) =
+    (math.floor(c(d0) / w).toLong,
+      if (d1 != d0 && c.length > d1) math.floor(c(d1) / w).toLong else 0L)
 
-  private[ops] def buildGrid(cents: Array[Array[Double]], w: Double)
+  private[ops] def buildGrid(cents: Array[Array[Double]], w: Double,
+                             d0: Int = 0, d1: Int = 1)
       : java.util.HashMap[(Long, Long), Array[Int]] = {
     val tmp = new java.util.HashMap[(Long, Long),
       scala.collection.mutable.ArrayBuffer[Int]]()
     var i = 0
     while (i < cents.length) {
-      val key = cellOf(cents(i), w)
+      val key = cellOf(cents(i), w, d0, d1)
       var buf = tmp.get(key)
       if (buf == null) {
         buf = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -194,9 +233,11 @@ object GridKMeans {
     * smaller distance... strictly-smaller + ascending ids per cell is
     * NOT globally id-ordered across cells, so ties compare cid too). */
   private[ops] def nearest(x: Array[Double], cs: Array[Array[Double]],
-      g: java.util.HashMap[(Long, Long), Array[Int]], w: Double): Int = {
-    val cx = math.floor(x(0) / w).toLong
-    val cy = if (x.length > 1) math.floor(x(1) / w).toLong else 0L
+      g: java.util.HashMap[(Long, Long), Array[Int]], w: Double,
+      d0: Int = 0, d1: Int = 1): Int = {
+    val cell = cellOf(x, w, d0, d1)
+    val cx = cell._1
+    val cy = cell._2
     var best = -1
     var bestD = Double.MaxValue
     def scanCell(key: (Long, Long)): Unit = {

@@ -93,13 +93,17 @@ object LshIndex {
     * (shared by the LSH and ANN index layouts — r12): persisted params
     * and schemas cost zero Spark jobs on both ends.
     *
-    * Crash-safe (r13 ADVICE): the bytes go to `<path>.tmp` and are
-    * RENAMED over the target — rename is atomic on HDFS and local FS, so
-    * a crash mid-write leaves either the old valid meta or the new one,
-    * never a truncated file (an in-place truncating create would turn a
-    * previously-valid index unreadable, which at-least-once replay
-    * cannot repair — "missing meta = index absent" only holds if meta
-    * can't be half-present). A rewrite with IDENTICAL content (every
+    * Crash-safe: the bytes go to `<path>.tmp` and are RENAMED over the
+    * target. The rename itself is atomic, but RawLocalFs refuses to
+    * clobber, so the target is DELETED first — a crash inside that
+    * delete→rename window leaves only the tmp; [[readMeta]] falls back
+    * to a valid `<path>.tmp` (always fully written+closed before the
+    * delete), so every crash point yields a readable meta: old main,
+    * new main, or complete tmp — never a truncated file (an in-place
+    * truncating create would turn a previously-valid index unreadable,
+    * which at-least-once replay cannot repair — "missing meta = index
+    * absent" only holds if meta can't be half-present). A rewrite with
+    * IDENTICAL content (every
     * append — params and schemas never change on append) is skipped
     * entirely: zero FS mutation, zero crash window. */
   private[ops] def writeMeta(spark: SparkSession, path: String,
@@ -120,11 +124,20 @@ object LshIndex {
   }
 
   private[ops] def readMeta(spark: SparkSession, path: String): Map[String, String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p0 = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem
-      .get(p.toUri, spark.sessionState.newHadoopConf())
-    if (!fs.exists(p))
-      throw new java.io.FileNotFoundException(
+      .get(p0.toUri, spark.sessionState.newHadoopConf())
+    // r13 ADVICE: writeMeta's delete-then-rename is not atomic on
+    // RawLocalFs — a crash between the delete and the rename leaves
+    // ONLY <path>.tmp. The tmp is always fully written and closed
+    // BEFORE the delete, so a present tmp with a missing main file is
+    // a complete, valid meta — read it rather than misdiagnosing the
+    // index as a pre-r12 layout.
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val p =
+      if (fs.exists(p0)) p0
+      else if (fs.exists(tmp)) tmp
+      else throw new java.io.FileNotFoundException(
         s"$path: index metadata not found. Indexes saved before the " +
         "_meta layout (pre-r12: params/ parquet table) are not readable " +
         "by this version — rebuild the index with save(), or see " +

@@ -490,12 +490,19 @@ object Multimodal {
     * (video_a, video_b, jaccard). */
   def videoNearDupPairs(frames: DataFrame, window: Int = 2,
                         threshold: Double = 0.5,
-                        maxVideosPerShingle: Int = 1000): DataFrame =
-    Dedup.jaccardPairsFromShingles(
-      videoShingles(frames, window).repartition(col("id")),
-      threshold, maxVideosPerShingle)
+                        maxVideosPerShingle: Int = 1000): DataFrame = {
+    // Shape hint for the pair-gen dispatch (r13 VERDICT #2): shingle
+    // occurrences <= frame rows (one shingle per frame minus window-1
+    // per video), and counting the RAW frame rows is decode-free —
+    // probing the shingle frame itself would decode every video once
+    // extra. The capped probe never pays a full pass on a big corpus.
+    val occBound = Dedup.cappedCount(frames, Dedup.FusedOccLimit)
+    Dedup.jaccardPairsAuto(videoShingles(frames, window),
+      threshold, maxVideosPerShingle,
+      occHint = Some(occBound.getOrElse(Long.MaxValue)))
       .withColumnRenamed("id_a", "video_a")
       .withColumnRenamed("id_b", "video_b")
+  }
 
   /** Deterministic synthetic pattern PNG parameterized by an explicit
     * pattern id — the raw grid [[syntheticGridPng]] perturbs, exposed

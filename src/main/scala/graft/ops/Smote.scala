@@ -97,9 +97,16 @@ object Smote {
     val limit = (Long.MaxValue - cNum) / cNum
     val padded = ((4L * parts - 1L) << 33) + counts.values.sum
     if (padded > limit) {
+      // r13 ADVICE: the fallback's measured max(__id) comes from ONE
+      // execution of the unmaterialized lineage — a later execution can
+      // re-plan with more partitions and mint larger ids, so the exact
+      // reading needs the same drift headroom the static bound carries
+      // (3 extra partition strides of id space).
       val maxId = all.agg(max(col("__id"))).head.getLong(0)
-      require(maxId <= limit,
-        s"id space too small to pack $cNum classes (max id $maxId)")
+      val margin = (3L * parts) << 33
+      require(margin > 0 && maxId <= limit - margin,
+        s"id space too small to pack $cNum classes safely " +
+          s"(max id $maxId, replan margin $margin, limit $limit)")
     }
   }
 
@@ -330,7 +337,10 @@ object Smote {
       // it (measured at sf1: the b9/b10 tail). Same eager-localCheckpoint
       // precedent as Dedup.components; the stored frame is the op's own
       // output size (~2n), strictly cheaper than 5+ recomputes.
-      val smoted = SmoteOp(target, k, width, seed)(df).transform(graft.core.Materialize.frame)
+      // SERIALIZED storage (r13 #4): at a 10x deficit the post-SMOTE
+      // frame is ~10x the input — deserialized row blocks were THE
+      // single-JVM sizing cliff (b9/b10 failed the 8 GB sf10 protocol).
+      val smoted = SmoteOp(target, k, width, seed)(df).transform(graft.core.Materialize.frameSer)
       val (base, feats, counts) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
@@ -391,7 +401,8 @@ object Smote {
       // Same single-materialization contract as SmoteTomekOp above: the
       // ENN phase traverses the SMOTE output from adaptiveWidth, both
       // knnJoin sides, the class lookup, and the final vote join.
-      val smoted = SmoteOp(target, k, width, seed)(df).transform(graft.core.Materialize.frame)
+      // Serialized storage for the same ~10x-deficit sizing reason.
+      val smoted = SmoteOp(target, k, width, seed)(df).transform(graft.core.Materialize.frameSer)
       val (base, feats, counts) = prep(smoted, target)
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)

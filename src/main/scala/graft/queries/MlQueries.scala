@@ -39,6 +39,23 @@ object MlQueries {
   private def r(x: Double, digits: Int): Double =
     BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** One zoo member on the m1b frame/contract (threshold label, 0.9
+    * self-train accuracy bar) — the m1c/m1d per-mechanism probes. */
+  private def zooMemberFit(s: SparkSession, dir: String, model: String,
+                           params: Models.Params): DataFrame = {
+    val df = Tables.orders(s, dir).select(
+      col("o_custkey").cast("double").as("o_custkey"),
+      col("o_totalprice"),
+      (col("o_totalprice") > 150000).cast("int").as("expensive"))
+    val m = Models.fit(df, "expensive", model, Models.Classification, params)
+    val pred = Models.transformLabeled(m, df, "expensive",
+      Models.Classification, train = Some(df))
+    val acc = Metrics.classificationMetrics(pred, "label",
+      "prediction")("accuracy")
+    import s.implicits._
+    Seq((model, acc >= 0.9, acc <= 1.0)).toDF("model", "acc_ge_09", "acc_le_1")
+  }
+
   // ---- m24b: budgeted Kernel SHAP fixture (M=6 linear model) ----
   // Feature transforms are exact in both engines (integer mod, one
   // double division); the model is linear so the budgeted
@@ -333,6 +350,17 @@ object MlQueries {
         }), Duration.Inf)
       }.toDF("model", "acc_ge_09", "acc_le_1")
     }),
+
+    // m1c/m1d — the m1b zoo SPLIT per member (r13 VERDICT #7): m1b's
+    // 6.63x/decade bundled RF (parallel trees — should be ~flat per
+    // decade) with GBT (sequential boosting that re-scans 10x rows per
+    // round — a documented serial floor). Same frame, same right-sized
+    // params, same oracle contract as m1b, one model each, so the scale
+    // probe prices the two mechanisms separately.
+    "m1c_rf_fit" -> ((s, dir) => zooMemberFit(s, dir, "rf",
+      Map("n_estimators" -> 25.0))),
+    "m1d_gbt_fit" -> ((s, dir) => zooMemberFit(s, dir, "gb",
+      Map("n_estimators" -> 10.0))),
 
     "m13_permutation_importance" -> ((s, dir) => {
       // M13/M14: SHAP stand-in — permutation importance of both features
@@ -919,6 +947,14 @@ object MlQueries {
     "m1b_model_zoo" -> """
       SELECT * FROM (VALUES
         ('logreg', true, true), ('rf', true, true), ('gb', true, true))
+        AS t(model, acc_ge_09, acc_le_1)""",
+
+    "m1c_rf_fit" -> """
+      SELECT * FROM (VALUES ('rf', true, true))
+        AS t(model, acc_ge_09, acc_le_1)""",
+
+    "m1d_gbt_fit" -> """
+      SELECT * FROM (VALUES ('gb', true, true))
         AS t(model, acc_ge_09, acc_le_1)""",
 
     "m13_permutation_importance" -> """

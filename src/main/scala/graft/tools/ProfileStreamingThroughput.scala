@@ -85,7 +85,11 @@ object ProfileStreamingThroughput {
       "trigger_ms_max" -> (if (trigMs.isEmpty) 0.0 else trigMs.max),
       "state_rows_max" -> (if (stateRows.isEmpty) 0L else stateRows.max),
       "state_bytes_max" -> (if (stateBytes.isEmpty) 0L else stateBytes.max),
-      "state_rows_last" -> (if (stateRows.isEmpty) 0L else stateRows.last)
+      "state_rows_last" -> (if (stateRows.isEmpty) 0L else stateRows.last),
+      // full per-batch trigger latencies (batch order): the growth-trend
+      // readout — for st7/st11 this IS the per-batch index-append
+      // latency curve as the persisted index grows (r13 VERDICT #5)
+      "trigger_ms_series" -> trigMs.map(math.round).mkString("[", ",", "]")
     ) ++ extra
     println(s"[stp] $name: " + m.toSeq.sortBy(_._1)
       .map { case (k2, v) => s"$k2=$v" }.mkString(" "))
@@ -98,7 +102,13 @@ object ProfileStreamingThroughput {
     val outPath = args.headOption.getOrElse("bench/streaming_throughput_r13.json")
     val spark = graft.core.Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
+      .config("spark.sql.shuffle.partitions", cpus)
+      // r13 ADVICE: recentProgress keeps only the LAST N entries
+      // (default 100) — K/J above that silently dropped early batches
+      // and understated sustained throughput; pin N above any staged
+      // batch count this harness will ever run.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.streaming.{CorpusPipeline, IngestDedup, Streams}
 

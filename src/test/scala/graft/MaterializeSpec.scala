@@ -58,4 +58,23 @@ class MaterializeSpec extends SparkSpec {
     assert(local == reliable)
   }
 
+  test("frameSer (serialized blocks) is result-identical to frame and " +
+    "honors reliable mode (r13 VERDICT #4)") {
+    import spark.implicits._
+    spark.conf.set(graft.core.Materialize.ReliableKey, "false")
+    val src = spark.range(5000).select(
+      $"id", ($"id" % 7).as("k"), ($"id" * 1.5).as("v"))
+    val a = rows(graft.core.Materialize.frame(src))
+    val b = rows(graft.core.Materialize.frameSer(src))
+    assert(a == b)
+    // b10's pipeline rides frameSer end to end: both modes, same answer
+    val q = SparkEntry.queries("b10_smote_enn")
+    val local = rows(q(spark, sf))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-ser")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(graft.core.Materialize.ReliableKey, "true")
+    try assert(local.nonEmpty && local == rows(q(spark, sf)))
+    finally spark.conf.set(graft.core.Materialize.ReliableKey, "false")
+  }
+
 }

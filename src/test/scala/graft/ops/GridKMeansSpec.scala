@@ -80,6 +80,53 @@ class GridKMeansSpec extends SparkSpec {
     }
   }
 
+  test("gridDims picks the two highest-variance dims — a constant first " +
+    "column must not degrade the ring search to brute (r13 VERDICT #3)") {
+    val rnd = new scala.util.Random(17)
+    // dim0 constant, dim1/dim2 spread: the grid must form over (1, 2)
+    val cents = Array.fill(400)(Array(7.0,
+      rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val (d0, d1) = GridKMeans.gridDims(cents)
+    assert(Set(d0, d1) == Set(1, 2), s"picked ($d0, $d1)")
+    // candidate work stays bounded: with the variance-picked dims the
+    // grid spreads the centroids (~4/cell target), so a centre-of-mass
+    // probe point's own cell holds a small fraction of k — under the
+    // old dims (0, 1) every centroid shared cx = floor(7/w), leaving
+    // ~sqrt(k) per (cx, cy) column at best
+    val w = GridKMeans.gridWidth(cents, d0, d1)
+    val g = GridKMeans.buildGrid(cents, w, d0, d1)
+    import scala.jdk.CollectionConverters._
+    val maxCell = g.values().asScala.map(_.length).max
+    assert(maxCell <= 40, s"max cell occupancy $maxCell of k=400")
+    // and the search stays exact
+    val pts = Seq.fill(200)(Array(7.0, rnd.nextDouble() * 110 - 5,
+      rnd.nextDouble() * 110 - 5))
+    pts.foreach { x =>
+      assert(GridKMeans.nearest(x, cents, g, w, d0, d1) == bruteNearest(x, cents))
+    }
+    // end-to-end: fit on constant-first-column data equals the dims-0/1
+    // fit semantics (exactness is dims-independent)
+    import spark.implicits._
+    val rows = Seq.fill(300)((5.0, rnd.nextDouble() * 20, rnd.nextDouble() * 20))
+    val df = rows.toDF("c", "a", "b")
+    val got = GridKMeans.fit(df, Seq("c", "a", "b"), 12, seed = 9L, maxIter = 3)
+    assert(got.length == 12 && got.forall(_.head == 5.0))
+  }
+
+  test("fit pads duplicate centroids by cycling distinct init rows when " +
+    "k exceeds the row count (r13 ADVICE)") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (9.0, 9.0), (5.0, 1.0)).toDF("a", "b")
+    val cents = GridKMeans.fit(df, Seq("a", "b"), 7, seed = 2L, maxIter = 2)
+    assert(cents.length == 7)
+    // every centroid is one of the 3 observed points (Lloyd over 3 rows
+    // with >= 3 centers pins each row to its own nearest copy)
+    val pts = Set(Seq(1.0, 1.0), Seq(9.0, 9.0), Seq(5.0, 1.0))
+    assert(cents.forall(c => pts.contains(c.toSeq)))
+    // the pad CYCLES: all 3 distinct rows appear, not 5 clones of head
+    assert(cents.map(_.toSeq).distinct.length == 3)
+  }
+
   test("fit skips null/NaN feature rows and is deterministic across " +
     "partitionings at the assignment level") {
     import spark.implicits._

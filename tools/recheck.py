@@ -36,6 +36,26 @@ import sys
 TOL = 1.30
 ABS = 0.5
 
+# Band observations adjudicated INVALID (r13 VERDICT #6): a committed
+# artifact row can measure a plan that no longer exists — keeping it in
+# the band re-flags a known-honest number every round. Each entry drops
+# observations below min_valid_s for (scale, query), with the diagnosis
+# on record; purges are reported in the JSON artifact so a reader sees
+# what the band excludes and why.
+#   i5_knn_impute @ sf1: pre-r12 rows (0.66-0.96 s) timed a Catalyst
+#   join-elimination artifact — count() deleted the kNN subtree
+#   entirely, so the sub-second history measured NO kNN work at all
+#   (diagnosed r12, SCALING.md "the i5 stale band"). The operator's
+#   honest readings are 2.0-2.7 s.
+BAND_PURGES = {
+    ("sf1", "i5_knn_impute"): {
+        "min_valid_s": 1.5,
+        "reason": "pre-r12 observations timed a Catalyst join-eliminated "
+                  "plan (kNN subtree deleted under count(); diagnosed "
+                  "r12, SCALING.md) — not the operator",
+    },
+}
+
 
 def load_queries(path):
     try:
@@ -80,6 +100,7 @@ def main():
     # 1. historical bands from every committed artifact at this scale
     bands = {}
     sources = {}
+    purged = {}
     for p in sorted(glob.glob(os.path.join(args.bench_dir, "*.json"))):
         if os.path.abspath(p) == os.path.abspath(args.board):
             continue
@@ -88,8 +109,19 @@ def main():
         for q, t in load_queries(p).items():
             if not isinstance(t, (int, float)) or t < 0:
                 continue
+            rule = BAND_PURGES.get((args.scale, q))
+            if rule and t < rule["min_valid_s"]:
+                purged.setdefault(q, {"reason": rule["reason"],
+                                      "dropped": []})
+                purged[q]["dropped"].append(
+                    {"value": t, "source": os.path.basename(p)})
+                continue
             bands.setdefault(q, []).append(t)
             sources.setdefault(q, []).append(os.path.basename(p))
+    for q, info in purged.items():
+        print(f"[recheck] band purge {q}: dropped "
+              f"{len(info['dropped'])} invalid observation(s) "
+              f"({info['reason']})")
 
     new = load_queries(args.board)
     out_of_band = {}
@@ -107,7 +139,8 @@ def main():
     report = {"scale": args.scale, "board": args.board,
               "tol": args.tol, "abs_s": args.abs_s,
               "n_queries": len(new), "n_fresh": len(fresh),
-              "fresh": fresh, "out_of_band": out_of_band}
+              "fresh": fresh, "out_of_band": out_of_band,
+              "band_purges": purged}
     extra = [q for q in args.extra.split(",") if q and q not in out_of_band]
     names = ",".join(sorted(set(out_of_band) | set(extra)))
     print(f"== {len(new)} queries, {len(fresh)} fresh, "
