@@ -600,7 +600,11 @@ object Audit {
                   idCol: String, b: Int = 50): DataFrame = {
     require(b >= 10 && b <= 1000, s"replicates in [10, 1000], got $b")
     val base = bootstrapBase(df, groupCol, valueCol, idCol)
-    val per = poissonReplicates(base, b)
+    // w = 0 rows contribute nothing to either sum (round(x*0,9) = 0) and
+    // a zero-total replicate is filtered identically by __wn > 0, so
+    // dropping them BEFORE the aggregate only removes dead rows (~37%
+    // of the exploded frame at Poisson(1)) — r14.
+    val per = poissonReplicates(base, b).filter(col("__w") > 0)
       .groupBy(col("__g"), col("__b"))
       .agg(sum(col("__w")).cast("long").as("__wn"),
         // round(x*w, 9) BEFORE the decimal cast: DECIMAL(28,9)*INT
@@ -610,21 +614,26 @@ object Audit {
           .as("__ws"))
       .filter(col("__wn") > 0L)
       .withColumn("__m", col("__ws").cast("double") / col("__wn").cast("double"))
-    val bEff = per.groupBy(col("__g").as("__gk"))
-      .agg(count(lit(1)).as("__beff"))
-    val ranked = Ordinals.withPerKeyRank(per, "__g",
-      Seq(col("__m").asc, col("__b").asc), "__r")
-      .join(broadcast(bEff), col("__g") <=> col("__gk"))
+    // replicate ranks per group: a WINDOW, not the global-rank ladder —
+    // per-group rows are bounded by b (<= 1000) regardless of data
+    // scale, so partitionBy(__g) never meets a hot reducer, and the
+    // lo/hi endpoints come off ONE pass (the former shape re-executed
+    // the ranked lineage once per endpoint filter) — r14.
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val ranked = per
+      .withColumn("__r", row_number().over(
+        win.orderBy(col("__m").asc, col("__b").asc)))
+      .withColumn("__beff", count(lit(1)).over(win))
     val loR = greatest(lit(1L), ceil(lit(0.025) * col("__beff").cast("double")))
     val hiR = greatest(lit(1L), ceil(lit(0.975) * col("__beff").cast("double")))
-    val lo = ranked.filter(col("__r") === loR)
-      .select(col("__g"), col("__m").as("__lo"))
-    val hi = ranked.filter(col("__r") === hiR)
-      .select(col("__g"), col("__m").as("__hi"))
+    val sel = ranked.filter(col("__r") === loR || col("__r") === hiR)
+      .groupBy(col("__g"))
+      .agg(min(when(col("__r") === loR, col("__m"))).as("__lo"),
+        min(when(col("__r") === hiR, col("__m"))).as("__hi"))
     val overall = base.groupBy("__g")
       .agg(count(lit(1)).as("n"),
         sum(round(col("__x"), 9).cast("decimal(28,9)")).as("__s"))
-    overall.join(lo, Seq("__g")).join(hi, Seq("__g"))
+    overall.join(sel, Seq("__g"))
       .select(col("__g").as(groupCol), col("n"),
         round(col("__s").cast("double") / col("n").cast("double"), 6)
           .as("mean"),
@@ -672,11 +681,19 @@ object Audit {
     val totals = cells.groupBy(col("__g").as("__gt"), col("__b").as("__bt"))
       .agg(sum(col("__wc")).as("__wn"))
     // exact weighted quantile per replicate: one global running total
-    // over the CELLS, per-replicate offset subtracted
+    // over the CELLS, per-replicate offset subtracted. The offset (total
+    // weight of all PRIOR (g,b) groups under the global order) comes
+    // from a running total over the (g,b)-sized TOTALS frame, not from
+    // re-aggregating `cum` — the former min(cum - wc) groupBy consumed
+    // the big running total a second time, re-executing its whole
+    // lineage (r14). All weights are integer-valued doubles < 2^53, so
+    // the two accumulation orders are bit-identical.
     val cum = Ordinals.withRunningTotal(cells,
       Seq(col("__g").asc, col("__b").asc, col("__x").asc), "__wc", "__cum")
-    val offs = cum.groupBy(col("__g").as("__go"), col("__b").as("__bo"))
-      .agg(min(col("__cum") - col("__wc")).as("__off"))
+    val offs = Ordinals.withRunningTotal(totals,
+        Seq(col("__gt").asc, col("__bt").asc), "__wn", "__cumT")
+      .select(col("__gt").as("__go"), col("__bt").as("__bo"),
+        (col("__cumT") - col("__wn")).as("__off"))
     val med = cum
       .join(broadcast(offs),
         col("__g") === col("__go") && col("__b") === col("__bo"))
@@ -713,20 +730,25 @@ object Audit {
           (col("__lew") >= col("__tr") - col("__se")), lit(1))
         .otherwise(lit(0))) === 1).as("__awb"))
       .select(col("__g").as("__gw"), col("__awb"))
-    // percentile CI over the EXACT replicate quantiles
-    val bEff = med.groupBy(col("__g").as("__gk"))
-      .agg(count(lit(1)).as("b_eff"))
-    val ranked = Ordinals.withPerKeyRank(med, "__g",
-      Seq(col("__q").asc, col("__b").asc), "__r")
-      .join(broadcast(bEff), col("__g") <=> col("__gk"))
+    // percentile CI over the EXACT replicate quantiles: per-group window
+    // rank (rows per group bounded by b <= 1000 at any scale — no hot
+    // reducer) and BOTH endpoints off one pass (r14; the former
+    // global-rank + broadcast-dictionary shape re-executed the ranked
+    // lineage once per endpoint filter).
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val ranked = med
+      .withColumn("__r", row_number().over(
+        win.orderBy(col("__q").asc, col("__b").asc)))
+      .withColumn("b_eff", count(lit(1)).over(win))
     val loR = greatest(lit(1L), ceil(lit(0.025) * col("b_eff").cast("double")))
     val hiR = greatest(lit(1L), ceil(lit(0.975) * col("b_eff").cast("double")))
-    val lo = ranked.filter(col("__r") === loR)
-      .select(col("__g"), col("b_eff"), col("__q").as("__lo"))
-    val hi = ranked.filter(col("__r") === hiR)
-      .select(col("__g"), col("__q").as("__hi"))
+    val sel = ranked.filter(col("__r") === loR || col("__r") === hiR)
+      .groupBy(col("__g"))
+      .agg(min("b_eff").as("b_eff"),
+        min(when(col("__r") === loR, col("__q"))).as("__lo"),
+        min(when(col("__r") === hiR, col("__q"))).as("__hi"))
     val overall = base.groupBy("__g").agg(count(lit(1)).as("n"))
-    overall.join(lo, Seq("__g")).join(hi, Seq("__g"))
+    overall.join(sel, Seq("__g"))
       .join(wb, col("__g") === col("__gw"))
       .select(col("__g").as(groupCol), col("n"), col("b_eff"),
         round(col("__lo"), 6).as("ci_lo"),
@@ -754,18 +776,22 @@ object Audit {
       .agg(call_function("kll_quantiles_w", col("__x"),
         col("__w").cast("long"), lit(sketchK), array(lit(p))).as("__sk"))
       .select(col("__g"), col("__b"), element_at(col("__sk.est"), 1).as("__q"))
-    val bEff = sk.groupBy(col("__g").as("__gk")).agg(count(lit(1)).as("b_eff"))
-    val ranked = Ordinals.withPerKeyRank(sk, "__g",
-      Seq(col("__q").asc, col("__b").asc), "__r")
-      .join(broadcast(bEff), col("__g") <=> col("__gk"))
+    // per-group window rank + one-pass endpoints (r14): same shape and
+    // same bounded-group (<= b rows) argument as [[bootstrapQuantileCi]].
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val ranked = sk
+      .withColumn("__r", row_number().over(
+        win.orderBy(col("__q").asc, col("__b").asc)))
+      .withColumn("b_eff", count(lit(1)).over(win))
     val loR = greatest(lit(1L), ceil(lit(0.025) * col("b_eff").cast("double")))
     val hiR = greatest(lit(1L), ceil(lit(0.975) * col("b_eff").cast("double")))
-    val lo = ranked.filter(col("__r") === loR)
-      .select(col("__g"), col("b_eff"), col("__q").as("__lo"))
-    val hi = ranked.filter(col("__r") === hiR)
-      .select(col("__g"), col("__q").as("__hi"))
+    val sel = ranked.filter(col("__r") === loR || col("__r") === hiR)
+      .groupBy(col("__g"))
+      .agg(min("b_eff").as("b_eff"),
+        min(when(col("__r") === loR, col("__q"))).as("__lo"),
+        min(when(col("__r") === hiR, col("__q"))).as("__hi"))
     val overall = base.groupBy("__g").agg(count(lit(1)).as("n"))
-    overall.join(lo, Seq("__g")).join(hi, Seq("__g"))
+    overall.join(sel, Seq("__g"))
       .select(col("__g").as(groupCol), col("n"), col("b_eff"),
         round(col("__lo"), 6).as("ci_lo"),
         round(col("__hi"), 6).as("ci_hi"))

@@ -646,9 +646,14 @@ object Corpus {
                             steps: Int = 2,
                             smoothing: Double = 0.01): DataFrame = {
     require(steps >= 1 && eta > 0 && smoothing >= 0 && smoothing < 1)
+    // repartition by term BEFORE the checkpoint: localCheckpoint preserves
+    // outputPartitioning, so every step's groupBy(term) mixture aggregate
+    // and st-join-pm(term) reuse this ONE exchange instead of re-shuffling
+    // the stats table per step (r14 — guide §2.4 "share one exchange")
     val st = Lexicon.docTermCounts(df, textCol, idCol)
       .join(df.select(col(idCol).as("id"), col(sourceCol).as("source")), "id")
       .groupBy("source", "term").agg(sum("c").as("c"))
+      .repartition(col("term"))
       .transform(graft.core.Materialize.frame) // cut the corpus out of every step's plan
     val tok = st.groupBy("source").agg(sum("c").as("tokens"))
     val ct = st.groupBy("term").agg(sum("c").as("__ct"))
@@ -670,6 +675,12 @@ object Corpus {
         .groupBy("term").agg(sum(col("c") * col("__coef")).as("__pm"))
       val ld = st.join(pm, "term").groupBy("source")
         .agg(sum(col("c") * log(col("__pm"))).as("__lp"))
+      // materialize the domains-sized weight frame each step (r14): w is
+      // referenced three times next step (asum, coef, the join), so an
+      // unmaterialized w re-embeds this step's whole vocab-join subtree
+      // in each reference — the plan grew EXPONENTIALLY with steps (the
+      // t49c/t49d formatted plans ran to hundreds of SortMergeJoins and
+      // Catalyst planning time dominated the query). |sources| rows.
       w = w.join(ld, "source")
         .withColumn("excess_loss",
           greatest(lit(0.0),
@@ -677,6 +688,7 @@ object Corpus {
         .withColumn("__alpha",
           col("__alpha") * exp(lit(eta) * col("excess_loss")))
         .drop("__lp")
+        .transform(graft.core.Materialize.frame)
     }
     val norm = w.agg(sum("__alpha").as("__asum"))
     w.crossJoin(broadcast(norm))
@@ -767,9 +779,16 @@ object Corpus {
                               discount: Double = 0.75): DataFrame = {
     require(steps >= 1 && eta > 0 && smoothing >= 0 && smoothing < 1)
     require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    // repartition by v BEFORE the checkpoint (r14): localCheckpoint
+    // preserves outputPartitioning, and HashPartitioning(v) satisfies
+    // every clustering this method needs — groupBy(v,w), groupBy(v),
+    // and the sb-join-mcb(v,w) / sb-join-mcv(v) / sb-join-cv(v) chains
+    // all reuse this ONE exchange per step (guide §2.4); only the
+    // contW(w) branch still shuffles.
     val sb = Lexicon.docBigramCounts(df, textCol, idCol)
       .join(df.select(col(idCol).as("id"), col(sourceCol).as("source")), "id")
       .groupBy("source", "v", "w").agg(sum("c").as("c"))
+      .repartition(col("v"))
       .transform(graft.core.Materialize.frame) // corpus out of the step loop
     val tok = sb.groupBy("source").agg(sum("c").as("tokens"))
     // weight-invariant type statistics (support never changes: EG keeps
@@ -810,6 +829,11 @@ object Corpus {
       val ld = sb.join(mcb, Seq("v", "w")).join(mcv, "v").join(cv, "v")
         .join(contW, "w").crossJoin(broadcast(types))
         .groupBy("source").agg(sum(col("c") * log(pKnMix)).as("__lp"))
+      // materialize the domains-sized weight frame each step (r14): same
+      // exponential-plan fix as [[doremiWeightsAdaptive]] — w is read 3x
+      // next step, so an unmaterialized w re-embeds this step's 5-way
+      // bigram join chain per reference (the t49d formatted plan hit
+      // ~520 SortMergeJoins at steps=2 and planning dominated runtime).
       w = w.join(ld, "source")
         .withColumn("excess_loss",
           greatest(lit(0.0),
@@ -818,6 +842,7 @@ object Corpus {
         .withColumn("__alpha",
           col("__alpha") * exp(lit(eta) * col("excess_loss")))
         .drop("__lp")
+        .transform(graft.core.Materialize.frame)
     }
     val norm = w.agg(sum("__alpha").as("__asum"))
     w.crossJoin(broadcast(norm))
