@@ -19,6 +19,18 @@ object Sessions {
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // AQE's coalescer (parallelismFirst=true) only respects
+    // minPartitionSize (default 1 MiB) as the floor — but this engine's
+    // shuffle payloads are narrow 8-16 byte keys carrying CPU-DENSE work
+    // (md5/object aggregates over compressed sub-MB blocks), so the
+    // 1 MiB floor routinely coalesced them to ONE task and serialized
+    // the stage (measured: d2's per-doc set aggregate 0.58 s in one
+    // task). 64 KiB keeps such stages parallel; at cluster scale the
+    // floor is irrelevant (real partitions are orders of magnitude
+    // larger — parallelism and advisory size govern). Env-overridable
+    // for cluster postures where tiny partitions are undesirable.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.ui.enabled", "false")
     // TypedImperativeAggregates (topk_pairs and friends) plan as

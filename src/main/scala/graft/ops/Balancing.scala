@@ -33,8 +33,11 @@ object Balancing {
   def groupFolds(df: DataFrame, idCol: String, pairs: DataFrame,
                  k: Int, seed: Long = 42L): DataFrame = {
     require(k >= 2, s"need k >= 2 folds, got $k")
+    // explicit broadcast (r14): the label table is pair-list-sized by
+    // contract but arrives as an RDD scan with no stats — without the
+    // hint the planner sort-merged and shuffled the corpus side.
     val comp = Dedup.components(pairs).withColumnRenamed("id", idCol)
-    df.join(comp, Seq(idCol), "left")
+    df.join(broadcast(comp), Seq(idCol), "left")
       .withColumn("fold",
         pmod(Hashing.md5Int(concat_ws(":",
           coalesce(col("comp"), col(idCol)).cast("string"), lit(seed))),
@@ -88,8 +91,9 @@ object Balancing {
     * are impossible without splitting a cluster. */
   def groupSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                  testFraction: Double, seed: Long = 42L): DataFrame = {
+    // explicit broadcast (r14): same rationale as [[groupFolds]].
     val comp = Dedup.components(pairs).withColumnRenamed("id", idCol)
-    df.join(comp, Seq(idCol), "left")
+    df.join(broadcast(comp), Seq(idCol), "left")
       .withColumn("split",
         when(pmod(Hashing.md5Int(concat_ws(":",
             coalesce(col("comp"), col(idCol)).cast("string"), lit(seed))),

@@ -256,9 +256,15 @@ object Dedup {
       case Some(n) => n <= FusedOccLimit
       case None => cappedCount(sh, FusedOccLimit).isDefined
     }
-    val byId = sh.repartition(col("id"))
-    if (small) jaccardPairsFused(byId, threshold, maxDocsPerShingle)
-    else jaccardPairsFromShingles(byId, threshold, maxDocsPerShingle)
+    // No repartition here (r14): both callers already arrive id-clustered
+    // ([[shingleHashRows]] exchanges by id for its per-doc dedup and its
+    // aggregate preserves that partitioning; [[Multimodal.videoShingles]]
+    // groups by media_id) — the former explicit repartition(id) was a
+    // SECOND full exchange of the occurrence frame on every call. A
+    // caller with unclustered input still computes correctly: the per-doc
+    // aggregates below insert their own exchange.
+    if (small) jaccardPairsFused(sh, threshold, maxDocsPerShingle)
+    else jaccardPairsFromShingles(sh, threshold, maxDocsPerShingle)
   }
 
   /** Small-input pair generation: ONE per-doc object aggregate serves
@@ -271,9 +277,17 @@ object Dedup {
     * see the r13 reshape notes below). Dispatch via [[jaccardPairsAuto]]. */
   private[graft] def jaccardPairsFused(sh: DataFrame, threshold: Double,
                                        maxDocsPerShingle: Int): DataFrame = {
+    // Broadcast hints throughout (r14): this path only runs when the
+    // dispatch proved total occurrences <= FusedOccLimit (~1M), so the
+    // vocab table, the per-doc prefix rows, and the per-doc verify sets
+    // are ALL bounded small by construction — every join below builds a
+    // <= occurrence-sized hash relation and the id-clustered exchange
+    // stays the only shuffle before the pair dedup. (The at-scale path
+    // [[jaccardPairsFromShingles]] keeps its shuffle joins: there the
+    // vocab is corpus-sized.)
     val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocsPerShingle)
-    val pruned = sh.join(dfCounts, "sh")
+    val pruned = sh.join(broadcast(dfCounts), "sh")
     val docs = pruned.groupBy("id").agg(
       sort_array(collect_list(struct(col("__df"), col("sh")))).as("__ordered"),
       count(lit(1)).as("n_sh"))
@@ -281,14 +295,15 @@ object Dedup {
     val prefLen = (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int")
     val prefix = docs.select(col("id"), col("n_sh"),
       explode(slice(col("__ordered.sh"), lit(1), prefLen)).as("sh"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val cand = prefix.as("a").join(broadcast(prefix.as("b")),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           greatest(col("a.n_sh"), col("b.n_sh")) * lit(threshold) <=
             least(col("a.n_sh"), col("b.n_sh")) + lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     verifyPairsJaccard(cand, docs.select(col("id"),
-      col("__ordered.sh").as("__set"), col("n_sh")), threshold)
+      col("__ordered.sh").as("__set"), col("n_sh")), threshold,
+      broadcastSets = true)
   }
 
   /** The full exact-Jaccard near-dup discipline over PRE-COMPUTED
@@ -376,16 +391,31 @@ object Dedup {
     * occurrence (the old shape shuffled |pairs| x |shingles| rows into a
     * groupBy(pair); this shuffles |pairs| rows carrying two arrays). */
   private def verifyPairsJaccard(cand: DataFrame, sets: DataFrame,
-                                 threshold: Double): DataFrame =
+                                 threshold: Double,
+                                 broadcastSets: Boolean = false): DataFrame = {
+    // broadcastSets (r14): the fused small-input path's per-doc arrays
+    // are occurrence-bounded (<= FusedOccLimit longs total), so building
+    // them as broadcast hash relations spares the candidate frame two
+    // hash exchanges. Both sides join the SAME canonical frame (aliases
+    // only differ), so exchange reuse builds the broadcast — and the
+    // object aggregate feeding it — ONCE; the former per-side renamed
+    // projections were distinct subtrees and re-ran the aggregate per
+    // side. The at-scale path keeps shuffle joins (its sets are
+    // proportional to the near-dup-involved corpus).
+    def side(d: DataFrame): DataFrame = if (broadcastSets) broadcast(d) else d
+    val keep = cand.columns.map(col).toSeq
     cand
-      .join(sets.select(col("id").as("id_a"), col("__set").as("__sa"),
-        col("n_sh").as("na")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("__set").as("__sb"),
-        col("n_sh").as("nb")), "id_b")
+      .join(side(sets.as("__vsa")), col("id_a") === col("__vsa.id"))
+      .select((keep :+ col("__vsa.__set").as("__sa") :+
+        col("__vsa.n_sh").as("na")): _*)
+      .join(side(sets.as("__vsb")), col("id_b") === col("__vsb.id"))
+      .select((keep :+ col("__sa") :+ col("na") :+
+        col("__vsb.__set").as("__sb") :+ col("__vsb.n_sh").as("nb")): _*)
       .withColumn("common", size(array_intersect(col("__sa"), col("__sb"))).cast(LongType))
       .withColumn("jaccard", col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** MinHash signature: k permutations h_i(x) = (a_i * md5Int(x) + b_i) mod p,
     * signature element i = min over shingles. Deterministic params from a
@@ -988,6 +1018,30 @@ object Dedup {
   private def localComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val idType = edges.schema("src").dataType
+    // SQL-faithful "a < b" for the in-task min remap (r14): numeric ids
+    // by natural order, strings by unsigned UTF-8 byte order (Spark's
+    // BINARY collation — String.compareTo would diverge on supplementary
+    // characters). Types without a faithful in-task order fall back to
+    // the former SQL remap below.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val lt: Option[(Any, Any) => Boolean] = idType match {
+      case LongType => Some((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])
+      case IntegerType => Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
+      case ShortType => Some((a, b) => a.asInstanceOf[Short] < b.asInstanceOf[Short])
+      case StringType => Some((a, b) => utf8Lt(a.asInstanceOf[String], b.asInstanceOf[String]))
+      case _ => None
+    }
     val labeled = edges.coalesce(1).rdd.mapPartitions { it =>
       val parent = new scala.collection.mutable.HashMap[Any, Any]()
       def find(x: Any): Any = {
@@ -1002,11 +1056,26 @@ object Dedup {
         parent(ra) = ra
         parent(rb) = ra
       }
-      parent.keysIterator.map(k => org.apache.spark.sql.Row(k, find(k)))
+      lt match {
+        case Some(less) =>
+          // comp = min member id, computed HERE: the former shape shipped
+          // (id, rep) out and remapped with a groupBy + self-join — two
+          // exchanges, and the un-persisted RDD lineage (union-find
+          // included) executed once per join branch (r14).
+          val minOf = new scala.collection.mutable.HashMap[Any, Any]()
+          parent.keysIterator.foreach { k =>
+            val r = find(k)
+            if (minOf.get(r).forall(m => less(k, m))) minOf(r) = k
+          }
+          parent.keysIterator.map(k => org.apache.spark.sql.Row(k, minOf(find(k))))
+        case None =>
+          parent.keysIterator.map(k => org.apache.spark.sql.Row(k, find(k)))
+      }
     }
     val labels = spark.createDataFrame(labeled, StructType(Seq(
       StructField("id", idType), StructField("rep", idType))))
-    labels.join(labels.groupBy("rep").agg(min(col("id")).as("comp")), "rep")
+    if (lt.isDefined) labels.withColumnRenamed("rep", "comp")
+    else labels.join(labels.groupBy("rep").agg(min(col("id")).as("comp")), "rep")
       .select("id", "comp")
   }
 
@@ -1014,8 +1083,10 @@ object Dedup {
     * near-dup cluster under a non-minimal id. Composes any pair
     * generator above with [[components]]. */
   def canonicalize(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    // broadcast: the dupe-id list is pair-list-sized by design (candidate
+    // pruning), so the corpus-side anti join stays map-only (r14)
     val dupes = components(pairs).filter(col("id") =!= col("comp")).select("id")
-    df.join(dupes.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    df.join(broadcast(dupes.withColumnRenamed("id", idCol)), Seq(idCol), "left_anti")
   }
 
   /** SemDeDup (Abbas et al., 2023, "SemDeDup: Data-efficient learning at
@@ -1125,13 +1196,23 @@ object Dedup {
     * is one max-struct aggregate keyed by component (no window). */
   def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
                score: Column): DataFrame = {
+    // r14 reshape: decide LOSERS on the pair-sized frames and drop them
+    // with one broadcast anti join — the former left-join + null-split +
+    // unionByName shape put the corpus through a sort-merge exchange
+    // twice (membership join + winner semi-join) and scanned it three
+    // times. Here the corpus crosses NO exchange: the winner aggregate
+    // sees only component members (id, score), and the final anti join
+    // broadcasts the loser ids (pair-list-sized by the same argument as
+    // the membership broadcast). Output multiset identical: kept =
+    // untouched + winners = df minus (touched minus winners).
     val comp = components(pairs).withColumnRenamed("id", idCol)
-    val withComp = df.join(comp, Seq(idCol), "left")
-    val winners = withComp.filter(col("comp").isNotNull)
+    val winners = df.select(col(idCol), score.as("__s"))
+      .join(broadcast(comp), Seq(idCol))
       .groupBy("comp")
-      .agg(max(struct(score.as("__s"), (-col(idCol)).as("__negId"))).as("__w"))
+      .agg(max(struct(col("__s"), (-col(idCol)).as("__negId"))).as("__w"))
       .select((-col("__w.__negId")).as(idCol))
-    withComp.filter(col("comp").isNull).select(df.columns.map(col): _*)
-      .unionByName(df.join(winners, Seq(idCol), "left_semi"))
+    val losers = comp.select(col(idCol))
+      .join(broadcast(winners), Seq(idCol), "left_anti")
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 }
