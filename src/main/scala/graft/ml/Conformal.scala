@@ -62,30 +62,41 @@ object Conformal {
       .withColumn("__pred", (col("__w") * col(featureCol)) + col("__b"))
     val cal = scored.filter(both && (col("__split") === 1))
       .select(abs(col(targetCol) - col("__pred")).as("__score"))
-    // r8: the radius is an ORDER STATISTIC of the scores, so the
-    // tie-broken row-rank selection and the histogram-refinement value
-    // selection pick the identical double — ties at the quantile rank
-    // all carry the same score. ~4 map-side scans, no range sort.
-    var qRank = 0L
-    val byRank = graft.ops.Relational.exactValuesAtRanks(cal, Seq("__score"),
-      (_, nCal) => {
-        require(nCal > 0, "empty calibration split")
-        // r9: when ceil(level*(n+1)) > n split conformal prescribes an
-        // INFINITE interval; clamping would silently drop the
-        // finite-sample coverage guarantee, so refuse instead — the
-        // caller needs n_cal >= level/(1-level) calibration rows.
-        require(level * (nCal + 1.0) <= nCal,
-          s"calibration split too small for level=$level: need " +
-            s"n_cal >= level/(1-level) = ${level / (1.0 - level)}, " +
-            s"got $nCal (split conformal would return infinite intervals)")
-        qRank = math.ceil(level * (nCal + 1.0)).toLong
-        Seq(qRank)
-      })("__score")
-    val qHat = byRank(qRank)
+    // The radius is an ORDER STATISTIC of the scores: the value at rank
+    // ceil(level*(n_cal+1)) of the ascending order — ties at the
+    // quantile rank all carry the same score, so any tie-break picks the
+    // identical double. r14: selected IN-PLAN (one distributed global
+    // rank + a broadcast scalar) instead of the former driver-side
+    // histogram refinement, which ran ~4 extra actions, each re-running
+    // the calibration lineage (ridge aggregate included). The r9
+    // refusal guards survive as in-plan assertions: when
+    // ceil(level*(n+1)) > n split conformal prescribes an INFINITE
+    // interval, and clamping would silently drop the finite-sample
+    // coverage guarantee — the caller needs n_cal >= level/(1-level).
+    val cnt = cal.agg(count(lit(1)).cast("double").as("__ncal"))
+    val qrow = graft.ops.Ordinals.withGlobalRank(cal,
+        Seq(col("__score").asc), "__r")
+      .crossJoin(broadcast(cnt))
+      .filter(col("__r").cast("double") ===
+        ceil(lit(level) * (col("__ncal") + lit(1.0))))
+      .agg(min("__score").as("__qhat")) // always one row (null if no rank hit)
+    // the guards live INSIDE __qhat (coalesce evaluates them in order,
+    // both return null on success) — as separate columns the optimizer
+    // would prune them away unevaluated
+    val qv = cnt.crossJoin(qrow)
+      .select(coalesce(
+        assert_true(col("__ncal") > 0, lit("empty calibration split")),
+        assert_true(lit(level) * (col("__ncal") + lit(1.0)) <= col("__ncal"),
+          concat(lit(s"calibration split too small for level=$level: need " +
+            s"n_cal >= level/(1-level) = ${level / (1.0 - level)}, got "),
+            col("__ncal").cast("long").cast("string"),
+            lit(" (split conformal would return infinite intervals)"))),
+        col("__qhat")).as("__qhat"))
     scored.filter(col(featureCol).isNotNull && (col("__split") === 2))
+      .crossJoin(broadcast(qv))
       .select(idCols.map(col) ++ Seq(
         round(col("__pred"), roundTo).as("pred"),
-        round(col("__pred") - lit(qHat), roundTo).as("lo"),
-        round(col("__pred") + lit(qHat), roundTo).as("hi")): _*)
+        round(col("__pred") - col("__qhat"), roundTo).as("lo"),
+        round(col("__pred") + col("__qhat"), roundTo).as("hi")): _*)
   }
 }

@@ -34,29 +34,45 @@ object Basket {
                 minSupport: Long = 2L, topK: Int = 50,
                 maxBasketSize: Int = 1000): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // r14 reshape: ONE basket-keyed exchange serves the whole pipeline.
+    // The explicit repartition(__b) ahead of the (b, i) dedup leaves every
+    // basket-keyed step downstream — the dedup itself (clustering (b, i)
+    // is satisfied by partitioning on b), the size filter, and critically
+    // the within-basket self-join — exchange-free; the apriori prune and
+    // the n_a/n_b decoration ride broadcasts of the (filtered) item-count
+    // dictionary. The basket denominator is an in-plan broadcast scalar:
+    // the former sized.count() was a SECOND action that re-executed the
+    // scan + dedup before the main query even started.
     val items = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
+      .repartition(col("__b"))
+      .dropDuplicates("__b", "__i")
     val sized = items.groupBy("__b").agg(count(lit(1)).as("__k"))
       .filter(col("__k") <= maxBasketSize)
       .select("__b")
     val kept = items.join(sized, "__b")
-    val nBaskets = sized.count()
+    val nb = sized.agg(count(lit(1)).cast("double").as("__nd"))
     val itemN = kept.groupBy("__i").agg(count(lit(1)).as("__ni"))
       .filter(col("__ni") >= minSupport) // apriori: prune BEFORE pairing
-    val fitems = kept.join(itemN, "__i")
-    val a = fitems.select(col("__b"), col("__i").as("item_a"),
-      col("__ni").as("n_a"))
-    val b = fitems.select(col("__b"), col("__i").as("item_b"),
-      col("__ni").as("n_b"))
+    // broadcast semi prune keeps the basket partitioning (an item-count
+    // dictionary is vocab-sized; at extreme vocab swap in a Bloom filter
+    // per guide §3.2 — same no-false-negative contract)
+    val fitems = kept.join(broadcast(itemN.select("__i")), Seq("__i"), "left_semi")
+    val a = fitems.select(col("__b"), col("__i").as("item_a"))
+    val b = fitems.select(col("__b"), col("__i").as("item_b"))
     val pairs = a.join(b, Seq("__b"))
       .filter(col("item_a") < col("item_b"))
-      .groupBy("item_a", "n_a", "item_b", "n_b")
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
-    val nD = lit(nBaskets.toDouble)
+      .join(broadcast(itemN.select(col("__i").as("item_a"),
+        col("__ni").as("n_a"))), "item_a")
+      .join(broadcast(itemN.select(col("__i").as("item_b"),
+        col("__ni").as("n_b"))), "item_b")
+    val nD = col("__nd")
     val ab = col("n_ab").cast("double")
-    pairs.select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+    pairs.crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
         col("n_ab"),
         round(ab / nD, 6).as("support"),
         round(ab / col("n_a").cast("double"), 6).as("conf_a_b"),

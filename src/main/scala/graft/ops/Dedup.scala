@@ -130,7 +130,13 @@ object Dedup {
     * per-DOC window — bounded by document length, never corpus-sized. */
   def dupSpans(df: DataFrame, textCol: String, idCol: String,
                minTokens: Int): DataFrame = {
+    // repartition by hash (r14): the positioned-shingle explode (tokenize
+    // + md5 per position) feeds BOTH the duplicated-hash aggregate and
+    // the probe side of the semi join — without a shared exchange below
+    // it, the explode executed twice; with it, ReuseExchange computes it
+    // once and both consumers (clustered by __h) hang off that shuffle.
     val sh = shinglePosRows(df, textCol, idCol, minTokens)
+      .repartition(col("__h"))
     val dup = sh.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("__h")
     val hits = sh.join(dup, "__h").select("id", "pos")
