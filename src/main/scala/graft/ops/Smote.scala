@@ -26,6 +26,20 @@ object Smote {
   private def dropInternal(df: DataFrame): DataFrame =
     df.drop(df.columns.filter(_.startsWith("__")).toSeq: _*)
 
+  /** Run independent per-class branches concurrently (r14; the
+    * Validation.inParallel pattern): each branch's eager work — the
+    * quota/weight materializations, counts, global-rank offset collects —
+    * otherwise serializes on the driver while executors idle. Closures
+    * are seeded and self-contained, results return in input order, so
+    * output is bit-identical to the sequential loop. */
+  private def inParallel[A](xs: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{blocking, Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = xs.map(f => Future(blocking(f())))
+    Await.result(Future.sequence(fs), Duration.Inf)
+  }
+
   /** Core synthesis: for each row of `minority` (id, features), emit
     * `quota(id)` synthetic rows interpolated toward a deterministic
     * random choice among its k nearest same-class neighbors. */
@@ -134,12 +148,12 @@ object Smote {
       val (base, feats, counts) = prep(df, target)
       val majority = counts.values.max
       val params = Neighbors.scaleParams(base, feats)
-      val synthParts = counts.toSeq.sortBy(_._1).collect {
-        case (cls, n) if n < majority =>
+      val synthParts = inParallel(counts.toSeq.sortBy(_._1).collect {
+        case (cls, n) if n < majority => () =>
           val minority = Neighbors.withScaled(base.filter(col(target) === cls), params)
           synthesize(minority, feats, k, width, seed + cls.hashCode, majority - n)
             .withColumn(target, lit(cls))
-      }
+      })
       val out = synthParts.foldLeft(base.drop("__id"))(_ unionByName _)
       if (rounded) out.select((feats.map(c => round(col(c)).as(c)) :+ col(target)): _*)
       else out
@@ -170,8 +184,8 @@ object Smote {
       val packedAll = all.withColumn("__pid",
         col("__id") * cNum + clsIdx.cast(LongType))
       val clsOrder = counts.keys.toSeq.sorted
-      val synthParts = counts.toSeq.sortBy(_._1).collect {
-        case (cls, n) if n < majority =>
+      val synthParts = inParallel(counts.toSeq.sortBy(_._1).collect {
+        case (cls, n) if n < majority => () =>
           val minority = all.filter(col(target) === cls)
           val clsI = clsOrder.indexOf(cls).toLong
           // neighbor-difficulty weight: share of other-class points in kNN
@@ -225,7 +239,7 @@ object Smote {
             .select(feats.map(c =>
               (col(c) + col("__u") * (coalesce(col(s"__nbr_$c"), col(c)) - col(c))).as(c)): _*)
             .withColumn(target, lit(cls))
-      }
+      })
       synthParts.foldLeft(base.drop("__id"))(_ unionByName _)
     }
   }
@@ -249,8 +263,8 @@ object Smote {
       val packedAll = all.withColumn("__pid",
         col("__id") * cNum + clsIdx.cast(LongType))
       val clsOrder = counts.keys.toSeq.sorted
-      val synthParts = counts.toSeq.sortBy(_._1).collect {
-        case (cls, n) if n < majority =>
+      val synthParts = inParallel(counts.toSeq.sortBy(_._1).collect {
+        case (cls, n) if n < majority => () =>
           val minority = all.filter(col(target) === cls)
           val clsI = clsOrder.indexOf(cls).toLong
           // Materialize the danger ids ONCE (ids only — tiny): the
@@ -268,7 +282,7 @@ object Smote {
           val src = if (dangerRows.isEmpty) minority else dangerRows
           synthesize(src, feats, k, width, seed + cls.hashCode, majority - n)
             .withColumn(target, lit(cls))
-      }
+      })
       synthParts.foldLeft(base.drop("__id"))(_ unionByName _)
     }
   }
@@ -288,7 +302,7 @@ object Smote {
       val minorityCls = counts.toSeq.minBy { case (c, n) => (n, c) }._1
       val params = Neighbors.scaleParams(base, feats)
       val all = Neighbors.withScaled(base, params)
-      val parts = counts.toSeq.sortBy(_._1).map { case (cls, n) =>
+      val parts = inParallel(counts.toSeq.sortBy(_._1).map { case (cls, n) => () =>
         val clsRows = all.filter(col(target) === cls)
         if (n <= minCount) dropInternal(clsRows)
         else {
@@ -316,7 +330,7 @@ object Smote {
             .drop("__md", "__r")
             .transform(dropInternal)
         }
-      }
+      })
       parts.reduce(_ unionByName _)
     }
   }
