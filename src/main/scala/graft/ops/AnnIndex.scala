@@ -25,8 +25,16 @@ object AnnIndex {
   case class Index(centroids: DataFrame, cells: DataFrame,
                    nlist: Int, seed: Long)
 
-  /** Fit the coarse quantizer and assign every vector (MLlib KMeans on
-    * the corpus; assignment rides the fitted model). */
+  /** Fit the coarse quantizer (MLlib KMeans on the corpus) and assign
+    * every vector map-side from the centroid table via [[assign]] (r14:
+    * the assignment no longer rides the fitted model — one codegen
+    * argmin expression per row instead of the model's transform, and
+    * the same path a LOADED index uses, so build == load by
+    * construction). The MLlib trainer stays: AnnIndexSpec's probe-
+    * strategy recall panel (two-phase >= plain IVF) is pinned against
+    * its centroid sets, and a sample-trained local Lloyd measurably
+    * shifted that panel (tried and reverted in r14 — see
+    * OPTIMIZATION_r14.md). */
   def build(df: DataFrame, vecCol: String, idCol: String, nlist: Int,
             seed: Long = 42L): Index = {
     import org.apache.spark.ml.clustering.KMeans
@@ -40,8 +48,8 @@ object AnnIndex {
     import spark.implicits._
     val centArr = km.clusterCenters.zipWithIndex
       .map { case (v, cid) => (cid, v.toArray.toSeq) }.toSeq.toDF("cell", "__cv")
-    Index(centArr, km.transform(feat).select(col("corpus_id"), col("cv"), col("cell")),
-      nlist, seed)
+    val ix0 = Index(centArr, null, nlist, seed)
+    Index(centArr, assign(df, ix0, vecCol, idCol), nlist, seed)
   }
 
   /** Persist: cells partitioned BY CELL (the layout is the index),
@@ -87,17 +95,33 @@ object AnnIndex {
     ids.toDF("corpus_id").write.mode("append").parquet(s"$path/tombstones")
 
   /** Nearest-centroid assignment from the centroid TABLE (no model
-    * object needed — works on a loaded index): argmin squared distance
-    * via a min-struct aggregate over the broadcast centroid set. */
+    * object needed — works on a loaded index). r14: MAP-ONLY — the
+    * centroid table is nlist rows (driver-bounded by construction), so
+    * it collects into a literal array and the argmin runs per row as a
+    * codegen expression; the former crossJoin + min-struct groupBy
+    * shuffled the whole corpus (with its vectors) through an exchange
+    * just to pick each row's nearest of nlist cells. Distance float
+    * tree and the lowest-cell tie-break are unchanged (array_position
+    * returns the FIRST minimum in cell order). */
   def assign(df: DataFrame, index: Index, vecCol: String, idCol: String): DataFrame = {
     val v = df.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    v.crossJoin(broadcast(index.centroids))
-      .withColumn("__d2", dp(col("cv"), col("cv")) -
-        lit(2.0) * dp(col("cv"), col("__cv")) + dp(col("__cv"), col("__cv")))
-      .groupBy("corpus_id")
-      .agg(min(struct(col("__d2"), col("cell"), col("cv"))).as("__best"))
-      .select(col("corpus_id"), col("__best.cv").as("cv"), col("__best.cell").as("cell"))
+    val centRows = index.centroids.select(col("cell"), col("__cv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    if (centRows.isEmpty) return v.filter(lit(false)).withColumn("cell", lit(0))
+    // least() over per-centroid (d2, cell) structs: plain codegen
+    // expressions (NOT a higher-order transform(), which plans as an
+    // interpreted lambda — the engine's no-interpreted-lambda contract,
+    // SimilaritySpec). Lexicographic struct order = min d2, lowest cell
+    // on ties — the former min-struct aggregate's exact semantics.
+    val structs = centRows.map { case (cellId, vec) =>
+      val cc = typedLit(vec)
+      struct((dp(col("cv"), col("cv")) - lit(2.0) * dp(col("cv"), cc) +
+        dp(cc, cc)).as("d2"), lit(cellId).as("cell"))
+    }
+    val best = if (structs.length == 1) structs.head else least(structs: _*)
+    v.withColumn("cell", best.getField("cell"))
+      .select("corpus_id", "cv", "cell")
   }
 
   /** Assign new vectors to the existing centroids and append their cell

@@ -41,38 +41,147 @@ object Pq {
     * divide into `m` equal subspaces. */
   def train(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
             k: Int = 16, sampleRows: Int = 10000, seed: Long = 42L): Codebooks = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // The sample feeds every Lloyd iteration of every subspace fit —
-    // uncached, each of the m fits re-runs the TakeOrdered scan of the
-    // corpus. Materialize it once (10k rows — trivial executor storage).
-    val sample = df.orderBy(col(idCol)).limit(sampleRows)
+    // The sample is DRIVER-BOUNDED by contract (TakeOrdered of
+    // `sampleRows` rows), so the subspace fits run driver-local (r14):
+    // the former m MLlib KMeans fits each scheduled ~50 tiny Spark jobs
+    // over the 1-2-task sample (k-means|| init + one job per Lloyd
+    // iteration) — s22/s24/s25 ran 450+ jobs of pure scheduling floor,
+    // and at cluster scale those driver round-trips serialize identically.
+    // Seeded k-means++ init + Lloyd over <= sampleRows x dim doubles is
+    // deterministic (pure function of the sorted sample and the seed)
+    // and partitioning-independent. Codebook quality is equivalent
+    // (PqSpec's recall floors and structural pins are the contract;
+    // exact MLlib centroid parity never was — k-means|| is itself
+    // sample-and-seed specific).
+    val rows = df.orderBy(col(idCol)).limit(sampleRows)
       .select(col(vecCol).cast("array<double>").as("cv"))
-      .persist()
-    val dim = sample.select(size(col("cv"))).head.getInt(0)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "pq: empty training sample")
+    val dim = rows.head.length
     require(dim % m == 0, s"pq: dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val cents = new Array[Double](m * k * dsub)
-    // The m subspace fits are independent (disjoint output regions,
-    // per-subspace seeds): submit them as CONCURRENT Spark jobs — each
-    // fit's jobs are tiny (a 10k-row sample = 1-2 tasks), so serial
-    // fits left the cluster idle. Deterministic: same seeds, same
-    // sample, no shared state.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fits = (0 until m).map { s => Future {
-      val feat = sample
-        .select(array_to_vector(slice(col("cv"), s * dsub + 1, dsub)).as("__fv"))
-      val km = new KMeans().setK(k).setSeed(seed + s)
-        .setFeaturesCol("__fv").setPredictionCol("__c").fit(feat)
-      km.clusterCenters.zipWithIndex.foreach { case (cent, c) =>
-        System.arraycopy(cent.toArray, 0, cents, (s * k + c) * dsub, dsub)
-      }
-    } }
-    Await.result(Future.sequence(fits), Duration.Inf)
-    sample.unpersist()
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until m).map { s => Future {
+        val pts = rows.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+        val cs = lloydLocal(pts, k, seed + s)
+        cs.zipWithIndex.foreach { case (cent, c) =>
+          System.arraycopy(cent, 0, cents, (s * k + c) * dsub, dsub)
+        }
+      } }), Duration.Inf)
+    }
     Codebooks(m, k, dim, cents)
+  }
+
+  /** Seeded k-means++ init + Lloyd, driver-local, deterministic:
+    * `restarts` independent seeded inits, keep the lowest-WCSS run
+    * (compensates for MLlib's heavier k-means|| init at negligible cost
+    * on a driver-bounded sample). Empty clusters keep their previous
+    * centroid (MLlib behavior); k > |distinct points| pads by cycling
+    * the points. */
+  private[graft] def lloydLocal(pts: Array[Array[Double]], k: Int, seed: Long,
+                                maxIter: Int = 60, restarts: Int = 5): Array[Array[Double]] = {
+    var best: Array[Array[Double]] = null
+    var bestCost = Double.MaxValue
+    var r = 0
+    while (r < restarts) {
+      val cs = lloydOnce(pts, k, seed + 7919L * r, maxIter)
+      var cost = 0.0
+      var i = 0
+      while (i < pts.length) {
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var j = 0
+          val cc = cs(c); val p = pts(i)
+          while (j < p.length) { val t = p(j) - cc(j); s += t * t; j += 1 }
+          if (s < bd) bd = s
+          c += 1
+        }
+        cost += bd; i += 1
+      }
+      if (cost < bestCost) { bestCost = cost; best = cs }
+      r += 1
+    }
+    best
+  }
+
+  private def lloydOnce(pts: Array[Array[Double]], k: Int, seed: Long,
+                        maxIter: Int, tol: Double = 1e-9): Array[Array[Double]] = {
+    val n = pts.length
+    val d = pts.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val rng = new scala.util.Random(seed)
+    // k-means++ seeding over the sample
+    val cents = new Array[Array[Double]](k)
+    cents(0) = pts(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var tot = 0.0
+      var i = 0
+      while (i < n) {
+        val dd = d2(pts(i), cents(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        tot += minD(i); i += 1
+      }
+      if (tot <= 0) cents(c) = pts((c - 1) % n).clone() // all-identical pad
+      else {
+        var r = rng.nextDouble() * tot
+        var j = 0
+        while (j < n - 1 && r > minD(j)) { r -= minD(j); j += 1 }
+        cents(c) = pts(j).clone()
+      }
+      c += 1
+    }
+    // Lloyd
+    val sums = Array.ofDim[Double](k, d)
+    val cnt = new Array[Long](k)
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      java.util.Arrays.fill(cnt, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue
+        var cc = 0
+        while (cc < k) {
+          val dd = d2(pts(i), cents(cc))
+          if (dd < bd) { bd = dd; best = cc }
+          cc += 1
+        }
+        cnt(best) += 1
+        val sb = sums(best); val p = pts(i)
+        var j = 0
+        while (j < d) { sb(j) += p(j); j += 1 }
+        i += 1
+      }
+      moved = false
+      var cc = 0
+      while (cc < k) {
+        if (cnt(cc) > 0) {
+          var j = 0
+          var delta = 0.0
+          while (j < d) {
+            val nv = sums(cc)(j) / cnt(cc)
+            val t = nv - cents(cc)(j); delta += t * t
+            cents(cc)(j) = nv; j += 1
+          }
+          if (delta > tol) moved = true
+        } // empty: keep previous centroid
+        cc += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Map-only encoding: (idCol, codes array<int>). */
