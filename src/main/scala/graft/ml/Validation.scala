@@ -112,7 +112,12 @@ object Validation {
     val draws = (1 to nTrials).map { _ =>
       space.map { case (k2, vs) => k2 -> vs(rng.nextInt(vs.size)) }: Models.Params
     }
-    val trials = inParallel(draws.map { draw => () =>
+    // Score each DISTINCT draw once (r14): a small discrete space makes
+    // repeat draws routine, and the CV objective is deterministic in
+    // (draw, seed) — identical draws are identical trials by
+    // construction, so memoizing is output-identical while cutting whole
+    // CV rounds (fits + metrics) from the search.
+    val distinctTrials = inParallel(draws.distinct.map { draw => () =>
       val perFold = crossValidateAll(df, labelCol, model, task, k, draw, seed, orderCols)
       val metricNames = perFold.head._2.keySet
       val means = metricNames.map(mn =>
@@ -120,8 +125,9 @@ object Validation {
       val scores = perFold.map(_._2(metric))
       val mean = means(metric)
       val std = math.sqrt(scores.map(s => (s - mean) * (s - mean)).sum / scores.size)
-      Trial(draw, mean, std, means)
-    })
+      draw -> Trial(draw, mean, std, means)
+    }).toMap
+    val trials = draws.map(distinctTrials)
     trials.sortBy(t => if (higherIsBetter) -t.mean else t.mean)
   }
 
@@ -241,9 +247,18 @@ object Validation {
     val offset = logPath.map(p => graft.io.TrialLog.read(p).size).getOrElse(0)
     var n = offset
     val hib = Metrics.higherIsBetter(metric)
+    // memoize distinct draws (r14): the CV objective is deterministic in
+    // (draw, seed) and adaptive samplers concentrate on good values, so
+    // repeat draws are the COMMON case — a repeat trial's mean is its
+    // first evaluation's by construction. The trial LOG still records
+    // every trial (resume numbering unchanged); only the redundant fits
+    // are skipped.
+    val memo = scala.collection.mutable.Map.empty[Models.Params, Double]
     val objective: Models.Params => Double = { draw =>
-      val scores = crossValidate(df, labelCol, model, task, k, draw, metric, seed, orderCols)
-      val mean = scores.map(_._2).sum / scores.size
+      val mean = memo.getOrElseUpdate(draw, {
+        val scores = crossValidate(df, labelCol, model, task, k, draw, metric, seed, orderCols)
+        scores.map(_._2).sum / scores.size
+      })
       logPath.foreach { p =>
         graft.io.TrialLog.append(p, graft.io.TrialLog.Trial(n,
           draw.map { case (k2, v) => k2 -> v.toString }, mean))

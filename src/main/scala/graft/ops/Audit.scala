@@ -705,10 +705,18 @@ object Audit {
       .agg(min(col("__x")).as("__q"))
     // production sketch per replicate + its exact-vs-bound proof; the
     // weighted aggregate enters each row at its Poisson weight via the
-    // exact binary decomposition — no explode
-    val sk = wtd
+    // exact binary decomposition — no explode. Input is the CELLS frame,
+    // not `wtd` (r14): the two aggregates' exchange keys differ, so off
+    // `wtd` the md5 + replicate-explode + Poisson map stage executed
+    // TWICE (the two dominant single-stage jobs of the a48 profile);
+    // off `cells` every consumer hangs on the one (g, b, x) exchange
+    // (ReuseExchange). A cell enters at its summed weight — the sketch's
+    // rank-error bound is insertion-sharding-independent (weighted entry
+    // adds no error), so all_within_bound is unchanged by construction,
+    // and no exact output column reads the sketch estimate.
+    val sk = cells
       .groupBy(col("__g"), col("__b"))
-      .agg(call_function("kll_quantiles_w", col("__x"), col("__w"),
+      .agg(call_function("kll_quantiles_w", col("__x"), col("__wc"),
         lit(sketchK), array(lit(p))).as("__sk"))
       .select(col("__g").as("__gs"), col("__b").as("__bs"),
         col("__sk.err").as("__se"), element_at(col("__sk.est"), 1).as("__est"))

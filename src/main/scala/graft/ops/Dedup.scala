@@ -217,7 +217,22 @@ object Dedup {
     // re-scanning the corpus.
     val sh = shingleHashRows(df, textCol, idCol, n)
       .withColumnRenamed("__h", "sh")
-    jaccardPairsAuto(sh, threshold, maxDocsPerShingle)
+    // Dispatch bound computed MAP-ONLY from token counts (r14): raw
+    // shingle rows per doc = 1 if sz < n else sz - n + 1 (the exact
+    // shingleRowsRaw emission), and distinct occurrences can only be
+    // fewer — a valid occHint upper bound. The generic cappedCount
+    // probe on `sh` executed the whole shingle stage a second time
+    // (its early-stop iterators sit ABOVE the dedup aggregate, whose
+    // first output row still needs the full map stage + shuffle): one
+    // duplicated heavy leaf stage per jaccard call in the d2/b17
+    // profiles. This scan tokenizes only — no md5, no explode, no
+    // exchange — and is strictly cheaper at every scale.
+    val sz = size(graft.ops.Text.tokens(col(textCol)))
+    val rawBound = df
+      .agg(coalesce(sum(when(sz < n, 1L)
+        .otherwise((sz - (n - 1)).cast(LongType))), lit(0L)))
+      .head.getLong(0)
+    jaccardPairsAuto(sh, threshold, maxDocsPerShingle, Some(rawBound))
   }
 
   /** Occurrence-count boundary between the two pair-generation shapes:

@@ -58,6 +58,45 @@ object LshIndex {
       n = n, bands = bands, rowsPerBand = rowsPerBand, seed = seed)
   }
 
+  /** [[build]] + [[save]] fused into ONE shingle-stage execution (r14):
+    * all three index tables derive from the exploded-distinct shingle
+    * frame, and save()-after-build() executed that stage once PER TABLE
+    * WRITE (three identical heavy scan+explode+shuffle passes in the
+    * st7/st11 profiles). Here the shingle table is WRITTEN FIRST, re-read
+    * schema-pinned (zero jobs), and sizes/band keys derive from the
+    * re-read — write-once-read-back materialization using storage the
+    * save pays for anyway (guide §3.3). Write order keeps save()'s crash
+    * contract: shingles/sizes land before band keys (docs without band
+    * keys read as ABSENT and replay), meta last. Fresh builds only
+    * (mode error/overwrite): an APPEND must derive sizes/band keys from
+    * the batch alone, which a re-read of the grown table cannot isolate
+    * — appends keep the [[entriesFor]]+[[save]] path (batch-sized, and
+    * the batch frame is typically already materialized by the caller). */
+  def buildAndSave(df: DataFrame, textCol: String, idCol: String, n: Int,
+                   bands: Int, rowsPerBand: Int, path: String,
+                   seed: Long = 42L, mode: String = "error"): Index = {
+    require(mode != "append", "buildAndSave is for fresh builds; append " +
+      "batches via entriesFor + save (see scaladoc)")
+    val spark = df.sparkSession
+    val ex = Dedup.shingleHashRows(df, textCol, idCol, n)
+    ex.write.mode(mode).parquet(s"$path/shingles")
+    val exR = spark.read.schema(ex.schema).parquet(s"$path/shingles")
+    val ix = Index(
+      bandKeys = Dedup.minhashBandKeys(exR, "id", bands, rowsPerBand, seed),
+      shingles = exR,
+      sizes = exR.groupBy("id").agg(count(lit(1)).as("n_sh")),
+      n = n, bands = bands, rowsPerBand = rowsPerBand, seed = seed)
+    ix.sizes.write.mode(mode).parquet(s"$path/sizes")
+    ix.bandKeys.write.mode(mode).parquet(s"$path/bandkeys")
+    writeMeta(spark, s"$path/_meta", Seq(
+      "n" -> ix.n.toString, "bands" -> ix.bands.toString,
+      "rowsPerBand" -> ix.rowsPerBand.toString, "seed" -> ix.seed.toString,
+      "bandKeysSchema" -> ix.bandKeys.schema.json,
+      "shinglesSchema" -> ix.shingles.schema.json,
+      "sizesSchema" -> ix.sizes.schema.json))
+    ix
+  }
+
   /** Persist the index as three parquet tables plus a driver-side
     * `_meta` file (params + table schemas, so [[load]] can refuse a
     * mismatched query config without running a job). `mode` is
@@ -222,9 +261,29 @@ object LshIndex {
     val candNew = bandedNew.as("a").join(bandedNew.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val cand = candOld.unionByName(candNew).dropDuplicates("id_a", "id_b")
-    val allSh = index.shingles.unionByName(exNew)
-    val allSizes = index.sizes.unionByName(sizesNew)
+    val cand0 = candOld.unionByName(candNew).dropDuplicates("id_a", "id_b")
+    // Candidate-id pre-filter of the verify side (r14): the exact verify
+    // joined `cand` against the FULL (index ∪ batch) shingle table keyed
+    // by id — shuffling the whole index twice (once per pair side), the
+    // exact re-shuffle of history this class exists to avoid. Candidates
+    // are banding-collision-bounded whenever the batch side is (the
+    // broadcastNewSide contract), so their id set broadcasts and the
+    // index tables are SEMI-JOIN-FILTERED map-side before any exchange:
+    // the index stays scanned-never-shuffled end to end, and the verify
+    // joins run over candidate-sized frames. `cand` is materialized once
+    // (pair-list-sized) — the id-set broadcast and the verify join would
+    // otherwise each re-run the banded probe.
+    val cand =
+      if (broadcastNewSide) graft.core.Materialize.frame(cand0) else cand0
+    val allSh0 = index.shingles.unionByName(exNew)
+    val allSizes0 = index.sizes.unionByName(sizesNew)
+    val (allSh, allSizes) =
+      if (broadcastNewSide) {
+        val candIds = cand
+          .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+        (allSh0.join(broadcast(candIds), Seq("id"), "left_semi"),
+          allSizes0.join(broadcast(candIds), Seq("id"), "left_semi"))
+      } else (allSh0, allSizes0)
     // pair-anchored exact verify, same shape as minhashLshPairs
     val withA = cand.join(allSh.withColumnRenamed("id", "id_a"), "id_a")
     val common = withA.join(allSh.withColumnRenamed("id", "id_b"),

@@ -244,8 +244,10 @@ object StreamingQueries {
           .select((col("doc_id") + 31000).as("doc_id"),
             concat_ws(" ", reverse(graft.ops.Text.tokens(col("text")))).as("text")))
       val ixDir = java.nio.file.Files.createTempDirectory("st7ix").toString
-      graft.ops.LshIndex.save(graft.ops.LshIndex.build(corpus, "text", "doc_id",
-        n = 3, bands = 21, rowsPerBand = 3), ixDir, mode = "overwrite")
+      // buildAndSave (r14): one shingle-stage execution instead of one
+      // per table write — output-identical index
+      graft.ops.LshIndex.buildAndSave(corpus, "text", "doc_id",
+        n = 3, bands = 21, rowsPerBand = 3, path = ixDir, mode = "overwrite")
       graft.streaming.IngestDedup.step(batch, ixDir, "text", "doc_id",
         threshold = 0.7).select("doc_id")
     }))

@@ -64,6 +64,29 @@ class LshIndexSpec extends SparkSpec {
     assert(inc2 == Set((3000L, 4000L)), s"got $inc2")
   }
 
+  test("buildAndSave == build+save: same tables on disk, same incremental pairs") {
+    val d1 = java.nio.file.Files.createTempDirectory("lshix_bs1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("lshix_bs2").toString
+    LshIndex.save(LshIndex.build(corpus, "text", "doc_id", 3, 21, 3), d1)
+    val built = LshIndex.buildAndSave(corpus, "text", "doc_id", 3, 21, 3, d2)
+    assert((built.n, built.bands, built.rowsPerBand, built.seed) == (3, 21, 3, 42L))
+    val (a, b) = (LshIndex.load(spark, d1), LshIndex.load(spark, d2))
+    for ((l, r, name) <- Seq((a.shingles, b.shingles, "shingles"),
+        (a.sizes, b.sizes, "sizes"), (a.bandKeys, b.bandKeys, "bandkeys"))) {
+      assert(l.exceptAll(r).isEmpty && r.exceptAll(l).isEmpty,
+        s"$name tables differ between save-after-build and buildAndSave")
+    }
+    val inc1 = LshIndex.incrementalPairs(batch, a, "text", "doc_id", 0.7)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val inc2 = LshIndex.incrementalPairs(batch, b, "text", "doc_id", 0.7)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(inc1 == inc2, s"inc pairs differ: $inc1 vs $inc2")
+    intercept[IllegalArgumentException] {
+      LshIndex.buildAndSave(corpus, "text", "doc_id", 3, 21, 3, d2,
+        mode = "append")
+    }
+  }
+
   test("tombstoned docs stop matching; the rest of the index is untouched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lshix_rm").toString
