@@ -193,6 +193,22 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Session hygiene between timed repeats (r15, r14-VERDICT #1 suspect
+    // (b)): every finished query leaves its localCheckpoint blocks pinned
+    // in the storage pool until driver GC collects the RDD handle, so a
+    // 123-query single-JVM board accumulates dead blocks that compete
+    // with execution memory exactly when 32 concurrent object-heavy
+    // tasks need it. Freeing them AFTER each repeat (outside the timed
+    // region — the next repeat re-executes everything from parquet, so
+    // nothing computed survives into any timed region) is the in-process
+    // equivalent of the fresh-JVM chunking this file already documents.
+    // NOT result caching: no query output or intermediate is retained.
+    def freeSessionState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    freeSessionState() // drop warmup-run leftovers before the first timing
     val results = names.map { name =>
       // a failed repeat poisons the whole entry to -1 (the artifact
       // family's failure sentinel — recheck.py/scale_probe.py skip
@@ -207,7 +223,9 @@ object Bench {
               s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
             false
         }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        freeSessionState()
+        dt
       }
       val m = if (times.exists(_ < 0)) -1.0 else median(times)
       // progress to STDERR (the driver greps the stdout JSON line only):

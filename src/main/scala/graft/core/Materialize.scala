@@ -47,6 +47,26 @@ object Materialize {
     }
   }
 
+  /** Release the storage blocks of a frame previously returned by
+    * [[frame]]/[[frameSer]] (r15, r14-VERDICT #1: iterative operators
+    * materialize per-step frames and the DEAD steps' blocks pinned the
+    * storage pool until driver GC — on a long-lived session that starves
+    * execution memory). Call ONLY once nothing will read `df` again: a
+    * localCheckpoint cannot be recomputed, so a freed frame is gone.
+    * No-op for frames that never went through [[frame]] (no RDD scan in
+    * the plan) and in reliable-checkpoint mode (files, not blocks). */
+  def free(df: DataFrame): Unit =
+    // Strictly the ROOT node: a derived frame (join/select over a
+    // materialized one) no-ops — unpersisting every LogicalRDD found in
+    // a subtree could free a checkpoint some OTHER live frame still
+    // reads (a localCheckpoint cannot recompute: that would be data
+    // loss, not a cache miss).
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** [[frame]] with SERIALIZED block storage — for materialize-once
     * frames that are LARGE relative to executor heap (the SMOTE family's
     * post-synthesis frames: a 10x class deficit materializes ~10x the

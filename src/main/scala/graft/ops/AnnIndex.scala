@@ -103,12 +103,35 @@ object AnnIndex {
     * just to pick each row's nearest of nlist cells. Distance float
     * tree and the lowest-cell tie-break are unchanged (array_position
     * returns the FIRST minimum in cell order). */
+  /** Above this nlist the literal-struct `least()` expression tree gets
+    * big enough to risk codegen method/constant-pool limits (the
+    * silent fall-back to interpreted evaluation is the exact §4
+    * anti-pattern — r14-VERDICT #4); the broadcast-join + min-struct
+    * aggregate shape below takes over. 256 centroids x dim<=~1k doubles
+    * is comfortably inside codegen's splitting budget. */
+  private val MapOnlyAssignMaxCells = 256
+
   def assign(df: DataFrame, index: Index, vecCol: String, idCol: String): DataFrame = {
     val v = df.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val centRows = index.centroids.select(col("cell"), col("__cv"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     if (centRows.isEmpty) return v.filter(lit(false)).withColumn("cell", lit(0))
+    if (centRows.length > MapOnlyAssignMaxCells) {
+      // large-nlist fall-back: broadcast the centroid table and reduce
+      // per row with a min-struct aggregate (same lexicographic
+      // (d2, cell) order = same lowest-cell tie-break). Keyed by
+      // corpus_id — unique by the index contract (load/remove already
+      // treat it as the vector key).
+      return v.crossJoin(broadcast(index.centroids.select(col("cell"),
+          col("__cv"))))
+        .groupBy(col("corpus_id"))
+        .agg(first("cv").as("cv"),
+          min(struct((dp(col("cv"), col("cv")) - lit(2.0) *
+            dp(col("cv"), col("__cv")) + dp(col("__cv"), col("__cv")))
+            .as("d2"), col("cell").as("cell"))).as("__best"))
+        .select(col("corpus_id"), col("cv"), col("__best.cell").as("cell"))
+    }
     // least() over per-centroid (d2, cell) structs: plain codegen
     // expressions (NOT a higher-order transform(), which plans as an
     // interpreted lambda — the engine's no-interpreted-lambda contract,

@@ -23,6 +23,23 @@ object Balancing {
   def classCounts(df: DataFrame, target: String): DataFrame =
     df.groupBy(col(target)).agg(count(lit(1)).as("__n"))
 
+  /** Broadcast the component-label table only under a PROVEN row bound
+    * (r14-VERDICT #3): comp has one row per id appearing in `pairs` —
+    * at 100 TB a near-dup label table can reach hundreds of millions of
+    * rows, a driver-OOM broadcast if hinted unconditionally. */
+  private val CompBroadcastLimit = 4L * 1000 * 1000
+
+  /** Component labels for [[groupSplit]]/[[groupFolds]], materialized
+    * once (the gate's count is then a free block scan, and the join
+    * never re-executes the union-find lineage) and broadcast-hinted
+    * only when provably small; above the limit the plain join lets the
+    * planner/AQE pick a scale-safe strategy over the real stats. */
+  private def componentLabels(pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = graft.core.Materialize.frame(Dedup.components(pairs))
+      .withColumnRenamed("id", idCol)
+    if (comp.count() <= CompBroadcastLimit) broadcast(comp) else comp
+  }
+
   /** Leakage-safe GROUP k-fold assignment — [[groupSplit]]'s contract
     * extended to cross-validation: every near-dup cluster lands WHOLE
     * in one of `k` folds (fold = seeded md5 of the component key mod
@@ -33,11 +50,7 @@ object Balancing {
   def groupFolds(df: DataFrame, idCol: String, pairs: DataFrame,
                  k: Int, seed: Long = 42L): DataFrame = {
     require(k >= 2, s"need k >= 2 folds, got $k")
-    // explicit broadcast (r14): the label table is pair-list-sized by
-    // contract but arrives as an RDD scan with no stats — without the
-    // hint the planner sort-merged and shuffled the corpus side.
-    val comp = Dedup.components(pairs).withColumnRenamed("id", idCol)
-    df.join(broadcast(comp), Seq(idCol), "left")
+    df.join(componentLabels(pairs, idCol), Seq(idCol), "left")
       .withColumn("fold",
         pmod(Hashing.md5Int(concat_ws(":",
           coalesce(col("comp"), col(idCol)).cast("string"), lit(seed))),
@@ -91,9 +104,7 @@ object Balancing {
     * are impossible without splitting a cluster. */
   def groupSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                  testFraction: Double, seed: Long = 42L): DataFrame = {
-    // explicit broadcast (r14): same rationale as [[groupFolds]].
-    val comp = Dedup.components(pairs).withColumnRenamed("id", idCol)
-    df.join(broadcast(comp), Seq(idCol), "left")
+    df.join(componentLabels(pairs, idCol), Seq(idCol), "left")
       .withColumn("split",
         when(pmod(Hashing.md5Int(concat_ws(":",
             coalesce(col("comp"), col(idCol)).cast("string"), lit(seed))),

@@ -681,6 +681,7 @@ object Corpus {
       // in each reference — the plan grew EXPONENTIALLY with steps (the
       // t49c/t49d formatted plans ran to hundreds of SortMergeJoins and
       // Catalyst planning time dominated the query). |sources| rows.
+      val prev = w
       w = w.join(ld, "source")
         .withColumn("excess_loss",
           greatest(lit(0.0),
@@ -689,13 +690,21 @@ object Corpus {
           col("__alpha") * exp(lit(eta) * col("excess_loss")))
         .drop("__lp")
         .transform(graft.core.Materialize.frame)
+      // step i-1's blocks are dead the moment step i is materialized
+      // (r15 — long-lived sessions otherwise pin every step's frame
+      // until driver GC); no-op for the initial un-materialized w
+      graft.core.Materialize.free(prev)
     }
     val norm = w.agg(sum("__alpha").as("__asum"))
-    w.crossJoin(broadcast(norm))
+    val out = w.crossJoin(broadcast(norm))
       .select(col("source"), col("tokens"),
         round(col("excess_loss"), 6).as("excess_loss"),
         round(lit(1.0 - smoothing) * col("__alpha") / col("__asum") +
           lit(smoothing) / col("__nd"), 6).as("weight"))
+    // the stats table is only read by the (eager) per-step materializes;
+    // the returned plan hangs off the FINAL w alone
+    graft.core.Materialize.free(st)
+    out
   }
 
   /** Multinomial Naive Bayes quality classifier — the fastText-style
@@ -834,6 +843,7 @@ object Corpus {
       // next step, so an unmaterialized w re-embeds this step's 5-way
       // bigram join chain per reference (the t49d formatted plan hit
       // ~520 SortMergeJoins at steps=2 and planning dominated runtime).
+      val prev = w
       w = w.join(ld, "source")
         .withColumn("excess_loss",
           greatest(lit(0.0),
@@ -843,13 +853,19 @@ object Corpus {
           col("__alpha") * exp(lit(eta) * col("excess_loss")))
         .drop("__lp")
         .transform(graft.core.Materialize.frame)
+      // free step i-1's dead blocks (r15; no-op for the initial w)
+      graft.core.Materialize.free(prev)
     }
     val norm = w.agg(sum("__alpha").as("__asum"))
-    w.crossJoin(broadcast(norm))
+    val out = w.crossJoin(broadcast(norm))
       .select(col("source"), col("tokens"),
         round(col("excess_loss"), 6).as("excess_loss"),
         round(lit(1.0 - smoothing) * col("__alpha") / col("__asum") +
           lit(smoothing) / col("__nd"), 6).as("weight"))
+    // sb is only read by the (eager) per-step materializes; the returned
+    // plan hangs off the FINAL w alone
+    graft.core.Materialize.free(sb)
+    out
   }
 
   /** DoReMi reweighting with a REAL proxy scorer: the per-domain loss is

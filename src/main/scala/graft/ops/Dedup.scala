@@ -983,6 +983,7 @@ object Dedup {
     val edges0 = undirected
       .unionByName(undirected.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().transform(graft.core.Materialize.frame)
+    graft.core.Materialize.free(undirected) // folded into edges0 above
     // Size the round parallelism to the GRAPH, not the corpus: the pair
     // list is usually orders of magnitude smaller than the input (that's
     // the point of near-dup candidate pruning), and every round launches
@@ -993,11 +994,18 @@ object Dedup {
     val parts = math.max(1L, math.min(nEdges / 1000000L + 1L,
       edges0.rdd.getNumPartitions.toLong)).toInt
     val edges =
-      if (parts < edges0.rdd.getNumPartitions)
-        edges0.repartition(parts, col("dst")).transform(graft.core.Materialize.frame)
-      else edges0
+      if (parts < edges0.rdd.getNumPartitions) {
+        val e = edges0.repartition(parts, col("dst"))
+          .transform(graft.core.Materialize.frame)
+        graft.core.Materialize.free(edges0) // superseded by the repartitioned copy
+        e
+      } else edges0
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).transform(graft.core.Materialize.frame)
+    // the round loop frees each superseded label frame once its successor
+    // is materialized (r15 — a 20-round fixpoint otherwise pins 20 dead
+    // label snapshots in the storage pool until driver GC)
+    var prevMat = labels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -1018,6 +1026,8 @@ object Dedup {
           (coalesce(col("__cc"), col("__mid")) =!= col("__old")).as("__chg"))
         .transform(graft.core.Materialize.frame)
       changed = updated.filter(col("__chg")).count()
+      graft.core.Materialize.free(prevMat)
+      prevMat = updated
       labels = updated.select("id", "comp")
       it += 1
     }
@@ -1025,6 +1035,9 @@ object Dedup {
       throw new IllegalStateException(
         s"components: min-label propagation did not converge in $maxIter rounds " +
           s"($changed labels still changing) — raise maxIter")
+    // the edge table fed only the (eager) round materializes; the
+    // returned labels hang off the final round's checkpoint alone
+    graft.core.Materialize.free(edges)
     labels
   }
 
