@@ -45,10 +45,8 @@ object Metrics {
           lit(1L)).cast("int"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), count(when(pos, 1)).as("n_pos"))
-    val cum = graft.ops.Ordinals.withRunningTotal(
-      graft.ops.Ordinals.withRunningTotal(per, Seq(col("bin").desc),
-        "n", "__cn"),
-      Seq(col("bin").desc), "n_pos", "__cp")
+    val cum = graft.ops.Ordinals.withRunningTotals(per,
+      Seq(col("bin").desc), Seq("n" -> "__cn", "n_pos" -> "__cp"))
     val tot = per.agg(sum("n_pos").as("__tp"))
     val prec = col("__cp").cast("double") / col("__cn").cast("double")
     val rec = col("__cp").cast("double") / col("__tp").cast("double")
@@ -155,10 +153,9 @@ object Metrics {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         count(when(pos, 1)).as("n_pos"))
-    val cum = graft.ops.Ordinals.withRunningTotal(
-      graft.ops.Ordinals.withRunningTotal(
-        per, Seq(col("bucket").asc), "n_pos", "cum_pos"),
-      Seq(col("bucket").asc), "n_rows", "cum_rows")
+    val cum = graft.ops.Ordinals.withRunningTotals(per,
+      Seq(col("bucket").asc),
+      Seq("n_pos" -> "cum_pos", "n_rows" -> "cum_rows"))
     val tot = per.agg(sum("n_rows").as("__t"), sum("n_pos").as("__p"))
     val base = col("__p").cast("double") / col("__t").cast("double")
     val rate = col("n_pos").cast("double") / col("n_rows").cast("double")

@@ -289,9 +289,8 @@ object Audit {
       .groupBy(col(valueCol).as("__v"))
       .agg(count(when(col(groupCol) === aVal, 1)).as("__na"),
         count(when(col(groupCol) === bVal, 1)).as("__nb"))
-    val cum = Ordinals.withRunningTotal(
-      Ordinals.withRunningTotal(per, Seq(col("__v").asc), "__na", "__ca"),
-      Seq(col("__v").asc), "__nb", "__cb")
+    val cum = Ordinals.withRunningTotals(per, Seq(col("__v").asc),
+      Seq("__na" -> "__ca", "__nb" -> "__cb"))
     val tot = per.agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
     cum.crossJoin(broadcast(tot))
       .select(col("__ta"), col("__tb"),

@@ -294,17 +294,14 @@ object Encoding {
         .withColumn("__one", lit(1.0))
       val order = (col(c).asc +: col("__ok").asc +:
         tieCols.map(col(_).asc))
-      val cum = Ordinals.withRunningTotal(
-        Ordinals.withRunningTotal(keyed, order, "__ts", "__cs"),
-        order, "__one", "__cn")
+      val cum = Ordinals.withRunningTotals(keyed, order,
+        Seq("__ts" -> "__cs", "__one" -> "__cn"))
       // per-category offsets: totals of all categories BEFORE this one
       // in the same (category asc) order — a dictionary-sized frame
       val catTot = keyed.groupBy(col(c).as("__cat"))
         .agg(sum("__ts").as("__cts"), sum("__one").as("__ctn"))
-      val off = Ordinals.withRunningTotal(
-          Ordinals.withRunningTotal(catTot, Seq(col("__cat").asc),
-            "__cts", "__ics"),
-          Seq(col("__cat").asc), "__ctn", "__icn")
+      val off = Ordinals.withRunningTotals(catTot, Seq(col("__cat").asc),
+          Seq("__cts" -> "__ics", "__ctn" -> "__icn"))
         .select(col("__cat"), (col("__ics") - col("__cts")).as("__offs"),
           (col("__icn") - col("__ctn")).as("__offn"))
       val tot = keyed.agg(sum("__ts").as("__gs"), sum("__one").as("__gn"))

@@ -96,4 +96,14 @@ object Ordinals {
   def withRunningTotal(df: DataFrame, sortCols: Seq[Column], valueCol: String,
                        out: String): DataFrame =
     graft.plans.RunningTotal(df, sortCols, valueCol, out)
+
+  /** Several running totals under ONE order in a single two-pass node
+    * (r15, guide §1.2): callers used to stack [[withRunningTotal]] —
+    * the stack shared its exchange but re-ran the post-shuffle sort +
+    * scan twice per extra node (k totals = k+1 sorted passes; this is
+    * 2 for any k). Bit-identical to the stack: same per-partition sum
+    * order, same float trees. */
+  def withRunningTotals(df: DataFrame, sortCols: Seq[Column],
+                        valueOuts: Seq[(String, String)]): DataFrame =
+    graft.plans.RunningTotal.multi(df, sortCols, valueOuts)
 }

@@ -352,11 +352,9 @@ object Timeseries {
     val nD = col("__n_risk").cast("double")
     val h = round(col("__d").cast("double") / nD, 9) * lit(1e9)
     val v = round(col("__d").cast("double") / (nD * nD), 9) * lit(1e9)
-    Ordinals.withRunningTotal(
-        Ordinals.withRunningTotal(
-          withRisk.withColumn("__ht", h).withColumn("__vt", v),
-          Seq(col("__t").asc), "__ht", "__ch"),
-        Seq(col("__t").asc), "__vt", "__cv")
+    Ordinals.withRunningTotals(
+        withRisk.withColumn("__ht", h).withColumn("__vt", v),
+        Seq(col("__t").asc), Seq("__ht" -> "__ch", "__vt" -> "__cv"))
       .select(col("__t").as("t_us"), col("__n_risk").as("n_risk"),
         col("__d").as("n_events"),
         round(col("__ch") / lit(1e9), 6).as("cum_hazard"),
@@ -399,10 +397,8 @@ object Timeseries {
         sum(when(!col("__ina"), col("__ev")).otherwise(0L)).as("__db"))
     val tot = lives.agg(count(when(col("__ina"), 1)).as("__Na"),
       count(when(!col("__ina"), 1)).as("__Nb"))
-    val cum = Ordinals.withRunningTotal(
-      Ordinals.withRunningTotal(times, Seq(col("__t").asc),
-        "__alla", "__ca"),
-      Seq(col("__t").asc), "__allb", "__cb")
+    val cum = Ordinals.withRunningTotals(times, Seq(col("__t").asc),
+      Seq("__alla" -> "__ca", "__allb" -> "__cb"))
     val withRisk = cum.crossJoin(broadcast(tot))
       .select(col("__t"), col("__da"), col("__db"),
         (col("__Na") - (col("__ca").cast("long") - col("__alla")))

@@ -29,29 +29,41 @@ import org.apache.spark.sql.types.DoubleType
   * GenericRow, no codegen barrier for downstream operators, pruning and
   * reuse see a normal unary node.
   *
+  * MULTI-VALUE (r15): one node appends running totals of SEVERAL value
+  * columns under the one order. Callers used to STACK single-value
+  * nodes; the stack shared the exchange (the inner node's
+  * RangePartitioning satisfies the outer's OrderedDistribution) but
+  * every extra node re-ran the post-shuffle SORT + scan twice more
+  * (its own partSums job + its contribution to every enclosing pass) —
+  * k totals cost k+1 sorted passes instead of the 2 this node takes
+  * for any k (guide §1.2 fewer passes). Per-column sums and offsets are
+  * the same float trees in the same partition order, so the output is
+  * bit-identical to the former stack.
+  *
   * Null `valueCol` cells contribute 0 to the total (document-level token
   * counts and AUC indicator columns — the callers — are never null; the
   * choice matches SQL SUM's null-skipping).
   */
 case class RunningTotalPlan(child: LogicalPlan, sortOrder: Seq[SortOrder],
-                            value: Attribute, outAttr: AttributeReference)
+                            values: Seq[Attribute],
+                            outAttrs: Seq[AttributeReference])
   extends UnaryNode {
-  // outAttr is a constructor FIELD, not a derived val: plan transforms
+  // outAttrs is a constructor FIELD, not a derived val: plan transforms
   // copy() the node, and a regenerated AttributeReference would change
   // exprId under the feet of downstream references
-  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def output: Seq[Attribute] = child.output ++ outAttrs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttrs)
   override protected def withNewChildInternal(newChild: LogicalPlan): RunningTotalPlan =
     copy(child = newChild)
 }
 
 case class RunningTotalExec(child: SparkPlan, sortOrder: Seq[SortOrder],
-                            value: Attribute, outAttr: Attribute)
+                            values: Seq[Attribute], outAttrs: Seq[Attribute])
   extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def output: Seq[Attribute] = child.output ++ outAttrs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr :: Nil)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttrs)
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(OrderedDistribution(sortOrder))
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(sortOrder)
@@ -59,28 +71,38 @@ case class RunningTotalExec(child: SparkPlan, sortOrder: Seq[SortOrder],
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val idx = child.output.indexWhere(_.exprId == value.exprId)
-    require(idx >= 0, s"running_total: value column $value not in child output")
+    val idxs = values.map(v => child.output.indexWhere(_.exprId == v.exprId)).toArray
+    require(idxs.forall(_ >= 0),
+      s"running_total: value columns $values not all in child output")
+    val k = idxs.length
     val sorted = child.execute()
     // job 1: per-partition sums — the exchange below us is materialized
     // shuffle state, so this extra pass re-reads shuffle files, not the
     // source (and the sort re-runs only per partition)
     val partSums = sorted.mapPartitions { it =>
-      var s = 0.0
-      it.foreach(r => if (!r.isNullAt(idx)) s += r.getDouble(idx))
+      val s = new Array[Double](k)
+      it.foreach { r =>
+        var i = 0
+        while (i < k) { if (!r.isNullAt(idxs(i))) s(i) += r.getDouble(idxs(i)); i += 1 }
+      }
       Iterator.single(s)
     }.collect()
-    val offsets = partSums.scanLeft(0.0)(_ + _)
-    val childOutput = child.output
+    val offsets = partSums.scanLeft(new Array[Double](k)) { (a, b) =>
+      Array.tabulate(k)(i => a(i) + b(i))
+    }
     val attrs = output
     sorted.mapPartitionsWithIndex { (pid, it) =>
-      var acc = offsets(pid)
+      val acc = offsets(pid).clone()
       val proj = UnsafeProjection.create(attrs.map(_.dataType).toArray)
-      val extra = new GenericInternalRow(1)
+      val extra = new GenericInternalRow(k)
       val joined = new JoinedRow
       it.map { r =>
-        if (!r.isNullAt(idx)) acc += r.getDouble(idx)
-        extra.update(0, acc)
+        var i = 0
+        while (i < k) {
+          if (!r.isNullAt(idxs(i))) acc(i) += r.getDouble(idxs(i))
+          extra.update(i, acc(i))
+          i += 1
+        }
         proj(joined(r, extra))
       }
     }
@@ -93,8 +115,8 @@ case class RunningTotalExec(child: SparkPlan, sortOrder: Seq[SortOrder],
 /** Planner rule: RunningTotalPlan -> RunningTotalExec. */
 object RunningTotalStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RunningTotalPlan(child, order, value, outAttr) =>
-      RunningTotalExec(planLater(child), order, value, outAttr) :: Nil
+    case RunningTotalPlan(child, order, values, outAttrs) =>
+      RunningTotalExec(planLater(child), order, values, outAttrs) :: Nil
     case _ => Nil
   }
 }
@@ -102,7 +124,13 @@ object RunningTotalStrategy extends SparkStrategy {
 object RunningTotal {
   /** Append `out` = inclusive running total of `valueCol` (cast to
     * double) under the total order `sortCols`. The public seam
-    * [[graft.ops.Ordinals.withRunningTotal]] delegates here.
+    * [[graft.ops.Ordinals.withRunningTotal]] delegates here. */
+  def apply(df: org.apache.spark.sql.DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+            valueCol: String, out: String): org.apache.spark.sql.DataFrame =
+    multi(df, sortCols, Seq(valueCol -> out))
+
+  /** Append one inclusive running total PER (valueCol, out) pair, all
+    * under the one total order `sortCols`, in a single two-pass node.
     *
     * NONDETERMINISTIC sort expressions (a `rand(seed)` shuffle/tie-break
     * key — the Balancing trims use one) are materialized as projected
@@ -111,11 +139,17 @@ object RunningTotal {
     * operators (INVALID_NON_DETERMINISTIC_EXPRESSIONS). Materializing
     * also pins the value — the sort key is evaluated once per row, not
     * once per consumer. */
-  def apply(df: org.apache.spark.sql.DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
-            valueCol: String, out: String): org.apache.spark.sql.DataFrame = {
+  def multi(df: org.apache.spark.sql.DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+            valueOuts: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    require(valueOuts.nonEmpty, "running_total: need at least one value column")
     val spark = df.sparkSession
-    var prepped = df.withColumn("__rt_v",
-      org.apache.spark.sql.functions.col(valueCol).cast(DoubleType))
+    var prepped = df
+    val vNames = valueOuts.zipWithIndex.map { case ((valueCol, _), i) =>
+      val nm = s"__rt_v$i"
+      prepped = prepped.withColumn(nm,
+        org.apache.spark.sql.functions.col(valueCol).cast(DoubleType))
+      nm
+    }
     // (materialized-column-name, original sort expression) per sort key:
     // every sort key that is not a plain column reference is projected —
     // determinism can't be judged pre-analysis (functions arrive as
@@ -133,7 +167,7 @@ object RunningTotal {
       }
     }
     val analyzed = prepped.queryExecution.analyzed
-    val valAttr = analyzed.output.find(_.name == "__rt_v").get
+    val valAttrs = vNames.map(nm => analyzed.output.find(_.name == nm).get)
     val order = pieces.map {
       case (Some(nm), e) =>
         val attr = analyzed.output.find(_.name == nm).get
@@ -147,11 +181,13 @@ object RunningTotal {
         case x => SortOrder(resolve(analyzed, x), Ascending)
       }
     }
-    val outAttr = AttributeReference(out, DoubleType, nullable = false)()
-    val matCols = pieces.collect { case (Some(nm), _) => nm }
+    val outAttrs = valueOuts.map { case (_, out) =>
+      AttributeReference(out, DoubleType, nullable = false)()
+    }
+    val matCols = vNames ++ pieces.collect { case (Some(nm), _) => nm }
     matCols.foldLeft(
-        GraftBridge.ofRows(spark, RunningTotalPlan(analyzed, order, valAttr, outAttr))
-          .drop("__rt_v"))((d, nm) => d.drop(nm))
+        GraftBridge.ofRows(spark,
+          RunningTotalPlan(analyzed, order, valAttrs, outAttrs)))((d, nm) => d.drop(nm))
   }
 
   private def resolve(plan: LogicalPlan,

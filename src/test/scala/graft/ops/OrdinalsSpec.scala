@@ -86,6 +86,38 @@ class OrdinalsSpec extends SparkSpec {
     assert(got == Map(1L -> 2.0, 2L -> 2.0, 3L -> 5.0))
   }
 
+  test("withRunningTotals: k totals, bit-identical to the stack, ONE node") {
+    import spark.implicits._
+    for (rows <- samples(frameGen, 3)) {
+      val df = rows.toDF("id", "k", "v").dropDuplicates("id")
+        .withColumn("v", col("v").cast("double"))
+        .withColumn("w", (col("v") * 3 + 1).cast("double"))
+      val stacked = Ordinals.withRunningTotal(
+        Ordinals.withRunningTotal(df, Seq(col("id").asc), "v", "cv"),
+        Seq(col("id").asc), "w", "cw")
+        .collect().map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5)))
+      val fused = Ordinals.withRunningTotals(df, Seq(col("id").asc),
+          Seq("v" -> "cv", "w" -> "cw"))
+        .collect().map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5)))
+      // bit-identical: same per-partition accumulation order
+      assert(fused.sortBy(_._1).toSeq == stacked.sortBy(_._1).toSeq)
+    }
+    // plan shape: ONE RunningTotal node, one range exchange
+    val df = (1L to 100L).map(i => (i, i.toDouble, 2.0 * i)).toDF("id", "v", "w")
+    val plan = Ordinals.withRunningTotals(df, Seq(col("id").asc),
+      Seq("v" -> "cv", "w" -> "cw")).queryExecution.executedPlan.toString
+    assert("RunningTotal \\[".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1, plan)
+    // null cells contribute 0 per column independently
+    val withNull = Seq((1L, Some(2.0), None: Option[Double]),
+      (2L, None: Option[Double], Some(4.0)), (3L, Some(3.0), Some(1.0)))
+      .toDF("id", "v", "w")
+    val got = Ordinals.withRunningTotals(withNull, Seq(col("id").asc),
+        Seq("v" -> "cv", "w" -> "cw"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == Map(1L -> (2.0, 0.0), 2L -> (2.0, 4.0), 3L -> (5.0, 5.0)))
+  }
+
   test("withPerKeyRank handles null keys (null-safe class dictionary)") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, None))
