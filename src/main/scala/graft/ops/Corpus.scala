@@ -582,31 +582,43 @@ object Corpus {
   }
 
   /** The DoReMi EG update over a per-domain (source, tokens, __lp)
-    * frame: reference loss + token-share denominators from the SAME
-    * two-level sum shape the oracle uses (per-domain partials, then
-    * across domains) — one domains-sized aggregate on a 1-row
-    * broadcast, zero exchanges in the step loop. Shared by the unigram
+    * frame, computed DRIVER-SIDE (r15, guide §1.2/§5): the frame is
+    * |domains| rows — a config-scale constant (corpus mixtures have
+    * dozens of domains, never data-scale cardinality) — so the one
+    * collect here replaces two scalar aggregates, two broadcast
+    * exchanges and a crossJoin per query with plain arithmetic. Every
+    * float tree is the SAME IEEE op sequence the former column
+    * expressions (and the oracle CTEs) evaluate: -lp/tok double/long
+    * division, max(0, .), alpha*exp(eta*excess) repeated `steps` times,
+    * ((1-s)*alpha)/asum + s/nd. Rounding stays IN Spark (same `round`)
+    * over the driver-built domains frame. Shared by the unigram
     * stand-in ([[doremiWeights]]) and the bigram-KN proxy
     * ([[doremiWeightsKN]]). */
   private def egReweight(dom: DataFrame, eta: Double, steps: Int,
                          smoothing: Double): DataFrame = {
-    val globals = dom.agg(sum("tokens").as("__gtok"), sum("__lp").as("__glp"),
-      count(lit(1)).as("__nd"))
-    val based = dom.crossJoin(broadcast(globals))
-      .withColumn("excess_loss",
-        greatest(lit(0.0),
-          (-col("__lp") / col("tokens")) - (-col("__glp") / col("__gtok"))))
-      .withColumn("__alpha", col("tokens").cast(DoubleType) / col("__gtok"))
-    val stepped = (1 to steps).foldLeft(based) { (acc, _) =>
-      acc.withColumn("__alpha",
-        col("__alpha") * exp(lit(eta) * col("excess_loss")))
+    val spark = dom.sparkSession
+    import spark.implicits._
+    val rows = dom.collect()
+    val src = rows.map(_.getAs[String]("source"))
+    val tok = rows.map(_.getAs[Long]("tokens"))
+    val lp = rows.map(_.getAs[Double]("__lp"))
+    val gtok = tok.sum // exact long
+    val glp = lp.sum
+    val nd = rows.length
+    val excess = Array.tabulate(nd) { i =>
+      math.max(0.0, (-lp(i) / tok(i)) - (-glp / gtok))
     }
-    val norm = stepped.agg(sum("__alpha").as("__asum"))
-    stepped.crossJoin(broadcast(norm))
+    val alpha = Array.tabulate(nd)(i => tok(i).toDouble / gtok)
+    for (_ <- 1 to steps; i <- 0 until nd)
+      alpha(i) = alpha(i) * math.exp(eta * excess(i))
+    val asum = alpha.sum
+    (0 until nd).map { i =>
+      (src(i), tok(i), excess(i),
+        (1.0 - smoothing) * alpha(i) / asum + smoothing / nd)
+    }.toDF("source", "tokens", "__e", "__w")
       .select(col("source"), col("tokens"),
-        round(col("excess_loss"), 6).as("excess_loss"),
-        round(lit(1.0 - smoothing) * col("__alpha") / col("__asum") +
-          lit(smoothing) / col("__nd"), 6).as("weight"))
+        round(col("__e"), 6).as("excess_loss"),
+        round(col("__w"), 6).as("weight"))
   }
 
   /** DoReMi with PER-STEP proxy re-evaluation — the published
@@ -638,14 +650,21 @@ object Corpus {
     * localCheckpointed; every EG step is then two map-side-combined
     * aggregates over that |domains| x |vocab| sufficient-statistics
     * table (one keyed by term for the mixture LM, one keyed by source
-    * for the losses) with the domains-sized weight frame riding a
-    * broadcast — per-step cost scales with the vocabulary, never with
-    * the corpus. */
+    * for the losses). The EG state itself — alpha, asum, coef, excess —
+    * lives on the DRIVER (r15): it is |domains|-sized (a config-scale
+    * constant), so each step is exactly ONE cluster action (the
+    * per-source loss collect) with the coefficient table shipped back
+    * as a broadcast local relation; the per-step scalar aggregates,
+    * broadcast exchanges and domains-frame checkpoints of the former
+    * shape are gone. Float trees unchanged (same IEEE op order the
+    * oracle CTEs replay); rounding stays in Spark. */
   def doremiWeightsAdaptive(df: DataFrame, textCol: String, idCol: String,
                             sourceCol: String, eta: Double = 1.0,
                             steps: Int = 2,
                             smoothing: Double = 0.01): DataFrame = {
     require(steps >= 1 && eta > 0 && smoothing >= 0 && smoothing < 1)
+    val spark = df.sparkSession
+    import spark.implicits._
     // repartition by term BEFORE the checkpoint: localCheckpoint preserves
     // outputPartitioning, so every step's groupBy(term) mixture aggregate
     // and st-join-pm(term) reuse this ONE exchange instead of re-shuffling
@@ -655,56 +674,49 @@ object Corpus {
       .groupBy("source", "term").agg(sum("c").as("c"))
       .repartition(col("term"))
       .transform(graft.core.Materialize.frame) // cut the corpus out of every step's plan
-    val tok = st.groupBy("source").agg(sum("c").as("tokens"))
     val ct = st.groupBy("term").agg(sum("c").as("__ct"))
-    val g = tok.agg(sum("tokens").as("__gtok"), count(lit(1)).as("__nd"))
+    val tokRows = st.groupBy("source").agg(sum("c").as("tokens")).collect()
+    val src = tokRows.map(_.getAs[String]("source"))
+    val tok = tokRows.map(_.getAs[Long]("tokens"))
+    val gtok = tok.sum // exact long
+    val nd = tokRows.length
     // fixed reference: the corpus (token-share-mixture) unigram LM
-    val lref = st.join(ct, "term").crossJoin(broadcast(g))
+    val lrefMap = st.join(ct, "term")
       .groupBy("source")
-      .agg(sum(col("c") * log(col("__ct").cast(DoubleType) / col("__gtok")))
+      .agg(sum(col("c") * log(col("__ct").cast(DoubleType) / lit(gtok)))
         .as("__lpref"))
-    var w: DataFrame = tok.join(lref, "source").crossJoin(broadcast(g))
-      .select(col("source"), col("tokens"), col("__lpref"), col("__nd"),
-        (lit(1.0) / col("__nd")).as("__alpha"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("__lpref")).toMap
+    val lpref = src.map(lrefMap)
+    val alpha = Array.fill(nd)(1.0 / nd)
+    val excess = new Array[Double](nd)
     for (_ <- 1 to steps) {
-      val asum = w.agg(sum("__alpha").as("__as"))
+      val asum = alpha.sum
       // proxy trained on the current mixture: p_w(t) = sum_d w_d c_dt/tok_d
-      val coef = w.crossJoin(broadcast(asum)).select(col("source"),
-        ((col("__alpha") / col("__as")) / col("tokens")).as("__coef"))
-      val pm = st.join(broadcast(coef), "source")
+      val coefDf = (0 until nd).map(i =>
+        (src(i), (alpha(i) / asum) / tok(i))).toDF("source", "__coef")
+      val pm = st.join(broadcast(coefDf), "source")
         .groupBy("term").agg(sum(col("c") * col("__coef")).as("__pm"))
-      val ld = st.join(pm, "term").groupBy("source")
+      val ldMap = st.join(pm, "term").groupBy("source")
         .agg(sum(col("c") * log(col("__pm"))).as("__lp"))
-      // materialize the domains-sized weight frame each step (r14): w is
-      // referenced three times next step (asum, coef, the join), so an
-      // unmaterialized w re-embeds this step's whole vocab-join subtree
-      // in each reference — the plan grew EXPONENTIALLY with steps (the
-      // t49c/t49d formatted plans ran to hundreds of SortMergeJoins and
-      // Catalyst planning time dominated the query). |sources| rows.
-      val prev = w
-      w = w.join(ld, "source")
-        .withColumn("excess_loss",
-          greatest(lit(0.0),
-            (-col("__lp") / col("tokens")) - (-col("__lpref") / col("tokens"))))
-        .withColumn("__alpha",
-          col("__alpha") * exp(lit(eta) * col("excess_loss")))
-        .drop("__lp")
-        .transform(graft.core.Materialize.frame)
-      // step i-1's blocks are dead the moment step i is materialized
-      // (r15 — long-lived sessions otherwise pin every step's frame
-      // until driver GC); no-op for the initial un-materialized w
-      graft.core.Materialize.free(prev)
+        .collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("__lp")).toMap
+      for (i <- 0 until nd) {
+        excess(i) =
+          math.max(0.0, (-ldMap(src(i)) / tok(i)) - (-lpref(i) / tok(i)))
+        alpha(i) = alpha(i) * math.exp(eta * excess(i))
+      }
     }
-    val norm = w.agg(sum("__alpha").as("__asum"))
-    val out = w.crossJoin(broadcast(norm))
-      .select(col("source"), col("tokens"),
-        round(col("excess_loss"), 6).as("excess_loss"),
-        round(lit(1.0 - smoothing) * col("__alpha") / col("__asum") +
-          lit(smoothing) / col("__nd"), 6).as("weight"))
-    // the stats table is only read by the (eager) per-step materializes;
-    // the returned plan hangs off the FINAL w alone
+    // st is dead: the loop's collects were its last readers and the
+    // output below is a local relation (r15 block hygiene)
     graft.core.Materialize.free(st)
-    out
+    val asum = alpha.sum
+    (0 until nd).map(i => (src(i), tok(i), excess(i),
+      (1.0 - smoothing) * alpha(i) / asum + smoothing / nd))
+      .toDF("source", "tokens", "__e", "__w")
+      .select(col("source"), col("tokens"),
+        round(col("__e"), 6).as("excess_loss"),
+        round(col("__w"), 6).as("weight"))
   }
 
   /** Multinomial Naive Bayes quality classifier — the fastText-style
@@ -779,15 +791,23 @@ object Corpus {
     * Scale: the corpus is touched ONCE to build the (source, v, w, c)
     * bigram sufficient-statistics table (materialized); each EG step is
     * two map-side-combined aggregates over it (mixture counts keyed by
-    * bigram, losses keyed by source) with the domains-sized weight
-    * frame riding a broadcast — per-step cost scales with the bigram
-    * TYPE table, never the corpus. */
+    * bigram, losses keyed by source). The EG state (alpha, asum, coef,
+    * excess) lives on the DRIVER (r15): |domains| rows is a
+    * config-scale constant, so each step is ONE cluster action (the
+    * per-source loss collect) with the coefficient table shipped back
+    * as a broadcast local relation — per-step cost scales with the
+    * bigram TYPE table, never the corpus, and the former per-step
+    * scalar aggregates / broadcast exchanges / domains-frame
+    * checkpoints are gone. Float trees unchanged (the oracle CTEs
+    * replay the same IEEE op order); rounding stays in Spark. */
   def doremiWeightsKNAdaptive(df: DataFrame, textCol: String, idCol: String,
                               sourceCol: String, eta: Double = 1.0,
                               steps: Int = 2, smoothing: Double = 0.01,
                               discount: Double = 0.75): DataFrame = {
     require(steps >= 1 && eta > 0 && smoothing >= 0 && smoothing < 1)
     require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val spark = df.sparkSession
+    import spark.implicits._
     // repartition by v BEFORE the checkpoint (r14): localCheckpoint
     // preserves outputPartitioning, and HashPartitioning(v) satisfies
     // every clustering this method needs — groupBy(v,w), groupBy(v),
@@ -799,7 +819,6 @@ object Corpus {
       .groupBy("source", "v", "w").agg(sum("c").as("c"))
       .repartition(col("v"))
       .transform(graft.core.Materialize.frame) // corpus out of the step loop
-    val tok = sb.groupBy("source").agg(sum("c").as("tokens"))
     // weight-invariant type statistics (support never changes: EG keeps
     // all weights positive)
     val cb = sb.groupBy("v", "w").agg(sum("c").as("__cvw"))
@@ -807,7 +826,19 @@ object Corpus {
       count(lit(1)).as("__n1v"))
     val contW = cb.groupBy("w").agg(count(lit(1)).as("__ncw"))
     val types = cb.agg(count(lit(1)).as("__types"))
-    val g = tok.agg(sum("tokens").as("__gtok"), count(lit(1)).as("__nd"))
+    // attach the type statistics to the stats rows ONCE (r15): every EG
+    // step's loss pass used to rebuild the cv/contW/types broadcasts
+    // from sb — 5-6 broadcast-exchange jobs per step whose scheduling
+    // floor dominated the query (58 jobs at sf0.1). `stats` has sb's
+    // cardinality (|domains| x |bigram types| — never occurrences) and
+    // keeps sb's HashPartitioning(v) through the 1:1 broadcast/SMJ type
+    // joins, so each step below is mcb/mcv partition-local aggregates
+    // plus one co-partitioned join chain: ONE cluster action, two
+    // sub-broadcasts, no type-stat rebuilds.
+    val stats = sb.join(cb, Seq("v", "w")).join(cv, "v").join(contW, "w")
+      .crossJoin(broadcast(types))
+      .transform(graft.core.Materialize.frame)
+    graft.core.Materialize.free(sb) // stats supersedes sb (1:1 rows)
     // fixed reference: the corpus-trained KN LM (doremiWeightsKN's proxy)
     val pKnRef =
       ((col("__cvw").cast(DoubleType) - lit(discount))
@@ -815,19 +846,29 @@ object Corpus {
         (lit(discount) * (col("__n1v").cast(DoubleType)
           / col("__cv").cast(DoubleType)) *
           (col("__ncw").cast(DoubleType) / col("__types").cast(DoubleType)))
-    val lref = sb.join(cb, Seq("v", "w")).join(cv, "v").join(contW, "w")
-      .crossJoin(broadcast(types))
-      .groupBy("source").agg(sum(col("c") * log(pKnRef)).as("__lpref"))
-    var w: DataFrame = tok.join(lref, "source").crossJoin(broadcast(g))
-      .select(col("source"), col("tokens"), col("__lpref"), col("__nd"),
-        col("__gtok"), (lit(1.0) / col("__nd")).as("__alpha"))
+    // ONE pass for per-source tokens AND reference loss: the type-stat
+    // joins are 1:1 on (v,w)/v/w (each aggregated FROM sb), so every sb
+    // row survives exactly once and sum(c) here is the exact long sum
+    // the former separate groupBy("source") computed
+    val refRows = stats
+      .groupBy("source")
+      .agg(sum("c").as("tokens"), sum(col("c") * log(pKnRef)).as("__lpref"))
+      .collect()
+    val src = refRows.map(_.getAs[String]("source"))
+    val tok = refRows.map(_.getAs[Long]("tokens"))
+    val lpref = refRows.map(_.getAs[Double]("__lpref"))
+    val gtok = tok.sum // exact long
+    val nd = refRows.length
+    val alpha = Array.fill(nd)(1.0 / nd)
+    val excess = new Array[Double](nd)
     for (_ <- 1 to steps) {
-      val asum = w.agg(sum("__alpha").as("__as"))
+      val asum = alpha.sum
       // mixture pseudo-counts at corpus scale: coef_d = (w_d/tok_d)*gtok
-      val coef = w.crossJoin(broadcast(asum)).select(col("source"),
-        (((col("__alpha") / col("__as")) / col("tokens")) * col("__gtok"))
-          .as("__coef"))
-      val mcb = sb.join(broadcast(coef), "source")
+      val coefDf = (0 until nd).map(i =>
+        (src(i), ((alpha(i) / asum) / tok(i)) * gtok))
+        .toDF("source", "__coef")
+      val mcb = stats.select("v", "w", "source", "c")
+        .join(broadcast(coefDf), "source")
         .groupBy("v", "w").agg(sum(col("c") * col("__coef")).as("__mvw"))
       val mcv = mcb.groupBy("v").agg(sum("__mvw").as("__mv"))
       val pKnMix =
@@ -835,37 +876,26 @@ object Corpus {
           (lit(discount) * (col("__n1v").cast(DoubleType) / col("__mv")) *
             (col("__ncw").cast(DoubleType)
               / col("__types").cast(DoubleType)))
-      val ld = sb.join(mcb, Seq("v", "w")).join(mcv, "v").join(cv, "v")
-        .join(contW, "w").crossJoin(broadcast(types))
+      val ldMap = stats.join(mcb, Seq("v", "w")).join(mcv, "v")
         .groupBy("source").agg(sum(col("c") * log(pKnMix)).as("__lp"))
-      // materialize the domains-sized weight frame each step (r14): same
-      // exponential-plan fix as [[doremiWeightsAdaptive]] — w is read 3x
-      // next step, so an unmaterialized w re-embeds this step's 5-way
-      // bigram join chain per reference (the t49d formatted plan hit
-      // ~520 SortMergeJoins at steps=2 and planning dominated runtime).
-      val prev = w
-      w = w.join(ld, "source")
-        .withColumn("excess_loss",
-          greatest(lit(0.0),
-            (-col("__lp") / col("tokens"))
-              - (-col("__lpref") / col("tokens"))))
-        .withColumn("__alpha",
-          col("__alpha") * exp(lit(eta) * col("excess_loss")))
-        .drop("__lp")
-        .transform(graft.core.Materialize.frame)
-      // free step i-1's dead blocks (r15; no-op for the initial w)
-      graft.core.Materialize.free(prev)
+        .collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("__lp")).toMap
+      for (i <- 0 until nd) {
+        excess(i) =
+          math.max(0.0, (-ldMap(src(i)) / tok(i)) - (-lpref(i) / tok(i)))
+        alpha(i) = alpha(i) * math.exp(eta * excess(i))
+      }
     }
-    val norm = w.agg(sum("__alpha").as("__asum"))
-    val out = w.crossJoin(broadcast(norm))
+    // stats is dead: the loop's collects were its last readers and the
+    // output below is a local relation (r15 block hygiene)
+    graft.core.Materialize.free(stats)
+    val asum = alpha.sum
+    (0 until nd).map(i => (src(i), tok(i), excess(i),
+      (1.0 - smoothing) * alpha(i) / asum + smoothing / nd))
+      .toDF("source", "tokens", "__e", "__w")
       .select(col("source"), col("tokens"),
-        round(col("excess_loss"), 6).as("excess_loss"),
-        round(lit(1.0 - smoothing) * col("__alpha") / col("__asum") +
-          lit(smoothing) / col("__nd"), 6).as("weight"))
-    // sb is only read by the (eager) per-step materializes; the returned
-    // plan hangs off the FINAL w alone
-    graft.core.Materialize.free(sb)
-    out
+        round(col("__e"), 6).as("excess_loss"),
+        round(col("__w"), 6).as("weight"))
   }
 
   /** DoReMi reweighting with a REAL proxy scorer: the per-domain loss is
@@ -881,18 +911,33 @@ object Corpus {
     * (the loss denominator), so token-share alpha_0 is over the same
     * units as the loss.
     *
-    * Scale: the KN statistics are three aggregates over the bigram-type
-    * table (types, not occurrences — the t26 shape); the per-domain
-    * rollup is ONE more map-side-combined aggregate after a broadcast
-    * join of the type-level stats. Still zero exchanges in the EG loop. */
+    * Scale: the corpus is touched ONCE — the (source, v, w, c) bigram
+    * sufficient-statistics table (the [[doremiWeightsKNAdaptive]]
+    * prologue) is materialized, and the KN type statistics, the
+    * reference probabilities AND the per-domain rollup all hang off
+    * those blocks (r15: the former doc-level shape re-executed the
+    * tokenize + explode + bigram-count lineage once per broadcast
+    * type-stat build — 22 jobs / 228 tasks at sf0.1 — and shuffled the
+    * OCCURRENCE table through the type joins; the source-collapsed
+    * table is |domains| x |bigram types|, orders of magnitude smaller
+    * than occurrences at corpus scale). `tokens` is the identical
+    * exact long sum; the per-source loss sums the identical c*log(p)
+    * terms with source-level instead of doc-level partials — the same
+    * float value to ~1 ulp, well inside the round-6 output contract
+    * (the oracle's own DuckDB sum order already differs). Still zero
+    * exchanges in the EG loop (driver-side, [[egReweight]]). */
   def doremiWeightsKN(df: DataFrame, textCol: String, idCol: String,
                       sourceCol: String, eta: Double = 1.0, steps: Int = 2,
                       smoothing: Double = 0.01,
                       discount: Double = 0.75): DataFrame = {
     require(steps >= 1 && eta > 0 && smoothing >= 0 && smoothing < 1)
     require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
-    val db = Lexicon.docBigramCounts(df, textCol, idCol)
-    val cb = db.groupBy("v", "w").agg(sum("c").as("__cvw"))
+    val sb = Lexicon.docBigramCounts(df, textCol, idCol)
+      .join(df.select(col(idCol).as("id"), col(sourceCol).as("source")), "id")
+      .groupBy("source", "v", "w").agg(sum("c").as("c"))
+      .repartition(col("v"))
+      .transform(graft.core.Materialize.frame)
+    val cb = sb.groupBy("v", "w").agg(sum("c").as("__cvw"))
     val cv = cb.groupBy("v").agg(sum("__cvw").as("__cv"),
       count(lit(1)).as("__n1v"))
     val contW = cb.groupBy("w").agg(count(lit(1)).as("__ncw"))
@@ -901,11 +946,14 @@ object Corpus {
       (col("__cvw").cast(DoubleType) - lit(discount)) / col("__cv").cast(DoubleType) +
         lit(discount) * (col("__n1v").cast(DoubleType) / col("__cv").cast(DoubleType)) *
           (col("__ncw").cast(DoubleType) / col("__types").cast(DoubleType))
-    val dom = db.join(cb, Seq("v", "w")).join(cv, "v").join(contW, "w")
+    val dom = sb.join(cb, Seq("v", "w")).join(cv, "v").join(contW, "w")
       .crossJoin(broadcast(types))
-      .join(df.select(col(idCol).as("id"), col(sourceCol).as("source")), "id")
       .groupBy("source")
       .agg(sum("c").as("tokens"), sum(col("c") * log(pKn)).as("__lp"))
-    egReweight(dom, eta, steps, smoothing)
+    val out = egReweight(dom, eta, steps, smoothing)
+    // egReweight's collect was sb's last reader (the returned frame is
+    // a local relation) — free the checkpoint blocks (r15 hygiene)
+    graft.core.Materialize.free(sb)
+    out
   }
 }
