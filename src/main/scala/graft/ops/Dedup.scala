@@ -85,17 +85,20 @@ object Dedup {
     shingleRowsRaw(df, textCol, idCol, n).dropDuplicates("id", "sh")
 
   /** Distinct shingles as EXPLODED 60-bit HASH rows (id, __h) — the d2/d3
-    * hot-path shape: the shingle string is hashed BEFORE the one explicit
-    * repartition-by-id exchange, so the only shuffle of the whole shingle
-    * stage carries 16-byte (id, hash) rows (shingle construction itself
-    * is exchange-free — see [[shingleRows]]). Hash-partitioning by id
-    * satisfies the dedup aggregate's (id, __h) clustering AND every later
-    * groupBy("id"), so all downstream consumers hang off this single
+    * hot-path shape. The one explicit repartition-by-id exchange moves
+    * the COMPACT (id, text) rows and the tokenize + shingle + md5 run
+    * AFTER it (r15): fewer shuffled bytes than the former exploded
+    * hash-row shuffle (16 B per shingle occurrence ~ 16 B per token vs
+    * the token's ~6 B of text, shipped once), and the CPU-dense
+    * tokenize+md5 runs at shuffle parallelism instead of the ONE task a
+    * single-row-group fixture scan provides. Aliases preserve the
+    * partitioning attribution, so the dedup aggregate's (id, __h)
+    * clustering AND every later groupBy("id") hang off this single
     * exchange (AQE stage reuse materializes it once). */
   def shingleHashRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    shingleRowsRaw(df, textCol, idCol, n)
+    shingleRowsRaw(df.select(col(idCol), col(textCol)).repartition(col(idCol)),
+        textCol, idCol, n)
       .select(col("id"), Hashing.md5Int(col("sh")).as("__h"))
-      .repartition(col("id"))
       .dropDuplicates("id", "__h")
 
   /** POSITIONED shingle hash rows (id, pos, __h) — no dedup (positions

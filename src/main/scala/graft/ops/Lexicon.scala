@@ -33,10 +33,20 @@ object Lexicon {
   /** Per-(doc, term) occurrence counts (id, term, c) — the shared base of
     * TF-IDF and LM scoring. One explicit repartition-by-id exchange; the
     * (id, term) count and any per-doc rollup both satisfy their
-    * clustering from it (same recipe as [[Corpus.repetitionStats]]). */
+    * clustering from it (same recipe as [[Corpus.repetitionStats]]).
+    *
+    * The exchange moves the COMPACT (id, text) rows and the tokenize +
+    * explode run AFTER it (r15): strictly fewer shuffled bytes than the
+    * former exploded-occurrence shuffle (every token reappears in each
+    * occurrence row, plus per-row overhead), and the CPU-dense tokenize
+    * now runs at shuffle parallelism instead of scan parallelism — a
+    * single-row-group fixture file scans as ONE task, which serialized
+    * the whole tokenize on one core. */
   def docTermCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    tokenRows(df, textCol, idCol)
+    df.select(col(idCol).as("id"), lower(col(textCol)).as("__lt"))
       .repartition(col("id"))
+      .select(col("id"), explode(Text.tokens(col("__lt"))).as("term"))
+      .filter(col("term") =!= "")
       .groupBy("id", "term").agg(count(lit(1)).as("c"))
 
   /** Corpus vocabulary: terms with >= `minCount` total occurrences, the
@@ -290,8 +300,14 @@ object Lexicon {
     * contribute nothing (an empty doc's token array is [""], size 1,
     * so empty tokens never appear in a pair). */
   def docBigramCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      Text.tokens(lower(col(textCol))).as("__t"))
+    // exchange the COMPACT (id, text) rows; tokenize + slice + explode
+    // run AFTER it (r15) — fewer shuffled bytes than the former exploded
+    // bigram shuffle (each token rode in two bigram rows) and the
+    // CPU-dense tokenize runs at shuffle parallelism, not the one task
+    // a single-row-group fixture scan provides
+    val base = df.select(col(idCol).as("id"), lower(col(textCol)).as("__lt"))
+      .repartition(col("id"))
+      .select(col("id"), Text.tokens(col("__lt")).as("__t"))
     val sz = size(col("__t"))
     val pairs = arrays_zip(
       slice(col("__t"), lit(1), sz - 1).as("0"),
@@ -299,7 +315,6 @@ object Lexicon {
     base.filter(sz >= 2)
       .select(col("id"), explode(pairs).as("__p"))
       .select(col("id"), col("__p.0").as("v"), col("__p.1").as("w"))
-      .repartition(col("id"))
       .groupBy("id", "v", "w").agg(count(lit(1)).as("c"))
   }
 
